@@ -1,0 +1,261 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.procver.ProcVerDims
+import graft.functions.Funcs
+
+/** Catalog handle: the silver fact tables + procver dimensions.
+  * All ops are DataFrame-in/DataFrame-out; nothing collects except
+  * tiny-dimension resolution.
+  */
+final case class Catalog(
+    rootDiaobject: DataFrame,
+    diaobject: DataFrame,
+    diaobjectPosition: DataFrame,
+    diasource: DataFrame,
+    diaforcedsource: DataFrame,
+    dims: ProcVerDims)
+
+/** Lightcurve query core — the load-bearing semantics of the reference
+  * (SURVEY.md §3.1): processing-version priority dedup (A1), the
+  * forced/detection patch join (J2), per-object stats (A2-A4), weighted
+  * positions (A7), and the hot-transient recency window (T6).
+  */
+object Ltcv {
+
+  /** A1 — priority dedup, the system's signature operator.
+    *
+    * For each natural key keep the row whose base procver has the
+    * highest priority under the requested procver (the reference's
+    * `DISTINCT ON ... ORDER BY priority DESC`, src/ltcv.py:645-669).
+    *
+    * Implemented as `max_by(struct(payload), struct(priority, tiebreak))`
+    * over a `groupBy(keys)` rather than a rank-1 window: the aggregate
+    * gets map-side partial combine, so at 100 TB only one row per
+    * (key, partition) reaches the shuffle instead of every photometry
+    * row hitting a full partition sort. The priority map is a handful
+    * of rows — always broadcast.
+    */
+  def priorityDedup(df: DataFrame, priorities: DataFrame,
+      keys: Seq[String], tiebreak: String): DataFrame = {
+    val joined = df.join(broadcast(priorities), Seq("base_procver_id"))
+    val payload = joined.columns.filterNot(keys.contains)
+    val ordKey = struct(col("priority"), col(tiebreak))
+    joined
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), ordKey).as("_best"))
+      .select(keys.map(col) ++ payload.map(c => col(s"_best.$c").as(c)): _*)
+  }
+
+  /** diaobjectid → rootid map under a procver's diaobject base versions
+    * (the reference's tmp_objids without the id-list restriction,
+    * src/ltcv.py:569-630). */
+  def objMap(cat: Catalog, procverId: String): DataFrame =
+    cat.diaobject
+      .join(broadcast(cat.dims.priorities(procverId, "diaobject")
+        .select("base_procver_id")), Seq("base_procver_id"))
+      .select("diaobjectid", "rootid").distinct()
+
+  /** Expand requested object ids to *all* diaobjectids sharing their
+    * rootids (src/ltcv.py:569-630): the alert stream re-associates
+    * sources across diaobjectids, so lightcurves must be assembled per
+    * rootid (SURVEY.md §7.4 "identity pathologies"). */
+  def expandObjids(cat: Catalog, procverId: String,
+      diaobjectids: Seq[Long] = Nil, rootids: Seq[String] = Nil): DataFrame = {
+    val m = objMap(cat, procverId)
+    val wanted = m.filter(
+      (if (diaobjectids.nonEmpty) col("diaobjectid").isin(diaobjectids: _*) else lit(false)) ||
+      (if (rootids.nonEmpty) col("rootid").isin(rootids: _*) else lit(false)))
+      .select("rootid").distinct()
+    m.join(broadcast(wanted), Seq("rootid"), "left_semi")
+  }
+
+  private def photometryForProcver(phot: DataFrame, cat: Catalog,
+      procverId: String, table: String, idCol: String,
+      mjdNow: Option[Double], bands: Seq[String],
+      objids: Option[DataFrame]): DataFrame = {
+    // P3 time-travel cut + P4 band filter push down to the parquet scan.
+    val cut = mjdNow.map(m => phot.filter(col("midpointmjdtai") <= m)).getOrElse(phot)
+    val banded = if (bands.nonEmpty) cut.filter(col("band").isin(bands: _*)) else cut
+    val m = objids.getOrElse(objMap(cat, procverId))
+    val withRoot = banded.join(m, Seq("diaobjectid"))
+    priorityDedup(withRoot, cat.dims.priorities(procverId, table),
+      keys = Seq("rootid", "visit"), tiebreak = idCol)
+  }
+
+  /** Detections deduped per (rootid, visit) under `procverId`
+    * (src/ltcv.py:640-671). `objids`: optional (diaobjectid, rootid)
+    * restriction from [[expandObjids]] — small, broadcast by Catalyst. */
+  def sources(cat: Catalog, procverId: String,
+      mjdNow: Option[Double] = None, bands: Seq[String] = Nil,
+      objids: Option[DataFrame] = None): DataFrame =
+    photometryForProcver(cat.diasource, cat, procverId, "diasource",
+      "diasourceid", mjdNow, bands, objids)
+
+  /** Forced photometry deduped per (rootid, visit)
+    * (src/ltcv.py:681-712). */
+  def forced(cat: Catalog, procverId: String,
+      mjdNow: Option[Double] = None, bands: Seq[String] = Nil,
+      objids: Option[DataFrame] = None): DataFrame =
+    photometryForProcver(cat.diaforcedsource, cat, procverId, "diaforcedsource",
+      "diaforcedsourceid", mjdNow, bands, objids)
+
+  /** J2 — the FULL OUTER patch join (src/ltcv.py:714-741).
+    *
+    * Forced photometry arrives ≥ ~24 h late; until then the lightcurve
+    * is "patched" from the detection's photometry. For each (rootid,
+    * visit): take every column from the forced row if present, else
+    * from the detection; `isdet` = a detection exists; `ispatch` = the
+    * value came from the detection because forced hasn't arrived.
+    */
+  def patchJoin(forcedDf: DataFrame, sourcesDf: DataFrame): DataFrame = {
+    val f = forcedDf.select(
+      col("rootid"), col("visit"),
+      col("band").as("f_band"), col("midpointmjdtai").as("f_mjd"),
+      col("psfflux").as("f_psfflux"), col("psffluxerr").as("f_psffluxerr"),
+      col("diaobjectid").as("f_diaobjectid"))
+    val s = sourcesDf.select(
+      col("rootid"), col("visit"),
+      col("band").as("s_band"), col("midpointmjdtai").as("s_mjd"),
+      col("psfflux").as("s_psfflux"), col("psffluxerr").as("s_psffluxerr"),
+      col("diaobjectid").as("s_diaobjectid"),
+      col("psfflux").as("s_detflux"), col("psffluxerr").as("s_detfluxerr"))
+    f.join(s, Seq("rootid", "visit"), "full_outer")
+      .select(
+        col("rootid"), col("visit"),
+        coalesce(col("f_band"), col("s_band")).as("band"),
+        coalesce(col("f_mjd"), col("s_mjd")).as("midpointmjdtai"),
+        coalesce(col("f_psfflux"), col("s_psfflux")).as("psfflux"),
+        coalesce(col("f_psffluxerr"), col("s_psffluxerr")).as("psffluxerr"),
+        coalesce(col("f_diaobjectid"), col("s_diaobjectid")).as("diaobjectid"),
+        col("s_detflux").as("detflux"), col("s_detfluxerr").as("detfluxerr"),
+        col("s_band").isNotNull.as("isdet"),
+        (col("s_band").isNotNull && col("f_band").isNull).as("ispatch"))
+  }
+
+  /** Full lightcurve assembly for a set of objects, ordered
+    * (rootid, mjd) — the reference's `many_object_ltcvs`
+    * (src/ltcv.py:294-924) as one declarative plan. */
+  def objectLtcvs(cat: Catalog, procverId: String,
+      diaobjectids: Seq[Long] = Nil, rootids: Seq[String] = Nil,
+      mjdNow: Option[Double] = None, bands: Seq[String] = Nil,
+      whichPhot: String = "patch"): DataFrame = {
+    val ids =
+      if (diaobjectids.nonEmpty || rootids.nonEmpty)
+        Some(expandObjids(cat, procverId, diaobjectids, rootids))
+      else None
+    val out = whichPhot match {
+      case "detections" => sources(cat, procverId, mjdNow, bands, ids)
+      case "forced"     => forced(cat, procverId, mjdNow, bands, ids)
+      case _            => patchJoin(
+        forced(cat, procverId, mjdNow, bands, ids),
+        sources(cat, procverId, mjdNow, bands, ids))
+    }
+    out.orderBy("rootid", "midpointmjdtai")
+  }
+
+  // ---- objstats (A2-A4): the matview replacement ------------------
+
+  /** Flux thresholds for ndets24/23/22/21 (mag cuts at ZP 31.4,
+    * src/ltcv.py:1590-1595). */
+  private val magCuts = Seq(24, 23, 22, 21).map(m => m -> Funcs.mag2flux(m.toDouble))
+  private val snCuts = Seq(10, 7, 5)
+
+  /** Per-(rootid, band) lightcurve statistics — one `groupBy` pass
+    * replacing the reference's 8-subquery materialized view
+    * (src/ltcv.py:1600-1754). Input: deduped detections from
+    * [[sources]]. */
+  def objStats(dedupedSources: DataFrame): DataFrame = {
+    val mjdOrd = struct(col("midpointmjdtai"), col("diasourceid"))
+    val detTriple = struct(col("midpointmjdtai").as("mjd"),
+      col("psfflux").as("flux"), col("psffluxerr").as("fluxerr"))
+    val aggs = Seq(
+      count(lit(1)).as("ndets"),
+      min_by(detTriple, mjdOrd).as("firstdet"),
+      max_by(detTriple, mjdOrd).as("lastdet"),
+      max_by(detTriple, struct(col("psfflux"), col("diasourceid"))).as("maxdet")) ++
+      magCuts.map { case (m, f) =>
+        sum(when(col("psfflux") >= f, 1L).otherwise(0L)).as(s"ndets$m") } ++
+      snCuts.map { n =>
+        sum(when(col("psfflux") / col("psffluxerr") >= n, 1L).otherwise(0L)).as(s"nsn$n") }
+    dedupedSources
+      .groupBy("rootid", "band")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("rootid") +: col("band") +: statCols: _*)
+  }
+
+  private def statCols: Seq[Column] = Seq(
+    col("ndets"),
+    col("firstdet.mjd").as("firstdetmjd"), col("firstdet.flux").as("firstdetflux"),
+    col("firstdet.fluxerr").as("firstdetfluxerr"),
+    col("lastdet.mjd").as("lastdetmjd"), col("lastdet.flux").as("lastdetflux"),
+    col("lastdet.fluxerr").as("lastdetfluxerr"),
+    col("maxdet.mjd").as("maxdetmjd"), col("maxdet.flux").as("maxdetflux"),
+    col("maxdet.fluxerr").as("maxdetfluxerr")) ++
+    magCuts.map { case (m, _) => col(s"ndets$m") } ++
+    snCuts.map(n => col(s"nsn$n"))
+
+  /** A4 — cross-band rollup per rootid (objstatscomb_{pv},
+    * src/ltcv.py:1781-1815): counts summed, first/last/max recomputed
+    * across bands. Takes the *deduped sources* so the extrema are exact
+    * (not a max-of-maxes on ties). */
+  def objStatsComb(dedupedSources: DataFrame): DataFrame = {
+    val mjdOrd = struct(col("midpointmjdtai"), col("diasourceid"))
+    val detTriple = struct(col("midpointmjdtai").as("mjd"),
+      col("psfflux").as("flux"), col("psffluxerr").as("fluxerr"))
+    val aggs = Seq(
+      count(lit(1)).as("ndets"),
+      min_by(detTriple, mjdOrd).as("firstdet"),
+      max_by(detTriple, mjdOrd).as("lastdet"),
+      max_by(detTriple, struct(col("psfflux"), col("diasourceid"))).as("maxdet")) ++
+      magCuts.map { case (m, f) =>
+        sum(when(col("psfflux") >= f, 1L).otherwise(0L)).as(s"ndets$m") } ++
+      snCuts.map { n =>
+        sum(when(col("psfflux") / col("psffluxerr") >= n, 1L).otherwise(0L)).as(s"nsn$n") }
+    dedupedSources.groupBy("rootid").agg(aggs.head, aggs.tail: _*)
+      .select(col("rootid") +: statCols: _*)
+  }
+
+  /** A7 — (S/N)²-weighted mean position per rootid over detections with
+    * S/N > 3 (src/ltcv.py:828-878), as single-pass column arithmetic
+    * instead of the reference's per-lightcurve numpy loop. */
+  def weightedPositions(dedupedSources: DataFrame, snCut: Double = 3.0): DataFrame = {
+    val w = pow(col("psfflux") / col("psffluxerr"), 2)
+    dedupedSources
+      .filter(col("psfflux") / col("psffluxerr") > snCut)
+      .withColumn("_w", w)
+      .groupBy("rootid")
+      .agg(
+        sum("_w").as("_sw"),
+        sum(col("_w") * col("ra")).as("_swra"),
+        sum(col("_w") * col("dec")).as("_swdec"),
+        sum(col("_w") * col("ra") * col("ra")).as("_swra2"),
+        sum(col("_w") * col("dec") * col("dec")).as("_swdec2"),
+        sum(col("_w") * col("ra") * col("dec")).as("_swradec"),
+        count(lit(1)).as("nposdets"))
+      .select(
+        col("rootid"), col("nposdets"),
+        (col("_swra") / col("_sw")).as("ra"),
+        (col("_swdec") / col("_sw")).as("dec"),
+        sqrt(greatest(col("_swra2") / col("_sw") - pow(col("_swra") / col("_sw"), 2), lit(0.0))).as("rastd"),
+        sqrt(greatest(col("_swdec2") / col("_sw") - pow(col("_swdec") / col("_sw"), 2), lit(0.0))).as("decstd"),
+        (col("_swradec") / col("_sw") - col("_swra") * col("_swdec") / (col("_sw") * col("_sw"))).as("ra_dec_cov"))
+  }
+
+  /** T6 — hot transients: lightcurves of objects with a detection in
+    * [mjdNow - lastdays, mjdNow] (src/ltcv.py:1290-1518; default window
+    * 30 d). Photometry is cut at mjdNow (P3). */
+  def hotLtcvs(cat: Catalog, procverId: String, mjdNow: Double,
+      lastdays: Double = 30.0, bands: Seq[String] = Nil): DataFrame = {
+    val src = sources(cat, procverId, Some(mjdNow), bands)
+    val hotRoots = src
+      .filter(col("midpointmjdtai") >= mjdNow - lastdays)
+      .select("rootid").distinct()
+    val frc = forced(cat, procverId, Some(mjdNow), bands)
+    patchJoin(
+      frc.join(hotRoots, Seq("rootid"), "left_semi"),
+      src.join(hotRoots, Seq("rootid"), "left_semi"))
+      .orderBy("rootid", "midpointmjdtai")
+  }
+}
