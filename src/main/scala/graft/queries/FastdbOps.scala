@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.query.Ltcv
+import graft.spatial.Spatial
+
+/** FASTDB operator semantics (SURVEY.md §2) driven through the real
+  * engine code paths — [[graft.query.Ltcv]] / [[graft.spatial.Spatial]]
+  * — on FASTDB-shaped frames derived deterministically from the
+  * driver's testdata tables, so the DuckDB oracle gate hash-checks the
+  * actual operators, not reimplementations.
+  *
+  * Derivations use integer arithmetic (mod/concat) so both engines
+  * produce bit-identical inputs; floating outputs are rounded where a
+  * sum's accumulation order could differ between engines.
+  */
+object FastdbOps {
+
+  /** lineitem → diasource-shaped frame: multiple base procvers per
+    * (rootid, visit) key so the priority dedup has real work. */
+  private def liSources(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("diasourceid"),
+      concat(lit("bpv"), (col("l_suppkey") % 3).cast("string")).as("base_procver_id"),
+      (col("l_orderkey") % 1000).cast("string").as("rootid"),
+      (col("l_partkey") % 100).as("visit"),
+      col("l_returnflag").as("band"),
+      col("l_extendedprice").as("midpointmjdtai"),
+      (col("l_extendedprice") / 10).as("psfflux"),
+      col("l_quantity").as("psffluxerr"),
+      (col("l_partkey") * 1e-4).as("ra"),
+      (col("l_suppkey") * 1e-4).as("dec"))
+
+  private val liSourcesSql =
+    """SELECT l_orderkey*10 + l_linenumber AS diasourceid,
+      |  'bpv' || CAST(l_suppkey % 3 AS VARCHAR) AS base_procver_id,
+      |  CAST(l_orderkey % 1000 AS VARCHAR) AS rootid,
+      |  l_partkey % 100 AS visit,
+      |  l_returnflag AS band,
+      |  l_extendedprice AS midpointmjdtai,
+      |  l_extendedprice / 10 AS psfflux,
+      |  l_quantity AS psffluxerr,
+      |  l_partkey * 1e-4 AS ra,
+      |  l_suppkey * 1e-4 AS dec
+      |FROM lineitem""".stripMargin
+
+  private def bpvPriorities(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("bpv0", 0), ("bpv1", 1), ("bpv2", 2))
+      .toDF("base_procver_id", "priority")
+  }
+
+  // ---- A1: priority dedup (the signature operator) -----------------
+
+  /** The synthetic lineitem has duplicate (orderkey, linenumber) pairs,
+    * so the derived diasourceid alone is not unique — extend the
+    * tiebreak over the payload to keep the winner total-ordered. */
+  def a1PriorityDedup(s: SparkSession, d: String): DataFrame =
+    Ltcv.priorityDedup(liSources(s, d), bpvPriorities(s),
+        keys = Seq("rootid", "visit"),
+        tiebreaks = Seq("diasourceid", "midpointmjdtai", "psffluxerr", "band"))
+      .select(col("rootid"), col("visit"), col("diasourceid"),
+        col("base_procver_id"), round(col("psfflux"), 4).as("psfflux"))
+      .orderBy("rootid", "visit")
+
+  val a1Sql: String =
+    s"""WITH src AS ($liSourcesSql)
+       |SELECT rootid, visit, diasourceid, base_procver_id,
+       |  ROUND(psfflux, 4) AS psfflux
+       |FROM (SELECT *,
+       |        CAST(SUBSTR(base_procver_id, 4) AS INT) AS priority,
+       |        ROW_NUMBER() OVER (PARTITION BY rootid, visit
+       |          ORDER BY CAST(SUBSTR(base_procver_id, 4) AS INT) DESC,
+       |                   diasourceid DESC, midpointmjdtai DESC,
+       |                   psffluxerr DESC, band DESC) AS rn
+       |      FROM src)
+       |WHERE rn = 1
+       |ORDER BY rootid, visit""".stripMargin
+
+  // ---- J2: forced ⟗ detections patch join --------------------------
+
+  /** forced := even orders; detections := first lineitem of orders with
+    * l_partkey % 3 = 0 — gives all three patch categories. */
+  def j2PatchJoin(s: SparkSession, d: String): DataFrame = {
+    val f = orders(s, d).filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey").cast("string").as("rootid"),
+      (col("o_orderkey") % 7).as("visit"),
+      col("o_orderstatus").as("band"),
+      col("o_totalprice").as("midpointmjdtai"),
+      col("o_totalprice").as("psfflux"),
+      (col("o_totalprice") / 100).as("psffluxerr"),
+      col("o_custkey").as("diaobjectid"))
+    val src = lineitem(s, d)
+      .filter(col("l_linenumber") === 1 && col("l_partkey") % 3 === 0).select(
+        col("l_orderkey").cast("string").as("rootid"),
+        (col("l_orderkey") % 7).as("visit"),
+        col("l_returnflag").as("band"),
+        col("l_extendedprice").as("midpointmjdtai"),
+        col("l_extendedprice").as("psfflux"),
+        col("l_quantity").as("psffluxerr"),
+        col("l_partkey").as("diaobjectid"))
+    Ltcv.patchJoin(f, src)
+      .select(col("rootid"), col("visit"), col("band"),
+        round(col("midpointmjdtai"), 4).as("midpointmjdtai"),
+        round(col("psfflux"), 4).as("psfflux"),
+        round(col("psffluxerr"), 4).as("psffluxerr"),
+        col("diaobjectid"), round(col("detflux"), 4).as("detflux"),
+        col("isdet"), col("ispatch"))
+      .orderBy("rootid", "visit")
+  }
+
+  val j2Sql: String =
+    """WITH f AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS rootid, o_orderkey % 7 AS visit,
+      |    o_orderstatus AS band, o_totalprice AS midpointmjdtai,
+      |    o_totalprice AS psfflux, o_totalprice / 100 AS psffluxerr,
+      |    o_custkey AS diaobjectid
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |s AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS rootid, l_orderkey % 7 AS visit,
+      |    l_returnflag AS band, l_extendedprice AS midpointmjdtai,
+      |    l_extendedprice AS psfflux, l_quantity AS psffluxerr,
+      |    l_partkey AS diaobjectid
+      |  FROM lineitem WHERE l_linenumber = 1 AND l_partkey % 3 = 0)
+      |SELECT COALESCE(f.rootid, s.rootid) AS rootid,
+      |  COALESCE(f.visit, s.visit) AS visit,
+      |  COALESCE(f.band, s.band) AS band,
+      |  ROUND(COALESCE(f.midpointmjdtai, s.midpointmjdtai), 4) AS midpointmjdtai,
+      |  ROUND(COALESCE(f.psfflux, s.psfflux), 4) AS psfflux,
+      |  ROUND(COALESCE(f.psffluxerr, s.psffluxerr), 4) AS psffluxerr,
+      |  COALESCE(f.diaobjectid, s.diaobjectid) AS diaobjectid,
+      |  ROUND(s.psfflux, 4) AS detflux,
+      |  s.band IS NOT NULL AS isdet,
+      |  (s.band IS NOT NULL AND f.band IS NULL) AS ispatch
+      |FROM f FULL OUTER JOIN s ON f.rootid = s.rootid AND f.visit = s.visit
+      |ORDER BY rootid, visit""".stripMargin
+
+  // ---- A2/A3: objstats single-pass aggregation ----------------------
+
+  def a2ObjStats(s: SparkSession, d: String): DataFrame =
+    Ltcv.objStats(liSources(s, d)
+        .withColumn("rootid", (col("diasourceid") % 300).cast("string")))
+      .select(col("rootid"), col("band"), col("ndets"),
+        col("firstdetmjd"), round(col("firstdetflux"), 4).as("firstdetflux"),
+        col("lastdetmjd"), round(col("lastdetflux"), 4).as("lastdetflux"),
+        col("maxdetmjd"), round(col("maxdetflux"), 4).as("maxdetflux"),
+        col("ndets24"), col("ndets23"), col("ndets22"), col("ndets21"),
+        col("nsn10"), col("nsn7"), col("nsn5"))
+      .orderBy("rootid", "band")
+
+  val a2Sql: String =
+    s"""WITH src0 AS ($liSourcesSql),
+       |src AS (SELECT * REPLACE (CAST(diasourceid % 300 AS VARCHAR) AS rootid) FROM src0),
+       |agg AS (
+       |  SELECT rootid, band, COUNT(*) AS ndets,
+       |    CAST(SUM(CASE WHEN psfflux >= POWER(10, (24 - 31.4) / -2.5) THEN 1 ELSE 0 END) AS BIGINT) AS ndets24,
+       |    CAST(SUM(CASE WHEN psfflux >= POWER(10, (23 - 31.4) / -2.5) THEN 1 ELSE 0 END) AS BIGINT) AS ndets23,
+       |    CAST(SUM(CASE WHEN psfflux >= POWER(10, (22 - 31.4) / -2.5) THEN 1 ELSE 0 END) AS BIGINT) AS ndets22,
+       |    CAST(SUM(CASE WHEN psfflux >= POWER(10, (21 - 31.4) / -2.5) THEN 1 ELSE 0 END) AS BIGINT) AS ndets21,
+       |    CAST(SUM(CASE WHEN psfflux / psffluxerr >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS nsn10,
+       |    CAST(SUM(CASE WHEN psfflux / psffluxerr >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS nsn7,
+       |    CAST(SUM(CASE WHEN psfflux / psffluxerr >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS nsn5
+       |  FROM src GROUP BY rootid, band),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY rootid, band ORDER BY midpointmjdtai, diasourceid) AS rn_first,
+       |    ROW_NUMBER() OVER (PARTITION BY rootid, band ORDER BY midpointmjdtai DESC, diasourceid DESC) AS rn_last,
+       |    ROW_NUMBER() OVER (PARTITION BY rootid, band ORDER BY psfflux DESC, diasourceid DESC) AS rn_max
+       |  FROM src)
+       |SELECT agg.rootid, agg.band, agg.ndets,
+       |  fst.midpointmjdtai AS firstdetmjd, ROUND(fst.psfflux, 4) AS firstdetflux,
+       |  lst.midpointmjdtai AS lastdetmjd, ROUND(lst.psfflux, 4) AS lastdetflux,
+       |  mx.midpointmjdtai AS maxdetmjd, ROUND(mx.psfflux, 4) AS maxdetflux,
+       |  agg.ndets24, agg.ndets23, agg.ndets22, agg.ndets21,
+       |  agg.nsn10, agg.nsn7, agg.nsn5
+       |FROM agg
+       |JOIN (SELECT * FROM ranked WHERE rn_first = 1) fst USING (rootid, band)
+       |JOIN (SELECT * FROM ranked WHERE rn_last = 1) lst USING (rootid, band)
+       |JOIN (SELECT * FROM ranked WHERE rn_max = 1) mx USING (rootid, band)
+       |ORDER BY rootid, band""".stripMargin
+
+  // ---- A7: weighted positions ---------------------------------------
+
+  def a7WeightedPos(s: SparkSession, d: String): DataFrame =
+    Ltcv.weightedPositions(liSources(s, d)
+        .withColumn("rootid", (col("diasourceid") % 100).cast("string"))
+        .withColumn("psffluxerr", col("psffluxerr") * 10))
+      .select(col("rootid"), col("nposdets"),
+        round(col("ra"), 6).as("ra"), round(col("dec"), 6).as("dec"),
+        round(col("rastd"), 6).as("rastd"), round(col("decstd"), 6).as("decstd"))
+      .orderBy("rootid")
+
+  val a7Sql: String =
+    s"""WITH src0 AS ($liSourcesSql),
+       |src AS (SELECT * REPLACE (CAST(diasourceid % 100 AS VARCHAR) AS rootid,
+       |                          psffluxerr * 10 AS psffluxerr) FROM src0),
+       |w AS (SELECT rootid, ra, dec, POWER(psfflux / psffluxerr, 2) AS w
+       |      FROM src WHERE psfflux / psffluxerr > 3)
+       |SELECT rootid, COUNT(*) AS nposdets,
+       |  ROUND(SUM(w * ra) / SUM(w), 6) AS ra,
+       |  ROUND(SUM(w * dec) / SUM(w), 6) AS dec,
+       |  ROUND(SQRT(GREATEST(SUM(w * ra * ra) / SUM(w) - POWER(SUM(w * ra) / SUM(w), 2), 0)), 6) AS rastd,
+       |  ROUND(SQRT(GREATEST(SUM(w * dec * dec) / SUM(w) - POWER(SUM(w * dec) / SUM(w), 2), 0)), 6) AS decstd
+       |FROM w GROUP BY rootid
+       |ORDER BY rootid""".stripMargin
+
+  // ---- J6: zones-algorithm cone join --------------------------------
+
+  /** customers and suppliers on a synthetic sky; pairs within 0.123°.
+    * Spark runs the scalable zone-bucketed equi-join; the oracle brute
+    * forces the same haversine predicate. */
+  def j6ConeJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"),
+      ((col("c_custkey") % 3600) * 0.1).as("ra"),
+      ((col("c_custkey") % 1700) * 0.1 - 85.0).as("dec"))
+    val p = supplier(s, d).select(col("s_suppkey"),
+      ((col("s_suppkey") % 3600) * 0.1 + 0.05).as("sra"),
+      ((col("s_suppkey") % 1700) * 0.1 - 85.0 + 0.03).as("sdec"))
+    Spatial.coneJoin(c, p, "ra", "dec", "sra", "sdec", radiusArcsec = 0.123 * 3600)
+      .select(col("c_custkey"), col("s_suppkey"),
+        round(col("sep_arcsec"), 3).as("sep_arcsec"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  val j6Sql: String =
+    """WITH c AS (SELECT c_custkey, (c_custkey % 3600) * 0.1 AS ra,
+      |             (c_custkey % 1700) * 0.1 - 85.0 AS dec FROM customer),
+      |p AS (SELECT s_suppkey, (s_suppkey % 3600) * 0.1 + 0.05 AS sra,
+      |        (s_suppkey % 1700) * 0.1 - 85.0 + 0.03 AS sdec FROM supplier),
+      |pairs AS (
+      |  SELECT c_custkey, s_suppkey,
+      |    DEGREES(2 * ASIN(SQRT(
+      |      POWER(SIN(RADIANS(sdec - dec) / 2), 2) +
+      |      COS(RADIANS(dec)) * COS(RADIANS(sdec)) *
+      |      POWER(SIN(RADIANS(sra - ra) / 2), 2)))) * 3600 AS sep_arcsec
+      |  FROM c CROSS JOIN p)
+      |SELECT c_custkey, s_suppkey, ROUND(sep_arcsec, 3) AS sep_arcsec
+      |FROM pairs WHERE sep_arcsec <= 0.123 * 3600
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
+  // ---- T6: hot-transient recency window on events --------------------
+
+  /** "objects with activity in the last N days of mjd_now": users with
+    * an event in the last 2 days before the cut, full event history up
+    * to the cut for those users (ltcv.py:1467-1507 semantics). */
+  def t6HotWindow(s: SparkSession, d: String): DataFrame = {
+    val now = lit("2024-01-20 00:00:00").cast("timestamp")
+    val ev = events(s, d).filter(col("ts") <= now)
+    val hot = ev.filter(col("ts") >= lit("2024-01-18 00:00:00").cast("timestamp"))
+      .select("user_id").distinct()
+    ev.join(hot, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val t6Sql: String =
+    """SELECT user_id, event_id, event_type, ROUND(value, 4) AS value
+      |FROM events
+      |WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+      |  AND user_id IN (
+      |    SELECT user_id FROM events
+      |    WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
+      |      AND ts <= TIMESTAMP '2024-01-20 00:00:00')
+      |ORDER BY user_id, event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_priority_dedup" -> (a1PriorityDedup _),
+    "j2_patch_join" -> (j2PatchJoin _),
+    "a2_objstats" -> (a2ObjStats _),
+    "a7_weighted_pos" -> (a7WeightedPos _),
+    "j6_cone_join" -> (j6ConeJoin _),
+    "t6_hot_window" -> (t6HotWindow _))
+
+  def oracles: Map[String, String] = Map(
+    "a1_priority_dedup" -> a1Sql,
+    "j2_patch_join" -> j2Sql,
+    "a2_objstats" -> a2Sql,
+    "a7_weighted_pos" -> a7Sql,
+    "j6_cone_join" -> j6Sql,
+    "t6_hot_window" -> t6Sql)
+}

@@ -38,10 +38,10 @@ object Ltcv {
     * of rows — always broadcast.
     */
   def priorityDedup(df: DataFrame, priorities: DataFrame,
-      keys: Seq[String], tiebreak: String): DataFrame = {
+      keys: Seq[String], tiebreaks: Seq[String]): DataFrame = {
     val joined = df.join(broadcast(priorities), Seq("base_procver_id"))
     val payload = joined.columns.filterNot(keys.contains)
-    val ordKey = struct(col("priority"), col(tiebreak))
+    val ordKey = struct(col("priority") +: tiebreaks.map(col): _*)
     joined
       .groupBy(keys.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*), ordKey).as("_best"))
@@ -80,8 +80,10 @@ object Ltcv {
     val banded = if (bands.nonEmpty) cut.filter(col("band").isin(bands: _*)) else cut
     val m = objids.getOrElse(objMap(cat, procverId))
     val withRoot = banded.join(m, Seq("diaobjectid"))
+    // (idCol, base_procver_id) is the storage PK, so priority + idCol is
+    // a total order within any (rootid, visit) group.
     priorityDedup(withRoot, cat.dims.priorities(procverId, table),
-      keys = Seq("rootid", "visit"), tiebreak = idCol)
+      keys = Seq("rootid", "visit"), tiebreaks = Seq(idCol))
   }
 
   /** Detections deduped per (rootid, visit) under `procverId`
