@@ -1,24 +1,28 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.functions.Funcs
+import graft.query.{FieldSpec, SearchSpec}
 
 /** Relational operator battery over the driver's TPC-H-ish tables.
   *
   * Each query exercises one operator family from SURVEY.md §2 (the
   * FASTDB operator inventory), re-expressed on the synthetic tables so
   * the driver's DuckDB oracle can hash-compare results. The FASTDB
-  * domain library itself (schema/procver/ltcv) lives in graft.* and is
-  * covered by ScalaTest fixtures; these entries prove the same operator
-  * semantics against an independent SQL engine.
+  * domain library itself lives in graft.* (see also
+  * [[graft.queries.FastdbOps]], which drives the Ltcv/Spatial code
+  * paths directly).
   *
   * Conventions:
   *  - every computed column is aliased identically here and in the
   *    oracle SQL (driver sorts columns by name before hashing);
   *  - every result is deterministically ordered and floating-point
   *    aggregates are rounded, so Spark/DuckDB summation-order noise
-  *    cannot flip the hash.
+  *    cannot flip the hash;
+  *  - DuckDB SUM(int) is HUGEINT — integer sums in oracles are CAST to
+  *    BIGINT to match Spark's long.
   */
 object Relational {
 
@@ -48,11 +52,311 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** P1/J9: predicate-spec battery — equality-in-list, substring,
+    * range, and the regex-parsed difference predicate (db.py:463-577),
+    * built through the real [[SearchSpec]] code path. */
+  def p1Filters(s: SparkSession, d: String): DataFrame = {
+    val spec = SearchSpec(Map(
+      "p_type" -> FieldSpec(mult = true, substr = true),
+      "p_size" -> FieldSpec(mult = true, minmax = true),
+      "p_retailprice" -> FieldSpec(minmax = true),
+      "p_partkey" -> FieldSpec(minmax = true)))
+    part(s, d).filter(spec.buildPredicate(Map(
+        "p_type" -> Seq("PROMO", "LARGE"),
+        "p_size_min" -> 10, "p_size_max" -> 40,
+        "p_retailprice_minus_p_size_min" -> 920.0)))
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  val p1FiltersSql: String =
+    """SELECT p_partkey, p_name, p_type, p_size, p_retailprice
+      |FROM part
+      |WHERE p_type IN ('PROMO', 'LARGE')
+      |  AND p_size >= 10 AND p_size <= 40
+      |  AND p_retailprice - p_size >= 920.0
+      |ORDER BY p_partkey""".stripMargin
+
+  /** J1: the canonical equi-join chain with broadcast dimensions
+    * (ltcv.py:640-671's photometry ⋈ object ⋈ procver shape). */
+  def j1JoinChain(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  val j1JoinChainSql: String =
+    """SELECT n_name,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** J3: anti join — customers with no 1995 orders
+    * (source_importer.py:423-428's new-object detection shape). */
+  def j3AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val o95 = orders(s, d).filter(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    customer(s, d)
+      .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val j3AntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J4: semi join — suppliers with a shipment after 2000-01-01
+    * (refactor.sql:49-50's id = ANY(SELECT ...) shape). */
+  def j4SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val recent = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+    supplier(s, d)
+      .join(recent, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  val j4SemiJoinSql: String =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_suppkey = s_suppkey
+      |    AND l_shipdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** J7: range self-join — events within the preceding hour per user
+    * (projectsim.py:174-210's prv-source window shape). */
+  def j7RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val a = events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+    val b = events(s, d).select(col("user_id"),
+      col("event_id").as("b_event_id"), col("ts").as("b_ts"))
+    a.join(b,
+        a("user_id") === b("user_id") &&
+        col("b_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("b_ts") <= col("ts") &&
+        col("b_event_id") =!= col("event_id"), "left_outer")
+      .groupBy(a("user_id"), col("event_id"))
+      .agg(count(col("b_event_id")).as("n_prev_hour"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val j7RangeJoinSql: String =
+    """SELECT a.user_id, a.event_id, COUNT(b.event_id) AS n_prev_hour
+      |FROM events a
+      |LEFT JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts - INTERVAL 1 HOUR
+      | AND b.ts <= a.ts
+      | AND b.event_id <> a.event_id
+      |GROUP BY a.user_id, a.event_id
+      |ORDER BY a.user_id, a.event_id""".stripMargin
+
+  /** A5: exact counts + distinct counts per group (server.py:120-203). */
+  def a5Counts(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(min("o_totalprice"), 2).as("min_price"))
+      .orderBy("o_orderpriority")
+
+  val a5CountsSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  ROUND(MAX(o_totalprice), 2) AS max_price,
+      |  ROUND(MIN(o_totalprice), 2) AS min_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** A8: ordered array aggregation (parquet_export.py:52-93's
+    * array_agg(record ORDER BY mjd)), serialized to a string so the
+    * hash compare is list-representation-independent. */
+  def a8ArrayAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(array_join(array_sort(collect_list(col("l_quantity").cast("int"))), ",")
+        .as("quantities"),
+        count(lit(1)).as("n"))
+      .orderBy("l_orderkey")
+
+  val a8ArrayAggSql: String =
+    """SELECT l_orderkey,
+      |  STRING_AGG(CAST(CAST(l_quantity AS INT) AS VARCHAR), ',' ORDER BY l_quantity) AS quantities,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** W2: rank-1 window + running sum (the DISTINCT ON replacement and
+    * the only window shapes the reference uses, SURVEY.md §2.5). */
+  def w2Window(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_value", round(sum("value").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .filter(col("rn") <= 5)
+      .select(col("user_id"), col("event_id"), col("rn"), col("running_value"))
+      .orderBy("user_id", "rn")
+  }
+
+  val w2WindowSql: String =
+    """SELECT user_id, event_id, rn, running_value
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+      |  FROM events)
+      |WHERE rn <= 5
+      |ORDER BY user_id, rn""".stripMargin
+
+  /** O: deterministic top-k (top customers by revenue). */
+  def o1TopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(desc("total_spent"), col("o_custkey"))
+      .limit(10)
+
+  val o1TopKSql: String =
+    """SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY total_spent DESC, o_custkey
+      |LIMIT 10""".stripMargin
+
+  /** Set op: UNION ALL of two entity projections (server.py:38-43's
+    * procver + alias concatenation). */
+  def setUnion(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_custkey") % 100 === 0)
+      .select(col("c_custkey").as("k"), lit("customer").as("kind"))
+      .unionAll(supplier(s, d)
+        .select(col("s_suppkey").cast("long").as("k"), lit("supplier").as("kind")))
+      .orderBy("kind", "k")
+
+  val setUnionSql: String =
+    """SELECT k, kind FROM (
+      |  SELECT c_custkey AS k, 'customer' AS kind FROM customer WHERE c_custkey % 100 = 0
+      |  UNION ALL
+      |  SELECT s_suppkey AS k, 'supplier' AS kind FROM supplier)
+      |ORDER BY kind, k""".stripMargin
+
+  /** F1: flux ↔ AB-magnitude scalar math through Funcs on events. */
+  def f1ScalarMath(s: SparkSession, d: String): DataFrame =
+    events(s, d).filter(col("value") > 0)
+      .select(col("event_id"),
+        round(Funcs.flux2mag(col("value")), 6).as("mag"),
+        round(Funcs.mag2flux(Funcs.flux2mag(col("value"))), 6).as("flux_rt"))
+      .orderBy("event_id")
+
+  val f1ScalarMathSql: String =
+    """SELECT event_id,
+      |  ROUND(-2.5 * LOG10(value) + 31.4, 6) AS mag,
+      |  ROUND(POWER(10, ((-2.5 * LOG10(value) + 31.4) - 31.4) / -2.5), 6) AS flux_rt
+      |FROM events WHERE value > 0
+      |ORDER BY event_id""".stripMargin
+
+  /** F9: JSON field extraction (the brokerinfo JSONB path,
+    * db.py:719-722) — group counts by a JSON-extracted key. */
+  def f9Json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("k") % 10)
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .withColumnRenamed("(k % 10)", "k_mod")
+      .select(col("k_mod"), col("n"), col("sum_value"))
+      .orderBy("k_mod")
+
+  val f9JsonSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_mod""".stripMargin
+
+  /** F8/P6: bitfield pack + group-by on packed flags
+    * (brokerconsumer.py:453-461 / db.py:1793-1837). */
+  def f8Bitfield(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("flags", Funcs.packBits(Seq(
+        (col("l_returnflag") === "R", 0),
+        (col("l_quantity") >= 25, 1),
+        (col("l_discount") > 0.05, 4))))
+      .groupBy("flags")
+      .agg(count(lit(1)).as("n"),
+        sum(when(Funcs.hasAnyBit(col("flags"), 1 << 4), 1L).otherwise(0L)).as("n_bit4"))
+      .orderBy("flags")
+
+  val f8BitfieldSql: String =
+    """WITH flagged AS (
+      |  SELECT (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |       | (CASE WHEN l_quantity >= 25 THEN 2 ELSE 0 END)
+      |       | (CASE WHEN l_discount > 0.05 THEN 16 ELSE 0 END) AS flags
+      |  FROM lineitem)
+      |SELECT flags, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN (flags & 16) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bit4
+      |FROM flagged
+      |GROUP BY flags
+      |ORDER BY flags""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
-  )
+    "q1_agg" -> (q1Agg _),
+    "p1_filters" -> (p1Filters _),
+    "j1_join_chain" -> (j1JoinChain _),
+    "j3_anti_join" -> (j3AntiJoin _),
+    "j4_semi_join" -> (j4SemiJoin _),
+    "j7_range_join" -> (j7RangeJoin _),
+    "a5_counts" -> (a5Counts _),
+    "a8_array_agg" -> (a8ArrayAgg _),
+    "w2_window" -> (w2Window _),
+    "o1_topk" -> (o1TopK _),
+    "set_union" -> (setUnion _),
+    "f1_scalar_math" -> (f1ScalarMath _),
+    "f9_json" -> (f9Json _),
+    "f8_bitfield" -> (f8Bitfield _))
 
   def oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
-  )
+    "q1_agg" -> q1AggSql,
+    "p1_filters" -> p1FiltersSql,
+    "j1_join_chain" -> j1JoinChainSql,
+    "j3_anti_join" -> j3AntiJoinSql,
+    "j4_semi_join" -> j4SemiJoinSql,
+    "j7_range_join" -> j7RangeJoinSql,
+    "a5_counts" -> a5CountsSql,
+    "a8_array_agg" -> a8ArrayAggSql,
+    "w2_window" -> w2WindowSql,
+    "o1_topk" -> o1TopKSql,
+    "set_union" -> setUnionSql,
+    "f1_scalar_math" -> f1ScalarMathSql,
+    "f9_json" -> f9JsonSql,
+    "f8_bitfield" -> f8BitfieldSql)
 }
