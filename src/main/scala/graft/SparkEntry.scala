@@ -15,8 +15,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.FastdbOps.queries
+    graft.queries.Relational.queries ++ graft.queries.FastdbOps.queries ++
+      graft.queries.Pipeline.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.FastdbOps.oracles
+    graft.queries.Relational.oracles ++ graft.queries.FastdbOps.oracles ++
+      graft.queries.Pipeline.oracles
 }

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exactness baseline; the scale path
+  * is hyperplane-LSH bucketing (random-projection signs → integer
+  * bucket, equi-join on bucket with optional 1-bit multiprobe), which
+  * turns the n² pair space into per-bucket blocks. Dot products are
+  * `zip_with` + `aggregate` column expressions evaluated in whole-stage
+  * codegen — no UDFs.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two numeric array columns (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All (query, corpus) cosine similarities. `queries` should be small
+    * (it is broadcast); corpus scans stay partition-local. */
+  def pairSims(corpus: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, embCol: String, qEmbCol: String): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .filter(col(qIdCol) =!= col(idCol))
+      .withColumn("sim", cosine(col(qEmbCol), col(embCol)))
+
+  /** Exact brute-force top-k nearest neighbours per query. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", qIdCol: String = "q_vec_id",
+      embCol: String = "embedding", qEmbCol: String = "q_embedding"): DataFrame = {
+    val w = Window.partitionBy(qIdCol).orderBy(desc("sim"), col(idCol))
+    pairSims(corpus, queries, idCol, qIdCol, embCol, qEmbCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** All pairs with cosine >= threshold (embedding near-dup detection),
+    * brute force. Quadratic ground truth; see [[annTopK]] for scale. */
+  def cosineNearDups(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(embCol).as("_e_a"))
+    val b = df.select(col(idCol).as("id_b"), col(embCol).as("_e_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("_e_a"), col("_e_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  // ---- hyperplane LSH (scale path) ---------------------------------
+
+  /** Deterministic pseudo-random hyperplanes (seeded Gaussian). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of an embedding under the given hyperplanes. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b)).cast("int")
+
+  /** Approximate top-k per query via multi-table hyperplane LSH.
+    *
+    * `numTables` independent tables of `planesPerTable` hyperplanes
+    * each; a corpus row lands in one bucket per table (the classic L×
+    * memory/recall tradeoff), queries probe their own bucket plus every
+    * 1-bit flip (multiprobe). Candidates are the union over tables,
+    * deduped, then ranked by exact cosine. A single wide table cannot
+    * reach useful recall for moderate-similarity neighbours (P[same
+    * side] ≈ 1 − θ/π per plane decays exponentially in planes); the
+    * table union converts that into 1 − (1−p^r)^L. Recall vs
+    * [[bruteForceTopK]] is asserted in PipelineSpec.
+    *
+    * Scale shape: corpus replicated ×numTables into an equi-join on
+    * (table, bucket) — linear scans, dense int keys, AQE-splittable;
+    * queries are broadcast. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, numTables: Int = 8, planesPerTable: Int = 4,
+      idCol: String = "vec_id", qIdCol: String = "q_vec_id",
+      embCol: String = "embedding", qEmbCol: String = "q_embedding",
+      seed: Long = 42L): DataFrame = {
+    val all = hyperplanes(numTables * planesPerTable, dim, seed)
+    def buckets(e: Column): Column = array((0 until numTables).map { t =>
+      lshBucket(e, all.slice(t * planesPerTable, (t + 1) * planesPerTable))
+    }: _*)
+    val c = corpus.select(col(idCol), col(embCol),
+        posexplode(buckets(col(embCol))).as(Seq("_table", "_bucket")))
+    val flips = lit(0) +: (0 until planesPerTable).map(i => lit(1 << i))
+    val q = queries.select(col(qIdCol), col(qEmbCol),
+        posexplode(buckets(col(qEmbCol))).as(Seq("_table", "_qbucket")))
+      .withColumn("_flip", explode(array(flips: _*)))
+      .withColumn("_bucket", col("_qbucket").bitwiseXOR(col("_flip")))
+      .select(col(qIdCol), col(qEmbCol), col("_table"), col("_bucket"))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("sim"), col(idCol))
+    c.join(broadcast(q), Seq("_table", "_bucket"))
+      .filter(col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(qEmbCol), col(idCol), col(embCol))
+      .dropDuplicates(qIdCol, idCol)
+      .withColumn("sim", cosine(col(qEmbCol), col(embCol)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
+  }
+}

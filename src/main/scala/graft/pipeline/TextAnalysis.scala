@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting,
+  * quality scoring, heuristic language ID, and document
+  * fingerprinting — all as codegen'd column expressions so they run
+  * inside the parquet scan stage at 100 TB (no shuffle, no UDF).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty-safe). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, single digits, and punctuation
+    * each count as one token (a GPT-style pre-tokenizer regex). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of punctuation / non-alphanumeric characters. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Occurrences of any of `words` as whole tokens. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  val EnStopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it")
+  val EsStopwords = Seq("el", "la", "los", "las", "de", "y", "en", "es", "un")
+  val DeStopwords = Seq("der", "die", "das", "und", "von", "zu", "ist", "ein")
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts
+    * (ties resolved en > es > de; no hits → 'und'). */
+  def langId(text: Column): Column = {
+    val en = stopwordCount(text, EnStopwords)
+    val es = stopwordCount(text, EsStopwords)
+    val de = stopwordCount(text, DeStopwords)
+    when(en === 0 && es === 0 && de === 0, lit("und"))
+      .when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + low
+    * punctuation density + presence of function words. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val stopRatio = stopwordCount(text, EnStopwords).cast("double") / greatest(nTok, lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - least(punctRatio * 5, lit(1.0))) +
+      lit(0.3) * least(stopRatio * 5, lit(1.0)), 6)
+  }
+
+  /** Deterministic 63-bit rolling-hash fingerprint (polynomial base 31
+    * mod 1e9+7 over the lowercased character stream). */
+  def fingerprint(text: Column): Column = {
+    val chars = filter(split(lower(text), ""), c => c =!= "")
+    aggregate(transform(chars, c => ascii(c).cast("long")),
+      lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+  }
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup / similarity / text /
+  * multimodal) as driver-checked queries on the documents + embeddings
+  * tables.
+  *
+  * Exact and brute-force operators carry DuckDB oracles; the
+  * probabilistic ones (MinHash-LSH, SimHash, hyperplane-LSH ANN) are
+  * hash-seed-dependent and get rows-only driver checks — their
+  * recall/precision against the exact baselines is asserted in
+  * PipelineSpec/AnnSpec instead.
+  */
+object Pipeline {
+
+  // ---- dedup -------------------------------------------------------
+
+  /** Exact dedup via hash-groupBy; per-source keep counts. */
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(documents(s, d), "doc_id", "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_copies").as("n_docs"))
+      .orderBy("source")
+
+  val d1Sql: String =
+    """WITH k AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |           FROM documents GROUP BY text)
+      |SELECT d.source, COUNT(*) AS n_kept,
+      |  CAST(SUM(k.n_copies) AS BIGINT) AS n_docs
+      |FROM k JOIN documents d ON k.doc_id = d.doc_id
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
+  /** Brute-force 3-word-shingle Jaccard pairs (ground truth for the
+    * LSH variants; the oracle brute-forces the same predicate). */
+  def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+        shingleWords = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  val d4Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+      |                   for i in range(1, len(wd) - 1)]) AS sh
+      |  FROM w WHERE len(wd) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash + LSH banding near-dups (rows-only: signature depends on
+    * xxhash64 seeds; recall vs d4 asserted in PipelineSpec). */
+  def d2MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
+        shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dups via rotated-block candidate join (rows-only). */
+  def d3Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(documents(s, d), "doc_id", "text",
+        maxHamming = 8, shingleWords = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** Embedding cosine near-dup pairs, brute force (oracle-checked). */
+  def d5EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDups(embeddings(s, d), "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+
+  val d5Sql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+      |    / (a.nrm * b.nrm), 6) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+      |    / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- similarity search -------------------------------------------
+
+  /** Brute-force cosine top-5 for the first 10 vectors; ranking on the
+    * 4-dp-rounded similarity (with id tiebreak) so both engines rank
+    * identically despite last-ulp summation differences. */
+  def s1CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val w = Window.partitionBy("q_vec_id").orderBy(desc("sim_r"), col("vec_id"))
+    Similarity.pairSims(emb, q, "vec_id", "q_vec_id", "embedding", "q_embedding")
+      .withColumn("sim_r", round(col("sim"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_vec_id"), col("vec_id"), col("sim_r"), col("rank"))
+      .orderBy("q_vec_id", "rank")
+  }
+
+  val s1Sql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_vec_id, embedding AS qe, nrm AS qn
+      |      FROM e WHERE vec_id < 10),
+      |sims AS (
+      |  SELECT q.q_vec_id, e.vec_id,
+      |    ROUND(list_sum(list_transform(range(1, len(qe) + 1),
+      |        k -> CAST(qe[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))
+      |      / (qn * e.nrm), 4) AS sim_r
+      |  FROM q CROSS JOIN e WHERE e.vec_id != q.q_vec_id)
+      |SELECT q_vec_id, vec_id, sim_r, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+      |    ORDER BY sim_r DESC, vec_id) AS rank
+      |  FROM sims)
+      |WHERE rank <= 5
+      |ORDER BY q_vec_id, rank""".stripMargin
+
+  /** Hyperplane-LSH bucketed ANN top-5 with 1-bit multiprobe
+    * (rows-only: bucket assignment is seed-dependent; recall vs s1
+    * asserted in AnnSpec). */
+  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    Similarity.annTopK(emb, q, k = 5, dim = 64)
+      .select(col("q_vec_id"), col("vec_id"), round(col("sim"), 4).as("sim_r"), col("rank"))
+      .orderBy("q_vec_id", "rank")
+  }
+
+  // ---- text analysis -----------------------------------------------
+
+  /** Per-language corpus statistics: token counts (whitespace and
+    * BPE-ish), punctuation, quality score. */
+  def t1TextStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("ntok"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("nbpe"),
+        TextAnalysis.punctCount(col("text")).as("npunct"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("sum_tok"), sum("nbpe").as("sum_bpe"),
+        sum("npunct").as("sum_punct"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("lang")
+
+  val t1Sql: String =
+    """WITH f AS (SELECT lang,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS ntok,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS nbpe,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+      |    len(list_filter(list_filter(string_split(trim(text), ' '), t -> t != ''),
+      |        t -> t IN ('the','a','an','and','of','to','in','is','it'))) AS nstop,
+      |    length(text) AS nchar
+      |  FROM documents),
+      |g AS (SELECT lang, ntok, nbpe, npunct,
+      |    ROUND(0.4 * LEAST(ntok / 100.0, 1.0)
+      |      + 0.3 * (1.0 - LEAST(npunct * 5.0 / GREATEST(nchar, 1), 1.0))
+      |      + 0.3 * LEAST(nstop * 5.0 / GREATEST(ntok, 1), 1.0), 6) AS quality
+      |  FROM f)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS sum_tok,
+      |  CAST(SUM(nbpe) AS BIGINT) AS sum_bpe,
+      |  CAST(SUM(npunct) AS BIGINT) AS sum_punct,
+      |  ROUND(AVG(quality), 4) AS avg_quality
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Heuristic language ID vs the labelled lang column: confusion
+    * counts. Deterministic stopword-count argmax → oracle-able. */
+  def t3LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  val t3Sql: String =
+    """WITH t AS (SELECT lang,
+      |    list_filter(string_split(trim(text), ' '), x -> x != '') AS tok
+      |  FROM documents),
+      |sc AS (SELECT lang,
+      |    len(list_filter(tok, x -> x IN ('the','a','an','and','of','to','in','is','it'))) AS s_en,
+      |    len(list_filter(tok, x -> x IN ('el','la','los','las','de','y','en','es','un'))) AS s_es,
+      |    len(list_filter(tok, x -> x IN ('der','die','das','und','von','zu','ist','ein'))) AS s_de
+      |  FROM t)
+      |SELECT lang,
+      |  CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 THEN 'und'
+      |       WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |       WHEN s_es >= s_de THEN 'es'
+      |       ELSE 'de' END AS pred_lang,
+      |  COUNT(*) AS n
+      |FROM sc GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+
+  /** Rolling-hash document fingerprints (dedup/provenance keys). */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val t4Sql: String =
+    """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(ascii(x) AS BIGINT)
+      |     for x in list_filter(string_split(lower(text), ''), c -> c != '')]),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- multimodal --------------------------------------------------
+
+  /** Binary-column feature extraction through the typed mapPartitions
+    * pipeline (decode stubbed — see Multimodal). Rows-only check;
+    * exactness covered in PipelineSpec. */
+  def m1Multimodal(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, documents(s, d))
+    Multimodal.extractFeatures(media, dim = 8).toDF()
+      .select(col("media_id"), col("media_type"), col("source"),
+        col("n_bytes"), col("checksum"),
+        round(element_at(col("features"), 1), 4).as("f0"))
+      .orderBy("media_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d5_embed_neardup" -> (d5EmbedNearDup _),
+    "s1_cosine_topk" -> (s1CosineTopK _),
+    "s2_ann_lsh" -> (s2AnnLsh _),
+    "t1_text_stats" -> (t1TextStats _),
+    "t3_langid" -> (t3LangId _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "m1_multimodal" -> (m1Multimodal _))
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d4_ngram_jaccard" -> d4Sql,
+    "d5_embed_neardup" -> d5Sql,
+    "s1_cosine_topk" -> s1Sql,
+    "t1_text_stats" -> t1Sql,
+    "t3_langid" -> t3Sql,
+    "t4_fingerprint" -> t4Sql)
+}

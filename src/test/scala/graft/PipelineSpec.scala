@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Correctness of the training-data pipeline operators, incl. recall of
+  * the probabilistic variants against exact baselines on a corpus with
+  * planted duplicates. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 60 base docs of word soup + planted exact dups + near dups. */
+  lazy val corpus = {
+    val vocab = Seq("spark", "join", "filter", "scan", "merge", "sort",
+      "hash", "group", "query", "table", "row", "column", "the", "a", "fast")
+    val rng = new scala.util.Random(7)
+    val base = (0L until 60L).map { i =>
+      i -> Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val exactDups = Seq(100L -> base(3)._2, 101L -> base(3)._2, 102L -> base(7)._2)
+    // near dup: copy doc 5 and change the last two words
+    val near = Seq(200L -> (base(5)._2.split(" ").dropRight(2) ++ Seq("zzz", "yyy")).mkString(" "))
+    (base ++ exactDups ++ near).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val got = Dedup.exactDedup(corpus, "doc_id", "text")
+    assert(got.count() == 61)   // 64 rows, 3 planted exact copies removed
+    val kept = got.filter(col("n_copies") > 1).select("doc_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept == Map(3L -> 3L, 7L -> 2L))
+  }
+
+  test("minhash LSH finds every pair the exact n-gram Jaccard finds (recall=1 here)") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(corpus, "doc_id", "text", 3, 32, 8, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    assert(exact.contains((3L, 100L)) && exact.contains((100L, 101L)))
+    // identical docs always collide in every band; near pair J≈0.95 whp
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+    // precision: verification step guarantees no below-threshold pair
+    val verified = Dedup.minhashNearDups(corpus, "doc_id", "text", 3, 32, 8, 0.5)
+      .collect().map(_.getAs[Double]("jaccard"))
+    assert(verified.forall(_ >= 0.5))
+  }
+
+  test("simhash: identical docs at hamming 0; near dups close; verification bounds precision") {
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text",
+      maxHamming = 8, shingleWords = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs.get((3L, 100L)).contains(0), "identical docs must hash identically")
+    assert(pairs.get((100L, 101L)).contains(0))
+    assert(pairs.contains((5L, 200L)), "planted near-dup should survive at hamming<=8")
+  }
+
+  test("ngram jaccard matches hand-computed value on the planted near-dup") {
+    val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.1)
+      .filter(col("id_a") === 5L && col("id_b") === 200L)
+      .head().getAs[Double]("jaccard")
+    // doc: 40 words → 38 shingles; edit last 2 words → changes last 3
+    // shingles (but duplicates in word soup make the exact sets data-
+    // dependent); recompute naively:
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val a = sh(corpus.filter(col("doc_id") === 5L).head().getString(1))
+    val b = sh(corpus.filter(col("doc_id") === 200L).head().getString(1))
+    val want = a.intersect(b).size.toDouble / a.union(b).size
+    assert(math.abs(j - want) < 1e-12)
+  }
+
+  test("cosine + brute-force top-k against naive computation") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.9f, 0.1f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val got = Similarity.bruteForceTopK(vecs, q, 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toList
+    assert(got == List((1L, 1L), (2L, 2L)))   // 0.994, 0.0; -1 excluded by rank
+    val sim01 = Similarity.bruteForceTopK(vecs, q, 1).head().getAs[Double]("sim")
+    val want = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(sim01 - want) < 1e-6)
+  }
+
+  test("ANN LSH top-k recall >= 0.8 vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .select("q_vec_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, q, 5, dim = 64)
+      .select("q_vec_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ANN recall $recall too low")
+  }
+
+  test("text analysis functions: tokens, bpe-ish, punctuation, quality, langid, fingerprint") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "der schnelle braune fuchs und der hund ist da"),
+      (3L, "el perro y la casa de los gatos es un lugar"),
+      (4L, "xyzzy plugh!! 42 foo-bar"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ntok"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("nbpe"),
+      TextAnalysis.punctCount(col("text")).as("npunct"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4), r.getLong(5))).toMap
+    assert(got(1L)._1 == 9 && got(1L)._4 == "en")
+    assert(got(2L)._4 == "de")
+    assert(got(3L)._4 == "es")
+    // "xyzzy plugh!! 42 foo-bar": tokens=4; bpe: xyzzy,plugh,!,!,4,2,foo,-,bar=9; punct: !!- =3
+    assert(got(4L) == ((4, 9, 3, "und", got(4L)._5)))
+    assert(got(5L)._1 == 0 && got(5L)._5 == 0L)
+    // fingerprint matches the naive rolling hash
+    def naiveFp(s: String) = s.toLowerCase.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    assert(got(1L)._5 == naiveFp("the quick brown fox jumps over the lazy dog"))
+  }
+
+  test("multimodal: binary plumbing round-trips with deterministic stub features") {
+    val docs = Seq((1L, "hello world", "en", "srcA", 11L),
+      (2L, "abc", "en", "srcB", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 11 && feats(2L).n_bytes == 3)
+    assert(feats(1L).features.length == 4)
+    // checksum/features must equal the direct scala computation
+    val bytes = "hello world".getBytes("UTF-8")
+    assert(feats(1L).checksum == Multimodal.checksum(bytes))
+    assert(feats(1L).features.sameElements(Multimodal.decodeStub(bytes, 4)))
+    // frame sampling: 3 chunks from 11 bytes
+    val frames = Multimodal.frameSample(bytes, 3, 2)
+    assert(frames.length == 3 && frames.forall(_.length <= 2))
+  }
+}
