@@ -1,0 +1,75 @@
+package graft.api
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §3.2 — the asynchronous ad-hoc SQL path
+  * (src/webserver/dbapp.py:126-232 + src/services/long_query_runner.py).
+  *
+  * Reference: a `query_queue` Postgres table, 10 polling worker
+  * processes, results as CSV/pickle files, executed under a read-only
+  * role. Spark-native: queue entries in a control structure, execution
+  * via `spark.sql` in FIFO `submitted` order
+  * (long_query_runner.py:96), results persisted to parquet, errors
+  * captured per entry. The "read-only role" becomes a statement
+  * validator — only SELECT-shaped statements run (no writes/DDL), which
+  * is the sandboxing a catalog-less session can enforce.
+  */
+final class QueryQueue(spark: SparkSession, resultDir: String) {
+
+  final case class Entry(
+      queryid: String, userid: String, queries: Seq[String],
+      submitted: Timestamp, var started: Option[Timestamp] = None,
+      var finished: Option[Timestamp] = None,
+      var error: Boolean = false, var errortext: String = "")
+
+  private val entries = mutable.LinkedHashMap[String, Entry]()
+  private val counter = new AtomicLong(0)
+
+  private val Readonly = "(?is)^\\s*(select|with|values|explain|describe|show)\\b".r
+
+  def submit(userid: String, queries: Seq[String]): String = synchronized {
+    val id = f"q${counter.incrementAndGet()}%06d"
+    entries(id) = Entry(id, userid, queries, new Timestamp(System.currentTimeMillis()))
+    id
+  }
+
+  def status(queryid: String): Option[Entry] = synchronized(entries.get(queryid))
+
+  /** Oldest unstarted entry (ORDER BY submitted,
+    * long_query_runner.py:92-109). */
+  def claimNext(): Option[Entry] = synchronized {
+    entries.values.find(_.started.isEmpty).map { e =>
+      e.started = Some(new Timestamp(System.currentTimeMillis())); e
+    }
+  }
+
+  /** Run one claimed entry: statements share a session sequentially,
+    * the last result is persisted (long_query_runner.py:112-175). */
+  def execute(e: Entry): Unit = {
+    try {
+      var last: Option[DataFrame] = None
+      e.queries.foreach { q =>
+        require(Readonly.findFirstIn(q).isDefined,
+          s"only read-only statements allowed: ${q.take(50)}")
+        last = Some(spark.sql(q))
+      }
+      last.foreach(_.write.mode("overwrite").parquet(s"$resultDir/${e.queryid}"))
+    } catch {
+      case ex: Throwable => e.error = true; e.errortext = ex.getMessage
+    } finally {
+      e.finished = Some(new Timestamp(System.currentTimeMillis()))
+    }
+  }
+
+  /** Drain the queue (the runner pool's poll loop, serialized). */
+  def runAll(): Unit = {
+    var next = claimNext()
+    while (next.isDefined) { next.foreach(execute); next = claimNext() }
+  }
+
+  def results(queryid: String): DataFrame =
+    spark.read.parquet(s"$resultDir/$queryid")
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.streaming.{AlertStream, SilverStore}
+
+/** End-to-end alert-cycle test (the reference's alertcycle fixtures,
+  * tests/fixtures/alertcycle.py): write alert packets as parquet files
+  * into a streamed directory in two waves, run the structured stream
+  * with foreachBatch merge, assert the silver tables. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def alertsDf(ids: Seq[Long], objId: Long, ra: Double, dec: Double) = {
+    val rows = ids.map { i =>
+      (i,
+        (i, objId, i % 100, "r", 60000.0 + i, 1.0f, 0.1f, ra, dec),
+        Seq((i - 1, objId, (i - 1) % 100, "r", 60000.0 + i - 1, 0.9f, 0.1f, ra, dec)),
+        Seq((i * 10, objId, i % 100, "r", 59999.0 + i, 0.5f, 0.1f)),
+        (objId, ra, dec))
+    }
+    rows.toDF("alertId", "_s", "_prv", "_prvf", "_o")
+      .select(col("alertId"),
+        col("_s").cast(AlertStream.sourceStruct).as("diaSource"),
+        col("_prv").cast(org.apache.spark.sql.types.ArrayType(AlertStream.sourceStruct)).as("prvDiaSources"),
+        col("_prvf").cast(org.apache.spark.sql.types.ArrayType(AlertStream.forcedStruct)).as("prvDiaForcedSources"),
+        col("_o").cast(AlertStream.alertSchema("diaObject").dataType).as("diaObject"))
+  }
+
+  test("alert file stream → foreachBatch merge builds consistent silver tables") {
+    val inDir = Files.createTempDirectory("alerts").toString
+    val ckDir = Files.createTempDirectory("ck").toString
+    val silverDir = Files.createTempDirectory("silver").toString
+    val store = new SilverStore(silverDir)
+
+    // wave 1: alerts 5..7 for object 1; wave 2 overlaps (at-least-once)
+    alertsDf(Seq(5L, 6L, 7L), 1L, 42.0, 13.0)
+      .write.parquet(s"$inDir/w1")
+    AlertStream.run(spark, s"$inDir/*", store, "bpv-rt", ckDir, awaitAll = true)
+    val s1 = store.load(spark)
+    assert(s1.rootDiaobject.count() == 1)
+    assert(s1.diaobject.count() == 1)
+    // sources: current 5,6,7 + prv 4,5,6 → ids 4..7
+    assert(s1.diasource.select("diasourceid").collect().map(_.getLong(0)).toSet
+      == Set(4L, 5L, 6L, 7L))
+    assert(s1.diaforcedsource.count() == 3)
+
+    alertsDf(Seq(7L, 8L), 1L, 42.0, 13.0).write.parquet(s"$inDir/w2")
+    alertsDf(Seq(100L), 2L, 10.0, -30.0).write.parquet(s"$inDir/w3")
+    AlertStream.run(spark, s"$inDir/*", store, "bpv-rt", ckDir, awaitAll = true)
+    val s2 = store.load(spark)
+    assert(s2.rootDiaobject.count() == 2)
+    assert(s2.diaobject.count() == 2)
+    assert(s2.diasource.select("diasourceid").collect().map(_.getLong(0)).toSet
+      == Set(4L, 5L, 6L, 7L, 8L, 99L, 100L))
+    // replayed alert 7 created nothing new for object 1's forced rows
+    assert(s2.diaforcedsource.filter(col("diaobjectid") === 1L).count() == 4)
+  }
+
+  test("query queue: FIFO, read-only enforcement, results and errors") {
+    val q = new graft.api.QueryQueue(spark,
+      Files.createTempDirectory("qres").toString)
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("region_v")
+    val ok = q.submit("alice", Seq("SELECT COUNT(*) AS n FROM region_v"))
+    val bad = q.submit("bob", Seq("DROP TABLE region_v"))
+    val err = q.submit("eve", Seq("SELECT * FROM missing_table"))
+    q.runAll()
+    assert(q.results(ok).head().getLong(0) == 5L)
+    assert(q.status(ok).exists(e => e.finished.isDefined && !e.error))
+    assert(q.status(bad).exists(e => e.error && e.errortext.contains("read-only")))
+    assert(q.status(err).exists(_.error))
+    // FIFO: submitted order preserved in start times
+    val times = Seq(ok, bad, err).map(id => q.status(id).get.started.get.getTime)
+    assert(times == times.sorted)
+  }
+
+  test("spectrum workflow: anti-joins and latest-mag rollup") {
+    import graft.api.Spectrum
+    val wanted = Seq(("r1", "alice"), ("r2", "bob"), ("r3", "carol"))
+      .toDF("root_diaobject_id", "requester")
+    val planned = Seq(("r2", "keck")).toDF("root_diaobject_id", "facility")
+    val info = Seq(("r3", 60010.0f)).toDF("root_diaobject_id", "mjd")
+    assert(Spectrum.wantedNotClaimed(wanted, planned)
+      .select("root_diaobject_id").collect().map(_.getString(0)).toSet == Set("r1", "r3"))
+    assert(Spectrum.wantedWithoutRecentSpectrum(wanted, info, 60000.0)
+      .select("root_diaobject_id").collect().map(_.getString(0)).toSet == Set("r1", "r2"))
+
+    val srcs = Seq(
+      ("r1", "r", 60000.0, 1000.0f, 1L), ("r1", "r", 60005.0, 2000.0f, 2L),
+      ("r1", "g", 60001.0, 500.0f, 3L))
+      .toDF("rootid", "band", "midpointmjdtai", "psfflux", "diasourceid")
+    val latest = Spectrum.latestDetectionMags(srcs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("latest_mjd")).toMap
+    assert(latest == Map(("r1", "r") -> 60005.0, ("r1", "g") -> 60001.0))
+
+    val reqs = Seq(("r9", "dave", 9)).toDF("root_diaobject_id", "requester", "priority")
+    val made = Spectrum.makeWantRows(reqs).head()
+    assert(made.getAs[String]("wantspec_id") == "r9 ; dave")
+    assert(made.getAs[Short]("priority") == 5)
+  }
+}
