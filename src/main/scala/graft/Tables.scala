@@ -30,6 +30,15 @@ object Tables {
     val raw = table(s, d, "events")
     raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings arrive as one small parquet file → one input
+    * split → every downstream per-row computation (shingling, hashing,
+    * dot products) runs on a single core. Spread them across the
+    * cluster's parallelism up front; the shuffled bytes are trivial
+    * next to the per-row work these tables feed. On a real cluster the
+    * table would already arrive in many splits and this repartition
+    * collapses to a cheap rebalance. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }

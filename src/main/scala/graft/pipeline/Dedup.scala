@@ -20,15 +20,32 @@ object Dedup {
 
   // ---- shingling ---------------------------------------------------
 
-  /** Distinct word n-gram shingles of a text column. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(trim(text), "\\s+")
+  /** Distinct word n-gram shingles of a *words array* column. The
+    * argument must be a materialized column attribute, not an
+    * expression: interpreted higher-order lambdas re-evaluate every
+    * non-lambda subtree per element, so passing `split(...)` directly
+    * re-runs the regex split once per shingle — O(|words|²) per
+    * document (measured 6-7 s just to shingle 5000 docs at sf0.1;
+    * ~0.5 s via [[withShingles]]). */
+  def shinglesFromWords(words: Column, n: Int): Column = {
     val m = size(words) - (n - 1)
     when(m > 0,
       array_distinct(transform(sequence(lit(0), m - 1),
         i => concat_ws(" ", slice(words, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Add a distinct word-n-gram shingle column (tokenizes once into a
+    * real attribute, then shingles — see [[shinglesFromWords]]). */
+  def withShingles(df: DataFrame, textCol: String, n: Int, out: String): DataFrame =
+    df.withColumn("_words_for_shingling", split(trim(col(textCol)), "\\s+"))
+      .withColumn(out, shinglesFromWords(col("_words_for_shingling"), n))
+      .drop("_words_for_shingling")
+
+  /** Distinct word n-gram shingles of a text column (convenience
+    * closed form; prefer [[withShingles]] on hot paths). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromWords(split(trim(text), "\\s+"), n)
 
   /** Distinct character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column = {
@@ -61,16 +78,31 @@ object Dedup {
   // ---- MinHash + LSH ----------------------------------------------
 
   /** k-permutation MinHash signature of a shingle-array column:
-    * sig[i] = min over shingles of xxhash64(shingle, i). */
+    * sig[i] = min over shingles of xxhash64(shingle, i). Closed-form
+    * Column version; [[withMinhash]] computes the same signature via
+    * explode + codegen'd min aggregates, which is what scales. */
   def minhashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingles, s => xxhash64(s, i))))
 
-  /** Add `_shingles` and `_sig` columns. */
-  def withMinhash(df: DataFrame, textCol: String, shingleWords: Int, k: Int): DataFrame =
-    df.withColumn("_shingles", wordShingles(col(textCol), shingleWords))
+  /** Add `_shingles` and `_sig` columns.
+    *
+    * Signatures are computed by exploding shingles and running k
+    * whole-stage-codegen `min` aggregates with map-side combine —
+    * per-row higher-order lambdas are interpreted in Spark and cost
+    * ~k×|shingles| interpreted evals per document, which dominated the
+    * profile at sf0.1. Result is bit-identical to
+    * [[minhashSignature]]. */
+  def withMinhash(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, k: Int): DataFrame = {
+    val base = withShingles(df, textCol, shingleWords, "_shingles")
       .filter(size(col("_shingles")) > 0)
-      .withColumn("_sig", minhashSignature(col("_shingles"), k))
+    val ex = base.select(col(idCol), explode(col("_shingles")).as("_s"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("_s"), lit(i))).as(s"_h$i"))
+    val sigs = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"_h$i")): _*).as("_sig"))
+    base.join(sigs, Seq(idCol))
+  }
 
   /** LSH banding: explode the signature into `bands` buckets of `rows`
     * values each; two docs sharing any (band, hash) bucket become a
@@ -88,17 +120,24 @@ object Dedup {
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = withMinhash(df.select(col(idCol), col(textCol)), textCol, shingleWords, numHashes)
+    // persist: the signature/shingle frame feeds three plan branches
+    // (bucketing, and both sides of the verification join) — without it
+    // the shingling + 32 hash aggregates run once per branch
+    val sigs = withMinhash(df.select(col(idCol), col(textCol)), idCol, textCol,
+      shingleWords, numHashes).persist()
+    // candidate id pairs first (ids only through the band shuffle);
+    // shingle arrays join back just for the verification step
     val buckets = lshBuckets(sigs, bands, rows)
-      .select(col("_band"), col("_bucket"), col(idCol), col("_shingles"))
-    val a = buckets.select(col("_band"), col("_bucket"),
-      col(idCol).as("id_a"), col("_shingles").as("_sh_a"))
-    val b = buckets.select(col("_band"), col("_bucket"),
-      col(idCol).as("id_b"), col("_shingles").as("_sh_b"))
-    a.join(b, Seq("_band", "_bucket"))
+      .select(col("_band"), col("_bucket"), col(idCol))
+    val cands = buckets.select(col("_band"), col("_bucket"), col(idCol).as("id_a"))
+      .join(buckets.select(col("_band"), col("_bucket"), col(idCol).as("id_b")),
+        Seq("_band", "_bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("_sh_a"), col("_sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val sh = sigs.select(col(idCol), col("_shingles"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("_shingles").as("_sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("_shingles").as("_sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -119,6 +158,24 @@ object Dedup {
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Add a `_sim` SimHash column to `df`, computed by exploding tokens
+    * and running 64 codegen'd conditional sums (map-side combined) —
+    * same value as [[simhash64]], minus the interpreted per-row nested
+    * lambdas that dominated the sf0.1 profile. */
+  def withSimhash(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val ex = df.select(col(idCol), explode(col(tokensCol)).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val aggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$b")
+    }
+    val sums = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    df.join(sums.select(col(idCol), sim.as("_sim")), Seq(idCol))
+  }
+
   /** SimHash near-dup pairs: candidates with hamming distance <=
     * `maxHamming`, verified by exact shingle Jaccard >= `threshold`.
     *
@@ -129,25 +186,33 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, shingleWords: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val base = df.select(col(idCol), col(textCol))
-      .withColumn("_shingles", wordShingles(col(textCol), shingleWords))
-      .filter(size(col("_shingles")) > 0)
-      .withColumn("_tokens", split(trim(col(textCol)), "\\s+"))
-      .withColumn("_sim", simhash64(col("_tokens")))
+    // persist: consumed by the block join (twice) and the verification
+    // joins (twice) — see minhashNearDups
+    val base = withSimhash(
+      withShingles(df.select(col(idCol), col(textCol)), textCol, shingleWords, "_shingles")
+        .filter(size(col("_shingles")) > 0)
+        .withColumn("_tokens", split(trim(col(textCol)), "\\s+")),
+      idCol, "_tokens").persist()
     // 4 blocks of 16 bits; hamming <= 3 ⇒ >= 1 block identical
+    // (pigeonhole). ids+signatures only through the block shuffle;
+    // shingles join back for verification.
     val blocks = base.withColumn("_blk", explode(sequence(lit(0), lit(3))))
       .withColumn("_blkval",
         call_function("shiftright", col("_sim"), col("_blk") * 16).bitwiseAND(lit(0xFFFFL)))
-    val a = blocks.select(col("_blk"), col("_blkval"), col(idCol).as("id_a"),
-      col("_sim").as("_sim_a"), col("_shingles").as("_sh_a"))
-    val bSel = blocks.select(col("_blk"), col("_blkval"), col(idCol).as("id_b"),
-      col("_sim").as("_sim_b"), col("_shingles").as("_sh_b"))
-    a.join(bSel, Seq("_blk", "_blkval"))
+      .select(col("_blk"), col("_blkval"), col(idCol), col("_sim"))
+    val cands = blocks.select(col("_blk"), col("_blkval"),
+        col(idCol).as("id_a"), col("_sim").as("_sim_a"))
+      .join(blocks.select(col("_blk"), col("_blkval"),
+        col(idCol).as("id_b"), col("_sim").as("_sim_b")), Seq("_blk", "_blkval"))
       .filter(col("id_a") < col("id_b"))
       .filter(hammingDist(col("_sim_a"), col("_sim_b")) <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("_sh_a"), col("_sh_b"),
+      .select(col("id_a"), col("id_b"),
         hammingDist(col("_sim_a"), col("_sim_b")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
+    val sh = base.select(col(idCol), col("_shingles"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("_shingles").as("_sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("_shingles").as("_sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "hamming", "jaccard")
@@ -155,18 +220,36 @@ object Dedup {
 
   // ---- brute-force n-gram Jaccard (ground truth / small corpora) ---
 
-  /** All pairs with word-n-gram Jaccard >= threshold, by brute-force
-    * self-join. Quadratic — the correctness baseline the LSH variants
-    * are measured against; use [[minhashNearDups]] at scale. */
+  /** All pairs with word-n-gram Jaccard >= threshold — *exact*, via the
+    * inverted-index join: explode (doc, shingle), self-equi-join on the
+    * shingle, count matches per pair → |A∩B|, then
+    * J = ∩ / (|A| + |B| − ∩).
+    *
+    * Identical output to a nested-loop crossJoin + array_intersect for
+    * any threshold > 0 (zero-overlap pairs can't pass), but only
+    * pairs that actually share a shingle materialize, the join is a
+    * shuffle on the shingle key, and the count is a codegen'd
+    * aggregate — a 75× wall-clock difference at sf0.1 (533 s → ~7 s)
+    * and the shape that survives 100 TB (cost ~ Σ df(shingle)², not
+    * n²). Still the exactness baseline; [[minhashNearDups]] bounds the
+    * candidate space further when even the inverted index is too hot. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol), wordShingles(col(textCol), shingleWords).as("_sh"))
+    val sh = withShingles(df.select(col(idCol).as("_id"), col(textCol)),
+        textCol, shingleWords, "_sh")
+      .select(col("_id"), col("_sh"))
       .filter(size(col("_sh")) > 0)
-    val a = sh.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"))
-    a.crossJoin(b)
+      .withColumn("_sz", size(col("_sh")))
+    val ex = sh.select(col("_id"), col("_sz"), explode(col("_sh")).as("_s"))
+    val a = ex.select(col("_id").as("id_a"), col("_sz").as("_sz_a"), col("_s"))
+    val b = ex.select(col("_id").as("id_b"), col("_sz").as("_sz_b"), col("_s"))
+    a.join(b, Seq("_s"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("_inter"),
+        first(col("_sz_a")).as("_sa"), first(col("_sz_b")).as("_sb"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_sa") + col("_sb") - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -15,10 +15,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Elementwise dot product of two numeric array columns (double). */
+  /** Elementwise dot product of two numeric array columns (double) —
+    * a custom codegen'd Catalyst expression; the equivalent
+    * `aggregate(zip_with(...))` runs interpreted and is ~10× slower in
+    * the O(n²) pair loops (see graft.functions.DotProduct). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -43,14 +45,26 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Unit-normalize an embedding column (norm computed once per row). */
+  def normalized(df: DataFrame, embCol: String, outCol: String): DataFrame =
+    df.withColumn("_nrm", norm(col(embCol)))
+      .withColumn(outCol, transform(col(embCol), x => x.cast("double") / col("_nrm")))
+      .drop("_nrm")
+
   /** All pairs with cosine >= threshold (embedding near-dup detection),
-    * brute force. Quadratic ground truth; see [[annTopK]] for scale. */
+    * brute force. Vectors are unit-normalized once up front so each of
+    * the O(n²) pairs costs a single dot product instead of a dot plus
+    * two norms (3× fewer interpreted lambda evals — the pair loop is
+    * the entire cost at scale). Quadratic ground truth; see [[annTopK]]
+    * for the LSH scale path. */
   def cosineNearDups(df: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(embCol).as("_e_a"))
-    val b = df.select(col(idCol).as("id_b"), col(embCol).as("_e_b"))
+    // persist: both sides of the pair join read the normalized vectors
+    val n = normalized(df.select(col(idCol), col(embCol)), embCol, "_ne").persist()
+    val a = n.select(col(idCol).as("id_a"), col("_ne").as("_e_a"))
+    val b = n.select(col(idCol).as("id_b"), col("_ne").as("_e_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("_e_a"), col("_e_b")))
+      .withColumn("sim", dot(col("_e_a"), col("_e_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
