@@ -1,0 +1,56 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.query.{Catalog, Ltcv}
+
+/** Gold summary tables — the replacement for the reference's
+  * `objstats_{procver}` / `objstatscomb_{procver}` materialized views
+  * (src/ltcv.py:1537-1831) and the pg_parquet lightcurve exporter
+  * (src/parquet_export.py:52-137).
+  *
+  * The reference creates the views with 8 chained subqueries and
+  * per-view indexes, refreshed manually; here each is one
+  * `groupBy` pass over the deduped detections, written as parquet and
+  * refreshed by overwrite (refresh = rerun). Object search (§3.4) is
+  * then a predicate-spec filter over the gold table — at 100 TB the
+  * search never touches photometry.
+  */
+object GoldTables {
+
+  /** Build + persist per-band and cross-band objstats for one procver.
+    * Joins weighted positions (A7) so cone search works on the gold
+    * table alone. */
+  def refreshObjStats(cat: Catalog, procverId: String, outDir: String): Unit = {
+    val src = Ltcv.sources(cat, procverId)
+    val perBand = Ltcv.objStats(src)
+    val comb = Ltcv.objStatsComb(src)
+      .join(Ltcv.weightedPositions(src), Seq("rootid"), "left_outer")
+    perBand.write.mode("overwrite").parquet(s"$outDir/objstats_$procverId")
+    comb.write.mode("overwrite").parquet(s"$outDir/objstatscomb_$procverId")
+  }
+
+  def objStats(spark: SparkSession, outDir: String, procverId: String,
+      band: Option[String] = None): DataFrame = {
+    val perBand = band.isDefined
+    val name = if (perBand) s"objstats_$procverId" else s"objstatscomb_$procverId"
+    val df = spark.read.parquet(s"$outDir/$name")
+    band.map(b => df.filter(col("band") === b)).getOrElse(df)
+  }
+
+  /** S7 — lightcurve parquet export: one row per root object with the
+    * photometry as an mjd-ordered array of records
+    * (array_agg(record ORDER BY mjd), parquet_export.py:52-93). */
+  def exportLtcvs(cat: Catalog, procverId: String, outDir: String,
+      whichPhot: String = "patch"): Unit = {
+    val ltcv = Ltcv.objectLtcvs(cat, procverId, whichPhot = whichPhot)
+    ltcv
+      .groupBy("rootid")
+      .agg(array_sort(collect_list(struct(
+        col("midpointmjdtai").as("mjd"), col("band"),
+        col("psfflux"), col("psffluxerr"),
+        col("isdet"), col("ispatch")))).as("ltcv"),
+        count(lit(1)).as("nobs"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+}
