@@ -1,0 +1,62 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.query.{Catalog, Ltcv}
+
+/** The lightcurve web-API surface (src/webserver/ltcvapp.py:340-364,
+  * server.py:298-311) as library calls. JSON/NaN-stripping serialization
+  * is the HTTP layer's concern; these return DataFrames.
+  */
+object LtcvApi {
+
+  /** GET /ltcv/getltcv — §3.1. `objids` may be diaobjectids (ints) or
+    * rootids (uuid strings), exactly like the reference's id sniffing
+    * (ltcvapp.py:19-94). */
+  def getLtcvs(cat: Catalog, procver: String,
+      diaobjectids: Seq[Long] = Nil, rootids: Seq[String] = Nil,
+      mjdNow: Option[Double] = None, bands: Seq[String] = Nil,
+      whichPhot: String = "patch"): DataFrame =
+    Ltcv.objectLtcvs(cat, procver, diaobjectids, rootids, mjdNow, bands, whichPhot)
+
+  /** Per-rootid object info: member diaobjectids + best position
+    * (get_object_infos, src/ltcv.py:38-291 — DISTINCT ON + position
+    * LEFT JOIN collapsed into one pass). Position: highest-priority
+    * diaobject_position row per diaobjectid, then the lexically-first
+    * per rootid (the reference's DISTINCT ON arbitrariness made
+    * deterministic). */
+  def getObjectInfos(cat: Catalog, procverId: String,
+      diaobjectids: Seq[Long] = Nil, rootids: Seq[String] = Nil): DataFrame = {
+    val ids = Ltcv.expandObjids(cat, procverId, diaobjectids, rootids)
+    val prios = cat.dims.priorities(procverId, "diaobject")
+    val pos = cat.diaobjectPosition
+      .join(broadcast(prios), Seq("base_procver_id"))
+      .groupBy("diaobjectid")
+      .agg(max_by(struct(col("ra"), col("dec")), struct(col("priority"))).as("_p"))
+      .select(col("diaobjectid"), col("_p.ra").as("ra"), col("_p.dec").as("dec"))
+    ids.join(pos, Seq("diaobjectid"), "left_outer")
+      .groupBy("rootid")
+      .agg(sort_array(collect_list(col("diaobjectid"))).as("diaobjectids"),
+        min_by(struct(col("ra"), col("dec")), struct(col("diaobjectid"))).as("_pos"))
+      .select(col("rootid"), col("diaobjectids"),
+        col("_pos.ra").as("ra"), col("_pos.dec").as("dec"))
+  }
+
+  /** GET a random object (ltcvapp.py:133-145's ORDER BY random()
+    * LIMIT 1), seedable for reproducibility. */
+  def randomObject(cat: Catalog, procverId: String, seed: Long = -1L): String = {
+    val m = Ltcv.objMap(cat, procverId).select("rootid").distinct()
+    val shuffled = if (seed >= 0) m.orderBy(rand(seed)) else m.orderBy(rand())
+    shuffled.limit(1).collect().head.getString(0)
+  }
+
+  /** A5 — exact count and optimizer-estimated count of the deduped
+    * detections under a procver (server.py:120-203; the estimate path
+    * reads plan statistics instead of EXPLAIN json). */
+  def countSources(cat: Catalog, procverId: String): (Long, BigInt) = {
+    val src = Ltcv.sources(cat, procverId)
+    val est = src.queryExecution.optimizedPlan.stats.rowCount
+      .getOrElse(BigInt(-1))
+    (src.count(), est)
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.merge.SourceImporter
 import graft.query.Ltcv
 import graft.spatial.Spatial
 
@@ -181,6 +182,72 @@ object FastdbOps {
        |JOIN (SELECT * FROM ranked WHERE rn_max = 1) mx USING (rootid, band)
        |ORDER BY rootid, band""".stripMargin
 
+  // ---- A4: cross-band rollup ----------------------------------------
+
+  def a4Rollup(s: SparkSession, d: String): DataFrame =
+    Ltcv.objStatsComb(liSources(s, d)
+        .withColumn("rootid", (col("diasourceid") % 300).cast("string")))
+      .select(col("rootid"), col("ndets"),
+        col("firstdetmjd"), col("lastdetmjd"),
+        round(col("maxdetflux"), 4).as("maxdetflux"),
+        col("ndets23"), col("nsn5"))
+      .orderBy("rootid")
+
+  val a4Sql: String =
+    s"""WITH src0 AS ($liSourcesSql),
+       |src AS (SELECT * REPLACE (CAST(diasourceid % 300 AS VARCHAR) AS rootid) FROM src0),
+       |agg AS (
+       |  SELECT rootid, COUNT(*) AS ndets,
+       |    CAST(SUM(CASE WHEN psfflux >= POWER(10, (23 - 31.4) / -2.5) THEN 1 ELSE 0 END) AS BIGINT) AS ndets23,
+       |    CAST(SUM(CASE WHEN psfflux / psffluxerr >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS nsn5
+       |  FROM src GROUP BY rootid),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY rootid ORDER BY midpointmjdtai, diasourceid) AS rn_first,
+       |    ROW_NUMBER() OVER (PARTITION BY rootid ORDER BY midpointmjdtai DESC, diasourceid DESC) AS rn_last,
+       |    ROW_NUMBER() OVER (PARTITION BY rootid ORDER BY psfflux DESC, diasourceid DESC) AS rn_max
+       |  FROM src)
+       |SELECT agg.rootid, agg.ndets,
+       |  fst.midpointmjdtai AS firstdetmjd, lst.midpointmjdtai AS lastdetmjd,
+       |  ROUND(mx.psfflux, 4) AS maxdetflux,
+       |  agg.ndets23, agg.nsn5
+       |FROM agg
+       |JOIN (SELECT * FROM ranked WHERE rn_first = 1) fst USING (rootid)
+       |JOIN (SELECT * FROM ranked WHERE rn_last = 1) lst USING (rootid)
+       |JOIN (SELECT * FROM ranked WHERE rn_max = 1) mx USING (rootid)
+       |ORDER BY rootid""".stripMargin
+
+  // ---- A12: COALESCE-merge upsert ------------------------------------
+
+  /** existing := customers with segment nulled where 'BUILDING';
+    * incoming := all customers (fills the nulls, must not overwrite the
+    * rest) plus suppliers under fresh keys (pure inserts) — through the
+    * real SourceImporter.mergeCoalesce. */
+  def a12CoalesceMerge(s: SparkSession, d: String): DataFrame = {
+    val existing = customer(s, d).select(col("c_custkey").as("k"),
+      nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+      col("c_acctbal").as("bal"))
+    val incoming = customer(s, d).select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), lit(999.0).as("bal"))
+      .unionByName(supplier(s, d).select(
+        (col("s_suppkey") + 10000000L).as("k"),
+        col("s_name").as("seg"), col("s_acctbal").as("bal")))
+    SourceImporter.mergeCoalesce(existing, incoming, Seq("k"))
+      .orderBy("k")
+  }
+
+  val a12Sql: String =
+    """WITH e AS (SELECT c_custkey AS k, NULLIF(c_mktsegment, 'BUILDING') AS seg,
+      |             c_acctbal AS bal FROM customer),
+      |i AS (SELECT c_custkey AS k, c_mktsegment AS seg, 999.0 AS bal FROM customer
+      |      UNION ALL
+      |      SELECT s_suppkey + 10000000, s_name, s_acctbal FROM supplier),
+      |upd AS (SELECT e.k, COALESCE(e.seg, i.seg) AS seg, COALESCE(e.bal, i.bal) AS bal
+      |        FROM e LEFT JOIN i USING (k)),
+      |ins AS (SELECT k, seg, bal FROM i WHERE k NOT IN (SELECT k FROM e))
+      |SELECT k, seg, bal FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |ORDER BY k""".stripMargin
+
   // ---- A7: weighted positions ---------------------------------------
 
   def a7WeightedPos(s: SparkSession, d: String): DataFrame =
@@ -270,6 +337,8 @@ object FastdbOps {
     "a1_priority_dedup" -> (a1PriorityDedup _),
     "j2_patch_join" -> (j2PatchJoin _),
     "a2_objstats" -> (a2ObjStats _),
+    "a4_rollup" -> (a4Rollup _),
+    "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
     "j6_cone_join" -> (j6ConeJoin _),
     "t6_hot_window" -> (t6HotWindow _))
@@ -278,6 +347,8 @@ object FastdbOps {
     "a1_priority_dedup" -> a1Sql,
     "j2_patch_join" -> j2Sql,
     "a2_objstats" -> a2Sql,
+    "a4_rollup" -> a4Sql,
+    "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,
     "j6_cone_join" -> j6Sql,
     "t6_hot_window" -> t6Sql)

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Watermarked tumbling-window aggregation over an event stream.
+  *
+  * The reference's only "window" is a recency predicate (T6), which
+  * [[graft.query.Ltcv.hotLtcvs]] covers; this adds the standard
+  * Structured-Streaming shape (event-time watermark + tumbling window +
+  * append output) that a monitoring/alert-rate pipeline at scale needs
+  * (alerts/sec per band dashboards, broker-lag tracking). State is
+  * bounded by the watermark; output is append-only once windows close.
+  */
+object EventWindows {
+
+  /** Per-(window, keyCol) counts and value sums with a `lateness`
+    * watermark over `tsCol`. Works on a streaming OR batch frame (same
+    * plan — Spark unifies them). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      window_ : String = "5 minutes", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  /** Run as a file-source stream into an in-memory sink (tests /
+    * local monitoring); production would writeStream to a gold table. */
+  def runFileStream(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tsCol: String, keyCol: String, queryName: String,
+      checkpointDir: String): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    windowedCounts(stream, tsCol, keyCol)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.api.LtcvApi
+import graft.query.Skew
+import graft.streaming.EventWindows
+
+class ApiSkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val cat = FixtureWorld.catalog(spark)
+  import spark.implicits._
+
+  test("getObjectInfos groups member ids per rootid (ltcv.py:38-291)") {
+    val infos = LtcvApi.getObjectInfos(cat, "pvid-pv1", rootids = Seq("root-0"))
+      .collect()
+    assert(infos.length == 1)
+    val r = infos.head
+    assert(r.getAs[String]("rootid") == "root-0")
+    assert(r.getSeq[Long](r.fieldIndex("diaobjectids")) == Seq(100L, 1000L))
+  }
+
+  test("random object is reproducible with a seed and member of the procver") {
+    val a = LtcvApi.randomObject(cat, "pvid-pv1", seed = 7)
+    val b = LtcvApi.randomObject(cat, "pvid-pv1", seed = 7)
+    assert(a == b)
+    assert(FixtureWorld.roots.map(_._1).contains(a))
+  }
+
+  test("countSources: exact count plus plan-stats estimate (A5)") {
+    val (exact, est) = LtcvApi.countSources(cat, "pvid-pv3")
+    assert(exact == FixtureWorld.naiveDedup(FixtureWorld.detections, "pv3").size)
+    assert(est == -1 || est > 0)   // estimate present only with CBO stats
+  }
+
+  test("salted aggregation equals direct aggregation under skew") {
+    val skewed = (0 until 20000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toDouble))
+      .toDF("k", "v")
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("sv"), count(lit(1)).as("count"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Skew.saltedSumCount(skewed, Seq("k"), Seq("sv" -> col("v")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
+  test("watermarked windowed aggregation over a streamed event file") {
+    val dir = Files.createTempDirectory("evstream").toString
+    val ck = Files.createTempDirectory("evck").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "value")
+      .write.parquet(s"$dir/batch1")
+    val q = EventWindows.runFileStream(spark, s"$dir/*",
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .select("ts", "event_type", "value").schema,
+      "ts", "event_type", "evwin_test", ck)
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows; compare against
+    // the batch computation restricted to emitted windows
+    val got = spark.sql("SELECT * FROM evwin_test")
+    val batch = EventWindows.windowedCounts(
+      Tables.events(spark, "/root/testdata/sf0.001").select("ts", "event_type", "value"),
+      "ts", "event_type")
+    val gotMap = got.collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> r.getLong(3)).toMap
+    val batchMap = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> r.getLong(3)).toMap
+    assert(gotMap.nonEmpty)
+    gotMap.foreach { case (k, n) => assert(batchMap(k) == n, s"window $k") }
+  }
+}
