@@ -37,7 +37,53 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val (ingestRows, ingestSec, reimportSec) = ingestBench(spark, sfDir)
+    val ingestRate = if (ingestSec > 0) ingestRows / ingestSec else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_rows_per_sec":$ingestRate,"reimport_sec":$reimportSec,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Bulk-import throughput: lineitem-shaped staging rows through the
+    * full importer batch (dedup → anti-join → root crossmatch → merges)
+    * into an empty catalog, then an idempotent re-import. The
+    * reference's comparable figure is ~3.8 k photometry rows/s
+    * (BASELINE.md, 10-day Mongo→Postgres import). */
+  private def ingestBench(spark: SparkSession, sfDir: String): (Long, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.SourceImporter
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val staged = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("diasourceid"),
+      lit("bpv-bench").as("base_procver_id"),
+      (col("l_orderkey") % 50000).as("diaobjectid"),
+      (col("l_partkey") % 100).as("visit"),
+      col("l_returnflag").as("band"),
+      col("l_extendedprice").as("midpointmjdtai"),
+      (col("l_extendedprice") / 10).cast("float").as("psfflux"),
+      col("l_quantity").cast("float").as("psffluxerr"),
+      ((col("l_orderkey") % 3600) * 0.1).as("ra"),
+      ((col("l_orderkey") % 1700) * 0.1 - 85.0).as("dec"),
+      current_timestamp().as("ingest_ts"))
+      .withColumn("raerr", lit(null).cast("float"))
+      .withColumn("decerr", lit(null).cast("float"))
+      .withColumn("ra_dec_cov", lit(null).cast("float"))
+    val objs = staged.select("diaobjectid", "base_procver_id", "ra", "dec", "ingest_ts")
+      .dropDuplicates("diaobjectid")
+    val forced = staged
+      .withColumnRenamed("diasourceid", "diaforcedsourceid")
+      .drop("raerr", "decerr", "ra_dec_cov")
+    val store = new graft.streaming.SilverStore(
+      java.nio.file.Files.createTempDirectory("ingestbench").toString)
+    val empty = store.load(spark)
+    val nRows = li.count() * 2   // sources + forced
+
+    val t0 = System.nanoTime()
+    store.save(SourceImporter.importBatch(empty, objs, staged, forced))
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    store.save(SourceImporter.importBatch(store.load(spark), objs, staged, forced))
+    val reimportSec = (System.nanoTime() - t1) / 1e9
+    (nRows, ingestSec, reimportSec)
   }
 }

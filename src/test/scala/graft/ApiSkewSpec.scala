@@ -69,4 +69,23 @@ class ApiSkewSpec extends AnyFunSuite {
     assert(gotMap.nonEmpty)
     gotMap.foreach { case (k, n) => assert(batchMap(k) == n, s"window $k") }
   }
+
+  test("brokerinfo fetch + classification envelope explode") {
+    import graft.api.BrokerInfo
+    val bi = Seq(
+      ("fink", "t1", 100L, 10L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        """{"classifications": [{"classId": 111, "probability": 0.9}, {"classId": 42, "probability": 0.1}]}"""),
+      ("antares", "t2", 100L, 10L, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"),
+        """{"classifications": [{"classId": 7, "probability": 1.0}]}"""),
+      ("fink", "t1", 999L, 11L, java.sql.Timestamp.valueOf("2026-01-03 00:00:00"),
+        """{"classifications": []}"""))
+      .toDF("brokername", "topic", "diasourceid", "diaobjectid", "msgtime", "info")
+    val got = BrokerInfo.fetch(bi, Seq(100L))
+    assert(got.count() == 2)
+    val fink = BrokerInfo.fetch(bi, Seq(100L), Some("fink"))
+    assert(fink.count() == 1)
+    val cls = BrokerInfo.explodeClassifications(got).collect()
+      .map(r => (r.getAs[String]("brokername"), r.getAs[Int]("classid"), r.getAs[Double]("probability")))
+    assert(cls.toSet == Set(("fink", 111, 0.9), ("fink", 42, 0.1), ("antares", 7, 1.0)))
+  }
 }
