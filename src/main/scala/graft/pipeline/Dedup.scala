@@ -235,11 +235,13 @@ object Dedup {
     * candidate space further when even the inverted index is too hot. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // persist: both join branches (a, b) re-shingle otherwise
     val sh = withShingles(df.select(col(idCol).as("_id"), col(textCol)),
         textCol, shingleWords, "_sh")
       .select(col("_id"), col("_sh"))
       .filter(size(col("_sh")) > 0)
       .withColumn("_sz", size(col("_sh")))
+      .persist()
     val ex = sh.select(col("_id"), col("_sz"), explode(col("_sh")).as("_s"))
     val a = ex.select(col("_id").as("id_a"), col("_sz").as("_sz_a"), col("_s"))
     val b = ex.select(col("_id").as("id_b"), col("_sz").as("_sz_b"), col("_s"))
