@@ -62,9 +62,13 @@ object SnanaLoader {
       .withColumn("psffluxerr",
         Funcs.snanaZpRescale(col("FLUXCALERR"), lit(zp)).cast("float"))
 
-    // per-object observation sequence for synthesized ids (`:210-211`)
+    // per-object observation sequence for synthesized ids (`:210-211`).
+    // The full photometric tuple is in the sort so the id assignment is
+    // total-ordered even when an input carries duplicate epochs; rows
+    // identical under the whole tuple are interchangeable.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("diaobjectid").orderBy("midpointmjdtai", "visit")
+      .partitionBy("diaobjectid")
+      .orderBy("midpointmjdtai", "visit", "band", "psfflux", "psffluxerr")
     val seqd = p.withColumn("_seq", row_number().over(w).cast("long") - 1)
       .withColumn("_srcid",
         col("diaobjectid") * maxSourcesPerObject + col("_seq"))

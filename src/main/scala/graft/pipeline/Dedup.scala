@@ -234,7 +234,8 @@ object Dedup {
     * n²). Still the exactness baseline; [[minhashNearDups]] bounds the
     * candidate space further when even the inverted index is too hot. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleWords: Int = 3, threshold: Double = 0.5,
+      prefixFilter: Boolean = true): DataFrame = {
     // persist: both join branches (a, b) re-shingle otherwise
     val sh = withShingles(df.select(col(idCol).as("_id"), col(textCol)),
         textCol, shingleWords, "_sh")
@@ -243,16 +244,46 @@ object Dedup {
       .withColumn("_sz", size(col("_sh")))
       .persist()
     val ex = sh.select(col("_id"), col("_sz"), explode(col("_sh")).as("_s"))
-    val a = ex.select(col("_id").as("id_a"), col("_sz").as("_sz_a"), col("_s"))
-    val b = ex.select(col("_id").as("id_b"), col("_sz").as("_sz_b"), col("_s"))
-    a.join(b, Seq("_s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("_inter"),
-        first(col("_sz_a")).as("_sa"), first(col("_sz_b")).as("_sb"))
-      .withColumn("jaccard",
-        col("_inter").cast("double") / (col("_sa") + col("_sb") - col("_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    if (!prefixFilter) {
+      // plain inverted-index join: every co-occurring pair materializes;
+      // the per-pair count IS the intersection size, so no second pass
+      val a = ex.select(col("_id").as("id_a"), col("_sz").as("_sz_a"), col("_s"))
+      val b = ex.select(col("_id").as("id_b"), col("_sz").as("_sz_b"), col("_s"))
+      a.join(b, Seq("_s"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("_inter"),
+          first(col("_sz_a")).as("_sa"), first(col("_sz_b")).as("_sb"))
+        .withColumn("jaccard",
+          col("_inter").cast("double") / (col("_sa") + col("_sb") - col("_inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      // PPJoin-style prefix filter (Xiao et al.): order shingles by
+      // global document frequency (rarest first, shingle text as the
+      // total-order tiebreak); a pair with J >= t must share a shingle
+      // within each side's first |x| - ceil(t*|x|) + 1 shingles, so only
+      // the prefixes generate candidates. Candidate volume scales with
+      // Σ df(rare shingle)² instead of Σ df², which is what survives a
+      // boilerplate-heavy 100 TB corpus; exact Jaccard then verifies the
+      // (small) candidate set.
+      import org.apache.spark.sql.expressions.Window
+      val freq = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
+      val ranked = ex.join(freq, Seq("_s"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("_id").orderBy(col("_df"), col("_s"))))
+        .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold) + 1)
+        .select(col("_s"), col("_id"))
+      val cands = ranked.select(col("_s"), col("_id").as("id_a"))
+        .join(ranked.select(col("_s"), col("_id").as("id_b")), Seq("_s"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      cands
+        .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
+        .join(sh.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
+        .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.ingest.SnanaLoader
 import graft.merge.SourceImporter
 import graft.query.Ltcv
 import graft.spatial.Spatial
@@ -307,6 +308,54 @@ object FastdbOps {
       |FROM pairs WHERE sep_arcsec <= 0.123 * 3600
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  // ---- S1: SNANA-shaped batch load -----------------------------------
+
+  /** orders → HEAD, lineitem → PHOT, through the real SnanaLoader
+    * (ZP rescale, visit synthesis, photflag split, per-object id
+    * sequence); oracle replicates the arithmetic in SQL. */
+  def s1SnanaLoad(s: SparkSession, d: String): DataFrame = {
+    val head = orders(s, d).select(
+      col("o_orderkey").as("SNID"),
+      ((col("o_orderkey") % 360) * 0.5).as("RA"),
+      ((col("o_orderkey") % 170) * 0.5 - 42.0).as("DEC"),
+      lit(0L).as("PTROBS_MIN"), lit(0L).as("PTROBS_MAX"))
+    val phot = lineitem(s, d).select(
+      col("l_orderkey").as("SNID"),
+      col("l_extendedprice").as("MJD"),
+      col("l_returnflag").as("BAND"),
+      (col("l_quantity") * 10).as("FLUXCAL"),
+      col("l_quantity").as("FLUXCALERR"),
+      when(col("l_quantity") >= 25, 4096).otherwise(0).as("PHOTFLAG"))
+    SnanaLoader.load(head, phot, "bpv-s1").diasource
+      .select(col("diasourceid"), col("diaobjectid"), col("visit"), col("band"),
+        col("midpointmjdtai"), round(col("psfflux"), 2).as("psfflux"),
+        col("ra"), col("dec"))
+      .orderBy("diasourceid")
+  }
+
+  val s1Sql: String =
+    """WITH phot AS (
+      |  SELECT l_orderkey AS snid, l_extendedprice AS mjd, l_returnflag AS band,
+      |    l_quantity * 10 AS fluxcal, l_quantity AS fluxcalerr,
+      |    CASE WHEN l_quantity >= 25 THEN 4096 ELSE 0 END AS photflag
+      |  FROM lineitem),
+      |seq AS (
+      |  SELECT *,
+      |    CAST(FLOOR(mjd * 20000) AS BIGINT) AS visit,
+      |    CAST(fluxcal * POWER(10, (31.4 - 27.5) / 2.5) AS FLOAT) AS psfflux,
+      |    CAST(fluxcalerr * POWER(10, (31.4 - 27.5) / 2.5) AS FLOAT) AS psffluxerr,
+      |    ROW_NUMBER() OVER (PARTITION BY snid
+      |      ORDER BY mjd, CAST(FLOOR(mjd * 20000) AS BIGINT), band,
+      |        CAST(fluxcal * POWER(10, (31.4 - 27.5) / 2.5) AS FLOAT),
+      |        CAST(fluxcalerr * POWER(10, (31.4 - 27.5) / 2.5) AS FLOAT)) - 1 AS s
+      |  FROM phot)
+      |SELECT snid * 100000 + s AS diasourceid, snid AS diaobjectid, visit, band,
+      |  mjd AS midpointmjdtai, ROUND(psfflux, 2) AS psfflux,
+      |  (snid % 360) * 0.5 AS ra, (snid % 170) * 0.5 - 42.0 AS dec
+      |FROM seq
+      |WHERE (photflag & 4096) != 0
+      |ORDER BY diasourceid""".stripMargin
+
   // ---- T6: hot-transient recency window on events --------------------
 
   /** "objects with activity in the last N days of mjd_now": users with
@@ -341,6 +390,7 @@ object FastdbOps {
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
     "j6_cone_join" -> (j6ConeJoin _),
+    "s1_snana_load" -> (s1SnanaLoad _),
     "t6_hot_window" -> (t6HotWindow _))
 
   def oracles: Map[String, String] = Map(
@@ -351,5 +401,6 @@ object FastdbOps {
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,
     "j6_cone_join" -> j6Sql,
+    "s1_snana_load" -> s1Sql,
     "t6_hot_window" -> t6Sql)
 }

@@ -71,6 +71,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(j - want) < 1e-12)
   }
 
+  test("prefix-filtered exact Jaccard equals exhaustive inverted-index join") {
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val pref = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, tau, prefixFilter = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      val full = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, tau, prefixFilter = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(full.nonEmpty, s"tau=$tau fixture has no pairs")
+      assert(pref == full, s"tau=$tau: missed=${full -- pref} extra=${pref -- full}")
+    }
+  }
+
   test("cosine + brute-force top-k against naive computation") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
