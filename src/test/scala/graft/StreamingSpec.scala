@@ -101,4 +101,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(made.getAs[String]("wantspec_id") == "r9 ; dave")
     assert(made.getAs[Short]("priority") == 5)
   }
+
+  test("avro alert decode round-trips through the bundled avro runtime") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    import graft.streaming.AvroAlerts
+
+    val schema = new Schema.Parser().parse(AvroAlerts.alertAvsc)
+    val srcSchema = schema.getField("diaSource").schema()
+    val objSchema = schema.getField("diaObject").schema()
+
+    def mkSrc(id: Long, obj: Long, mjd: Double): GenericRecord = {
+      val r = new GenericData.Record(srcSchema)
+      r.put("diaSourceId", id); r.put("diaObjectId", obj)
+      r.put("visit", id % 100); r.put("band", "r")
+      r.put("midpointMjdTai", mjd)
+      r.put("psfFlux", 1.5f); r.put("psfFluxErr", 0.1f)
+      r.put("ra", 42.0); r.put("dec", 13.0)
+      r
+    }
+    def encode(alertId: Long, srcId: Long): Array[Byte] = {
+      val a = new GenericData.Record(schema)
+      a.put("alertId", alertId)
+      a.put("diaSource", mkSrc(srcId, 7L, 60000.0))
+      val prv = new java.util.ArrayList[GenericRecord]()
+      prv.add(mkSrc(srcId - 1, 7L, 59999.0))
+      a.put("prvDiaSources", prv)
+      a.put("prvDiaForcedSources", null)
+      val o = new GenericData.Record(objSchema)
+      o.put("diaObjectId", 7L); o.put("ra", 42.0); o.put("dec", 13.0)
+      a.put("diaObject", o)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](schema).write(a, enc)
+      enc.flush(); bos.toByteArray
+    }
+
+    val bin = Seq(Tuple1(encode(1L, 10L)), Tuple1(encode(2L, 20L))).toDF("value")
+    val decoded = AvroAlerts.decode(spark, bin, "value")
+    assert(decoded.schema == graft.streaming.AlertStream.alertSchema)
+    val rows = decoded.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    val s = rows(1L).getStruct(1)
+    assert(s.getLong(0) == 10L && s.getString(3) == "r" && s.getDouble(4) == 60000.0)
+    assert(rows(1L).getSeq[org.apache.spark.sql.Row](2).head.getLong(0) == 9L)
+    assert(rows(1L).isNullAt(3))   // prvDiaForcedSources absent
+    // and the decoded frame wrangles like any other alert batch
+    val w = graft.streaming.AlertStream.wrangle(decoded, "bpv-avro")
+    assert(w.sources.count() == 4 && w.objects.count() == 2)
+  }
 }
