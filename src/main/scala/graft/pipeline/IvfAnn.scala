@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbour search: a k-means
+  * coarse quantizer partitions the corpus into `nlist` cells; a query
+  * probes its `nprobe` nearest cells and ranks candidates by exact
+  * cosine. The other canonical ANN scale path next to
+  * [[Similarity.annTopK]] (hyperplane LSH): IVF adapts to the data
+  * distribution (clustered embeddings → tight cells) where LSH is
+  * data-oblivious.
+  *
+  * Embeddings are unit-normalized before clustering so euclidean
+  * k-means cells align with cosine neighbourhoods. Training is MLlib's
+  * distributed k-means (seeded, deterministic); cell assignment is a
+  * model transform; the probe list is a broadcast join against the
+  * (tiny) centroid table. At 100 TB the corpus would persist bucketed
+  * by cell id so a probe reads only its cells' files.
+  */
+object IvfAnn {
+
+  final case class Index(assigned: DataFrame, centroids: DataFrame)
+
+  /** Cluster the corpus: returns corpus rows + `_cell`, and the
+    * centroid table (cell, center: array<double>). */
+  def buildIndex(corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int, seed: Long = 42L): Index = {
+    val n = Similarity.normalized(corpus.select(col(idCol), col(embCol)), embCol, "_ne")
+      .withColumn("_features", array_to_vector(col("_ne")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("_features").setPredictionCol("_cell")
+      .fit(n)
+    val assigned = model.transform(n)
+      .select(col(idCol), col("_ne"), col("_cell"))
+      .persist()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("_cell", "_center")
+    Index(assigned, centroids)
+  }
+
+  /** Top-k per query over the `nprobe` nearest cells. */
+  def topK(index: Index, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id",
+      qIdCol: String = "q_vec_id", qEmbCol: String = "q_embedding"): DataFrame = {
+    val qn = Similarity.normalized(queries.select(col(qIdCol), col(qEmbCol)),
+      qEmbCol, "_qne")
+    // probe list: nprobe nearest centroids per query (centroid table is
+    // tiny — nlist rows — so this is a broadcast nested loop over it)
+    val wProbe = Window.partitionBy(qIdCol).orderBy(desc("_csim"), col("_cell"))
+    val probes = qn.crossJoin(broadcast(index.centroids))
+      .withColumn("_csim", Similarity.dot(col("_qne"), col("_center")))
+      .withColumn("_crank", row_number().over(wProbe))
+      .filter(col("_crank") <= nprobe)
+      .select(col(qIdCol), col("_qne"), col("_cell"))
+    val w = Window.partitionBy(qIdCol).orderBy(desc("sim"), col(idCol))
+    index.assigned.join(broadcast(probes), Seq("_cell"))
+      .filter(col(qIdCol) =!= col(idCol))
+      .withColumn("sim", Similarity.dot(col("_qne"), col("_ne")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
+  }
+}

@@ -147,6 +147,18 @@ object Pipeline {
       .orderBy("q_vec_id", "rank")
   }
 
+  /** IVF (k-means cell) ANN top-5 (rows-only: cell assignment depends
+    * on the k-means seed; recall vs s1 asserted in PipelineSpec). */
+  def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val index = graft.pipeline.IvfAnn.buildIndex(emb, "vec_id", "embedding", nlist = 16)
+    graft.pipeline.IvfAnn.topK(index, q, k = 5, nprobe = 6)
+      .select(col("q_vec_id"), col("vec_id"), round(col("sim"), 4).as("sim_r"), col("rank"))
+      .orderBy("q_vec_id", "rank")
+  }
+
   // ---- text analysis -----------------------------------------------
 
   /** Per-language corpus statistics: token counts (whitespace and
@@ -248,6 +260,7 @@ object Pipeline {
     "d5_embed_neardup" -> (d5EmbedNearDup _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
+    "s3_ann_ivf" -> (s3AnnIvf _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),

@@ -111,6 +111,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN recall $recall too low")
   }
 
+  test("IVF ANN top-k recall >= 0.8 vs brute force on real embeddings") {
+    import graft.pipeline.IvfAnn
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .select("q_vec_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = IvfAnn.buildIndex(emb, "vec_id", "embedding", nlist = 8)
+    val ivf = IvfAnn.topK(index, q, k = 5, nprobe = 5)
+      .select("q_vec_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
   test("text analysis functions: tokens, bpe-ish, punctuation, quality, langid, fingerprint") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

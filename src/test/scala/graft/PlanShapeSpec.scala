@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Regression guard on the physical-plan properties PLANS.md documents:
+  * pushdown, pruning, broadcast dims, and partial aggregation. A change
+  * that silently loses one of these would still pass value-correctness
+  * tests but regress badly at scale. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = "/root/testdata/sf0.001"
+
+  def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("j1 join chain: dims broadcast, region predicate pushed, lineitem pruned") {
+    val p = plan(graft.queries.Relational.j1JoinChain(spark, d))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, "all four dim joins broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("EqualTo(r_name,ASIA)"), "filter must reach the region scan")
+    assert(p.contains("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      "lineitem scan must read exactly 3 columns")
+  }
+
+  test("a1 priority dedup: broadcast priorities + partial aggregation, no window sort") {
+    val p = plan(graft.queries.FastdbOps.a1PriorityDedup(spark, d))
+    assert(p.contains("BroadcastHashJoin"), "priority map must broadcast")
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      "dedup must combine map-side")
+    assert(!p.contains("Window"), "A1 must not be a window sort")
+  }
+
+  test("time-travel cut pushes down to the parquet photometry scan") {
+    // persist the fixture catalog to parquet so PushedFilters is visible
+    val mem = FixtureWorld.catalog(spark)
+    val dir = java.nio.file.Files.createTempDirectory("planshape").toString
+    mem.diasource.write.parquet(s"$dir/diasource")
+    mem.diaobject.write.parquet(s"$dir/diaobject")
+    val cat = mem.copy(
+      diasource = spark.read.parquet(s"$dir/diasource"),
+      diaobject = spark.read.parquet(s"$dir/diaobject"))
+    val p = plan(graft.query.Ltcv.sources(cat, "pvid-pv3",
+      mjdNow = Some(60010.0), bands = Seq("r")))
+    assert(p.contains("LessThanOrEqual(midpointmjdtai,60010.0)"),
+      "mjd_now cut must reach the parquet scan as a pushed filter")
+    // FileScan metadata truncates each entry at 100 chars, so match the
+    // visible prefix of the band predicate
+    assert(p.contains("EqualTo(ban") || p.contains("In(band"),
+      "band filter must reach the parquet scan")
+  }
+
+  test("cone join is a zone equi-join, not a nested-loop cross join") {
+    val p = plan(graft.queries.FastdbOps.j6ConeJoin(spark, d))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "zone key must make this an equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no quadratic spatial join")
+  }
+
+  test("events scan prunes columns for the hot-window query") {
+    val p = plan(graft.queries.FastdbOps.t6HotWindow(spark, d))
+    assert(!p.contains("props"), "unused JSON column must not be read")
+  }
+}
