@@ -23,13 +23,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-      val warm = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+      // a failing query must not masquerade as a fast one: report -1
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      }
+      val cold = run(); val warm = run()
       spark.catalog.clearCache()   // drop persisted intermediates between queries
       (name, cold, warm)
     }

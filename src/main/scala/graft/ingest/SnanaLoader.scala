@@ -68,7 +68,7 @@ object SnanaLoader {
     // identical under the whole tuple are interchangeable.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("diaobjectid")
-      .orderBy("midpointmjdtai", "visit", "band", "psfflux", "psffluxerr")
+      .orderBy("midpointmjdtai", "visit", "band", "psfflux", "psffluxerr", "PHOTFLAG")
     val seqd = p.withColumn("_seq", row_number().over(w).cast("long") - 1)
       .withColumn("_srcid",
         col("diaobjectid") * maxSourcesPerObject + col("_seq"))

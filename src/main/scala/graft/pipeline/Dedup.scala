@@ -64,16 +64,18 @@ object Dedup {
   // ---- exact dedup -------------------------------------------------
 
   /** Exact dedup: keep the minimum-id row per distinct value of
-    * `textCol`; adds `n_copies`. Hash-groupBy — one shuffle on the
-    * 64-bit text hash, constant memory per group. */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = xxhash64(col(textCol))
-    df.withColumn("_th", h)
-      .groupBy("_th")
+    * `textCol`; adds `n_copies`. Hash-groupBy — one shuffle keyed by a
+    * 192-bit (xxhash64 + md5) digest rather than the text itself: a
+    * lone 64-bit key would suffer birthday collisions at
+    * training-corpus scale (~50% at ~5 G docs), silently merging
+    * distinct documents. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_th", xxhash64(col(textCol)))
+      .withColumn("_tm", md5(col(textCol)))
+      .groupBy("_th", "_tm")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
-      .drop("_th")
+      .drop("_th", "_tm")
       .join(df, Seq(idCol))
-  }
 
   // ---- MinHash + LSH ----------------------------------------------
 
@@ -193,12 +195,26 @@ object Dedup {
         .filter(size(col("_shingles")) > 0)
         .withColumn("_tokens", split(trim(col(textCol)), "\\s+")),
       idCol, "_tokens").persist()
-    // 4 blocks of 16 bits; hamming <= 3 ⇒ >= 1 block identical
-    // (pigeonhole). ids+signatures only through the block shuffle;
-    // shingles join back for verification.
-    val blocks = base.withColumn("_blk", explode(sequence(lit(0), lit(3))))
-      .withColumn("_blkval",
-        call_function("shiftright", col("_sim"), col("_blk") * 16).bitwiseAND(lit(0xFFFFL)))
+    // pigeonhole: hamming <= h ⇒ at least one of h+1 blocks is
+    // identical, so candidate generation is complete only with
+    // maxHamming+1 blocks (a fixed 4-block split would silently miss
+    // pairs for any maxHamming >= 4). Blocks tile the 64 bits as
+    // evenly as possible; ids+signatures only through the block
+    // shuffle, shingles join back for verification.
+    val nBlocks = maxHamming + 1
+    require(nBlocks <= 32, s"maxHamming=$maxHamming leaves blocks under 2 bits")
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    val blockVal = (b: Column) => {
+      // value of block b: bits [bounds(b), bounds(b+1))
+      val lo = element_at(typedlit(bounds.map(_.toLong)), b + 1)
+      val hi = element_at(typedlit(bounds.map(_.toLong)), b + 2)
+      val width = hi - lo
+      val mask = when(width === 64, lit(-1L))
+        .otherwise(call_function("shiftleft", lit(1L), width.cast("int")) - 1L)
+      call_function("shiftright", col("_sim"), lo.cast("int")).bitwiseAND(mask)
+    }
+    val blocks = base.withColumn("_blk", explode(sequence(lit(0), lit(nBlocks - 1))))
+      .withColumn("_blkval", blockVal(col("_blk")))
       .select(col("_blk"), col("_blkval"), col(idCol), col("_sim"))
     val cands = blocks.select(col("_blk"), col("_blkval"),
         col(idCol).as("id_a"), col("_sim").as("_sim_a"))

@@ -308,6 +308,29 @@ object FastdbOps {
       |FROM pairs WHERE sep_arcsec <= 0.123 * 3600
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  // ---- A9: latest row per group (groupby-idxmax) ----------------------
+
+  /** Latest detection magnitude per (rootid, band) through the real
+    * Spectrum.latestDetectionMags (spectrum.py:265-291's pandas
+    * groupby-idxmax as one max_by pass). */
+  def a9LatestPerGroup(s: SparkSession, d: String): DataFrame =
+    graft.api.Spectrum.latestDetectionMags(
+        liSources(s, d).withColumn("rootid", (col("diasourceid") % 200).cast("string")))
+      .select(col("rootid"), col("band"), col("latest_mjd"),
+        round(col("latest_mag"), 6).as("latest_mag"))
+      .orderBy("rootid", "band")
+
+  val a9Sql: String =
+    s"""WITH src0 AS ($liSourcesSql),
+       |src AS (SELECT * REPLACE (CAST(diasourceid % 200 AS VARCHAR) AS rootid) FROM src0)
+       |SELECT rootid, band, midpointmjdtai AS latest_mjd,
+       |  ROUND(-2.5 * LOG10(psfflux) + 31.4, 6) AS latest_mag
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rootid, band
+       |        ORDER BY midpointmjdtai DESC, diasourceid DESC) AS rn
+       |      FROM src)
+       |WHERE rn = 1
+       |ORDER BY rootid, band""".stripMargin
+
   // ---- S1: SNANA-shaped batch load -----------------------------------
 
   /** orders → HEAD, lineitem → PHOT, through the real SnanaLoader
@@ -347,7 +370,8 @@ object FastdbOps {
       |    ROW_NUMBER() OVER (PARTITION BY snid
       |      ORDER BY mjd, CAST(FLOOR(mjd * 20000) AS BIGINT), band,
       |        CAST(fluxcal * POWER(10, (31.4 - 27.5) / 2.5) AS FLOAT),
-      |        CAST(fluxcalerr * POWER(10, (31.4 - 27.5) / 2.5) AS FLOAT)) - 1 AS s
+      |        CAST(fluxcalerr * POWER(10, (31.4 - 27.5) / 2.5) AS FLOAT),
+      |        photflag) - 1 AS s
       |  FROM phot)
       |SELECT snid * 100000 + s AS diasourceid, snid AS diaobjectid, visit, band,
       |  mjd AS midpointmjdtai, ROUND(psfflux, 2) AS psfflux,
@@ -389,6 +413,7 @@ object FastdbOps {
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
+    "a9_latest_per_group" -> (a9LatestPerGroup _),
     "j6_cone_join" -> (j6ConeJoin _),
     "s1_snana_load" -> (s1SnanaLoad _),
     "t6_hot_window" -> (t6HotWindow _))
@@ -400,6 +425,7 @@ object FastdbOps {
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,
+    "a9_latest_per_group" -> a9Sql,
     "j6_cone_join" -> j6Sql,
     "s1_snana_load" -> s1Sql,
     "t6_hot_window" -> t6Sql)

@@ -46,15 +46,21 @@ object Spatial {
       .withColumn("_zone", explode(array(col("_zbase") - 1, col("_zbase"), col("_zbase") + 1)))
       .drop("_zbase")
 
-    // RA bounding-box prefilter with wraparound (least of d, 360-d); the
-    // cos(dec) widening is clamped so polar rows fall through to the
-    // exact predicate instead of dividing by ~0.
+    // RA bounding-box prefilter with wraparound (least of d, 360-d).
+    // The true max RA separation within radius r at declination d is
+    // 2*asin(sin(r/2)/cos d) — strictly wider than the naive r/cos d,
+    // which drops genuine matches near the radius at high |dec|. Use
+    // the exact bound, evaluated at the worst-case |dec|+r of the pair
+    // (decOk already bounds the partner's dec), clamped to a full
+    // bypass within one radius of the pole.
     val dRaRaw = abs(col(lRa) - col(rRa))
     val dRa = least(dRaRaw, lit(360.0) - dRaRaw)
-    val cosDec = greatest(cos(radians(col(lDec))), lit(1e-6))
-    // within one radius of a pole every RA is a candidate — bypass
+    val worstDec = least(abs(col(lDec)) + lit(radiusDeg), lit(90.0))
+    val cosDec = greatest(cos(radians(worstDec)), lit(1e-9))
+    val sinHalfR = math.sin(math.toRadians(radiusDeg) / 2)
+    val raBound = lit(2.0) * degrees(asin(least(lit(sinHalfR) / cosDec, lit(1.0))))
     val nearPole = abs(col(lDec)) >= lit(90.0 - radiusDeg)
-    val raOk = (dRa <= lit(radiusDeg) / cosDec) || nearPole
+    val raOk = (dRa <= raBound) || nearPole
     val decOk = abs(col(lDec) - col(rDec)) <= lit(radiusDeg)
 
     val sep = greatCircleDeg(col(lRa), col(lDec), col(rRa), col(rDec)) * 3600.0

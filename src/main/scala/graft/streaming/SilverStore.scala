@@ -23,14 +23,18 @@ final class SilverStore(baseDir: String) {
 
   private def dir(name: String): Path = Paths.get(baseDir, name)
 
-  private def readOrEmpty(spark: SparkSession, name: String): DataFrame = {
-    val p = dir(name)
-    if (Files.exists(p) && Files.list(p).findFirst().isPresent)
-      spark.read.parquet(p.toString)
+  private def nonEmptyDir(p: Path): Boolean = {
+    if (!Files.exists(p)) return false
+    val s = Files.list(p)
+    try s.findFirst().isPresent finally s.close()
+  }
+
+  private def readOrEmpty(spark: SparkSession, name: String): DataFrame =
+    if (nonEmptyDir(dir(name)))
+      spark.read.parquet(dir(name).toString)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         tables(name))
-  }
 
   def load(spark: SparkSession): ImportResult = ImportResult(
     readOrEmpty(spark, "root_diaobject"),

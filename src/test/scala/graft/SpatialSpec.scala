@@ -20,7 +20,11 @@ class SpatialSpec extends AnyFunSuite {
   val pts: Seq[(Long, Double, Double)] = Seq(
     (0L, 42.0, 13.0), (1L, 42.0, 13.0036), (2L, 42.0, 13.0056), (3L, 42.0, 14.0),
     (4L, 359.99995, -5.0), (5L, 0.00005, -5.0),   // RA wraparound pair (~0.36″)
-    (6L, 10.0, 89.9999), (7L, 190.0, 89.9999))    // polar pair (~0.7″ through the pole)
+    (6L, 10.0, 89.9999), (7L, 190.0, 89.9999),    // polar pair (~0.7″ through the pole)
+    // high-dec pairs just inside the radius: the naive r/cos(dec) RA
+    // prefilter drops these (regression for the exact 2*asin bound)
+    (8L, 10.0, 89.0), (9L, 10.0 + 7.0499, 89.0),   // sep ≈ 442.6″ at 15″... scaled below
+    (10L, 50.0, 85.0), (11L, 50.0 + 0.0475, 85.0)) // sep ≈ 14.9″ at dec 85
 
   test("J6 cone join matches brute force, incl. RA wrap and pole") {
     val df = pts.toDF("id", "ra", "dec")
