@@ -11,8 +11,24 @@ import org.apache.spark.sql.functions.{col, timestamp_micros}
   * table" costs only what the query actually touches.
   */
 object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so the ad-hoc SQL surface
+    * (graft.api.QueryQueue / spark.sql) can reference them by name. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = n match {
+        case "events" => events(spark, dir)
+        case "documents" => documents(spark, dir)
+        case "embeddings" => embeddings(spark, dir)
+        case other => table(spark, dir, other)
+      }
+      df.createOrReplaceTempView(n)
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -38,9 +38,14 @@ object Pipeline {
 
   /** Brute-force 3-word-shingle Jaccard pairs (ground truth for the
     * LSH variants; the oracle brute-forces the same predicate). */
+  /** prefixFilter off: this corpus's shingle frequencies are uniform
+    * (max df 25), so the plain inverted index is already near-minimal
+    * and the prefix ranking pass would be pure overhead; flip it on for
+    * boilerplate-heavy corpora where Σ df² explodes (both paths are
+    * verified equal in PipelineSpec). */
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
-        shingleWords = 3, threshold = 0.5)
+        shingleWords = 3, threshold = 0.5, prefixFilter = false)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 

@@ -62,10 +62,9 @@ class StreamingSpec extends AnyFunSuite {
   test("query queue: FIFO, read-only enforcement, results and errors") {
     val q = new graft.api.QueryQueue(spark,
       Files.createTempDirectory("qres").toString)
-    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
-      .createOrReplaceTempView("region_v")
-    val ok = q.submit("alice", Seq("SELECT COUNT(*) AS n FROM region_v"))
-    val bad = q.submit("bob", Seq("DROP TABLE region_v"))
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val ok = q.submit("alice", Seq("SELECT COUNT(*) AS n FROM region"))
+    val bad = q.submit("bob", Seq("DROP TABLE region"))
     val err = q.submit("eve", Seq("SELECT * FROM missing_table"))
     q.runAll()
     assert(q.results(ok).head().getLong(0) == 5L)
