@@ -38,6 +38,10 @@ object Spatial {
       zoneHeightDegOpt: Option[Double] = None): DataFrame = {
     val radiusDeg = radiusArcsec / 3600.0
     val h = zoneHeightDegOpt.getOrElse(math.max(radiusDeg, 1e-4))
+    // the ±1-zone explode is only complete while a match can't span
+    // more than one zone boundary
+    require(h >= radiusDeg,
+      s"zone height $h° must be >= radius $radiusDeg° or matches are missed")
 
     val lz = left.withColumn("_zone", zoneId(col(lDec), h))
     // Right rows are replicated into each zone they could match

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.query.{Ltcv, ObjectSearch}
+import graft.pipeline.Dedup
+
+/** Degenerate-input behavior: empty tables, unknown keys, windows with
+  * no data — the engine must return empty results, never throw. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val cat = FixtureWorld.catalog(spark)
+  import spark.implicits._
+
+  test("unknown procver id yields empty photometry, not an error") {
+    // no links for this procver → priorities empty → inner join drops all
+    assert(Ltcv.sources(cat, "pvid-nope").count() == 0)
+    assert(Ltcv.objectLtcvs(cat, "pvid-nope").count() == 0)
+  }
+
+  test("rows from a base procver outside the chain are excluded") {
+    // pv3's chain is [bpv3]; bpv1/bpv2 photometry must not leak in
+    val bpvs = Ltcv.sources(cat, "pvid-pv3")
+      .select("base_procver_id").distinct().collect().map(_.getString(0)).toSet
+    assert(bpvs == Set(FixtureWorld.bpvId("bpv3", "diasource")))
+  }
+
+  test("expandObjids with unknown ids is empty") {
+    assert(Ltcv.expandObjids(cat, "pvid-pv1", diaobjectids = Seq(999999L)).count() == 0)
+    assert(Ltcv.expandObjids(cat, "pvid-pv1", rootids = Seq("root-none")).count() == 0)
+  }
+
+  test("patch join with one empty side keeps the other, flags correct") {
+    val src = Ltcv.sources(cat, "pvid-pv3")
+    val empty = src.filter(lit(false))
+    val onlyDet = Ltcv.patchJoin(empty, src)
+    assert(onlyDet.count() == src.count())
+    assert(onlyDet.filter(!col("ispatch") || !col("isdet")).count() == 0)
+    val onlyForced = Ltcv.patchJoin(Ltcv.forced(cat, "pvid-pv3"), empty)
+    assert(onlyForced.filter(col("isdet") || col("ispatch")).count() == 0)
+  }
+
+  test("hot window before any data is empty; stats of empty input are empty") {
+    assert(Ltcv.hotLtcvs(cat, "pvid-pv3", mjdNow = 1000.0).count() == 0)
+    val empty = Ltcv.sources(cat, "pvid-pv3").filter(lit(false))
+    assert(Ltcv.objStats(empty).count() == 0)
+    assert(Ltcv.objStatsComb(empty).count() == 0)
+    assert(Ltcv.weightedPositions(empty).count() == 0)
+  }
+
+  test("dedup operators tolerate empty and single-doc corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactDedup(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashNearDups(empty, "doc_id", "text").count() == 0)
+    val one = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(one, "doc_id", "text", 3, 0.1).count() == 0)
+    // docs shorter than the shingle width are skipped, not crashed
+    val short = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(short, "doc_id", "text").count() == 0)
+  }
+
+  test("search with cone + predicates composes; empty stats yields empty search") {
+    val stats = Ltcv.objStatsComb(Ltcv.sources(cat, "pvid-pv1"))
+      .join(Ltcv.weightedPositions(Ltcv.sources(cat, "pvid-pv1")), Seq("rootid"))
+    val got = ObjectSearch.search(stats, Map("ndets_min" -> 1),
+      cone = Some((42.0, 13.0, 15.0)))
+    assert(got.count() > 0)
+    val none = ObjectSearch.search(stats, Map("ndets_min" -> 99999),
+      cone = Some((42.0, 13.0, 15.0)))
+    assert(none.count() == 0)
+  }
+}
