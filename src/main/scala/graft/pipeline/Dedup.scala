@@ -79,13 +79,34 @@ object Dedup {
 
   // ---- MinHash + LSH ----------------------------------------------
 
+  /** Seeded rotate-XOR permutation family: perm_i(h) =
+    * rotl(h, r(i)) ⊕ b(i). One string hash per shingle + k cheap bit
+    * ops beats k independent string hashes ~10× in the signature pass;
+    * bit ops (unlike the affine h*A+B family) cannot overflow under
+    * Spark 4's default ANSI arithmetic. Each perm is a bijection of
+    * Z/2^64, which is all the min-wise sketch needs on top of the
+    * well-mixed xxhash64 base. */
+  private def permConsts(k: Int): (Seq[Int], Seq[Long]) = {
+    val rng = new scala.util.Random(0x5EEDL)
+    (Seq.fill(k)(1 + rng.nextInt(63)), Seq.fill(k)(rng.nextLong()))
+  }
+
+  private def perm(h: Column, rot: Int, mask: Long): Column =
+    shiftleft(h, rot).bitwiseOR(shiftrightunsigned(h, 64 - rot))
+      .bitwiseXOR(lit(mask))
+
   /** k-permutation MinHash signature of a shingle-array column:
-    * sig[i] = min over shingles of xxhash64(shingle, i). Closed-form
-    * Column version; [[withMinhash]] computes the same signature via
-    * explode + codegen'd min aggregates, which is what scales. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    * sig[i] = min over shingles of perm_i(xxhash64(shingle)).
+    * Closed-form Column version; [[withMinhash]] computes the identical
+    * signature via explode + codegen'd min aggregates, which is what
+    * scales. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val (r, b) = permConsts(k)
+    val hashes = transform(shingles, s => xxhash64(s))
+    array((0 until k).map { i =>
+      array_min(transform(hashes, h => perm(h, r(i), b(i))))
+    }: _*)
+  }
 
   /** Add `_shingles` and `_sig` columns.
     *
@@ -99,8 +120,11 @@ object Dedup {
       shingleWords: Int, k: Int): DataFrame = {
     val base = withShingles(df, textCol, shingleWords, "_shingles")
       .filter(size(col("_shingles")) > 0)
+    val (r, b) = permConsts(k)
     val ex = base.select(col(idCol), explode(col("_shingles")).as("_s"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("_s"), lit(i))).as(s"_h$i"))
+      .withColumn("_h", xxhash64(col("_s")))
+    val aggs = (0 until k).map(i =>
+      min(perm(col("_h"), r(i), b(i))).as(s"_h$i"))
     val sigs = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"_h$i")): _*).as("_sig"))
     base.join(sigs, Seq(idCol))
