@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ingest.SnanaLoader
+import graft.ingest.{Dp1Loader, SnanaLoader}
 import graft.merge.SourceImporter
 import graft.query.Ltcv
 import graft.spatial.Spatial
@@ -380,6 +380,62 @@ object FastdbOps {
       |WHERE (photflag & 4096) != 0
       |ORDER BY diasourceid""".stripMargin
 
+  // ---- S2: DP1 nested-parquet load ------------------------------------
+
+  /** Build the DP1 nested layout (object rows with diaSource /
+    * diaObjectForcedSource record arrays) from lineitem, then run the
+    * real Dp1Loader explode+rename. The oracle is the flat projection
+    * the nest/unnest round-trip must reproduce. */
+  def s2Dp1Load(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val objects = li.groupBy(col("l_orderkey")).agg(
+        collect_list(struct(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("diaSourceId"),
+          (col("l_partkey") % 100).as("visit"),
+          col("l_returnflag").as("band"),
+          col("l_extendedprice").as("midpointMjdTai"),
+          (col("l_quantity") * 10).cast("float").as("psfFlux"),
+          col("l_quantity").cast("float").as("psfFluxErr"),
+          (col("l_partkey") * 1e-4).as("ra"),
+          (col("l_suppkey") * 1e-4).as("dec"))).as("diaSource"),
+        collect_list(struct(
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("diaForcedSourceId"),
+          (col("l_partkey") % 100).as("visit"),
+          col("l_linestatus").as("band"),
+          col("l_extendedprice").as("midpointMjdTai"),
+          (col("l_discount") * 1000).cast("float").as("psfFlux"),
+          lit(1.0f).as("psfFluxErr"))).as("diaObjectForcedSource"))
+      .select(col("l_orderkey").as("diaObjectId"),
+        ((col("l_orderkey") % 360) * 0.5).as("ra"),
+        ((col("l_orderkey") % 170) * 0.5 - 42.0).as("dec"),
+        col("diaSource"), col("diaObjectForcedSource"))
+    val out = Dp1Loader.load(objects, "bpv-dp1")
+    out.diasource
+      .select(col("diasourceid"), col("diaobjectid"), col("visit"), col("band"),
+        col("midpointmjdtai"), round(col("psfflux"), 2).as("psfflux"),
+        col("ra"), col("dec"))
+      .unionByName(out.diaforcedsource
+        .select(col("diaforcedsourceid").as("diasourceid"), col("diaobjectid"),
+          col("visit"), col("band"), col("midpointmjdtai"),
+          round(col("psfflux"), 2).as("psfflux"), col("ra"), col("dec")))
+      .orderBy("diasourceid", "visit", "band")
+  }
+
+  val s2Sql: String =
+    """SELECT l_orderkey * 10 + l_linenumber AS diasourceid,
+      |  l_orderkey AS diaobjectid, l_partkey % 100 AS visit,
+      |  l_returnflag AS band, l_extendedprice AS midpointmjdtai,
+      |  ROUND(CAST(l_quantity * 10 AS FLOAT), 2) AS psfflux,
+      |  l_partkey * 1e-4 AS ra, l_suppkey * 1e-4 AS dec
+      |FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey * 100 + l_linenumber, l_orderkey, l_partkey % 100,
+      |  l_linestatus, l_extendedprice,
+      |  ROUND(CAST(l_discount * 1000 AS FLOAT), 2),
+      |  NULL, NULL
+      |FROM lineitem
+      |ORDER BY diasourceid, visit, band""".stripMargin
+
   // ---- T6: hot-transient recency window on events --------------------
 
   /** "objects with activity in the last N days of mjd_now": users with
@@ -416,6 +472,7 @@ object FastdbOps {
     "a9_latest_per_group" -> (a9LatestPerGroup _),
     "j6_cone_join" -> (j6ConeJoin _),
     "s1_snana_load" -> (s1SnanaLoad _),
+    "s2_dp1_load" -> (s2Dp1Load _),
     "t6_hot_window" -> (t6HotWindow _))
 
   def oracles: Map[String, String] = Map(
@@ -428,5 +485,6 @@ object FastdbOps {
     "a9_latest_per_group" -> a9Sql,
     "j6_cone_join" -> j6Sql,
     "s1_snana_load" -> s1Sql,
+    "s2_dp1_load" -> s2Sql,
     "t6_hot_window" -> t6Sql)
 }
