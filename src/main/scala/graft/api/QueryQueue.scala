@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan}
 
 /** §3.2 — the asynchronous ad-hoc SQL path
   * (src/webserver/dbapp.py:126-232 + src/services/long_query_runner.py).
@@ -28,7 +29,28 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
   private val entries = mutable.LinkedHashMap[String, Entry]()
   private val counter = new AtomicLong(0)
 
-  private val Readonly = "(?is)^\\s*(select|with|values|explain|describe|show)\\b".r
+  /** The reference runs queue entries under a Postgres read-only *role*
+    * (long_query_runner.py:139-146); a catalog-less Spark session
+    * enforces the same contract by parsing each statement and rejecting
+    * any plan that is (or contains) a write. A leading-keyword regex is
+    * NOT enough: Spark's grammar admits CTE-prefixed DML
+    * (`WITH x AS (SELECT 1) INSERT ...`), which starts with WITH but
+    * writes. Benign metadata commands (EXPLAIN/DESCRIBE/SHOW) stay
+    * allowed, matching the old surface.
+    */
+  private[api] def assertReadOnly(q: String): Unit = {
+    val plan = spark.sessionState.sqlParser.parsePlan(q)
+    def isWrite(p: LogicalPlan): Boolean = p match {
+      case _: InsertIntoStatement | _: InsertIntoDir => true
+      case c: Command =>
+        val n = c.nodeName
+        !(n.startsWith("Explain") || n.startsWith("Describe") || n.startsWith("Show"))
+      case _ => false
+    }
+    val offending = plan.collectFirst { case p if isWrite(p) => p }
+    require(offending.isEmpty,
+      s"only read-only statements allowed, got ${offending.get.nodeName}: ${q.take(60)}")
+  }
 
   def submit(userid: String, queries: Seq[String]): String = synchronized {
     val id = f"q${counter.incrementAndGet()}%06d"
@@ -52,8 +74,7 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
     try {
       var last: Option[DataFrame] = None
       e.queries.foreach { q =>
-        require(Readonly.findFirstIn(q).isDefined,
-          s"only read-only statements allowed: ${q.take(50)}")
+        assertReadOnly(q)
         last = Some(spark.sql(q))
       }
       last.foreach(_.write.mode("overwrite").parquet(s"$resultDir/${e.queryid}"))

@@ -64,12 +64,20 @@ class StreamingSpec extends AnyFunSuite {
       Files.createTempDirectory("qres").toString)
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val ok = q.submit("alice", Seq("SELECT COUNT(*) AS n FROM region"))
+    val okCte = q.submit("alice",
+      Seq("WITH t AS (SELECT r_regionkey FROM region) SELECT COUNT(*) AS n FROM t"))
     val bad = q.submit("bob", Seq("DROP TABLE region"))
+    // a leading-keyword regex would admit this CTE-prefixed write
+    val sneaky = q.submit("mallory", Seq(
+      "WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '/tmp/graft_evil' USING parquet SELECT * FROM x"))
     val err = q.submit("eve", Seq("SELECT * FROM missing_table"))
     q.runAll()
     assert(q.results(ok).head().getLong(0) == 5L)
+    assert(q.results(okCte).head().getLong(0) == 5L)
     assert(q.status(ok).exists(e => e.finished.isDefined && !e.error))
     assert(q.status(bad).exists(e => e.error && e.errortext.contains("read-only")))
+    assert(q.status(sneaky).exists(e => e.error && e.errortext.contains("read-only")))
+    assert(!Files.exists(java.nio.file.Paths.get("/tmp/graft_evil")))
     assert(q.status(err).exists(_.error))
     // FIFO: submitted order preserved in start times
     val times = Seq(ok, bad, err).map(id => q.status(id).get.started.get.getTime)
