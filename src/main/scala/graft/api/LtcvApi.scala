@@ -22,11 +22,20 @@ object LtcvApi {
   /** Per-rootid object info: member diaobjectids + best position
     * (get_object_infos, src/ltcv.py:38-291 — DISTINCT ON + position
     * LEFT JOIN collapsed into one pass). Position: highest-priority
-    * diaobject_position row per diaobjectid, then the lexically-first
-    * per rootid (the reference's DISTINCT ON arbitrariness made
-    * deterministic). */
+    * diaobject_position row per diaobjectid, then the first per rootid
+    * preferring non-null positions (the reference's DISTINCT ON
+    * arbitrariness made deterministic).
+    *
+    * `useWeightedSourcePositions` (src/ltcv.py:826-878): roots whose
+    * position is still null after the diaobject_position lookup get the
+    * (S/N)²-weighted mean of their detections' positions
+    * ([[Ltcv.weightedPositions]], S/N > 3).
+    * `alwaysUseWeightedSourcePositions` ignores diaobject_position
+    * entirely, exactly like the reference flag. */
   def getObjectInfos(cat: Catalog, procverId: String,
-      diaobjectids: Seq[Long] = Nil, rootids: Seq[String] = Nil): DataFrame = {
+      diaobjectids: Seq[Long] = Nil, rootids: Seq[String] = Nil,
+      useWeightedSourcePositions: Boolean = false,
+      alwaysUseWeightedSourcePositions: Boolean = false): DataFrame = {
     val ids = Ltcv.expandObjids(cat, procverId, diaobjectids, rootids)
     val prios = cat.dims.priorities(procverId, "diaobject")
     val pos = cat.diaobjectPosition
@@ -34,12 +43,31 @@ object LtcvApi {
       .groupBy("diaobjectid")
       .agg(max_by(struct(col("ra"), col("dec")), struct(col("priority"))).as("_p"))
       .select(col("diaobjectid"), col("_p.ra").as("ra"), col("_p.dec").as("dec"))
-    ids.join(pos, Seq("diaobjectid"), "left_outer")
+    val base = ids.join(pos, Seq("diaobjectid"), "left_outer")
       .groupBy("rootid")
       .agg(sort_array(collect_list(col("diaobjectid"))).as("diaobjectids"),
-        min_by(struct(col("ra"), col("dec")), struct(col("diaobjectid"))).as("_pos"))
+        min_by(struct(col("ra"), col("dec")),
+          struct(col("ra").isNull, col("diaobjectid"))).as("_pos"))
       .select(col("rootid"), col("diaobjectids"),
         col("_pos.ra").as("ra"), col("_pos.dec").as("dec"))
+    if (!(useWeightedSourcePositions || alwaysUseWeightedSourcePositions)) base
+    else {
+      val known =
+        if (alwaysUseWeightedSourcePositions)
+          base.withColumn("ra", lit(null).cast("double"))
+            .withColumn("dec", lit(null).cast("double"))
+        else base
+      // weighted positions come from the *same rootids'* deduped
+      // detections; `ids` is small (the expanded request), so the
+      // photometry scan it semi-joins is the only big input.
+      val wp = Ltcv.weightedPositions(
+          Ltcv.sources(cat, procverId, objids = Some(ids)))
+        .select(col("rootid"), col("ra").as("_wra"), col("dec").as("_wdec"))
+      known.join(wp, Seq("rootid"), "left_outer")
+        .select(col("rootid"), col("diaobjectids"),
+          coalesce(col("ra"), col("_wra")).as("ra"),
+          coalesce(col("dec"), col("_wdec")).as("dec"))
+    }
   }
 
   /** GET a random object (ltcvapp.py:133-145's ORDER BY random()

@@ -21,6 +21,41 @@ class ApiSkewSpec extends AnyFunSuite {
     assert(r.getSeq[Long](r.fieldIndex("diaobjectids")) == Seq(100L, 1000L))
   }
 
+  test("getObjectInfos falls back to weighted source positions (ltcv.py:826-878)") {
+    // FixtureWorld's diaobject_position table is empty, so without the
+    // flag every position is null...
+    val allRoots = FixtureWorld.roots.map(_._1)
+    val bare = LtcvApi.getObjectInfos(cat, "pvid-pv1", rootids = allRoots).collect()
+    assert(bare.forall(r => r.isNullAt(r.fieldIndex("ra"))))
+
+    // ...and with it, each root gets the (S/N)²-weighted mean of its
+    // detections — which all sit exactly at the root's coordinates.
+    val infos = LtcvApi.getObjectInfos(cat, "pvid-pv1", rootids = allRoots,
+        useWeightedSourcePositions = true).collect()
+      .map(r => r.getAs[String]("rootid") ->
+        (r.getAs[Double]("ra"), r.getAs[Double]("dec"))).toMap
+    FixtureWorld.roots.foreach { case (root, ra, dec) =>
+      assert(math.abs(infos(root)._1 - ra) < 1e-9, root)
+      assert(math.abs(infos(root)._2 - dec) < 1e-9, root)
+    }
+
+    // a root WITH a diaobject_position row keeps it unless
+    // always_use_weighted_source_positions
+    import spark.implicits._
+    val posDf = Seq((1000L, FixtureWorld.bpvId("bpv1", "diaobject"), 99.0, 9.0))
+      .toDF("diaobjectid", "base_procver_id", "ra", "dec")
+    val cat2 = cat.copy(diaobjectPosition = posDf)
+    val withPos = LtcvApi.getObjectInfos(cat2, "pvid-pv1", rootids = allRoots,
+        useWeightedSourcePositions = true).collect()
+      .map(r => r.getAs[String]("rootid") -> r.getAs[Double]("ra")).toMap
+    assert(withPos("root-0") == 99.0)
+    assert(math.abs(withPos("root-1") - 42.0) < 1e-9)
+    val always = LtcvApi.getObjectInfos(cat2, "pvid-pv1", rootids = allRoots,
+        alwaysUseWeightedSourcePositions = true).collect()
+      .map(r => r.getAs[String]("rootid") -> r.getAs[Double]("ra")).toMap
+    assert(math.abs(always("root-0") - 42.0) < 1e-9)
+  }
+
   test("random object is reproducible with a seed and member of the procver") {
     val a = LtcvApi.randomObject(cat, "pvid-pv1", seed = 7)
     val b = LtcvApi.randomObject(cat, "pvid-pv1", seed = 7)
