@@ -164,6 +164,19 @@ object Schemas {
     StructField("prv_diaforcedsourceid", ArrayType(LongType), nullable = true),
     StructField("info", StringType, nullable = true)))
 
+  /** Cutout thumbnails. The reference keeps these only in the mongo
+    * staging `_thumbnails` collections (brokerconsumer.py:565-575,
+    * 37-103) as opaque FITS/binary blobs; here they are a first-class
+    * opaque-binary silver table (SURVEY.md multimodal-columns design:
+    * binary payload + typed metadata, decode deferred to
+    * [[graft.pipeline.Multimodal]]). */
+  val thumbnails: StructType = StructType(Seq(
+    StructField("diasourceid", LongType, nullable = false),
+    StructField("diaobjectid", LongType, nullable = false),
+    StructField("cutoutdifference", BinaryType, nullable = true),
+    StructField("cutoutscience", BinaryType, nullable = true),
+    StructField("cutouttemplate", BinaryType, nullable = true)))
+
   // ---- host galaxies (refactor.sql:113-167) ----
 
   val hostGalaxy: StructType = StructType(Seq(
@@ -244,6 +257,7 @@ object Schemas {
     "diaforcedsource" -> diaForcedSource,
     "diaforcedsource_extra" -> diaForcedSourceExtra,
     "diasource_brokerinfo" -> diaSourceBrokerInfo,
+    "thumbnails" -> thumbnails,
     "host_galaxy" -> hostGalaxy,
     "diaobject_host_match" -> diaObjectHostMatch,
     "wantedspectra" -> wantedSpectra,
