@@ -4,7 +4,9 @@ import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.{DescribeQueryCommand, ExplainCommand}
 
 /** §3.2 — the asynchronous ad-hoc SQL path
   * (src/webserver/dbapp.py:126-232 + src/services/long_query_runner.py).
@@ -36,15 +38,26 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
     * NOT enough: Spark's grammar admits CTE-prefixed DML
     * (`WITH x AS (SELECT 1) INSERT ...`), which starts with WITH but
     * writes. Benign metadata commands (EXPLAIN/DESCRIBE/SHOW) stay
-    * allowed, matching the old surface.
+    * allowed — by EXACT class, default-deny: name-prefix matching would
+    * auto-allow any future side-effecting command that happens to start
+    * with Show/Describe. Statement wrappers that smuggle arbitrary SQL
+    * past a plan inspection are rejected outright: EXECUTE IMMEDIATE
+    * (`UnresolvedExecuteImmediate` — not a `Command`, so a Command-only
+    * check misses it and the wrapped DDL runs), procedure `Call`
+    * (likewise a plain `UnaryNode`), and SQL-scripting compound blocks.
     */
+  private val allowedCommands: Set[Class[_]] = Set(
+    classOf[ExplainCommand], classOf[DescribeQueryCommand],
+    classOf[DescribeRelation], classOf[DescribeColumn],
+    classOf[ShowTables], classOf[ShowViews], classOf[ShowColumns],
+    classOf[ShowFunctions], classOf[ShowTableProperties])
+
   private[api] def assertReadOnly(q: String): Unit = {
     val plan = spark.sessionState.sqlParser.parsePlan(q)
     def isWrite(p: LogicalPlan): Boolean = p match {
       case _: InsertIntoStatement | _: InsertIntoDir => true
-      case c: Command =>
-        val n = c.nodeName
-        !(n.startsWith("Explain") || n.startsWith("Describe") || n.startsWith("Show"))
+      case _: UnresolvedExecuteImmediate | _: Call => true
+      case c: Command => !allowedCommands.contains(c.getClass)
       case _ => false
     }
     val offending = plan.collectFirst { case p if isWrite(p) => p }

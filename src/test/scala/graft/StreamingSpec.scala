@@ -68,8 +68,12 @@ class StreamingSpec extends AnyFunSuite {
       Seq("WITH t AS (SELECT r_regionkey FROM region) SELECT COUNT(*) AS n FROM t"))
     val bad = q.submit("bob", Seq("DROP TABLE region"))
     // a leading-keyword regex would admit this CTE-prefixed write
+    val evilDir = Files.createTempDirectory("evil").resolve("out")
     val sneaky = q.submit("mallory", Seq(
-      "WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '/tmp/graft_evil' USING parquet SELECT * FROM x"))
+      s"WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '$evilDir' USING parquet SELECT * FROM x"))
+    // EXECUTE IMMEDIATE wraps arbitrary SQL in a node that is neither a
+    // Command nor an InsertInto*, so a Command-only check lets it through
+    val wrapped = q.submit("mallory", Seq("EXECUTE IMMEDIATE 'DROP TABLE region'"))
     val err = q.submit("eve", Seq("SELECT * FROM missing_table"))
     q.runAll()
     assert(q.results(ok).head().getLong(0) == 5L)
@@ -77,7 +81,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(q.status(ok).exists(e => e.finished.isDefined && !e.error))
     assert(q.status(bad).exists(e => e.error && e.errortext.contains("read-only")))
     assert(q.status(sneaky).exists(e => e.error && e.errortext.contains("read-only")))
-    assert(!Files.exists(java.nio.file.Paths.get("/tmp/graft_evil")))
+    assert(q.status(wrapped).exists(e => e.error && e.errortext.contains("read-only")))
+    assert(!Files.exists(evilDir))
+    assert(spark.catalog.tableExists("region"))
     assert(q.status(err).exists(_.error))
     // FIFO: submitted order preserved in start times
     val times = Seq(ok, bad, err).map(id => q.status(id).get.started.get.getTime)
