@@ -69,6 +69,47 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** All pairs with cosine >= threshold via multi-table hyperplane-LSH
+    * blocking + exact-cosine verification — the scale-shaped variant of
+    * [[cosineNearDups]], mirroring how MinHash banding feeds exact
+    * Jaccard: candidates come from an equi-join on (table, bucket)
+    * keys, only ids travel through the bucket shuffle, and normalized
+    * vectors join back for the (small) verified set.
+    *
+    * Honest tradeoff, because it is threshold-dependent: a pair at
+    * cosine t collides per plane with p = 1 − arccos(t)/π, so per
+    * 4-plane table a t = 0.4 pair survives at p⁴ ≈ 0.16 vs 1/16 for a
+    * random pair — only ~2.5× separation, and reaching recall ≥ 0.95
+    * (16 tables) leaves candidate volume a large fraction of n²/2. At
+    * a realistic near-dup threshold (t ≥ 0.8, p ≥ 0.8/plane) the same
+    * index prunes to ~n²/25 per table and fewer tables are needed —
+    * the regime this operator is built for. Recall vs the brute-force
+    * ground truth is asserted in PipelineSpec; the all-pairs
+    * [[cosineNearDups]] stays as that ground truth and is no longer on
+    * any battery path. */
+  def cosineNearDupsLsh(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, dim: Int, numTables: Int = 16,
+      planesPerTable: Int = 4, seed: Long = 42L): DataFrame = {
+    val all = hyperplanes(numTables * planesPerTable, dim, seed)
+    // persist: bucket derivation and both verification branches read it
+    val n = normalized(df.select(col(idCol), col(embCol)), embCol, "_ne").persist()
+    val keyed = n.select(col(idCol),
+      posexplode(array((0 until numTables).map { t =>
+        lshBucket(col("_ne"), all.slice(t * planesPerTable, (t + 1) * planesPerTable))
+      }: _*)).as(Seq("_table", "_bucket")))
+    val cands = keyed.select(col("_table"), col("_bucket"), col(idCol).as("id_a"))
+      .join(keyed.select(col("_table"), col("_bucket"), col(idCol).as("id_b")),
+        Seq("_table", "_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cands
+      .join(n.select(col(idCol).as("id_a"), col("_ne").as("_e_a")), Seq("id_a"))
+      .join(n.select(col(idCol).as("id_b"), col("_ne").as("_e_b")), Seq("id_b"))
+      .withColumn("sim", dot(col("_e_a"), col("_e_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   // ---- hyperplane LSH (scale path) ---------------------------------
 
   /** Deterministic pseudo-random hyperplanes (seeded Gaussian). */

@@ -97,6 +97,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(sim01 - want) < 1e-6)
   }
 
+  test("LSH-blocked cosine near-dup: recall >= 0.95 vs brute force, precision exact") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupsLsh(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, numTables = 24, planesPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no near-dup pairs")
+    // verification step makes precision exact: every emitted pair is real
+    assert((lsh -- exact).isEmpty, s"false positives: ${lsh -- exact}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH near-dup recall $recall too low")
+  }
+
   test("ANN LSH top-k recall >= 0.8 vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 20)
