@@ -83,7 +83,21 @@ object SourceImporter {
       rootDiaobject: DataFrame,
       diaobject: DataFrame,
       diasource: DataFrame,
-      diaforcedsource: DataFrame)
+      diaforcedsource: DataFrame,
+      diaobjectPosition: DataFrame,
+      diasourceExtra: DataFrame,
+      diaforcedsourceExtra: DataFrame,
+      brokerinfo: DataFrame,
+      thumbnails: DataFrame)
+
+  /** Project `df` onto `schema`'s columns, filling absent ones with
+    * typed nulls — staging rows carry whatever subset of the wide
+    * *_extra schemas the packet had; the merge needs the full shape. */
+  def conformTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
 
   /** T7/J6/W1 — one importer batch, the reference's
     * import_from_mongo step chain (source_importer.py:681-767):
@@ -105,7 +119,11 @@ object SourceImporter {
       stagedObjects: DataFrame,     // diaobjectid, base_procver_id, ra, dec, ingest_ts
       stagedSources: DataFrame,     // diasource cols + ingest_ts
       stagedForced: DataFrame,      // diaforcedsource cols + ingest_ts
-      matchRadiusArcsec: Double = 1.0): ImportResult = {
+      matchRadiusArcsec: Double = 1.0,
+      stagedSourcesExtra: Option[DataFrame] = None,
+      stagedForcedExtra: Option[DataFrame] = None,
+      stagedBrokerinfo: Option[DataFrame] = None,
+      stagedThumbnails: Option[DataFrame] = None): ImportResult = {
 
     val objDocs = rejectBadRows(
       dedupFirstSeen(stagedObjects, Seq("diaobjectid", "base_procver_id")))
@@ -153,12 +171,75 @@ object SourceImporter {
       stagedForced, Seq("diaforcedsourceid", "base_procver_id")))
       .drop("ingest_ts")
 
+    // 7. diaobject_position: "simpler, we can just do an import and
+    //    ignore conflicts" (source_importer.py:474-483's ON CONFLICT DO
+    //    NOTHING) — keep-existing on (diaobjectid, base_procver_id),
+    //    first-reported position wins. The reference stamps positions
+    //    with a *separate* base_pos_procver_id; alert-path positions
+    //    here reuse the object's procver (one stream, one version).
+    //    created_at ← ingest_ts so replays stay byte-identical.
+    val posDocs = conformTo(
+      objDocs.withColumn("created_at", col("ingest_ts")),
+      graft.schema.Schemas.diaObjectPosition)
+      .filter(col("ra").isNotNull && col("dec").isNotNull)
+    val positions = mergeKeepExisting(existing.diaobjectPosition, posDocs,
+      Seq("diaobjectid", "base_procver_id"))
+
+    // 8. *_extra: COALESCE upsert — "update fields that are null, just
+    //    in case some broker gave us information that a previous broker
+    //    didn't" (source_importer.py:514-535, 569-589). Extras whose
+    //    parent photometry row was rejected (or never staged) are
+    //    dropped via semi-join — the moral equivalent of the
+    //    reference's rejectfields plumbing plus its FK constraint.
+    def extraMerge(staged: Option[DataFrame], existingTbl: DataFrame,
+        parents: DataFrame, idCol: String,
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      staged.map { se =>
+        val docs = conformTo(
+          dedupFirstSeen(se, Seq(idCol, "base_procver_id")), schema)
+          .join(parents.select(idCol, "base_procver_id"),
+            Seq(idCol, "base_procver_id"), "left_semi")
+        mergeCoalesce(existingTbl, docs, Seq(idCol, "base_procver_id"))
+      }.getOrElse(existingTbl)
+    val srcExtra = extraMerge(stagedSourcesExtra, existing.diasourceExtra,
+      srcDocs, "diasourceid", graft.schema.Schemas.diaSourceExtra)
+    val frcExtra = extraMerge(stagedForcedExtra, existing.diaforcedsourceExtra,
+      frcDocs, "diaforcedsourceid", graft.schema.Schemas.diaForcedSourceExtra)
+
+    // 9. brokerinfo: first message per (broker, topic, source) wins
+    //    (read_mongo_brokerinfo's $group $first over savetime +
+    //    ON CONFLICT DO NOTHING, source_importer.py:380-408, 601-624).
+    val brokerinfo = stagedBrokerinfo.map { bi =>
+      val docs = conformTo(rejectBadRows(dedupFirstSeen(bi,
+        Seq("brokername", "topic", "diasourceid", "base_procver_id"))),
+        graft.schema.Schemas.diaSourceBrokerInfo)
+      mergeKeepExisting(existing.brokerinfo, docs,
+        Seq("brokername", "topic", "diasourceid", "base_procver_id"))
+    }.getOrElse(existing.brokerinfo)
+
+    // 10. thumbnails: cutoutdifference is the canary — rows without it
+    //     (or with a bad diaobjectid) never stage (import_cutouts,
+    //     source_importer.py:626-673); whenMatched keepExisting.
+    val thumbnails = stagedThumbnails.map { th =>
+      val docs = conformTo(rejectBadRows(
+        dedupFirstSeen(th.filter(col("cutoutdifference").isNotNull),
+          Seq("diasourceid", "base_procver_id"))),
+        graft.schema.Schemas.thumbnails)
+      mergeKeepExisting(existing.thumbnails, docs,
+        Seq("diasourceid", "base_procver_id"))
+    }.getOrElse(existing.thumbnails)
+
     ImportResult(
       roots,
       diaobject,
       mergeKeepExisting(existing.diasource, srcDocs,
         Seq("diasourceid", "base_procver_id")),
       mergeKeepExisting(existing.diaforcedsource, frcDocs,
-        Seq("diaforcedsourceid", "base_procver_id")))
+        Seq("diaforcedsourceid", "base_procver_id")),
+      positions,
+      srcExtra,
+      frcExtra,
+      brokerinfo,
+      thumbnails)
   }
 }

@@ -462,7 +462,71 @@ object FastdbOps {
       |      AND ts <= TIMESTAMP '2024-01-20 00:00:00')
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---- B1: broker classifier envelope ---------------------------------
+
+  /** events → alert packets → the real wrangle → diasource_brokerinfo
+    * staging rows (classifications serialized into the `info` JSON
+    * envelope) → BrokerInfo.explodeClassifications → per-class rollup.
+    * Exercises the brokerinfo collection split end-to-end
+    * (brokerconsumer.py:625-649 + the getbrokerinfo read path); the
+    * oracle replays the same classification arithmetic in SQL. */
+  def b1BrokerInfo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType => AT}
+    import graft.streaming.AlertStream
+    val ev = events(s, d)
+    val alerts = ev.select(
+      col("event_id").as("alertId"),
+      struct(
+        col("event_id").as("diaSourceId"), col("user_id").as("diaObjectId"),
+        (col("event_id") % 100).as("visit"), lit("r").as("band"),
+        (lit(60000.0) + col("value")).as("midpointMjdTai"),
+        lit(1.0f).as("psfFlux"), lit(0.1f).as("psfFluxErr"),
+        ((col("user_id") % 360) * 0.5).as("ra"),
+        ((col("user_id") % 170) * 0.5 - 42.0).as("dec"),
+        lit(null).cast("float").as("snr"),
+        lit(null).cast("float").as("scienceFlux"),
+        lit(null).cast("float").as("scienceFluxErr"),
+        lit(null).cast("float").as("extendedness"),
+        lit(null).cast("float").as("reliability")).as("diaSource"),
+      lit(null).cast(AT(AlertStream.sourceStruct)).as("prvDiaSources"),
+      lit(null).cast(AT(AlertStream.forcedStruct)).as("prvDiaForcedSources"),
+      struct(col("user_id").as("diaObjectId"),
+        ((col("user_id") % 360) * 0.5).as("ra"),
+        ((col("user_id") % 170) * 0.5 - 42.0).as("dec")).as("diaObject"),
+      lit(null).cast("binary").as("cutoutDifference"),
+      lit(null).cast("binary").as("cutoutScience"),
+      lit(null).cast("binary").as("cutoutTemplate"),
+      array(
+        struct((col("event_id") % 10).cast("int").as("classId"),
+          round(col("value"), 4).as("probability")),
+        struct((lit(10) + col("user_id") % 5).cast("int").as("classId"),
+          (get_json_object(col("props"), "$.k").cast("int") / 100.0)
+            .as("probability"))).as("classifications"))
+    val w = AlertStream.wrangle(alerts, "bpv-b1")
+    graft.api.BrokerInfo.explodeClassifications(w.brokerinfo)
+      .groupBy("classid")
+      .agg(count(lit(1)).as("n_msgs"),
+        round(avg("probability"), 6).as("avg_prob"),
+        round(sum("probability"), 4).as("sum_prob"))
+      .orderBy("classid")
+  }
+
+  val b1Sql: String =
+    """WITH cls AS (
+      |  SELECT CAST(event_id % 10 AS INT) AS classid,
+      |         ROUND(value, 4) AS probability
+      |  FROM events
+      |  UNION ALL
+      |  SELECT CAST(10 + user_id % 5 AS INT) AS classid,
+      |         CAST(json_extract_string(props, '$.k') AS INT) / 100.0 AS probability
+      |  FROM events)
+      |SELECT classid, COUNT(*) AS n_msgs,
+      |  ROUND(AVG(probability), 6) AS avg_prob,
+      |  ROUND(SUM(probability), 4) AS sum_prob
+      |FROM cls GROUP BY classid ORDER BY classid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_brokerinfo" -> (b1BrokerInfo _),
     "a1_priority_dedup" -> (a1PriorityDedup _),
     "j2_patch_join" -> (j2PatchJoin _),
     "a2_objstats" -> (a2ObjStats _),
@@ -476,6 +540,7 @@ object FastdbOps {
     "t6_hot_window" -> (t6HotWindow _))
 
   def oracles: Map[String, String] = Map(
+    "b1_brokerinfo" -> b1Sql,
     "a1_priority_dedup" -> a1Sql,
     "j2_patch_join" -> j2Sql,
     "a2_objstats" -> a2Sql,

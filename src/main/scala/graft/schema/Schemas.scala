@@ -172,6 +172,7 @@ object Schemas {
     * [[graft.pipeline.Multimodal]]). */
   val thumbnails: StructType = StructType(Seq(
     StructField("diasourceid", LongType, nullable = false),
+    StructField("base_procver_id", StringType, nullable = false),
     StructField("diaobjectid", LongType, nullable = false),
     StructField("cutoutdifference", BinaryType, nullable = true),
     StructField("cutoutscience", BinaryType, nullable = true),

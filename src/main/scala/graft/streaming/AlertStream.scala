@@ -22,20 +22,32 @@ import graft.merge.SourceImporter.ImportResult
 object AlertStream {
 
   /** Essential fields of an lsst.v10_0 alert packet
-    * (share/avsc/lsst.v10_0.alert.avsc; 12 top-level fields of which
-    * cutouts/ss are payload we pass through as opaque nulls here). */
+    * (share/avsc/lsst.v10_0.alert.avsc). Core photometry fields feed
+    * `diasource`/`diaforcedsource`; the trailing nullable fields are
+    * the representative slice of the wide *_extra columns
+    * (brokerconsumer.py's `_filter_dict_to_table` split), the cutouts
+    * are opaque binary payloads, and `classifications` stands in for
+    * the broker-added non-standard envelope that lands in
+    * `diasource_brokerinfo.info`. */
   val sourceStruct: StructType = StructType(Seq(
     StructField("diaSourceId", LongType), StructField("diaObjectId", LongType),
     StructField("visit", LongType), StructField("band", StringType),
     StructField("midpointMjdTai", DoubleType),
     StructField("psfFlux", FloatType), StructField("psfFluxErr", FloatType),
-    StructField("ra", DoubleType), StructField("dec", DoubleType)))
+    StructField("ra", DoubleType), StructField("dec", DoubleType),
+    StructField("snr", FloatType), StructField("scienceFlux", FloatType),
+    StructField("scienceFluxErr", FloatType),
+    StructField("extendedness", FloatType), StructField("reliability", FloatType)))
 
   val forcedStruct: StructType = StructType(Seq(
     StructField("diaForcedSourceId", LongType), StructField("diaObjectId", LongType),
     StructField("visit", LongType), StructField("band", StringType),
     StructField("midpointMjdTai", DoubleType),
-    StructField("psfFlux", FloatType), StructField("psfFluxErr", FloatType)))
+    StructField("psfFlux", FloatType), StructField("psfFluxErr", FloatType),
+    StructField("scienceFlux", FloatType), StructField("scienceFluxErr", FloatType)))
+
+  val classificationStruct: StructType = StructType(Seq(
+    StructField("classId", IntegerType), StructField("probability", DoubleType)))
 
   val alertSchema: StructType = StructType(Seq(
     StructField("alertId", LongType),
@@ -44,15 +56,24 @@ object AlertStream {
     StructField("prvDiaForcedSources", ArrayType(forcedStruct)),
     StructField("diaObject", StructType(Seq(
       StructField("diaObjectId", LongType),
-      StructField("ra", DoubleType), StructField("dec", DoubleType))))))
+      StructField("ra", DoubleType), StructField("dec", DoubleType)))),
+    StructField("cutoutDifference", BinaryType),
+    StructField("cutoutScience", BinaryType),
+    StructField("cutoutTemplate", BinaryType),
+    StructField("classifications", ArrayType(classificationStruct))))
 
   final case class Wrangled(objects: DataFrame, sources: DataFrame,
-      forced: DataFrame)
+      forced: DataFrame, sourcesExtra: DataFrame, forcedExtra: DataFrame,
+      brokerinfo: DataFrame, thumbnails: DataFrame)
 
   /** brokerconsumer.py:534-649's alert_wrangler: split each alert into
-    * object/source/forced staging rows (current + previous sources —
-    * at-least-once duplicates are expected and removed by the merge). */
-  def wrangle(alerts: DataFrame, baseProcverId: String): Wrangled = {
+    * object / source / source-extra / forced / forced-extra /
+    * brokerinfo / thumbnail staging rows (current + previous sources —
+    * at-least-once duplicates are expected and removed by the merge).
+    * `brokername`/`topic` come from the consumer context, exactly as
+    * the reference's metamsg carries them. */
+  def wrangle(alerts: DataFrame, baseProcverId: String,
+      brokername: String = "direct", topic: String = "alerts"): Wrangled = {
     val ts = current_timestamp()
     val objects = alerts.select(
       col("diaObject.diaObjectId").as("diaobjectid"),
@@ -66,29 +87,52 @@ object AlertStream {
       c.getField("visit").as("visit"), c.getField("band").as("band"),
       c.getField("midpointMjdTai").as("midpointmjdtai"),
       c.getField("psfFlux").as("psfflux"), c.getField("psfFluxErr").as("psffluxerr"),
-      c.getField("ra").as("ra"), c.getField("dec").as("dec"))
+      c.getField("ra").as("ra"), c.getField("dec").as("dec"),
+      c.getField("snr").as("snr"),
+      c.getField("scienceFlux").as("scienceflux"),
+      c.getField("scienceFluxErr").as("sciencefluxerr"),
+      c.getField("extendedness").as("extendedness"),
+      c.getField("reliability").as("reliability"))
 
     val stagedSourceType = ArrayType(StructType(Seq(
       StructField("diasourceid", LongType), StructField("diaobjectid", LongType),
       StructField("visit", LongType), StructField("band", StringType),
       StructField("midpointmjdtai", DoubleType),
       StructField("psfflux", FloatType), StructField("psffluxerr", FloatType),
-      StructField("ra", DoubleType), StructField("dec", DoubleType))))
-    val sources = alerts.select(explode(concat(
+      StructField("ra", DoubleType), StructField("dec", DoubleType),
+      StructField("snr", FloatType), StructField("scienceflux", FloatType),
+      StructField("sciencefluxerr", FloatType),
+      StructField("extendedness", FloatType), StructField("reliability", FloatType))))
+    // one exploded (current + prv) source stream feeds both the core
+    // and the extra split — the collection split is a projection, not
+    // a second scan
+    val allSources = alerts.select(explode(concat(
         array(srcRow(col("diaSource"))),
         coalesce(transform(col("prvDiaSources"), srcRow _),
           array().cast(stagedSourceType))))
         .as("s"))
       .select(col("s.*"))
       .withColumn("base_procver_id", lit(baseProcverId))
+      .withColumn("ingest_ts", ts)
+
+    val sources = allSources
+      .drop("snr", "scienceflux", "sciencefluxerr", "extendedness", "reliability")
       // position errors arrive only via non-alert channels; the silver
       // schema keeps them nullable (Schemas.diaSource)
       .withColumn("raerr", lit(null).cast("float"))
       .withColumn("decerr", lit(null).cast("float"))
       .withColumn("ra_dec_cov", lit(null).cast("float"))
-      .withColumn("ingest_ts", ts)
 
-    val forced = alerts.select(explode(coalesce(col("prvDiaForcedSources"),
+    // _wrangle_diasource_extra returns None when every extra field is
+    // absent — rows that are all-null stage nothing
+    val extraCols = Seq("snr", "scienceflux", "sciencefluxerr",
+      "extendedness", "reliability")
+    val sourcesExtra = allSources
+      .select((Seq("diasourceid", "base_procver_id") ++ extraCols :+ "ingest_ts")
+        .map(col): _*)
+      .filter(extraCols.map(c => col(c).isNotNull).reduce(_ || _))
+
+    val allForced = alerts.select(explode(coalesce(col("prvDiaForcedSources"),
         array().cast(ArrayType(forcedStruct)))).as("f"))
       .select(
         col("f.diaForcedSourceId").as("diaforcedsourceid"),
@@ -96,11 +140,54 @@ object AlertStream {
         col("f.visit").as("visit"), col("f.band").as("band"),
         col("f.midpointMjdTai").as("midpointmjdtai"),
         col("f.psfFlux").as("psfflux"), col("f.psfFluxErr").as("psffluxerr"),
-        lit(null).cast("double").as("ra"), lit(null).cast("double").as("dec"))
+        col("f.scienceFlux").as("scienceflux"),
+        col("f.scienceFluxErr").as("sciencefluxerr"))
       .withColumn("base_procver_id", lit(baseProcverId))
       .withColumn("ingest_ts", ts)
 
-    Wrangled(objects, sources, forced)
+    val forced = allForced
+      .drop("scienceflux", "sciencefluxerr")
+      .withColumn("ra", lit(null).cast("double"))
+      .withColumn("dec", lit(null).cast("double"))
+
+    val forcedExtra = allForced
+      .select(col("diaforcedsourceid"), col("base_procver_id"),
+        col("scienceflux"), col("sciencefluxerr"), col("ingest_ts"))
+      .filter(col("scienceflux").isNotNull || col("sciencefluxerr").isNotNull)
+
+    // one brokerinfo row per alert: consumer metadata + the prv id
+    // arrays + every non-standard field as a JSON envelope
+    // (alert_wrangler's brokerinfos list, brokerconsumer.py:625-649)
+    val brokerinfo = alerts.select(
+      lit(brokername).as("brokername"), lit(topic).as("topic"),
+      col("diaSource.diaSourceId").as("diasourceid"),
+      lit(baseProcverId).as("base_procver_id"),
+      col("diaSource.diaObjectId").as("diaobjectid"),
+      ts.as("msgtime"), ts.as("receivedtime"), ts.as("importtime"),
+      transform(col("prvDiaSources"), p => p.getField("diaSourceId"))
+        .as("prv_diasourceid"),
+      transform(col("prvDiaForcedSources"), p => p.getField("diaForcedSourceId"))
+        .as("prv_diaforcedsourceid"),
+      when(col("classifications").isNotNull,
+        to_json(struct(col("classifications")))).as("info"),
+      ts.as("ingest_ts"))
+
+    // thumbnails stage only when some cutout arrived
+    // (_wrangle_all_standard_lsst_fields, brokerconsumer.py:565-575)
+    val thumbnails = alerts
+      .filter(col("cutoutDifference").isNotNull ||
+        col("cutoutScience").isNotNull || col("cutoutTemplate").isNotNull)
+      .select(
+        col("diaSource.diaSourceId").as("diasourceid"),
+        lit(baseProcverId).as("base_procver_id"),
+        col("diaSource.diaObjectId").as("diaobjectid"),
+        col("cutoutDifference").as("cutoutdifference"),
+        col("cutoutScience").as("cutoutscience"),
+        col("cutoutTemplate").as("cutouttemplate"),
+        ts.as("ingest_ts"))
+
+    Wrangled(objects, sources, forced, sourcesExtra, forcedExtra,
+      brokerinfo, thumbnails)
   }
 
   /** File-source alert stream → foreachBatch silver merge into `store`.
@@ -119,7 +206,11 @@ object AlertStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val w = wrangle(batch, baseProcverId)
         val merged = SourceImporter.importBatch(
-          store.load(spark), w.objects, w.sources, w.forced)
+          store.load(spark), w.objects, w.sources, w.forced,
+          stagedSourcesExtra = Some(w.sourcesExtra),
+          stagedForcedExtra = Some(w.forcedExtra),
+          stagedBrokerinfo = Some(w.brokerinfo),
+          stagedThumbnails = Some(w.thumbnails))
         store.save(merged)
       }
       .start()

@@ -32,7 +32,12 @@ object AvroAlerts {
       |   {"name":"midpointMjdTai","type":"double"},
       |   {"name":"psfFlux","type":["null","float"],"default":null},
       |   {"name":"psfFluxErr","type":["null","float"],"default":null},
-      |   {"name":"ra","type":"double"},{"name":"dec","type":"double"}]}},
+      |   {"name":"ra","type":"double"},{"name":"dec","type":"double"},
+      |   {"name":"snr","type":["null","float"],"default":null},
+      |   {"name":"scienceFlux","type":["null","float"],"default":null},
+      |   {"name":"scienceFluxErr","type":["null","float"],"default":null},
+      |   {"name":"extendedness","type":["null","float"],"default":null},
+      |   {"name":"reliability","type":["null","float"],"default":null}]}},
       | {"name":"prvDiaSources","type":["null",{"type":"array","items":"diaSource"}],"default":null},
       | {"name":"prvDiaForcedSources","type":["null",{"type":"array","items":
       |   {"type":"record","name":"diaForcedSource","fields":[
@@ -40,25 +45,44 @@ object AvroAlerts {
       |     {"name":"visit","type":"long"},{"name":"band","type":["null","string"],"default":null},
       |     {"name":"midpointMjdTai","type":"double"},
       |     {"name":"psfFlux","type":["null","float"],"default":null},
-      |     {"name":"psfFluxErr","type":["null","float"],"default":null}]}}],"default":null},
+      |     {"name":"psfFluxErr","type":["null","float"],"default":null},
+      |     {"name":"scienceFlux","type":["null","float"],"default":null},
+      |     {"name":"scienceFluxErr","type":["null","float"],"default":null}]}}],"default":null},
       | {"name":"diaObject","type":{"type":"record","name":"diaObject","fields":[
       |   {"name":"diaObjectId","type":"long"},
-      |   {"name":"ra","type":"double"},{"name":"dec","type":"double"}]}}
+      |   {"name":"ra","type":"double"},{"name":"dec","type":"double"}]}},
+      | {"name":"cutoutDifference","type":["null","bytes"],"default":null},
+      | {"name":"cutoutScience","type":["null","bytes"],"default":null},
+      | {"name":"cutoutTemplate","type":["null","bytes"],"default":null},
+      | {"name":"classifications","type":["null",{"type":"array","items":
+      |   {"type":"record","name":"classification","fields":[
+      |     {"name":"classId","type":"int"},
+      |     {"name":"probability","type":"double"}]}}],"default":null}
       |]}""".stripMargin
     src
   }
 
   private def str(v: AnyRef): String = if (v == null) null else v.toString
 
+  private def bytes(v: AnyRef): Array[Byte] = v match {
+    case null => null
+    case b: java.nio.ByteBuffer =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case a: Array[Byte] => a
+  }
+
   private def srcRow(r: GenericRecord): Row = Row(
     r.get("diaSourceId"), r.get("diaObjectId"), r.get("visit"),
     str(r.get("band").asInstanceOf[AnyRef]), r.get("midpointMjdTai"),
-    r.get("psfFlux"), r.get("psfFluxErr"), r.get("ra"), r.get("dec"))
+    r.get("psfFlux"), r.get("psfFluxErr"), r.get("ra"), r.get("dec"),
+    r.get("snr"), r.get("scienceFlux"), r.get("scienceFluxErr"),
+    r.get("extendedness"), r.get("reliability"))
 
   private def forcedRow(r: GenericRecord): Row = Row(
     r.get("diaForcedSourceId"), r.get("diaObjectId"), r.get("visit"),
     str(r.get("band").asInstanceOf[AnyRef]), r.get("midpointMjdTai"),
-    r.get("psfFlux"), r.get("psfFluxErr"))
+    r.get("psfFlux"), r.get("psfFluxErr"),
+    r.get("scienceFlux"), r.get("scienceFluxErr"))
 
   private def alertRow(r: GenericRecord): Row = {
     import scala.jdk.CollectionConverters._
@@ -68,9 +92,15 @@ object AvroAlerts {
     val prvF = Option(r.get("prvDiaForcedSources"))
       .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.map(forcedRow).toSeq)
       .orNull
+    val cls = Option(r.get("classifications"))
+      .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala
+        .map(c => Row(c.get("classId"), c.get("probability"))).toSeq)
+      .orNull
     val obj = r.get("diaObject").asInstanceOf[GenericRecord]
     Row(r.get("alertId"), srcRow(r.get("diaSource").asInstanceOf[GenericRecord]),
-      prvS, prvF, Row(obj.get("diaObjectId"), obj.get("ra"), obj.get("dec")))
+      prvS, prvF, Row(obj.get("diaObjectId"), obj.get("ra"), obj.get("dec")),
+      bytes(r.get("cutoutDifference")), bytes(r.get("cutoutScience")),
+      bytes(r.get("cutoutTemplate")), cls)
   }
 
   /** Decode one schemaless avro datum. */

@@ -19,7 +19,12 @@ final class SilverStore(baseDir: String) {
     "root_diaobject" -> Schemas.rootDiaObject,
     "diaobject" -> Schemas.diaObject,
     "diasource" -> Schemas.diaSource,
-    "diaforcedsource" -> Schemas.diaForcedSource).toMap
+    "diaforcedsource" -> Schemas.diaForcedSource,
+    "diaobject_position" -> Schemas.diaObjectPosition,
+    "diasource_extra" -> Schemas.diaSourceExtra,
+    "diaforcedsource_extra" -> Schemas.diaForcedSourceExtra,
+    "diasource_brokerinfo" -> Schemas.diaSourceBrokerInfo,
+    "thumbnails" -> Schemas.thumbnails).toMap
 
   private def dir(name: String): Path = Paths.get(baseDir, name)
 
@@ -40,7 +45,12 @@ final class SilverStore(baseDir: String) {
     readOrEmpty(spark, "root_diaobject"),
     readOrEmpty(spark, "diaobject"),
     readOrEmpty(spark, "diasource"),
-    readOrEmpty(spark, "diaforcedsource"))
+    readOrEmpty(spark, "diaforcedsource"),
+    readOrEmpty(spark, "diaobject_position"),
+    readOrEmpty(spark, "diasource_extra"),
+    readOrEmpty(spark, "diaforcedsource_extra"),
+    readOrEmpty(spark, "diasource_brokerinfo"),
+    readOrEmpty(spark, "thumbnails"))
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
@@ -54,7 +64,12 @@ final class SilverStore(baseDir: String) {
     * all. */
   def save(r: ImportResult): Unit = {
     val dfs = Seq("root_diaobject" -> r.rootDiaobject, "diaobject" -> r.diaobject,
-      "diasource" -> r.diasource, "diaforcedsource" -> r.diaforcedsource)
+      "diasource" -> r.diasource, "diaforcedsource" -> r.diaforcedsource,
+      "diaobject_position" -> r.diaobjectPosition,
+      "diasource_extra" -> r.diasourceExtra,
+      "diaforcedsource_extra" -> r.diaforcedsourceExtra,
+      "diasource_brokerinfo" -> r.brokerinfo,
+      "thumbnails" -> r.thumbnails)
     dfs.foreach { case (name, df) =>
       val tmp = Paths.get(baseDir, s"_tmp_$name")
       deleteRecursively(tmp)

@@ -14,11 +14,18 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   def alertsDf(ids: Seq[Long], objId: Long, ra: Double, dec: Double) = {
+    // current sources carry the extra slice (snr etc.); prv sources
+    // leave it null — mirrors brokers that only enrich the triggering
+    // detection
     val rows = ids.map { i =>
       (i,
-        (i, objId, i % 100, "r", 60000.0 + i, 1.0f, 0.1f, ra, dec),
-        Seq((i - 1, objId, (i - 1) % 100, "r", 60000.0 + i - 1, 0.9f, 0.1f, ra, dec)),
-        Seq((i * 10, objId, i % 100, "r", 59999.0 + i, 0.5f, 0.1f)),
+        (i, objId, i % 100, "r", 60000.0 + i, 1.0f, 0.1f, ra, dec,
+          7.5f, 12.0f, 0.5f, 0.1f, 0.9f),
+        Seq((i - 1, objId, (i - 1) % 100, "r", 60000.0 + i - 1, 0.9f, 0.1f, ra, dec,
+          null.asInstanceOf[java.lang.Float], null.asInstanceOf[java.lang.Float],
+          null.asInstanceOf[java.lang.Float], null.asInstanceOf[java.lang.Float],
+          null.asInstanceOf[java.lang.Float])),
+        Seq((i * 10, objId, i % 100, "r", 59999.0 + i, 0.5f, 0.1f, 2.0f, 0.2f)),
         (objId, ra, dec))
     }
     rows.toDF("alertId", "_s", "_prv", "_prvf", "_o")
@@ -27,6 +34,15 @@ class StreamingSpec extends AnyFunSuite {
         col("_prv").cast(org.apache.spark.sql.types.ArrayType(AlertStream.sourceStruct)).as("prvDiaSources"),
         col("_prvf").cast(org.apache.spark.sql.types.ArrayType(AlertStream.forcedStruct)).as("prvDiaForcedSources"),
         col("_o").cast(AlertStream.alertSchema("diaObject").dataType).as("diaObject"))
+      // even alerts ship a difference cutout; every alert carries one
+      // classification whose probability encodes the alert id
+      .withColumn("cutoutDifference",
+        when(col("alertId") % 2 === 0, concat(lit("FITS"), col("alertId").cast("string")).cast("binary")))
+      .withColumn("cutoutScience", lit(null).cast("binary"))
+      .withColumn("cutoutTemplate", lit(null).cast("binary"))
+      .withColumn("classifications", array(struct(
+        lit(111).cast("int").as("classId"),
+        (col("alertId") / 1000.0).as("probability"))))
   }
 
   test("alert file stream → foreachBatch merge builds consistent silver tables") {
@@ -46,6 +62,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(s1.diasource.select("diasourceid").collect().map(_.getLong(0)).toSet
       == Set(4L, 5L, 6L, 7L))
     assert(s1.diaforcedsource.count() == 3)
+    // extended silver surface: one position per object; extras only for
+    // the enriched current sources; a brokerinfo row per alert; a
+    // thumbnail per even alert (cutoutDifference canary)
+    assert(s1.diaobjectPosition.count() == 1)
+    assert(s1.diaobjectPosition.head().getAs[Double]("ra") == 42.0)
+    assert(s1.diasourceExtra.select("diasourceid").collect().map(_.getLong(0)).toSet
+      == Set(5L, 6L, 7L))
+    assert(s1.diasourceExtra.head().getAs[Float]("snr") == 7.5f)
+    assert(s1.diasourceExtra.head().getAs[java.lang.Float]("detector") == null)
+    assert(s1.diaforcedsourceExtra.count() == 3)
+    assert(s1.brokerinfo.count() == 3)
+    assert(s1.brokerinfo.head().getAs[String]("brokername") == "direct")
+    assert(s1.thumbnails.select("diasourceid").collect().map(_.getLong(0)).toSet
+      == Set(6L))
 
     alertsDf(Seq(7L, 8L), 1L, 42.0, 13.0).write.parquet(s"$inDir/w2")
     alertsDf(Seq(100L), 2L, 10.0, -30.0).write.parquet(s"$inDir/w3")
@@ -57,6 +87,17 @@ class StreamingSpec extends AnyFunSuite {
       == Set(4L, 5L, 6L, 7L, 8L, 99L, 100L))
     // replayed alert 7 created nothing new for object 1's forced rows
     assert(s2.diaforcedsource.filter(col("diaobjectid") === 1L).count() == 4)
+    assert(s2.diaobjectPosition.count() == 2)
+    // replayed alert 7's brokerinfo merged keep-existing: ids 5..8 + 100
+    assert(s2.brokerinfo.select("diasourceid").collect().map(_.getLong(0)).toSet
+      == Set(5L, 6L, 7L, 8L, 100L))
+    assert(s2.thumbnails.select("diasourceid").collect().map(_.getLong(0)).toSet
+      == Set(6L, 8L, 100L))
+    // classifier envelope round-trips through info JSON
+    val cls = graft.api.BrokerInfo.explodeClassifications(
+      s2.brokerinfo.filter(col("diasourceid") === 8L))
+    assert(cls.head().getAs[Int]("classid") == 111)
+    assert(math.abs(cls.head().getAs[Double]("probability") - 0.008) < 1e-12)
   }
 
   test("query queue: FIFO, read-only enforcement, results and errors") {
