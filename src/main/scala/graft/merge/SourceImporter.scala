@@ -33,17 +33,23 @@ object SourceImporter {
   def rejectBadRows(df: DataFrame): DataFrame =
     df.filter(col("diaobjectid").isNotNull && col("diaobjectid") =!= 0L)
 
+  /** The insert half of an "ON CONFLICT DO NOTHING" merge: incoming
+    * rows whose key is absent from the existing table. Exposed
+    * separately because it IS the physical delta — an append-only
+    * store persists exactly these rows instead of rewriting the
+    * table. */
+  def newRows(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame =
+    incoming.select(existing.columns.toSeq.map(col): _*)
+      .join(existing.select(keys.map(col): _*), keys, "left_anti")
+      // at-least-once sources can repeat a key within one batch
+      .dropDuplicates(keys)
+
   /** A11 / S6 — "ON CONFLICT DO NOTHING" merge: insert only rows whose
     * key is absent from the existing table. */
   def mergeKeepExisting(existing: DataFrame, incoming: DataFrame,
-      keys: Seq[String]): DataFrame = {
-    val cols = existing.columns.toSeq
-    existing.unionByName(
-      incoming.select(cols.map(col): _*)
-        .join(existing.select(keys.map(col): _*), keys, "left_anti")
-        // at-least-once sources can repeat a key within one batch
-        .dropDuplicates(keys))
-  }
+      keys: Seq[String]): DataFrame =
+    existing.unionByName(newRows(existing, incoming, keys))
 
   /** A12 — COALESCE-merge upsert: fill NULL columns of existing rows
     * with newly arrived values, never overwrite non-NULL; insert new
@@ -123,7 +129,40 @@ object SourceImporter {
       stagedSourcesExtra: Option[DataFrame] = None,
       stagedForcedExtra: Option[DataFrame] = None,
       stagedBrokerinfo: Option[DataFrame] = None,
-      stagedThumbnails: Option[DataFrame] = None): ImportResult = {
+      stagedThumbnails: Option[DataFrame] = None): ImportResult =
+    importBatchWithDeltas(existing, stagedObjects, stagedSources, stagedForced,
+      matchRadiusArcsec, stagedSourcesExtra, stagedForcedExtra,
+      stagedBrokerinfo, stagedThumbnails)._1
+
+  /** The physical write-set of one importer batch. Every merge in this
+    * importer except the *_extra COALESCE upsert is insert-only, so the
+    * batch's effect on storage is an APPEND of these row sets — the
+    * shape that keeps per-batch I/O O(delta) instead of O(catalog) at
+    * continuous-ingest scale (see SilverStore.saveDelta). The two
+    * coalesce tables carry their accepted staged docs (`None` when the
+    * batch staged nothing): the store appends those and recovers the
+    * upsert chain at read time. */
+  final case class ImportDeltas(
+      rootDiaobject: DataFrame,
+      diaobject: DataFrame,
+      diasource: DataFrame,
+      diaforcedsource: DataFrame,
+      diaobjectPosition: DataFrame,
+      brokerinfo: DataFrame,
+      thumbnails: DataFrame,
+      diasourceExtra: Option[DataFrame],
+      diaforcedsourceExtra: Option[DataFrame])
+
+  def importBatchWithDeltas(
+      existing: ImportResult,
+      stagedObjects: DataFrame,
+      stagedSources: DataFrame,
+      stagedForced: DataFrame,
+      matchRadiusArcsec: Double = 1.0,
+      stagedSourcesExtra: Option[DataFrame] = None,
+      stagedForcedExtra: Option[DataFrame] = None,
+      stagedBrokerinfo: Option[DataFrame] = None,
+      stagedThumbnails: Option[DataFrame] = None): (ImportResult, ImportDeltas) = {
 
     val objDocs = rejectBadRows(
       dedupFirstSeen(stagedObjects, Seq("diaobjectid", "base_procver_id")))
@@ -146,6 +185,8 @@ object SourceImporter {
       .collect().map(_.getString(0)).sorted
     var roots = existing.rootDiaobject
     var diaobject = existing.diaobject
+    var rootsDelta = existing.rootDiaobject.limit(0)
+    var diaobjectDelta = existing.diaobject.limit(0)
     for (bpv <- bpvs) {
       val grp = objDocs.filter(col("base_procver_id") === bpv)
       val newObjs = grp.join(diaobject,
@@ -158,9 +199,11 @@ object SourceImporter {
       val newRoots = withRoot
         .join(roots.select(col("id").as("rootid")), Seq("rootid"), "left_anti")
         .select(col("rootid").as("id"), col("ra"), col("dec"))
-      diaobject = diaobject.unionByName(
-        withRoot.select("diaobjectid", "base_procver_id", "rootid"))
+      val newObjRows = withRoot.select("diaobjectid", "base_procver_id", "rootid")
+      diaobject = diaobject.unionByName(newObjRows)
       roots = roots.unionByName(newRoots)
+      diaobjectDelta = diaobjectDelta.unionByName(newObjRows)
+      rootsDelta = rootsDelta.unionByName(newRoots)
     }
 
     // 5./6. photometry: dedup + keep-existing merge (idempotent)
@@ -182,8 +225,9 @@ object SourceImporter {
       objDocs.withColumn("created_at", col("ingest_ts")),
       graft.schema.Schemas.diaObjectPosition)
       .filter(col("ra").isNotNull && col("dec").isNotNull)
-    val positions = mergeKeepExisting(existing.diaobjectPosition, posDocs,
+    val posDelta = newRows(existing.diaobjectPosition, posDocs,
       Seq("diaobjectid", "base_procver_id"))
+    val positions = existing.diaobjectPosition.unionByName(posDelta)
 
     // 8. *_extra: COALESCE upsert — "update fields that are null, just
     //    in case some broker gave us information that a previous broker
@@ -191,55 +235,68 @@ object SourceImporter {
     //    parent photometry row was rejected (or never staged) are
     //    dropped via semi-join — the moral equivalent of the
     //    reference's rejectfields plumbing plus its FK constraint.
+    // Returns (merged table, accepted docs): the docs ARE the physical
+    // delta — SilverStore appends them and recovers the coalesce chain
+    // at read time (merge-on-read), since column-wise earliest-non-null
+    // is the fold of this upsert over append order.
     def extraMerge(staged: Option[DataFrame], existingTbl: DataFrame,
         parents: DataFrame, idCol: String,
-        schema: org.apache.spark.sql.types.StructType): DataFrame =
+        schema: org.apache.spark.sql.types.StructType)
+        : (Option[DataFrame], Option[DataFrame]) =
       staged.map { se =>
         val docs = conformTo(
           dedupFirstSeen(se, Seq(idCol, "base_procver_id")), schema)
           .join(parents.select(idCol, "base_procver_id"),
             Seq(idCol, "base_procver_id"), "left_semi")
-        mergeCoalesce(existingTbl, docs, Seq(idCol, "base_procver_id"))
-      }.getOrElse(existingTbl)
-    val srcExtra = extraMerge(stagedSourcesExtra, existing.diasourceExtra,
-      srcDocs, "diasourceid", graft.schema.Schemas.diaSourceExtra)
-    val frcExtra = extraMerge(stagedForcedExtra, existing.diaforcedsourceExtra,
-      frcDocs, "diaforcedsourceid", graft.schema.Schemas.diaForcedSourceExtra)
+        (Some(mergeCoalesce(existingTbl, docs, Seq(idCol, "base_procver_id"))),
+          Some(docs))
+      }.getOrElse((None, None))
+    val (srcExtra, srcExtraDocs) = extraMerge(stagedSourcesExtra,
+      existing.diasourceExtra, srcDocs, "diasourceid",
+      graft.schema.Schemas.diaSourceExtra)
+    val (frcExtra, frcExtraDocs) = extraMerge(stagedForcedExtra,
+      existing.diaforcedsourceExtra, frcDocs, "diaforcedsourceid",
+      graft.schema.Schemas.diaForcedSourceExtra)
 
     // 9. brokerinfo: first message per (broker, topic, source) wins
     //    (read_mongo_brokerinfo's $group $first over savetime +
     //    ON CONFLICT DO NOTHING, source_importer.py:380-408, 601-624).
-    val brokerinfo = stagedBrokerinfo.map { bi =>
-      val docs = conformTo(rejectBadRows(dedupFirstSeen(bi,
-        Seq("brokername", "topic", "diasourceid", "base_procver_id"))),
-        graft.schema.Schemas.diaSourceBrokerInfo)
-      mergeKeepExisting(existing.brokerinfo, docs,
-        Seq("brokername", "topic", "diasourceid", "base_procver_id"))
-    }.getOrElse(existing.brokerinfo)
+    val biKeys = Seq("brokername", "topic", "diasourceid", "base_procver_id")
+    val biDelta = stagedBrokerinfo.map { bi =>
+      newRows(existing.brokerinfo,
+        conformTo(rejectBadRows(dedupFirstSeen(bi, biKeys)),
+          graft.schema.Schemas.diaSourceBrokerInfo), biKeys)
+    }.getOrElse(existing.brokerinfo.limit(0))
 
     // 10. thumbnails: cutoutdifference is the canary — rows without it
     //     (or with a bad diaobjectid) never stage (import_cutouts,
     //     source_importer.py:626-673); whenMatched keepExisting.
-    val thumbnails = stagedThumbnails.map { th =>
-      val docs = conformTo(rejectBadRows(
-        dedupFirstSeen(th.filter(col("cutoutdifference").isNotNull),
-          Seq("diasourceid", "base_procver_id"))),
-        graft.schema.Schemas.thumbnails)
-      mergeKeepExisting(existing.thumbnails, docs,
+    val thDelta = stagedThumbnails.map { th =>
+      newRows(existing.thumbnails,
+        conformTo(rejectBadRows(
+          dedupFirstSeen(th.filter(col("cutoutdifference").isNotNull),
+            Seq("diasourceid", "base_procver_id"))),
+          graft.schema.Schemas.thumbnails),
         Seq("diasourceid", "base_procver_id"))
-    }.getOrElse(existing.thumbnails)
+    }.getOrElse(existing.thumbnails.limit(0))
 
-    ImportResult(
+    val srcDelta = newRows(existing.diasource, srcDocs,
+      Seq("diasourceid", "base_procver_id"))
+    val frcDelta = newRows(existing.diaforcedsource, frcDocs,
+      Seq("diaforcedsourceid", "base_procver_id"))
+
+    val result = ImportResult(
       roots,
       diaobject,
-      mergeKeepExisting(existing.diasource, srcDocs,
-        Seq("diasourceid", "base_procver_id")),
-      mergeKeepExisting(existing.diaforcedsource, frcDocs,
-        Seq("diaforcedsourceid", "base_procver_id")),
+      existing.diasource.unionByName(srcDelta),
+      existing.diaforcedsource.unionByName(frcDelta),
       positions,
-      srcExtra,
-      frcExtra,
-      brokerinfo,
-      thumbnails)
+      srcExtra.getOrElse(existing.diasourceExtra),
+      frcExtra.getOrElse(existing.diaforcedsourceExtra),
+      existing.brokerinfo.unionByName(biDelta),
+      existing.thumbnails.unionByName(thDelta))
+    val deltas = ImportDeltas(rootsDelta, diaobjectDelta, srcDelta, frcDelta,
+      posDelta, biDelta, thDelta, srcExtraDocs, frcExtraDocs)
+    (result, deltas)
   }
 }

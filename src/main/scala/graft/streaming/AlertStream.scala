@@ -205,13 +205,15 @@ object AlertStream {
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val w = wrangle(batch, baseProcverId)
-        val merged = SourceImporter.importBatch(
+        // persist the delta path: each batch writes only its new rows
+        // (SilverStore.saveDelta), not a recomputation of the catalog
+        val (_, deltas) = SourceImporter.importBatchWithDeltas(
           store.load(spark), w.objects, w.sources, w.forced,
           stagedSourcesExtra = Some(w.sourcesExtra),
           stagedForcedExtra = Some(w.forcedExtra),
           stagedBrokerinfo = Some(w.brokerinfo),
           stagedThumbnails = Some(w.thumbnails))
-        store.save(merged)
+        store.saveDelta(deltas)
       }
       .start()
     if (awaitAll) { q.processAllAvailable(); q.stop() }

@@ -1,84 +1,206 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.merge.SourceImporter.ImportResult
+import graft.merge.SourceImporter.{ImportDeltas, ImportResult}
 import graft.schema.Schemas
 
-/** Parquet-backed persistence for the silver catalog tables, with
-  * write-to-temp + directory-swap so a reader never sees a half-written
-  * table. Stand-in for a transactional format (Delta `MERGE` in a real
-  * deployment); the swap is the only non-Delta-shaped piece, and it is
-  * confined here.
+/** Log-structured parquet persistence for the silver catalog.
+  *
+  * Layout per table: immutable segment directories plus a `_manifest`
+  * file listing the live segments, one per line. Readers union the
+  * listed segments; writers stage new segments and then flip the
+  * manifest with an atomic rename — a crash at ANY point before the
+  * flip leaves the previous manifest (and its segments) fully
+  * readable, replacing the old delete-then-move swap whose crash
+  * window could lose a table outright.
+  *
+  * Two write paths:
+  *  - [[save]]: full rewrite, one fresh segment per table (bulk loads,
+  *    compaction). Old segments are garbage-collected after the flip.
+  *  - [[saveDelta]]: appends each insert-only table's batch delta as a
+  *    new segment — per-batch I/O is O(delta rows), not O(catalog),
+  *    which is what keeps continuous ingest viable when the catalog is
+  *    many TB. The *_extra COALESCE tables append too, and [[load]]
+  *    merges them on read (earliest non-null per column wins, ordered
+  *    by the segment sequence number stamped at write) — the standard
+  *    merge-on-read tradeoff, amortized by [[compact]].
+  *
+  * Cross-table consistency: all segments are written before any
+  * manifest flips, so a crash mid-flip can mix per-table versions but
+  * never exposes a torn table. A transactional format (Delta/Iceberg)
+  * would collapse this whole file into `MERGE INTO`; the manifest is
+  * the minimal stand-in this environment allows.
   */
 final class SilverStore(baseDir: String) {
 
-  private val tables = Seq(
+  private val appendTables = Seq(
     "root_diaobject" -> Schemas.rootDiaObject,
     "diaobject" -> Schemas.diaObject,
     "diasource" -> Schemas.diaSource,
     "diaforcedsource" -> Schemas.diaForcedSource,
     "diaobject_position" -> Schemas.diaObjectPosition,
-    "diasource_extra" -> Schemas.diaSourceExtra,
-    "diaforcedsource_extra" -> Schemas.diaForcedSourceExtra,
     "diasource_brokerinfo" -> Schemas.diaSourceBrokerInfo,
-    "thumbnails" -> Schemas.thumbnails).toMap
+    "thumbnails" -> Schemas.thumbnails)
+  /** COALESCE-upsert tables: stored append-only with a `_seq` column,
+    * merged on read. */
+  private val morTables = Seq(
+    "diasource_extra" -> Schemas.diaSourceExtra,
+    "diaforcedsource_extra" -> Schemas.diaForcedSourceExtra)
+  private val tables = (appendTables ++ morTables).toMap
 
-  private def dir(name: String): Path = Paths.get(baseDir, name)
+  private def tableDir(name: String): Path = Paths.get(baseDir, name)
+  private def manifestPath(name: String): Path = tableDir(name).resolve("_manifest")
 
-  private def nonEmptyDir(p: Path): Boolean = {
-    if (!Files.exists(p)) return false
-    val s = Files.list(p)
-    try s.findFirst().isPresent finally s.close()
+  private def liveSegments(name: String): Seq[String] =
+    if (Files.exists(manifestPath(name)))
+      Files.readAllLines(manifestPath(name), StandardCharsets.UTF_8)
+        .asScala.toSeq.filter(_.nonEmpty)
+    else Seq.empty
+
+  private def segPaths(name: String): Seq[String] =
+    liveSegments(name).map(s => tableDir(name).resolve(s).toString)
+
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readRaw(spark: SparkSession, name: String,
+      schema: StructType): DataFrame = {
+    val paths = segPaths(name)
+    if (paths.isEmpty) emptyOf(spark, schema)
+    else spark.read.schema(schema).parquet(paths: _*)
   }
 
-  private def readOrEmpty(spark: SparkSession, name: String): DataFrame =
-    if (nonEmptyDir(dir(name)))
-      spark.read.parquet(dir(name).toString)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        tables(name))
+  private def withSeq(schema: StructType): StructType =
+    StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_seq", org.apache.spark.sql.types.LongType))
+
+  /** Merge-on-read for a COALESCE table: per key and column, the value
+    * from the earliest segment that had it non-null — exactly the
+    * fold of mergeCoalesce over the append history (coalesce is
+    * associative, so append order reproduces the upsert chain). */
+  private def readMor(spark: SparkSession, name: String,
+      schema: StructType): DataFrame = {
+    val paths = segPaths(name)
+    if (paths.isEmpty) return emptyOf(spark, schema)
+    val raw = spark.read.schema(withSeq(schema)).parquet(paths: _*)
+    val keys = Seq(schema.fields.head.name, "base_procver_id")
+    val payload = schema.fieldNames.toSeq.filterNot(keys.contains)
+    raw.groupBy(keys.map(col): _*)
+      .agg(min_by(col(payload.head), when(col(payload.head).isNotNull, col("_seq"))).as(payload.head),
+        payload.tail.map(c =>
+          min_by(col(c), when(col(c).isNotNull, col("_seq"))).as(c)): _*)
+      .select(schema.fieldNames.toSeq.map(col): _*)
+  }
 
   def load(spark: SparkSession): ImportResult = ImportResult(
-    readOrEmpty(spark, "root_diaobject"),
-    readOrEmpty(spark, "diaobject"),
-    readOrEmpty(spark, "diasource"),
-    readOrEmpty(spark, "diaforcedsource"),
-    readOrEmpty(spark, "diaobject_position"),
-    readOrEmpty(spark, "diasource_extra"),
-    readOrEmpty(spark, "diaforcedsource_extra"),
-    readOrEmpty(spark, "diasource_brokerinfo"),
-    readOrEmpty(spark, "thumbnails"))
+    readRaw(spark, "root_diaobject", Schemas.rootDiaObject),
+    readRaw(spark, "diaobject", Schemas.diaObject),
+    readRaw(spark, "diasource", Schemas.diaSource),
+    readRaw(spark, "diaforcedsource", Schemas.diaForcedSource),
+    readRaw(spark, "diaobject_position", Schemas.diaObjectPosition),
+    readMor(spark, "diasource_extra", Schemas.diaSourceExtra),
+    readMor(spark, "diaforcedsource_extra", Schemas.diaForcedSourceExtra),
+    readRaw(spark, "diasource_brokerinfo", Schemas.diaSourceBrokerInfo),
+    readRaw(spark, "thumbnails", Schemas.thumbnails))
+
+  // ---- write path ---------------------------------------------------
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
 
-  /** Persist all four tables. The merged plans lazily read the *live*
-    * dirs, so every temp write must execute before any swap — swapping
-    * as we go would make a later plan re-read an already-replaced
-    * table (or hit missing files). Two phases: write all, then swap
-    * all. */
-  def save(r: ImportResult): Unit = {
-    val dfs = Seq("root_diaobject" -> r.rootDiaobject, "diaobject" -> r.diaobject,
-      "diasource" -> r.diasource, "diaforcedsource" -> r.diaforcedsource,
-      "diaobject_position" -> r.diaobjectPosition,
-      "diasource_extra" -> r.diasourceExtra,
-      "diaforcedsource_extra" -> r.diaforcedsourceExtra,
-      "diasource_brokerinfo" -> r.brokerinfo,
-      "thumbnails" -> r.thumbnails)
-    dfs.foreach { case (name, df) =>
-      val tmp = Paths.get(baseDir, s"_tmp_$name")
-      deleteRecursively(tmp)
-      df.write.parquet(tmp.toString)
-    }
-    dfs.foreach { case (name, _) =>
-      val live = dir(name)
-      deleteRecursively(live)
-      Files.move(Paths.get(baseDir, s"_tmp_$name"), live)
+  private def newSegName(): String =
+    s"seg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  /** Write `df` as a fresh segment; returns None (and removes the dir)
+    * when the frame was empty, so no-op deltas cost nothing in the
+    * manifest. The emptiness check reads only parquet footers. */
+  private def writeSegment(name: String, df: DataFrame): Option[String] = {
+    val seg = newSegName()
+    val dir = tableDir(name).resolve(seg)
+    df.write.parquet(dir.toString)
+    val n = df.sparkSession.read.parquet(dir.toString).count()
+    if (n == 0L) { deleteRecursively(dir); None } else Some(seg)
+  }
+
+  /** Staged writes: per table, the manifest contents to commit. */
+  private[graft] final case class Staged(entries: Seq[(String, Seq[String])])
+
+  /** Atomic manifest flip: write `_manifest.tmp`, then rename over the
+    * live manifest. Rename is atomic on POSIX; a crash before it
+    * leaves the old manifest intact. */
+  private def flipManifest(name: String, segs: Seq[String]): Unit = {
+    val tmp = tableDir(name).resolve("_manifest.tmp")
+    Files.createDirectories(tableDir(name))
+    Files.write(tmp, segs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def commit(staged: Staged): Unit = {
+    staged.entries.foreach { case (name, segs) => flipManifest(name, segs) }
+    // GC: segments no longer referenced are garbage (orphans from
+    // crashed stages are collected by the next successful commit)
+    staged.entries.foreach { case (name, segs) =>
+      val live = segs.toSet + "_manifest"
+      if (Files.exists(tableDir(name)))
+        Files.list(tableDir(name)).iterator().asScala.toSeq
+          .filterNot(p => live.contains(p.getFileName.toString))
+          .foreach(deleteRecursively)
     }
   }
+
+  /** Full rewrite of every table (bulk load / compaction path). */
+  private[graft] def stageFull(r: ImportResult): Staged = {
+    val morSeq = Map[String, DataFrame](
+      "diasource_extra" -> r.diasourceExtra,
+      "diaforcedsource_extra" -> r.diaforcedsourceExtra)
+    val entries = Seq(
+      "root_diaobject" -> r.rootDiaobject, "diaobject" -> r.diaobject,
+      "diasource" -> r.diasource, "diaforcedsource" -> r.diaforcedsource,
+      "diaobject_position" -> r.diaobjectPosition,
+      "diasource_brokerinfo" -> r.brokerinfo, "thumbnails" -> r.thumbnails)
+      .map { case (name, df) => name -> writeSegment(name, df).toSeq } ++
+      morSeq.toSeq.map { case (name, df) =>
+        name -> writeSegment(name, df.withColumn("_seq", lit(0L))).toSeq
+      }
+    Staged(entries)
+  }
+
+  def save(r: ImportResult): Unit = commit(stageFull(r))
+
+  /** Append one importer batch: O(delta) I/O. Insert-only tables gain
+    * a segment holding exactly their new rows; COALESCE tables append
+    * their staged docs with the next `_seq` (merge-on-read recovers
+    * upsert semantics); untouched tables' manifests are not flipped. */
+  def saveDelta(d: ImportDeltas): Unit = {
+    val appends = Seq(
+      "root_diaobject" -> d.rootDiaobject, "diaobject" -> d.diaobject,
+      "diasource" -> d.diasource, "diaforcedsource" -> d.diaforcedsource,
+      "diaobject_position" -> d.diaobjectPosition,
+      "diasource_brokerinfo" -> d.brokerinfo, "thumbnails" -> d.thumbnails)
+    val morAppends = Seq(
+      "diasource_extra" -> d.diasourceExtra,
+      "diaforcedsource_extra" -> d.diaforcedsourceExtra)
+      .collect { case (name, Some(df)) =>
+        val seq = liveSegments(name).size.toLong + 1L
+        name -> df.withColumn("_seq", lit(seq))
+      }
+    val staged = Staged((appends ++ morAppends).flatMap { case (name, df) =>
+      writeSegment(name, df).map(seg => name -> (liveSegments(name) :+ seg))
+    })
+    commit(staged)
+  }
+
+  /** Rewrite every table to a single segment (and collapse the
+    * merge-on-read history). Run periodically — segment count, not
+    * correctness, is the only thing that degrades without it. */
+  def compact(spark: SparkSession): Unit = save(load(spark))
 }

@@ -100,6 +100,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(cls.head().getAs[Double]("probability") - 0.008) < 1e-12)
   }
 
+  test("silver store: crash before manifest flip leaves previous version readable") {
+    val store = new SilverStore(Files.createTempDirectory("swap").toString)
+    val w1 = AlertStream.wrangle(alertsDf(Seq(1L, 2L), 9L, 1.0, 2.0), "bpv-c")
+    val (_, d1) = graft.merge.SourceImporter.importBatchWithDeltas(
+      store.load(spark), w1.objects, w1.sources, w1.forced,
+      stagedBrokerinfo = Some(w1.brokerinfo))
+    store.saveDelta(d1)
+    val before = store.load(spark)
+    val srcIds = before.diasource.select("diasourceid").collect().map(_.getLong(0)).toSet
+    assert(srcIds.nonEmpty && before.brokerinfo.count() == 2)
+
+    // simulate a crash mid-save: segments staged, manifests never flipped
+    val w2 = AlertStream.wrangle(alertsDf(Seq(50L), 9L, 1.0, 2.0), "bpv-c")
+    val (full2, _) = graft.merge.SourceImporter.importBatchWithDeltas(
+      store.load(spark), w2.objects, w2.sources, w2.forced)
+    store.stageFull(full2)   // writes segments; commit never runs
+
+    val after = store.load(spark)
+    assert(after.diasource.select("diasourceid").collect().map(_.getLong(0)).toSet
+      == srcIds, "uncommitted segments must be invisible")
+    assert(after.brokerinfo.count() == 2)
+
+    // compaction rewrites to single segments without changing contents
+    store.compact(spark)
+    val compacted = store.load(spark)
+    assert(compacted.diasource.select("diasourceid").collect().map(_.getLong(0)).toSet
+      == srcIds)
+    assert(compacted.brokerinfo.count() == 2)
+  }
+
   test("query queue: FIFO, read-only enforcement, results and errors") {
     val q = new graft.api.QueryQueue(spark,
       Files.createTempDirectory("qres").toString)
