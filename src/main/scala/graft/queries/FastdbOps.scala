@@ -525,7 +525,70 @@ object FastdbOps {
       |  ROUND(SUM(probability), 4) AS sum_prob
       |FROM cls GROUP BY classid ORDER BY classid""".stripMargin
 
+  // ---- HG1: host-galaxy import + prio-ranked match --------------------
+
+  /** customer → diaobjects carrying nearbyextobj{1..3} references,
+    * supplier → the upstream host catalog, through the real
+    * HostGalaxy chain (anti-join import, unpivot match, argmax best
+    * host — dr_importer.py:44-78, db refactor.sql:113-167). Oracle
+    * replays the arithmetic; prio is unique per object so the argmax
+    * needs no uuid tiebreak on the oracle side. */
+  def hg1HostMatch(s: SparkSession, d: String): DataFrame = {
+    import graft.host.HostGalaxy
+    val objs = customer(s, d).select(
+      col("c_custkey").as("diaobjectid"),
+      ((col("c_custkey") % 100) + 1).cast("string").as("nearbyextobj1"),
+      when(col("c_custkey") % 3 =!= 0, ((col("c_custkey") * 7) % 100) + 1)
+        .cast("string").as("nearbyextobj2"),
+      when(col("c_custkey") % 5 === 0, ((col("c_custkey") * 13) % 100) + 1)
+        .cast("string").as("nearbyextobj3"))
+    val cat = supplier(s, d).select(
+      col("s_suppkey").cast("string").as("host_id"),
+      ((col("s_suppkey") % 360) * 0.7).as("ra"),
+      ((col("s_suppkey") % 160) * 0.5 - 40.0).as("dec"),
+      to_json(struct(col("s_acctbal"))).as("info"))
+    val none = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.schema.Schemas.hostGalaxy)
+    val hosts = HostGalaxy.importHosts(none, objs, cat, "tpch", "bpv-hg")
+    val matches = HostGalaxy.matchHosts(objs, hosts, "tpch", "bpv-hg")
+    HostGalaxy.bestHost(matches, hosts)
+      .select(col("diaobjectid"), col("host_id"),
+        col("prio").cast("int").as("prio"), col("n_hosts"),
+        round(col("host_ra"), 4).as("host_ra"),
+        round(col("host_dec"), 4).as("host_dec"))
+      .orderBy("diaobjectid")
+  }
+
+  val hg1Sql: String =
+    """WITH obj AS (
+      |  SELECT c_custkey AS diaobjectid,
+      |    CAST((c_custkey % 100) + 1 AS VARCHAR) AS h0,
+      |    CASE WHEN c_custkey % 3 != 0
+      |      THEN CAST(((c_custkey * 7) % 100) + 1 AS VARCHAR) END AS h1,
+      |    CASE WHEN c_custkey % 5 = 0
+      |      THEN CAST(((c_custkey * 13) % 100) + 1 AS VARCHAR) END AS h2
+      |  FROM customer),
+      |pairs AS (
+      |  SELECT diaobjectid, h0 AS host_id, 0 AS prio FROM obj
+      |  UNION ALL SELECT diaobjectid, h1, 1 FROM obj WHERE h1 IS NOT NULL
+      |  UNION ALL SELECT diaobjectid, h2, 2 FROM obj WHERE h2 IS NOT NULL),
+      |hosts AS (
+      |  SELECT CAST(s_suppkey AS VARCHAR) AS host_id,
+      |    (s_suppkey % 360) * 0.7 AS host_ra,
+      |    (s_suppkey % 160) * 0.5 - 40 AS host_dec
+      |  FROM supplier),
+      |m AS (SELECT p.diaobjectid, p.host_id, p.prio, h.host_ra, h.host_dec
+      |      FROM pairs p JOIN hosts h USING (host_id)),
+      |r AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY diaobjectid ORDER BY prio) AS rn,
+      |    COUNT(*) OVER (PARTITION BY diaobjectid) AS n_hosts
+      |  FROM m)
+      |SELECT diaobjectid, host_id, CAST(prio AS INT) AS prio, n_hosts,
+      |  ROUND(host_ra, 4) AS host_ra, ROUND(host_dec, 4) AS host_dec
+      |FROM r WHERE rn = 1 ORDER BY diaobjectid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hg1_host_match" -> (hg1HostMatch _),
     "b1_brokerinfo" -> (b1BrokerInfo _),
     "a1_priority_dedup" -> (a1PriorityDedup _),
     "j2_patch_join" -> (j2PatchJoin _),
@@ -540,6 +603,7 @@ object FastdbOps {
     "t6_hot_window" -> (t6HotWindow _))
 
   def oracles: Map[String, String] = Map(
+    "hg1_host_match" -> hg1Sql,
     "b1_brokerinfo" -> b1Sql,
     "a1_priority_dedup" -> a1Sql,
     "j2_patch_join" -> j2Sql,

@@ -96,6 +96,40 @@ class IngestMergeSpec extends AnyFunSuite {
     assert(coal(2)._1 == 3L)
   }
 
+  test("host galaxy: anti-join import, prio-ranked match, argmax best host, idempotency") {
+    import graft.host.HostGalaxy
+    // objects reference hosts A,B,C; Z is not in the upstream catalog
+    val objs = Seq(
+      (1L, "A", "B", null.asInstanceOf[String]),
+      (2L, "B", null.asInstanceOf[String], "C"),
+      (3L, "Z", "A", null.asInstanceOf[String]))
+      .toDF("diaobjectid", "nearbyextobj1", "nearbyextobj2", "nearbyextobj3")
+    val cat = Seq(("A", 1.0, 2.0, "{}"), ("B", 3.0, 4.0, "{}"), ("C", 5.0, 6.0, "{}"),
+      ("D", 7.0, 8.0, "{}")).toDF("host_id", "ra", "dec", "info")
+    val none = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.schema.Schemas.hostGalaxy)
+
+    val hosts = HostGalaxy.importHosts(none, objs, cat, "cat", "bpv")
+    // referenced-and-known hosts imported; D unreferenced, Z unknown
+    assert(hosts.select("host_id").collect().map(_.getString(0)).toSet == Set("A", "B", "C"))
+    // idempotent: re-import adds nothing
+    assert(HostGalaxy.importHosts(hosts, objs, cat, "cat", "bpv").count() == 3)
+
+    val matches = HostGalaxy.matchHosts(objs, hosts, "cat", "bpv")
+    // object 3's Z reference cannot resolve; its A match survives at prio 1
+    val prios = matches.collect()
+      .map(r => (r.getAs[Long]("diaobjectid"), r.getAs[Short]("prio"))).toSet
+    assert(prios == Set((1L, 0), (1L, 1), (2L, 0), (2L, 2), (3L, 1)))
+
+    val best = HostGalaxy.bestHost(matches, hosts).collect()
+      .map(r => r.getAs[Long]("diaobjectid") ->
+        ((r.getAs[String]("host_id"), r.getAs[Short]("prio"), r.getAs[Long]("n_hosts")))).toMap
+    assert(best(1L) == (("A", 0, 2L)))
+    assert(best(2L) == (("B", 0, 2L)))
+    assert(best(3L) == (("A", 1, 1L)))
+  }
+
   test("T7 import batch: anti-join, root crossmatch, deterministic ids, idempotency") {
     val empty = new graft.streaming.SilverStore(
       java.nio.file.Files.createTempDirectory("silver").toString)
