@@ -62,11 +62,20 @@ object LtcvApi {
       // photometry scan it semi-joins is the only big input.
       val wp = Ltcv.weightedPositions(
           Ltcv.sources(cat, procverId, objids = Some(ids)))
-        .select(col("rootid"), col("ra").as("_wra"), col("dec").as("_wdec"))
+        .select(col("rootid"), col("ra").as("_wra"), col("dec").as("_wdec"),
+          col("rastd").as("_wrastd"), col("decstd").as("_wdecstd"),
+          col("ra_dec_cov").as("_wcov"))
+      // uncertainty columns exist only on the weighted path (the
+      // reference's objinfo carries raerr/decerr/ra_dec_cov alongside
+      // ra/dec); rows whose position came from diaobject_position keep
+      // them null rather than mixing estimators
       known.join(wp, Seq("rootid"), "left_outer")
         .select(col("rootid"), col("diaobjectids"),
           coalesce(col("ra"), col("_wra")).as("ra"),
-          coalesce(col("dec"), col("_wdec")).as("dec"))
+          coalesce(col("dec"), col("_wdec")).as("dec"),
+          when(col("ra").isNull, col("_wrastd")).as("rastd"),
+          when(col("ra").isNull, col("_wdecstd")).as("decstd"),
+          when(col("ra").isNull, col("_wcov")).as("ra_dec_cov"))
     }
   }
 

@@ -44,8 +44,12 @@ object Funcs {
   def unixToMjd(unixSecs: Column): Column =
     unixSecs / lit(86400.0) + lit(40587.0)
 
+  /** Microsecond-precision inverse of [[mjdToTimestamp]]:
+    * `unix_timestamp` truncates to whole seconds, which loses the
+    * sub-second part of every observation time round-trip; derive from
+    * the timestamp's internal microsecond count instead. */
   def timestampToMjd(ts: Column): Column =
-    unixToMjd(unix_timestamp(ts).cast("double"))
+    unixToMjd(unix_micros(ts).cast("double") / lit(1e6))
 
   /** F6: sexagesimal "±d:m:s" / "h:m:s" → degrees (src/util.py:326-374).
     * API-edge only; plain Scala, not a UDF. */

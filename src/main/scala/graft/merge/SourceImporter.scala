@@ -19,12 +19,23 @@ import graft.spatial.Spatial
 object SourceImporter {
 
   /** A10 — staging dedup: keep the first-seen doc per natural key
-    * (mongo `$group $first` over savetime, source_importer.py:195-212). */
+    * (mongo `$group $first` over savetime, source_importer.py:195-212).
+    *
+    * The ordering key is (ingest_ts, payload), not ingest_ts alone:
+    * duplicates *within one batch* share a timestamp (wrangle stamps a
+    * batch once), and a bare-timestamp min_by would then keep
+    * whichever copy its partition happened to scan first — the kept
+    * payload must not depend on partition order or the
+    * byte-identical-replay property breaks. The payload struct is a
+    * total tiebreak, so the choice is deterministic for any physical
+    * plan. */
   def dedupFirstSeen(staged: DataFrame, keys: Seq[String],
       ingestTsCol: String = "ingest_ts"): DataFrame = {
     val payload = staged.columns.filterNot(keys.contains)
+    val tiebreak = payload.filterNot(_ == ingestTsCol)
     staged.groupBy(keys.map(col): _*)
-      .agg(min_by(struct(payload.map(col): _*), col(ingestTsCol)).as("_first"))
+      .agg(min_by(struct(payload.map(col): _*),
+        struct(col(ingestTsCol) +: tiebreak.map(col): _*)).as("_first"))
       .select(keys.map(col) ++ payload.map(c => col(s"_first.$c").as(c)): _*)
   }
 

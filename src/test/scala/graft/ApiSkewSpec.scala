@@ -54,6 +54,15 @@ class ApiSkewSpec extends AnyFunSuite {
         alwaysUseWeightedSourcePositions = true).collect()
       .map(r => r.getAs[String]("rootid") -> r.getAs[Double]("ra")).toMap
     assert(math.abs(always("root-0") - 42.0) < 1e-9)
+
+    // uncertainty fields ride along on the weighted path only: a root
+    // whose position came from diaobject_position keeps them null
+    val unc = LtcvApi.getObjectInfos(cat2, "pvid-pv1", rootids = allRoots,
+        useWeightedSourcePositions = true).collect()
+      .map(r => r.getAs[String]("rootid") ->
+        r.isNullAt(r.fieldIndex("rastd"))).toMap
+    assert(unc("root-0"), "table-sourced position must not carry a weighted std")
+    assert(!unc("root-1"), "weighted position must carry its std")
   }
 
   test("random object is reproducible with a seed and member of the procver") {

@@ -31,13 +31,17 @@ class FuncsSpec extends AnyFunSuite {
     assert(got == math.floor(60000.12345 * 20000).toLong)
   }
 
-  test("F4 MJD ↔ timestamp (epoch 40587)") {
-    val mjd = Seq(60000.5).toDF("mjd")
+  test("F4 MJD ↔ timestamp (epoch 40587) round-trips at microsecond precision") {
+    // 60000.5 + 1.234567 s: a whole-second truncation would lose the
+    // fractional second (~1.4e-5 mjd) outright
+    val m0 = 60000.5 + 1.234567 / 86400.0
+    val mjd = Seq(m0).toDF("mjd")
     val ts = mjd.select(Funcs.mjdToTimestamp(col("mjd")).as("t"))
     val back = ts.select(Funcs.timestampToMjd(col("t")).as("m")).head().getDouble(0)
-    assert(math.abs(back - 60000.5) < 1e-6)
+    assert(math.abs(back - m0) < 1e-6 / 86400.0,
+      s"round-trip error ${math.abs(back - m0) * 86400.0} s exceeds 1 us")
     val unix = mjd.select(Funcs.mjdToUnix(col("mjd")).as("u")).head().getDouble(0)
-    assert(unix == (60000.5 - 40587.0) * 86400.0)
+    assert(math.abs(unix - (m0 - 40587.0) * 86400.0) < 1e-9)
   }
 
   test("F6 sexagesimal parse (util.py:326-374)") {

@@ -49,7 +49,9 @@ class StreamingSpec extends AnyFunSuite {
     val inDir = Files.createTempDirectory("alerts").toString
     val ckDir = Files.createTempDirectory("ck").toString
     val silverDir = Files.createTempDirectory("silver").toString
+    val hbDir = Files.createTempDirectory("hb").toString
     val store = new SilverStore(silverDir)
+    val listener = graft.streaming.Monitoring.attach(spark, hbDir)
 
     // wave 1: alerts 5..7 for object 1; wave 2 overlaps (at-least-once)
     alertsDf(Seq(5L, 6L, 7L), 1L, 42.0, 13.0)
@@ -98,6 +100,17 @@ class StreamingSpec extends AnyFunSuite {
       s2.brokerinfo.filter(col("diasourceid") === 8L))
     assert(cls.head().getAs[Int]("classid") == 111)
     assert(math.abs(cls.head().getAs[Double]("probability") - 0.008) < 1e-12)
+
+    // T8: the heartbeat listener recorded per-batch progress (listener
+    // bus is async — poll briefly for the log to land)
+    val hbFile = java.nio.file.Paths.get(hbDir, "progress.jsonl")
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (!Files.exists(hbFile) && System.nanoTime() < deadline) Thread.sleep(100)
+    graft.streaming.Monitoring.detach(spark, listener)
+    assert(Files.exists(hbFile), "no heartbeat progress rows")
+    val hb = graft.streaming.Monitoring.summary(spark, hbDir).collect()
+    assert(hb.map(_.getAs[Long]("rows")).sum >= 6,
+      "heartbeat must account for the streamed alerts")
   }
 
   test("silver store: crash before manifest flip leaves previous version readable") {
