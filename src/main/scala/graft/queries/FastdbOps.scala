@@ -587,7 +587,42 @@ object FastdbOps {
       |  ROUND(host_ra, 4) AS host_ra, ROUND(host_dec, 4) AS host_dec
       |FROM r WHERE rn = 1 ORDER BY diaobjectid""".stripMargin
 
+  // ---- S9: alert-producer unsent selection ----------------------------
+
+  /** lineitem → ppdb-shaped detections with every third id already
+    * sent, through the real AlertProducer.alertsToSend (horizon = max
+    * sent mjd + addedDays; anti-join on the sent table —
+    * projectsim.py:423-483). The reconstruct+encode half of S9 is
+    * byte-level avro and spec-verified instead (StreamingSpec's
+    * encode/decode round trip). */
+  def s9UnsentAlerts(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.AlertProducer
+    val sources = lineitem(s, d).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("diasourceid"),
+      (col("l_orderkey") % 1000).as("diaobjectid"),
+      (col("l_partkey") % 100).as("visit"),
+      col("l_returnflag").as("band"),
+      col("l_extendedprice").as("midpointmjdtai"))
+    val sent = sources.filter(col("diasourceid") % 3 === 0)
+      .select(col("diasourceid"), lit(null).cast("timestamp").as("senttime"))
+    AlertProducer.alertsToSend(sources, sent, addedDays = 1.0)
+      .select(col("diasourceid"), col("midpointmjdtai").as("mjd"))
+      .orderBy("diasourceid")
+  }
+
+  val s9Sql: String =
+    """WITH src AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS diasourceid,
+      |    l_extendedprice AS mjd
+      |  FROM lineitem),
+      |thr AS (SELECT MAX(mjd) + 1.0 AS t FROM src WHERE diasourceid % 3 = 0)
+      |SELECT diasourceid, mjd
+      |FROM src, thr
+      |WHERE diasourceid % 3 != 0 AND mjd < t
+      |ORDER BY diasourceid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_unsent_alerts" -> (s9UnsentAlerts _),
     "hg1_host_match" -> (hg1HostMatch _),
     "b1_brokerinfo" -> (b1BrokerInfo _),
     "a1_priority_dedup" -> (a1PriorityDedup _),
@@ -603,6 +638,7 @@ object FastdbOps {
     "t6_hot_window" -> (t6HotWindow _))
 
   def oracles: Map[String, String] = Map(
+    "s9_unsent_alerts" -> s9Sql,
     "hg1_host_match" -> hg1Sql,
     "b1_brokerinfo" -> b1Sql,
     "a1_priority_dedup" -> a1Sql,

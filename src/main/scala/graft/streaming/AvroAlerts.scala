@@ -109,6 +109,93 @@ object AvroAlerts {
     reader.read(null, DecoderFactory.get().binaryDecoder(bytes, null))
   }
 
+  // ---- encoding (the producer's inverse of decode) -------------------
+
+  private def putSrc(schema: Schema, r: Row): GenericRecord = {
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    val names = Seq("diaSourceId", "diaObjectId", "visit", "band",
+      "midpointMjdTai", "psfFlux", "psfFluxErr", "ra", "dec",
+      "snr", "scienceFlux", "scienceFluxErr", "extendedness", "reliability")
+    names.zipWithIndex.foreach { case (n, i) =>
+      rec.put(n, if (r.isNullAt(i)) null else r.get(i))
+    }
+    rec
+  }
+
+  private def putForced(schema: Schema, r: Row): GenericRecord = {
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    val names = Seq("diaForcedSourceId", "diaObjectId", "visit", "band",
+      "midpointMjdTai", "psfFlux", "psfFluxErr", "scienceFlux", "scienceFluxErr")
+    names.zipWithIndex.foreach { case (n, i) =>
+      rec.put(n, if (r.isNullAt(i)) null else r.get(i))
+    }
+    rec
+  }
+
+  /** [[AlertStream.alertSchema]] rows → one binary avro datum per
+    * alert, schemaless (the inverse of [[decode]]; writer allocated
+    * once per partition — the projectsim emit path,
+    * src/services/projectsim.py:270-320). */
+  def encode(spark: SparkSession, alerts: DataFrame): DataFrame = {
+    import org.apache.avro.generic.GenericDatumWriter
+    import org.apache.avro.io.EncoderFactory
+    val schemaJson = alertAvsc
+    val rows = alerts.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val srcSchema = schema.getField("diaSource").schema()
+      val frcSchema = schema.getField("prvDiaForcedSources").schema()
+        .getTypes.get(1).getElementType
+      val clsSchema = schema.getField("classifications").schema()
+        .getTypes.get(1).getElementType
+      val objSchema = schema.getField("diaObject").schema()
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      it.map { row =>
+        val a = new org.apache.avro.generic.GenericData.Record(schema)
+        a.put("alertId", row.getLong(0))
+        a.put("diaSource", putSrc(srcSchema, row.getStruct(1)))
+        if (!row.isNullAt(2)) {
+          val l = new java.util.ArrayList[GenericRecord]()
+          row.getSeq[Row](2).foreach(r => l.add(putSrc(srcSchema, r)))
+          a.put("prvDiaSources", l)
+        }
+        if (!row.isNullAt(3)) {
+          val l = new java.util.ArrayList[GenericRecord]()
+          row.getSeq[Row](3).foreach(r => l.add(putForced(frcSchema, r)))
+          a.put("prvDiaForcedSources", l)
+        }
+        val o = row.getStruct(4)
+        val obj = new org.apache.avro.generic.GenericData.Record(objSchema)
+        obj.put("diaObjectId", o.getLong(0))
+        obj.put("ra", o.getDouble(1)); obj.put("dec", o.getDouble(2))
+        a.put("diaObject", obj)
+        Seq(5, 6, 7).zip(Seq("cutoutDifference", "cutoutScience", "cutoutTemplate"))
+          .foreach { case (i, n) =>
+            if (!row.isNullAt(i))
+              a.put(n, java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i)))
+          }
+        if (!row.isNullAt(8)) {
+          val l = new java.util.ArrayList[GenericRecord]()
+          row.getSeq[Row](8).foreach { c =>
+            val rec = new org.apache.avro.generic.GenericData.Record(clsSchema)
+            rec.put("classId", c.get(0)); rec.put("probability", c.get(1))
+            l.add(rec)
+          }
+          a.put("classifications", l)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val enc = EncoderFactory.get().binaryEncoder(bos, null)
+        writer.write(a, enc)
+        enc.flush()
+        Row(row.getLong(0), bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      org.apache.spark.sql.types.StructField("alertId",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.BinaryType))))
+  }
+
   /** Binary avro column → [[AlertStream.alertSchema]] rows. Reader and
     * decoder are allocated once per partition and reused per record. */
   def decode(spark: SparkSession, df: DataFrame, valueCol: String): DataFrame = {

@@ -199,6 +199,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(made.getAs[Short]("priority") == 5)
   }
 
+  test("alert producer: unsent selection, window reconstruction, encode/decode round-trip") {
+    import graft.streaming.{AlertProducer, AvroAlerts}
+    // silver-shaped photometry: object 1 with detections at mjd 10,11,12
+    // (visits 1,2,3) and forced rows at 9.5, 11.5; object 2 at mjd 50
+    def src(id: Long, obj: Long, visit: Long, mjd: Double) =
+      (id, "bpv", obj, visit, "r", mjd, 1.0f, 0.1f, 5.0, 6.0)
+    val sources = Seq(src(1, 1, 1, 10.0), src(2, 1, 2, 11.0), src(3, 1, 3, 12.0),
+      src(9, 2, 9, 50.0))
+      .toDF("diasourceid", "base_procver_id", "diaobjectid", "visit", "band",
+        "midpointmjdtai", "psfflux", "psffluxerr", "ra", "dec")
+    val forced = Seq((101L, "bpv", 1L, 8L, "r", 9.5, 0.4f, 0.1f),
+      (102L, "bpv", 1L, 9L, "r", 11.5, 0.5f, 0.1f))
+      .toDF("diaforcedsourceid", "base_procver_id", "diaobjectid", "visit", "band",
+        "midpointmjdtai", "psfflux", "psffluxerr")
+    val objects = Seq((1L, 5.0, 6.0), (2L, 7.0, 8.0)).toDF("diaobjectid", "ra", "dec")
+    val sent = Seq((1L, new java.sql.Timestamp(0L))).toDF("diasourceid", "senttime")
+
+    // horizon: max sent mjd (10.0) + 5 → sources 2,3 selected, 9 (mjd 50) not
+    val toSend = AlertProducer.alertsToSend(sources, sent, addedDays = 5.0)
+    assert(toSend.select("diasourceid").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+
+    val alerts = AlertProducer.reconstruct(toSend, sources, forced, objects)
+    // same names/types as the consumer schema (nullability is plan-derived)
+    assert(alerts.schema.simpleString == AlertStream.alertSchema.simpleString)
+    val byId = alerts.collect().map(r => r.getLong(0) -> r).toMap
+    // alert for source 3 (mjd 12): prv sources 1,2 mjd-ascending; both forced rows
+    val a3 = byId(3L)
+    assert(a3.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)) == Seq(1L, 2L))
+    assert(a3.getSeq[org.apache.spark.sql.Row](3).map(_.getLong(0)) == Seq(101L, 102L))
+    // alert for source 2 (mjd 11): prv source 1 only; forced row at 9.5 only
+    val a2 = byId(2L)
+    assert(a2.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)) == Seq(1L))
+    assert(a2.getSeq[org.apache.spark.sql.Row](3).map(_.getLong(0)) == Seq(101L))
+
+    // encode → decode round-trips the packets bit-exactly
+    val encoded = AvroAlerts.encode(spark, alerts)
+    val decoded = AvroAlerts.decode(spark, encoded, "value")
+    assert(decoded.schema == AlertStream.alertSchema)
+    val dec3 = decoded.collect().map(r => r.getLong(0) -> r).toMap.apply(3L)
+    assert(dec3.getStruct(1).getLong(0) == 3L)
+    assert(dec3.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)) == Seq(1L, 2L))
+    assert(dec3.getSeq[org.apache.spark.sql.Row](3).map(_.getLong(0)) == Seq(101L, 102L))
+    assert(dec3.getStruct(4).getDouble(1) == 5.0)
+
+    // ...and the decoded packets wrangle like live broker traffic
+    val w = AlertStream.wrangle(decoded, "bpv-loop")
+    assert(w.sources.select("diasourceid").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+
+    // mark-sent: replaying selection after the mark yields nothing new
+    val sent2 = AlertProducer.markSent(sent, toSend, new java.sql.Timestamp(1000L))
+    assert(AlertProducer.alertsToSend(sources, sent2, addedDays = 5.0).count() == 0)
+  }
+
   test("avro alert decode round-trips through the bundled avro runtime") {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
