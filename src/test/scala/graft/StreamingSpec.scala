@@ -253,6 +253,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(AlertProducer.alertsToSend(sources, sent2, addedDays = 5.0).count() == 0)
   }
 
+  test("broker variants: wire framing, topic rediscovery, config invariants") {
+    import graft.streaming.{AlertProducer, AvroAlerts, Brokers}
+    // Confluent-wire framing: a 5-byte magic+schema-id prefix must be
+    // stripped before the schemaless datum decodes (Pitt-Google / Fink)
+    val sources = Seq((1L, "bpv", 1L, 1L, "r", 10.0, 1.0f, 0.1f, 5.0, 6.0))
+      .toDF("diasourceid", "base_procver_id", "diaobjectid", "visit", "band",
+        "midpointmjdtai", "psfflux", "psffluxerr", "ra", "dec")
+    val objects = Seq((1L, 5.0, 6.0)).toDF("diaobjectid", "ra", "dec")
+    val alerts = AlertProducer.reconstruct(sources, sources.limit(0),
+      sources.limit(0).withColumnRenamed("diasourceid", "diaforcedsourceid"),
+      objects)
+    val framed = AvroAlerts.encode(spark, alerts)
+      .withColumn("value", concat(lit(Array[Byte](0, 0, 0, 0, 42)), col("value")))
+    val decoded = Brokers.decode(spark, framed, "value", Brokers.ConfluentWire)
+    assert(decoded.head().getStruct(1).getLong(0) == 1L)
+    // ...and the broker identity lands on the brokerinfo staging rows
+    val w = Brokers.wrangle(Brokers.fink("g1"), decoded, "bpv-f", "fink_lsst")
+    val bi = w.brokerinfo.head()
+    assert(bi.getAs[String]("brokername") == "Fink")
+    assert(bi.getAs[String]("topic") == "fink_lsst")
+
+    // Alerce dated-topic rediscovery: date window + bad-topic exclusion
+    val today = java.time.LocalDate.of(2023, 8, 10)
+    val avail = Seq(
+      "lc_classifier_balto_20230807",     // in window but known-bad
+      "lc_classifier_mlpscore_20230807",  // in window
+      "lc_classifier_mlpscore_20230812",  // today+2 boundary
+      "lc_classifier_mlpscore_20230813",  // past the +2 boundary
+      "lc_classifier_mlpscore_20230805",  // before the -4 boundary
+      "unrelated_topic_20230810")
+    assert(Brokers.alerceTopics(avail, today).toSet ==
+      Set("lc_classifier_mlpscore_20230807", "lc_classifier_mlpscore_20230812"))
+
+    // AMPEL invariant: groupid must be username-prefixed
+    intercept[IllegalArgumentException](Brokers.ampel("alice", "pw", "bob-group"))
+    val cfg = Brokers.ampel("alice", "pw", "alice-group")
+    assert(cfg.consumerOptions("kafka.sasl.mechanism") == "SCRAM-SHA-512")
+    assert(Brokers.alerce("u", "p", "g").dynamicTopics)
+  }
+
   test("avro alert decode round-trips through the bundled avro runtime") {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
