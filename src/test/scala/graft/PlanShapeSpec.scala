@@ -62,4 +62,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(graft.queries.FastdbOps.t6HotWindow(spark, d))
     assert(!p.contains("props"), "unused JSON column must not be read")
   }
+
+  test("no battery plan is corpus-quadratic") {
+    // BroadcastNestedLoopJoin is acceptable only where one side is a
+    // broadcast of a bounded frame (the ANN query sets: linear corpus
+    // scan x a handful of broadcast query vectors / centroids);
+    // a CartesianProduct is never acceptable.
+    val boundedNestedLoop = Set("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = plan(fn(spark, d))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      if (!boundedNestedLoop.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unbounded nested-loop join")
+    }
+  }
 }
