@@ -26,14 +26,26 @@ object IvfAnn {
   final case class Index(assigned: DataFrame, centroids: DataFrame)
 
   /** Cluster the corpus: returns corpus rows + `_cell`, and the
-    * centroid table (cell, center: array<double>). */
+    * centroid table (cell, center: array<double>).
+    *
+    * The quantizer trains on a bounded sample squeezed into few
+    * partitions: k-means wall time on a small-to-medium corpus is
+    * dominated by per-iteration job scheduling (k-means‖ init alone
+    * launches ~5 jobs), not arithmetic, and at 100 TB training on the
+    * full corpus is not even desirable — the standard IVF recipe
+    * trains the coarse quantizer on a sample and `transform`s the full
+    * corpus, which is exactly what this does. Random init + fixed seed
+    * keeps the index deterministic; the recall spec guards quality. */
   def buildIndex(corpus: DataFrame, idCol: String, embCol: String,
-      nlist: Int, seed: Long = 42L): Index = {
+      nlist: Int, seed: Long = 42L, maxTrainRows: Int = 20000): Index = {
     val n = Similarity.normalized(corpus.select(col(idCol), col(embCol)), embCol, "_ne")
       .withColumn("_features", array_to_vector(col("_ne")))
+    val train = n.select("_features").limit(maxTrainRows).coalesce(4).cache()
     val model = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(10)
       .setFeaturesCol("_features").setPredictionCol("_cell")
-      .fit(n)
+      .fit(train)
+    train.unpersist()
     val assigned = model.transform(n)
       .select(col(idCol), col("_ne"), col("_cell"))
       .persist()
