@@ -193,17 +193,24 @@ object AlertStream {
   /** File-source alert stream → foreachBatch silver merge into `store`.
     * `maxFilesPerTrigger` plays the role of the reference's 1000-msg
     * consume batches (T1). Blocks until `processAllAvailable` if
-    * `awaitAll`. */
+    * `awaitAll`. `compactEvery` bounds segment growth of the
+    * log-structured store: every Nth batch rewrites each table to a
+    * single segment (0 = never; read amplification, not correctness,
+    * is what degrades without it). */
   def run(spark: SparkSession, inputDir: String, store: SilverStore,
       baseProcverId: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 10, awaitAll: Boolean = false): StreamingQuery = {
+      maxFilesPerTrigger: Int = 10, awaitAll: Boolean = false,
+      compactEvery: Int = 0): StreamingQuery = {
     val stream = spark.readStream.schema(alertSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (compactEvery > 0 && nBatches.incrementAndGet() % compactEvery == 0)
+          store.compact(spark)
         val w = wrangle(batch, baseProcverId)
         // persist the delta path: each batch writes only its new rows
         // (SilverStore.saveDelta), not a recomputation of the catalog

@@ -81,7 +81,10 @@ class StreamingSpec extends AnyFunSuite {
 
     alertsDf(Seq(7L, 8L), 1L, 42.0, 13.0).write.parquet(s"$inDir/w2")
     alertsDf(Seq(100L), 2L, 10.0, -30.0).write.parquet(s"$inDir/w3")
-    AlertStream.run(spark, s"$inDir/*", store, "bpv-rt", ckDir, awaitAll = true)
+    // second run compacts before each batch — assertions below then
+    // also cover compaction interleaved with live appends
+    AlertStream.run(spark, s"$inDir/*", store, "bpv-rt", ckDir,
+      awaitAll = true, compactEvery = 1)
     val s2 = store.load(spark)
     assert(s2.rootDiaobject.count() == 2)
     assert(s2.diaobject.count() == 2)
