@@ -6,7 +6,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.execution.command.{DescribeQueryCommand, ExplainCommand}
+import org.apache.spark.sql.execution.command.{DescribeQueryCommand, ExplainCommand, ShowCurrentNamespaceCommand, ShowNamespacesCommand}
 
 /** §3.2 — the asynchronous ad-hoc SQL path
   * (src/webserver/dbapp.py:126-232 + src/services/long_query_runner.py).
@@ -49,10 +49,13 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
   private val allowedCommands: Set[Class[_]] = Set(
     classOf[ExplainCommand], classOf[DescribeQueryCommand],
     classOf[DescribeRelation], classOf[DescribeColumn],
+    classOf[DescribeNamespace], classOf[DescribeFunction],
     classOf[ShowTables], classOf[ShowViews], classOf[ShowColumns],
-    classOf[ShowFunctions], classOf[ShowTableProperties])
+    classOf[ShowFunctions], classOf[ShowTableProperties],
+    classOf[ShowNamespacesCommand], classOf[ShowCurrentNamespaceCommand],
+    classOf[ShowCreateTable], classOf[ShowPartitions])
 
-  private[api] def assertReadOnly(q: String): Unit = {
+  private[graft] def assertReadOnly(q: String): Unit = {
     val plan = spark.sessionState.sqlParser.parsePlan(q)
     def isWrite(p: LogicalPlan): Boolean = p match {
       case _: InsertIntoStatement | _: InsertIntoDir => true

@@ -48,7 +48,13 @@ object Dedup {
     * by document, so parallelism is per-doc and skew is bounded by the
     * longest document, not corpus size). Set semantics match
     * `array_distinct` modulo element order; all consumers
-    * (size/intersect/explode) are order-insensitive. */
+    * (size/intersect/explode) are order-insensitive.
+    *
+    * CONTRACT: `idCol` must be non-null and unique per row — shingles
+    * are grouped and joined back by it, so duplicate ids would merge
+    * their documents' shingle sets and null ids would come back
+    * empty. Every dedup entry point keys by a document id, which
+    * satisfies this by construction. */
   def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
       out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

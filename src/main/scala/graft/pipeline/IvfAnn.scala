@@ -40,7 +40,20 @@ object IvfAnn {
       nlist: Int, seed: Long = 42L, maxTrainRows: Int = 20000): Index = {
     val n = Similarity.normalized(corpus.select(col(idCol), col(embCol)), embCol, "_ne")
       .withColumn("_features", array_to_vector(col("_ne")))
-    val train = n.select("_features").limit(maxTrainRows).coalesce(4).cache()
+    // sample, never prefix: corpora are usually laid out in ingestion
+    // order, and a limit() would train the quantizer on one region of
+    // the distribution. Seeded hash of the id is deterministic across
+    // runs and partitionings (unlike sample(), whose draw depends on
+    // row order within partitions).
+    val total = corpus.count()
+    val train0 =
+      if (total <= maxTrainRows) n
+      else {
+        val keep = math.min(10000L,
+          math.max(1L, (maxTrainRows.toDouble * 10000 / total).toLong * 11 / 10))
+        n.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(10000L)) < keep)
+      }
+    val train = train0.select("_features").coalesce(4).cache()
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setInitMode("random").setMaxIter(10)
       .setFeaturesCol("_features").setPredictionCol("_cell")

@@ -27,17 +27,21 @@ object AlertProducer {
     * (2025-03-21_001_alert.sql's index). */
   def alertsToSend(sources: DataFrame, sent: DataFrame,
       addedDays: Double = 1.0, throughday: Option[Double] = None): DataFrame = {
-    val thru = throughday.getOrElse {
+    val thru = throughday.orElse {
       val sentMax = sources
         .join(sent.select("diasourceid"), Seq("diasourceid"), "left_semi")
         .agg(max("midpointmjdtai")).head().get(0)
       val base =
-        if (sentMax != null) sentMax.asInstanceOf[Double]
-        else sources.agg(min("midpointmjdtai")).head().getDouble(0)
-      base + addedDays
+        if (sentMax != null) Some(sentMax.asInstanceOf[Double])
+        // an empty source table has no horizon — and nothing to send
+        else Option(sources.agg(min("midpointmjdtai")).head().get(0))
+          .map(_.asInstanceOf[Double])
+      base.map(_ + addedDays)
     }
-    sources.join(sent.select("diasourceid"), Seq("diasourceid"), "left_anti")
-      .filter(col("midpointmjdtai") < thru)
+    val unsent = sources
+      .join(sent.select("diasourceid"), Seq("diasourceid"), "left_anti")
+    thru.map(t => unsent.filter(col("midpointmjdtai") < t))
+      .getOrElse(unsent.limit(0))
   }
 
   private def srcStruct(prefix: Column): Column = struct(
@@ -132,9 +136,15 @@ object AlertProducer {
       reconstruct(toSend, sources, forced, objects))
 
   /** update_alertssent: append one sent row per emitted alert.
-    * `senttime` is caller-supplied so replays stay deterministic. */
+    * `senttime` is caller-supplied so replays stay deterministic.
+    * Accepts either the selection frame (diasourceid) or [[emit]]'s
+    * output, whose alertId IS the diasourceid ([[reconstruct]] sets
+    * alertId = the triggering detection's id). */
   def markSent(sent: DataFrame, emitted: DataFrame,
-      senttime: java.sql.Timestamp): DataFrame =
-    sent.unionByName(emitted.select(
-      col("diasourceid"), lit(senttime).as("senttime")))
+      senttime: java.sql.Timestamp): DataFrame = {
+    val idCol =
+      if (emitted.columns.contains("diasourceid")) col("diasourceid")
+      else col("alertId").as("diasourceid")
+    sent.unionByName(emitted.select(idCol, lit(senttime).as("senttime")))
+  }
 }

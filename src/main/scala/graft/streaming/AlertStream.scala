@@ -212,15 +212,23 @@ object AlertStream {
         if (compactEvery > 0 && nBatches.incrementAndGet() % compactEvery == 0)
           store.compact(spark)
         val w = wrangle(batch, baseProcverId)
-        // persist the delta path: each batch writes only its new rows
-        // (SilverStore.saveDelta), not a recomputation of the catalog
-        val (_, deltas) = SourceImporter.importBatchWithDeltas(
-          store.load(spark), w.objects, w.sources, w.forced,
-          stagedSourcesExtra = Some(w.sourcesExtra),
-          stagedForcedExtra = Some(w.forcedExtra),
-          stagedBrokerinfo = Some(w.brokerinfo),
-          stagedThumbnails = Some(w.thumbnails))
-        store.saveDelta(deltas)
+        // persist the staging frames: saveDelta executes one plan per
+        // touched table (up to 9), and each would otherwise re-run the
+        // wrangle lineage from the input files
+        val staged = Seq(w.objects, w.sources, w.forced, w.sourcesExtra,
+          w.forcedExtra, w.brokerinfo, w.thumbnails)
+        staged.foreach(_.persist())
+        try {
+          // persist the delta path: each batch writes only its new rows
+          // (SilverStore.saveDelta), not a recomputation of the catalog
+          val (_, deltas) = SourceImporter.importBatchWithDeltas(
+            store.load(spark), w.objects, w.sources, w.forced,
+            stagedSourcesExtra = Some(w.sourcesExtra),
+            stagedForcedExtra = Some(w.forcedExtra),
+            stagedBrokerinfo = Some(w.brokerinfo),
+            stagedThumbnails = Some(w.thumbnails))
+          store.saveDelta(deltas)
+        } finally staged.foreach(_.unpersist())
       }
       .start()
     if (awaitAll) { q.processAllAvailable(); q.stop() }

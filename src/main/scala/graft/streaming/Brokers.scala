@@ -42,11 +42,13 @@ object Brokers {
       topics: Seq[String],
       dynamicTopics: Boolean = false)
 
-  /** Fink: schema-in-key framed, public endpoint
-    * (brokerconsumer.py:913-925). */
+  /** Fink: schema-in-key — the writer schema travels in the message
+    * KEY while the value stays a bare datum, so value framing is
+    * Schemaless (our decoder reads with the fixed reader schema and
+    * ignores the key; brokerconsumer.py:913-925). */
   def fink(groupId: String,
       servers: String = "kafka-lsst.fink-broker.org:24499"): BrokerConfig =
-    BrokerConfig("Fink", servers, groupId, ConfluentWire,
+    BrokerConfig("Fink", servers, groupId, Schemaless,
       Map("kafka.bootstrap.servers" -> servers), Seq("fink_lsst"))
 
   /** AMPEL via SCiMMA: SCRAM-SHA-512 over SASL_SSL, group id must be

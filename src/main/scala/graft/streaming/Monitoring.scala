@@ -25,11 +25,25 @@ final class HeartbeatListener(logDir: String) extends StreamingQueryListener {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  /** JSON string literal with full escaping — exception text carries
+    * multi-line stack traces and backslashed paths, and one raw
+    * newline breaks the line-per-object contract of the log. */
+  private def jstr(s: String): String =
+    if (s == null) "null"
+    else s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     append("lifecycle.jsonl",
       s"""{"event":"started","id":"${event.id}","runId":"${event.runId}","name":${
-        if (event.name == null) "null" else "\"" + event.name + "\""
-      },"timestamp":"${event.timestamp}"}""")
+        jstr(event.name)},"timestamp":${jstr(event.timestamp)}}""")
 
   override def onQueryProgress(event: QueryProgressEvent): Unit =
     append("progress.jsonl", event.progress.json)
@@ -37,8 +51,7 @@ final class HeartbeatListener(logDir: String) extends StreamingQueryListener {
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
     append("lifecycle.jsonl",
       s"""{"event":"terminated","id":"${event.id}","runId":"${event.runId}","exception":${
-        event.exception.map(e => "\"" + e.replace("\"", "'") + "\"").getOrElse("null")
-      }}""")
+        event.exception.map(jstr).getOrElse("null")}}""")
 }
 
 object Monitoring {

@@ -63,8 +63,22 @@ final class SilverStore(baseDir: String) {
         .asScala.toSeq.filter(_.nonEmpty)
     else Seq.empty
 
+  /** A table dir with parquet content but no manifest is a store laid
+    * down by the pre-manifest format (flat parquet under the table
+    * dir). Readable as one legacy "segment"; [[commit]]'s GC never
+    * touches it (it only deletes `seg_*` dirs), so an un-migrated
+    * store cannot be destroyed by the first new-format write. */
+  private def legacyDir(name: String): Option[String] = {
+    val d = tableDir(name)
+    if (Files.exists(manifestPath(name)) || !Files.exists(d)) return None
+    val s = Files.list(d)
+    try { if (s.findFirst().isPresent) Some(d.toString) else None }
+    finally s.close()
+  }
+
   private def segPaths(name: String): Seq[String] =
-    liveSegments(name).map(s => tableDir(name).resolve(s).toString)
+    liveSegments(name).map(s => tableDir(name).resolve(s).toString) ++
+      legacyDir(name)
 
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -91,10 +105,13 @@ final class SilverStore(baseDir: String) {
     val raw = spark.read.schema(withSeq(schema)).parquet(paths: _*)
     val keys = Seq(schema.fields.head.name, "base_procver_id")
     val payload = schema.fieldNames.toSeq.filterNot(keys.contains)
+    // legacy (pre-manifest) files carry no _seq column → null → rank
+    // them first, like a seq-0 compacted segment
+    val seq = coalesce(col("_seq"), lit(0L))
     raw.groupBy(keys.map(col): _*)
-      .agg(min_by(col(payload.head), when(col(payload.head).isNotNull, col("_seq"))).as(payload.head),
+      .agg(min_by(col(payload.head), when(col(payload.head).isNotNull, seq)).as(payload.head),
         payload.tail.map(c =>
-          min_by(col(c), when(col(c).isNotNull, col("_seq"))).as(c)): _*)
+          min_by(col(c), when(col(c).isNotNull, seq)).as(c)): _*)
       .select(schema.fieldNames.toSeq.map(col): _*)
   }
 
@@ -147,12 +164,17 @@ final class SilverStore(baseDir: String) {
   private[graft] def commit(staged: Staged): Unit = {
     staged.entries.foreach { case (name, segs) => flipManifest(name, segs) }
     // GC: segments no longer referenced are garbage (orphans from
-    // crashed stages are collected by the next successful commit)
+    // crashed stages are collected by the next successful commit).
+    // Only `seg_*` dirs and the manifest tmp are ever deleted — files
+    // from the pre-manifest flat layout are left untouched.
     staged.entries.foreach { case (name, segs) =>
-      val live = segs.toSet + "_manifest"
+      val live = segs.toSet
       if (Files.exists(tableDir(name)))
         Files.list(tableDir(name)).iterator().asScala.toSeq
-          .filterNot(p => live.contains(p.getFileName.toString))
+          .filter { p =>
+            val n = p.getFileName.toString
+            (n.startsWith("seg_") || n == "_manifest.tmp") && !live.contains(n)
+          }
           .foreach(deleteRecursively)
     }
   }

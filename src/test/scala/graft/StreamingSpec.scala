@@ -162,6 +162,9 @@ class StreamingSpec extends AnyFunSuite {
     // Command nor an InsertInto*, so a Command-only check lets it through
     val wrapped = q.submit("mallory", Seq("EXECUTE IMMEDIATE 'DROP TABLE region'"))
     val err = q.submit("eve", Seq("SELECT * FROM missing_table"))
+    // read-only metadata statements must stay allowed under default-deny
+    Seq("SHOW DATABASES", "SHOW TABLES", "DESCRIBE FUNCTION abs",
+      "EXPLAIN SELECT 1").foreach(q.assertReadOnly)
     q.runAll()
     assert(q.results(ok).head().getLong(0) == 5L)
     assert(q.results(okCte).head().getLong(0) == 5L)
