@@ -587,6 +587,59 @@ object FastdbOps {
       |  ROUND(host_ra, 4) AS host_ra, ROUND(host_dec, 4) AS host_dec
       |FROM r WHERE rn = 1 ORDER BY diaobjectid""".stripMargin
 
+  // ---- A10/A11: staging dedup + keep-existing merge -------------------
+
+  /** lineitem → staging docs with heavy key duplication and tied
+    * timestamps, through the real first-seen dedup (whose ordering key
+    * is (ingest_ts, payload) — the tied-timestamp rows exercise the
+    * deterministic payload tiebreak). Oracle replays the ordering with
+    * a window. */
+  def a10FirstSeen(s: SparkSession, d: String): DataFrame = {
+    val staged = lineitem(s, d).select(
+      (col("l_orderkey") % 500).as("diaobjectid"),
+      lit("bpv").as("base_procver_id"),
+      col("l_extendedprice").as("val"),
+      col("l_linenumber").cast("long").as("src"),
+      timestamp_seconds(col("l_suppkey") % 5).as("ingest_ts"))
+    SourceImporter.dedupFirstSeen(staged, Seq("diaobjectid", "base_procver_id"))
+      .select(col("diaobjectid"), col("val"), col("src"))
+      .orderBy("diaobjectid")
+  }
+
+  val a10Sql: String =
+    """WITH staged AS (
+      |  SELECT l_orderkey % 500 AS diaobjectid, l_extendedprice AS val,
+      |    CAST(l_linenumber AS BIGINT) AS src, l_suppkey % 5 AS ts
+      |  FROM lineitem),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY diaobjectid ORDER BY ts, val, src) AS rn
+      |  FROM staged)
+      |SELECT diaobjectid, val, src FROM r WHERE rn = 1
+      |ORDER BY diaobjectid""".stripMargin
+
+  /** Overlapping order sets through the real ON CONFLICT DO NOTHING
+    * merge: existing rows win, only genuinely new keys insert. */
+  def a11KeepExisting(s: SparkSession, d: String): DataFrame = {
+    val existing = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("id"),
+        col("o_totalprice").as("v"), lit("existing").as("origin"))
+    val incoming = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("id"),
+        (col("o_totalprice") + 1).as("v"), lit("incoming").as("origin"))
+    SourceImporter.mergeKeepExisting(existing, incoming, Seq("id"))
+      .orderBy("id")
+  }
+
+  val a11Sql: String =
+    """WITH e AS (SELECT o_orderkey AS id, o_totalprice AS v,
+      |    'existing' AS origin FROM orders WHERE o_orderkey % 2 = 0),
+      |i AS (SELECT o_orderkey AS id, o_totalprice + 1 AS v,
+      |    'incoming' AS origin FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT * FROM e
+      |UNION ALL
+      |SELECT * FROM i WHERE id NOT IN (SELECT id FROM e)
+      |ORDER BY id""".stripMargin
+
   // ---- S9: alert-producer unsent selection ----------------------------
 
   /** lineitem → ppdb-shaped detections with every third id already
@@ -622,6 +675,8 @@ object FastdbOps {
       |ORDER BY diasourceid""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a10_first_seen" -> (a10FirstSeen _),
+    "a11_keep_existing" -> (a11KeepExisting _),
     "s9_unsent_alerts" -> (s9UnsentAlerts _),
     "hg1_host_match" -> (hg1HostMatch _),
     "b1_brokerinfo" -> (b1BrokerInfo _),
@@ -638,6 +693,8 @@ object FastdbOps {
     "t6_hot_window" -> (t6HotWindow _))
 
   def oracles: Map[String, String] = Map(
+    "a10_first_seen" -> a10Sql,
+    "a11_keep_existing" -> a11Sql,
     "s9_unsent_alerts" -> s9Sql,
     "hg1_host_match" -> hg1Sql,
     "b1_brokerinfo" -> b1Sql,
