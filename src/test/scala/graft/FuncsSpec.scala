@@ -31,6 +31,28 @@ class FuncsSpec extends AnyFunSuite {
     assert(got == math.floor(60000.12345 * 20000).toLong)
   }
 
+  test("F8 flag catalogs: pack/unpack round-trip, missing fields pack as 0") {
+    import graft.functions.FlagBits
+    val df = Seq((true, false, true), (false, true, false))
+      .toDF("centroid_flag", "psfFlux_flag", "glint_trail")
+    val packed = df.select(FlagBits.pack(df, FlagBits.flagsBits).as("flags"))
+    val vals = packed.collect().map(_.getInt(0))
+    assert(vals(0) == (0x1 | 0x20000))      // centroid + glint_trail
+    assert(vals(1) == 0x10)                 // psfFlux_flag only
+    // unpack restores exactly the packed booleans
+    val un = packed.select(FlagBits.unpack(col("flags"), FlagBits.flagsBits): _*)
+      .collect()
+    assert(un(0).getAs[Boolean]("centroid_flag") && un(0).getAs[Boolean]("glint_trail"))
+    assert(!un(0).getAs[Boolean]("psfFlux_flag") && un(1).getAs[Boolean]("psfFlux_flag"))
+    // named single-bit predicate
+    val n = packed.filter(FlagBits.flagSet(col("flags"), "glint_trail",
+      FlagBits.flagsBits)).count()
+    assert(n == 1)
+    // a frame carrying none of the catalog booleans packs to zero
+    val none = Seq(Tuple1(1)).toDF("x")
+    assert(none.select(FlagBits.pack(none, FlagBits.pixelflagsBits)).head().getInt(0) == 0)
+  }
+
   test("F4 MJD ↔ timestamp (epoch 40587) round-trips at microsecond precision") {
     // 60000.5 + 1.234567 s: a whole-second truncation would lose the
     // fractional second (~1.4e-5 mjd) outright
