@@ -35,7 +35,8 @@ object LtcvApi {
   def getObjectInfos(cat: Catalog, procverId: String,
       diaobjectids: Seq[Long] = Nil, rootids: Seq[String] = Nil,
       useWeightedSourcePositions: Boolean = false,
-      alwaysUseWeightedSourcePositions: Boolean = false): DataFrame = {
+      alwaysUseWeightedSourcePositions: Boolean = false,
+      includeHostinfo: Boolean = false): DataFrame = {
     val ids = Ltcv.expandObjids(cat, procverId, diaobjectids, rootids)
     val prios = cat.dims.priorities(procverId, "diaobject")
     val pos = cat.diaobjectPosition
@@ -50,6 +51,7 @@ object LtcvApi {
           struct(col("ra").isNull, col("diaobjectid"))).as("_pos"))
       .select(col("rootid"), col("diaobjectids"),
         col("_pos.ra").as("ra"), col("_pos.dec").as("dec"))
+    val positioned =
     if (!(useWeightedSourcePositions || alwaysUseWeightedSourcePositions)) base
     else {
       val known =
@@ -76,6 +78,32 @@ object LtcvApi {
           when(col("ra").isNull, col("_wrastd")).as("rastd"),
           when(col("ra").isNull, col("_wdecstd")).as("decstd"),
           when(col("ra").isNull, col("_wcov")).as("ra_dec_cov"))
+    }
+    if (!includeHostinfo) positioned
+    else (cat.hostGalaxy, cat.diaobjectHostMatch) match {
+      case (Some(hosts), Some(matches)) =>
+        // ltcvapp's include_hostinfo: attach the best (lowest-prio)
+        // host's columns per root. Matches are diaobjectid-keyed (and
+        // may span base procvers), so lift to rootid through the
+        // expanded id set and argmax once more — both argmaxes are
+        // partial-aggregating min_by, no window sort.
+        val best = graft.host.HostGalaxy.bestHost(matches, hosts)
+        val perRoot = ids.join(best, Seq("diaobjectid"))
+          .groupBy("rootid")
+          .agg(min_by(struct(col("host_id"), col("prio"), col("host_ra"),
+            col("host_dec"), col("info")),
+            struct(col("prio"), col("host_galaxy_id"))).as("_h"))
+          .select(col("rootid"),
+            col("_h.host_id").as("hostgal_id"),
+            col("_h.prio").as("hostgal_prio"),
+            col("_h.host_ra").as("hostgal_ra"),
+            col("_h.host_dec").as("hostgal_dec"),
+            col("_h.info").as("hostgal_info"))
+        positioned.join(perRoot, Seq("rootid"), "left_outer")
+      // a catalog without a host import returns infos unchanged — the
+      // reference errors instead, but absent tables here are a typed
+      // None, not a broken deployment
+      case _ => positioned
     }
   }
 

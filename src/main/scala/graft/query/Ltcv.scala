@@ -15,7 +15,11 @@ final case class Catalog(
     diaobjectPosition: DataFrame,
     diasource: DataFrame,
     diaforcedsource: DataFrame,
-    dims: ProcVerDims)
+    dims: ProcVerDims,
+    // host-galaxy surface (refactor.sql:113-167); optional because a
+    // catalog without a DR import simply has no hosts to join
+    hostGalaxy: Option[DataFrame] = None,
+    diaobjectHostMatch: Option[DataFrame] = None)
 
 /** Lightcurve query core — the load-bearing semantics of the reference
   * (SURVEY.md §3.1): processing-version priority dedup (A1), the

@@ -65,6 +65,37 @@ class ApiSkewSpec extends AnyFunSuite {
     assert(!unc("root-1"), "weighted position must carry its std")
   }
 
+  test("getObjectInfos include_hostinfo attaches the best-prio host per root") {
+    import spark.implicits._
+    // root-0's members (100, 1000) match hosts HA (prio 1) and HB
+    // (prio 0) — the prio-0 host must win at the root level
+    val hosts = Seq(
+      ("uuid-a", "cat", "HA", "bpv", 10.0, 20.0, "{}"),
+      ("uuid-b", "cat", "HB", "bpv", 30.0, 40.0, "{\"z\":0.1}"))
+      .toDF("id", "host_catalog", "host_id", "base_procver_id", "ra", "dec", "info")
+    val matches = Seq(
+      (100L, "uuid-a", "bpv", 1.toShort),
+      (1000L, "uuid-b", "bpv", 0.toShort))
+      .toDF("diaobjectid", "host_galaxy_id", "base_procver_id", "prio")
+    val cat2 = cat.copy(hostGalaxy = Some(hosts), diaobjectHostMatch = Some(matches))
+    val infos = LtcvApi.getObjectInfos(cat2, "pvid-pv1",
+        rootids = FixtureWorld.roots.map(_._1), includeHostinfo = true)
+      .collect().map(r => r.getAs[String]("rootid") -> r).toMap
+    val r0 = infos("root-0")
+    assert(r0.getAs[String]("hostgal_id") == "HB")
+    assert(r0.getAs[Short]("hostgal_prio") == 0)
+    assert(r0.getAs[Double]("hostgal_ra") == 30.0)
+    assert(r0.getAs[String]("hostgal_info") == "{\"z\":0.1}")
+    // roots without any match keep null host columns
+    assert(infos.exists { case (root, r) =>
+      root != "root-0" && r.isNullAt(r.fieldIndex("hostgal_id")) })
+    // without the flag (or without host tables) the columns are absent
+    assert(!LtcvApi.getObjectInfos(cat2, "pvid-pv1",
+      rootids = Seq("root-0")).columns.contains("hostgal_id"))
+    assert(!LtcvApi.getObjectInfos(cat, "pvid-pv1", rootids = Seq("root-0"),
+      includeHostinfo = true).columns.contains("hostgal_id"))
+  }
+
   test("random object is reproducible with a seed and member of the procver") {
     val a = LtcvApi.randomObject(cat, "pvid-pv1", seed = 7)
     val b = LtcvApi.randomObject(cat, "pvid-pv1", seed = 7)
