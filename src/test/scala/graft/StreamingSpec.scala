@@ -259,6 +259,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(AlertProducer.alertsToSend(sources, sent2, addedDays = 5.0).count() == 0)
   }
 
+  test("stateful burst trigger: fires once per object, carries state across batches") {
+    import graft.streaming.StatefulTriggers
+    import graft.streaming.StatefulTriggers.{BurstTrigger, Det}
+    implicit val detEnc = org.apache.spark.sql.Encoders.product[Det]
+
+    val inDir = Files.createTempDirectory("dets").toString
+    val ckDir = Files.createTempDirectory("detck").toString
+    // wave 1: object 1 has two detections close together; object 2 one
+    Seq(Det(1L, 100.0), Det(1L, 100.5), Det(2L, 100.0))
+      .toDF().write.parquet(s"$inDir/w1")
+    val collected = scala.collection.mutable.ListBuffer[BurstTrigger]()
+    def runWave(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Det]].schema)
+        .parquet(s"$inDir/*").as[Det]
+      val q = StatefulTriggers.burstTriggers(stream, minDets = 3, windowDays = 2.0)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[BurstTrigger], _: Long) =>
+          collected ++= b.collect(); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    runWave()
+    assert(collected.isEmpty, "no object has 3 detections yet")
+
+    // wave 2: object 1's third detection lands within the window →
+    // trigger (state crossed the batch boundary); object 2's second
+    // detection is outside the 2-day window → still nothing
+    Seq(Det(1L, 101.0), Det(2L, 105.0)).toDF().write.parquet(s"$inDir/w2")
+    runWave()
+    assert(collected.map(t => (t.diaobjectid, t.ndets, t.triggerMjd)).toList
+      == List((1L, 3, 101.0)))
+
+    // wave 3: more detections on object 1 do NOT re-fire
+    Seq(Det(1L, 101.2), Det(1L, 101.3)).toDF().write.parquet(s"$inDir/w3")
+    runWave()
+    assert(collected.size == 1)
+  }
+
   test("broker variants: wire framing, topic rediscovery, config invariants") {
     import graft.streaming.{AlertProducer, AvroAlerts, Brokers}
     // Confluent-wire framing: a 5-byte magic+schema-id prefix must be
