@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.functions.SqlFunctions
+
+/** The ad-hoc SQL surface exercised end-to-end: registered graft
+  * functions (q3c cone predicates, flux↔mag, MJD conversions, bit
+  * tests) resolving inside a plain `spark.sql` statement over the
+  * registered table views — the migration path for a reference user's
+  * existing q3c SQL (src/webserver/dbapp.py:126-232 hands exactly this
+  * kind of statement to Postgres+q3c).
+  */
+object SqlSurface {
+
+  /** Cone search + photometric conversions, entirely in SQL through
+    * the registered function surface. Positions synthesized from
+    * c_custkey exactly as j6 does; every scalar the SELECT computes
+    * goes through a registered graft function. */
+  def x1SqlCone(s: SparkSession, d: String): DataFrame = {
+    SqlFunctions.register(s)
+    Tables.registerAll(s, d)
+    s.sql("""
+      WITH c AS (SELECT c_custkey, (c_custkey % 3600) * 0.1 AS ra,
+                   (c_custkey % 1700) * 0.1 - 85.0 AS dec,
+                   1000.0 + c_custkey % 5000 AS flux
+                 FROM customer)
+      SELECT c_custkey,
+        ROUND(q3c_dist(ra, dec, 7.5, -77.5), 6) AS sep_deg,
+        zone_id(dec, 0.5) AS zid,
+        ROUND(flux2mag(flux), 6) AS mag,
+        ROUND(timestamp_to_mjd(mjd_to_timestamp(60000.0 + c_custkey * 0.001)), 6) AS mjd_rt
+      FROM c
+      WHERE q3c_radial_query(ra, dec, 7.5, -77.5, 15.0)
+        AND has_any_bit(CAST(c_custkey % 16 AS INT), 5)
+      ORDER BY c_custkey""")
+  }
+
+  /** DuckDB replay: haversine spelled out (same formula as
+    * Funcs.greatCircleDeg), zeropoint arithmetic inline. */
+  val x1Sql: String =
+    """WITH c AS (SELECT c_custkey, (c_custkey % 3600) * 0.1 AS ra,
+      |             (c_custkey % 1700) * 0.1 - 85.0 AS dec,
+      |             1000.0 + c_custkey % 5000 AS flux
+      |           FROM customer),
+      |d AS (SELECT c_custkey, dec, flux,
+      |        DEGREES(2 * ASIN(SQRT(
+      |          POWER(SIN(RADIANS(-77.5 - dec) / 2), 2) +
+      |          COS(RADIANS(dec)) * COS(RADIANS(-77.5)) *
+      |          POWER(SIN(RADIANS(7.5 - ra) / 2), 2)))) AS sep
+      |      FROM c)
+      |SELECT c_custkey, ROUND(sep, 6) AS sep_deg,
+      |  CAST(FLOOR((dec + 90.0) / 0.5) AS INT) AS zid,
+      |  ROUND(-2.5 * LOG10(flux) + 31.4, 6) AS mag,
+      |  ROUND(60000.0 + c_custkey * 0.001, 6) AS mjd_rt
+      |FROM d
+      |WHERE sep <= 15.0 AND (c_custkey % 16) & 5 != 0
+      |ORDER BY c_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_sql_cone" -> (x1SqlCone _))
+
+  def oracles: Map[String, String] = Map(
+    "x1_sql_cone" -> x1Sql)
+}

@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → catalyst Expression conversion. The lazy
+    * [[toExpression]] wrapper (`ColumnNodeExpression`) is only unwrapped
+    * by a rule that runs at the START of analysis — an expression
+    * produced *during* analysis (e.g. returned by a FunctionBuilder in
+    * the FunctionRegistry) would keep the wrapper all the way to codegen
+    * and fail. This converts immediately to plain catalyst nodes
+    * (UnresolvedFunction etc.), which the analyzer then resolves like
+    * any parsed SQL. */
+  def toExpressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
