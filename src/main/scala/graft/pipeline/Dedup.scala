@@ -214,6 +214,46 @@ object Dedup {
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Fused shingles + SimHash: ONE tokenize/posexplode pass feeds both
+    * the n-gram lead-window and the 64 sign-sum aggregates, in a single
+    * per-document aggregation (collect_set rides with the codegen'd
+    * conditional sums in the same ObjectHashAggregate).
+    *
+    * vs running [[withShingles]] then [[withSimhash]]: saves a second
+    * full-corpus scan + regex split + explode, a second shuffle (the
+    * window's (id, pos) exchange already co-locates by id, so the
+    * groupBy needs no further exchange), and one join back to `df`.
+    * Values are identical: the window's trailing `lead` nulls produce a
+    * null gram, which `collect_set` skips, and every word row still
+    * contributes its ±1 to each bit sum exactly as [[withSimhash]]'s
+    * separate explode did. Same id contract as [[withShingles]]. */
+  def withShinglesAndSimhash(df: DataFrame, idCol: String, textCol: String,
+      n: Int, shinglesOut: String, simOut: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_sh_id")).orderBy(col("_sh_pos"))
+    val words = df.select(col(idCol).as("_sh_id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("_sh_pos", "_sh_w0")))
+    val leads = words.select(col("_sh_id") +: col("_sh_w0") +:
+      (1 until n).map(k => lead(col("_sh_w0"), k).over(w).as(s"_sh_w$k")): _*)
+    val withGram = leads
+      .withColumn("_sh_g", when(col(s"_sh_w${n - 1}").isNotNull,
+        concat_ws(" ", (0 until n).map(k => col(s"_sh_w$k")): _*)))
+      .withColumn("_h", xxhash64(col("_sh_w0")))
+    val sumAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$b")
+    }
+    val grouped = withGram.groupBy(col("_sh_id"))
+      .agg(collect_set(col("_sh_g")).as(shinglesOut), sumAggs: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    df.join(grouped.select(col("_sh_id"), col(shinglesOut), sim.as(simOut)),
+        df(idCol) === col("_sh_id"), "left")
+      .drop("_sh_id")
+      .withColumn(shinglesOut, coalesce(col(shinglesOut), array().cast("array<string>")))
+  }
+
   /** Add a `_sim` SimHash column to `df`, computed by exploding tokens
     * and running 64 codegen'd conditional sums (map-side combined) —
     * same value as [[simhash64]], minus the interpreted per-row nested
@@ -242,12 +282,14 @@ object Dedup {
       maxHamming: Int = 3, shingleWords: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     // persist: consumed by the block join (twice) and the verification
-    // joins (twice) — see minhashNearDups
-    val base = withSimhash(
-      withShingles(df.select(col(idCol), col(textCol)), idCol, textCol, shingleWords, "_shingles")
-        .filter(size(col("_shingles")) > 0)
-        .withColumn("_tokens", split(trim(col(textCol)), "\\s+")),
-      idCol, "_tokens").persist()
+    // joins (twice) — see minhashNearDups. Shingles and signature come
+    // from the single fused pass (withShinglesAndSimhash); docs too
+    // short to shingle drop out after it, exactly as the two-pass
+    // version's pre-filter did (their signatures are never joined).
+    val base = withShinglesAndSimhash(df.select(col(idCol), col(textCol)),
+        idCol, textCol, shingleWords, "_shingles", "_sim")
+      .filter(size(col("_shingles")) > 0)
+      .persist()
     // Multi-index on PAIRS of blocks (Manku-style combined keys): split
     // the 64 bits into nBlocks = maxHamming + 2 blocks; <= maxHamming
     // differing bits dirty at most maxHamming blocks, leaving >= 2

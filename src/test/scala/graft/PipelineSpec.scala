@@ -57,6 +57,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((5L, 200L)), "planted near-dup should survive at hamming<=8")
   }
 
+  test("fused shingles+simhash pass equals the separate two-pass computation") {
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getSeq[String](1).toSet, r.getLong(2))
+    val fused = Dedup.withShinglesAndSimhash(corpus, "doc_id", "text", 3, "_sh", "_sim")
+      .select(col("doc_id"), col("_sh"), col("_sim")).collect().map(key).toMap
+    val sep = Dedup.withSimhash(
+        Dedup.withShingles(corpus, "doc_id", "text", 3, "_sh")
+          .withColumn("_tokens", split(trim(col("text")), "\\s+")),
+        "doc_id", "_tokens")
+      .select(col("doc_id"), col("_sh"), col("_sim")).collect().map(key).toMap
+    assert(fused.keySet == sep.keySet)
+    fused.foreach { case (id, v) => assert(v == sep(id), s"doc $id diverges") }
+  }
+
   test("ngram jaccard matches hand-computed value on the planted near-dup") {
     val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.1)
       .filter(col("id_a") === 5L && col("id_b") === 200L)
