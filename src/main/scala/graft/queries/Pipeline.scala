@@ -93,6 +93,42 @@ object Pipeline {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup pairs → disjoint clusters + kept representative: the
+    * exact d4 pair graph through large-star/small-star connected
+    * components. Deterministic (exact pairs, min-id labels) → oracled
+    * via a DuckDB recursive-CTE transitive closure. */
+  def cc1DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5, prefixFilter = false)
+    graft.pipeline.Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .orderBy("doc_id")
+  }
+
+  val cc1Sql: String =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+      |                   for i in range(1, len(wd) - 1)]) AS sh
+      |  FROM w WHERE len(wd) >= 3),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT d.doc_id,
+      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, cluster, cluster = doc_id AS is_rep
+      |FROM lbl ORDER BY doc_id""".stripMargin
+
   // ---- similarity search -------------------------------------------
 
   /** Brute-force cosine top-5 for the first 10 vectors; ranking on the
@@ -254,6 +290,7 @@ object Pipeline {
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embed_neardup" -> (d5EmbedNearDup _),
+    "cc1_dedup_clusters" -> (cc1DedupClusters _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -265,6 +302,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d4_ngram_jaccard" -> d4Sql,
+    "cc1_dedup_clusters" -> cc1Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,
