@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR
   * and prints one JSON line.
   *
-  * Each query is executed twice: the first (cold) run pays whole-stage
-  * codegen compilation and JVM warmup — fixed per-plan overhead that
-  * amortizes away on a long-lived cluster — and the second (warm) run
-  * measures steady-state execution. `value`/`queries` report warm
-  * times; `cold_total` preserves the first-run total for reference.
+  * Each query is executed four times: the first (cold) run pays
+  * whole-stage codegen compilation and JVM warmup — fixed per-plan
+  * overhead that amortizes away on a long-lived cluster — then three
+  * warm runs measure steady state. `value`/`queries` report the warm
+  * MEDIAN (robust to the single-JVM container's documented ±50%
+  * scheduler/GC jitter, which best-of-2 was not); `queries_best` keeps
+  * the minimum as a secondary stat, `queries_cold`/`cold_total` the
+  * first-run times.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,23 +34,36 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
-      // warm = best of two post-warmup runs: single-JVM 32-thread runs
-      // jitter by multiples under GC/scheduler contention, and the
-      // steady-state minimum is the statistic that transfers to a
-      // cluster. Caches are cleared between runs so operators that
-      // persist() intermediates are measured recomputing, not hitting
-      // the previous run's cache.
-      def cleanRun(): Double = { val t = run(); spark.catalog.clearCache(); t }
-      val cold = cleanRun(); val warm = math.min(cleanRun(), cleanRun())
-      (name, cold, warm)
+      // Between runs: clearCache drops CacheManager entries so
+      // operators that persist() intermediates are measured
+      // recomputing, and unpersisting every registered RDD frees
+      // localCheckpoint blocks (connected components), which
+      // clearCache does NOT touch — without this, earlier queries'
+      // checkpoint blocks squat on executor memory and skew later
+      // queries' times.
+      def cleanRun(): Double = {
+        val t = run()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        t
+      }
+      val cold = cleanRun()
+      val warms = Seq(cleanRun(), cleanRun(), cleanRun()).sorted
+      (name, cold, warms(1), warms.head)
     }
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
+    def jsonMap(f: ((String, Double, Double, Double)) => (String, Double)) =
+      results.map(r => { val (k, v) = f(r); "\"" + k + "\":" + v })
+        .mkString("{", ",", "}")
+    val qs = jsonMap(r => (r._1, r._3))
+    val qsBest = jsonMap(r => (r._1, r._4))
+    val qsCold = jsonMap(r => (r._1, r._2))
     val total = results.map(_._3).sum
+    val bestTotal = results.map(_._4).sum
     val coldTotal = results.map(_._2).sum
     val (ingestRows, ingestSec, reimportSec) = ingestBench(spark, sfDir)
     val ingestRate = if (ingestSec > 0) ingestRows / ingestSec else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_rows_per_sec":$ingestRate,"reimport_sec":$reimportSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_best":$qsBest,"queries_cold":$qsCold,"best_total":$bestTotal,"cold_total":$coldTotal,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_rows_per_sec":$ingestRate,"reimport_sec":$reimportSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 

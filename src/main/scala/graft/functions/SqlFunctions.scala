@@ -21,7 +21,9 @@ import org.apache.spark.sql.graftbridge.Bridge
   * codegen'd [[DotProduct]]), so the SQL surface inherits whole-stage
   * codegen — these are Catalyst expression trees, not UDFs: a
   * `WHERE q3c_radial_query(...)` predicate stays inside the scan's
-  * codegen stage and its dec-range conjunct can push down to parquet.
+  * codegen stage, and the dec-band conjunct it expands to (a plain
+  * column range test, asserted sargable in SqlFunctionsSpec) pushes
+  * down to the parquet scan for row-group skipping.
   */
 object SqlFunctions {
 
@@ -38,7 +40,15 @@ object SqlFunctions {
       Set(4), a => Funcs.greatCircleDeg(a(0), a(1), a(2), a(3))),
     Fn("q3c_radial_query",
       "q3c_radial_query(ra, dec, center_ra, center_dec, radius_deg) - true iff within the cone",
-      Set(5), a => Funcs.greatCircleDeg(a(0), a(1), a(2), a(3)) <= a(4)),
+      // the dec-band conjunct is implied by the haversine cut
+      // (|Δdec| ≤ great-circle separation) so it never changes the
+      // result — but it is a plain `dec >= lo AND dec <= hi`
+      // comparison on the column, which Catalyst CAN push into the
+      // parquet scan for row-group min/max skipping, where the
+      // trig expression cannot. This is what q3c's index does on
+      // Postgres; without it a cone WHERE full-scans 100 TB.
+      Set(5), a => (a(1) >= a(3) - a(4)) && (a(1) <= a(3) + a(4)) &&
+        (Funcs.greatCircleDeg(a(0), a(1), a(2), a(3)) <= a(4))),
     Fn("flux2mag",
       "flux2mag(flux_njy) - AB magnitude at the survey zeropoint 31.4",
       Set(1), a => Funcs.flux2mag(a(0))),
@@ -74,10 +84,16 @@ object SqlFunctions {
     new ExpressionInfo("graft", null, f.name, f.usage, "")
 
   /** Register every function into an existing session (temp-function
-    * scope — the non-extensions path used by tests and local tools). */
-  def register(spark: SparkSession): Unit = all.foreach { f =>
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(f.name, builder(f) _, "built-in")
+    * scope — the non-extensions path used by tests and local tools).
+    * Idempotent: already-registered names are left alone, so callers
+    * may invoke this per-query without spamming "function replaced"
+    * warnings or mutating shared session state on every run. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { f =>
+      if (!reg.functionExists(FunctionIdentifier(f.name)))
+        reg.createOrReplaceTempFunction(f.name, builder(f) _, "built-in")
+    }
   }
 
   /** Extension-based injection, for `spark.sql.extensions` deploys. */

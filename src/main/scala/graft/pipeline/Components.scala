@@ -51,16 +51,46 @@ object Components {
     reattached.union(center).distinct()
   }
 
+  /** Storage blocks created by `localCheckpoint()` live on the wrapped
+    * RDD (the `LogicalRDD` leaf's `rdd`), NOT in the CacheManager —
+    * `Dataset.unpersist()` is a no-op for them and they otherwise wait
+    * for GC + ContextCleaner. Unpersist the backing RDDs directly so a
+    * long-lived session doesn't accumulate one block set per CC round. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Free the checkpoint blocks backing a frame returned by
+    * [[connectedComponents]]/[[dedupClusters]] once the caller has
+    * consumed (or persisted) the result. After this the frame can no
+    * longer be recomputed. */
+  def release(df: DataFrame): Unit = freeCheckpoint(df)
+
   /** Connected components of the undirected graph given as an edge
     * list. Returns (node, component) for every node that appears in an
     * edge, where component = the minimum node id of its component.
     *
+    * CONTRACT: `srcCol`/`dstCol` must be (castable to) integral ids —
+    * labels are component-minimum under numeric total order, and under
+    * Spark 4 ANSI mode a non-numeric string id throws
+    * CAST_INVALID_INPUT at runtime. Hash non-numeric ids to longs
+    * upstream (cf. `Dedup.withShingles`' id contract).
+    *
     * Convergence is detected by an order-insensitive edge-set signature
-    * (count + sum of per-edge hashes) — one cheap aggregate per round
-    * instead of a full `except` anti-join. `maxIter` is a safety bound;
-    * the alternation provably converges in O(log² n) rounds (O(log n)
-    * in practice) and the require() makes a silent partial result
-    * impossible. */
+    * (count + XOR of per-edge hashes) — one cheap aggregate per round
+    * instead of a full `except` anti-join — then confirmed ONCE by an
+    * exact `except` when the signature first repeats, so even a 2⁻⁶⁴
+    * hash collision between different edge sets cannot end the loop
+    * early. `maxIter` is a safety bound; the alternation provably
+    * converges in O(log² n) rounds (O(log n) in practice) and the
+    * require() makes a silent partial result impossible.
+    *
+    * The returned frame is backed by checkpoint blocks; call
+    * [[release]] when done with it (every superseded round's blocks
+    * are freed eagerly inside the loop). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
@@ -94,28 +124,36 @@ object Components {
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val nextSig = signature(next)
-      e.unpersist()
+      // exact confirmation runs at most once per convergence (both
+      // sides are distinct() sets of equal count, so one-directional
+      // except-is-empty ⇒ set equality)
+      converged = nextSig == sig && next.except(e).isEmpty
+      freeCheckpoint(e)
       e = next
-      converged = nextSig == sig
       sig = nextSig
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
 
     // fixpoint edges are stars (node → component min); the centers
-    // themselves appear only as dst, so union them back as self-labels
+    // themselves appear only as dst, so union them back as self-labels.
+    // Eagerly checkpointed, so freeing e's blocks below is safe.
     val out = e.select(col("src").as("node"), col("dst").as("component"))
       .union(e.select(col("dst").as("node"), col("dst").as("component")))
       .groupBy("node").agg(min(col("component")).as("component"))
       .localCheckpoint()
-    e.unpersist()
+    freeCheckpoint(e)
     out
   }
 
   /** Cluster assignment for a document table given near-dup pairs:
     * every doc gets a `cluster` (min doc id of its duplicate group;
     * singletons cluster as themselves) and `is_rep` marks the one row
-    * per cluster a dedup pipeline keeps. */
+    * per cluster a dedup pipeline keeps.
+    *
+    * Same numeric-id contract as [[connectedComponents]]; the result
+    * references its checkpointed component map — [[release]] it after
+    * the output is consumed or persisted. */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val comp = connectedComponents(pairs, srcCol, dstCol)

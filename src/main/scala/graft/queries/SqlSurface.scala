@@ -16,7 +16,13 @@ object SqlSurface {
   /** Cone search + photometric conversions, entirely in SQL through
     * the registered function surface. Positions synthesized from
     * c_custkey exactly as j6 does; every scalar the SELECT computes
-    * goes through a registered graft function. */
+    * goes through a registered graft function.
+    *
+    * The 15.0° cutoff is evaluated by two different floating-point
+    * stacks (Spark's asin/sqrt vs DuckDB's): safe here because the
+    * synthesized positions land on a 0.1° lattice, so every fixture
+    * separation keeps ≫1 ULP of margin from the boundary — keep any
+    * future cutoff off the lattice the same way. */
   def x1SqlCone(s: SparkSession, d: String): DataFrame = {
     SqlFunctions.register(s)
     Tables.registerAll(s, d)

@@ -56,6 +56,20 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("no checkpoint storage blocks survive dedupClusters + release") {
+    // localCheckpoint registers its RDD in sc.persistentRdds;
+    // Dataset.unpersist() would NOT remove it (CacheManager only).
+    // The loop must free each superseded round and release() the rest.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = (1L to 40L).toDF("doc_id")
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+    assert(out.count() == 40)          // consume the result first
+    Components.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
   test("empty edge list yields empty labels; dedupClusters makes singletons") {
     assert(run(Seq.empty).isEmpty)
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")

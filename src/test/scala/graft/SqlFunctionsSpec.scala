@@ -57,6 +57,52 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
   }
 
+  test("q3c_radial_query is sargable: dec band pushes into the parquet scan") {
+    val s = registered
+    val dir = java.nio.file.Files.createTempDirectory("q3c_sarg").toString
+    (0 until 1000).map(i => (i.toLong, (i % 360).toDouble, i * 0.17 - 85.0))
+      .toDF("id", "ra", "dec")
+      .write.mode("overwrite").parquet(s"$dir/pts")
+    s.read.parquet(s"$dir/pts").createOrReplaceTempView("sarg_pts")
+    val q = s.sql(
+      "SELECT id FROM sarg_pts WHERE q3c_radial_query(ra, dec, 42.0, 13.0, 0.5)")
+    // the expanded dec-band conjunct is a plain column range test, so
+    // the parquet source must receive dec >= / <= as pushed filters
+    // (row-group min/max skipping at 100 TB); the trig conjunct stays
+    // in the post-scan codegen filter
+    val scan = q.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(dec,12.5)") &&
+      scan.contains("LessThanOrEqual(dec,13.5)"),
+      s"dec band not pushed to parquet:\n$scan")
+    // and the predicate still computes the correct membership
+    assert(q.collect().map(_.getLong(0)).toSet ==
+      (0 until 1000).filter { i =>
+        val (ra, dec) = ((i % 360).toDouble, i * 0.17 - 85.0)
+        val sep = {
+          val dLat = math.toRadians(13.0 - dec)
+          val dLon = math.toRadians(42.0 - ra)
+          val a = math.pow(math.sin(dLat / 2), 2) +
+            math.cos(math.toRadians(dec)) * math.cos(math.toRadians(13.0)) *
+              math.pow(math.sin(dLon / 2), 2)
+          math.toDegrees(2 * math.asin(math.sqrt(a)))
+        }
+        sep <= 0.5
+      }.map(_.toLong).toSet)
+  }
+
+  test("register is idempotent: second call does not replace registered builders") {
+    val s = registered
+    val reg = s.sessionState.functionRegistry
+    val before = reg.lookupFunctionBuilder(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("q3c_dist"))
+    SqlFunctions.register(s)
+    val after = reg.lookupFunctionBuilder(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("q3c_dist"))
+    assert(before.isDefined && (before.get eq after.get),
+      "register() re-created an already-registered function")
+  }
+
   test("wrong arity fails analysis with the usage hint, not at runtime") {
     val s = registered
     val ex = intercept[Exception](s.sql("SELECT q3c_dist(1.0, 2.0) FROM range(1)").collect())
