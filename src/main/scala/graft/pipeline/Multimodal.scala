@@ -8,14 +8,111 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery — schema, partition-sized batching, typed
   * Dataset mapPartitions (the Scala analogue of `mapInPandas`: one
-  * iterator per partition, vectorizable) — is real and tested. The
-  * codec itself is STUBBED: this container has no image/audio
-  * libraries, so `decodeStub` produces deterministic byte-level
-  * pseudo-features. In a real deployment, replace `decodeStub`'s body
-  * with the actual codec call (JNI/javacpp ffmpeg, ImageIO, …); every
-  * other line stays.
+  * iterator per partition, vectorizable) — is real and tested.
+  *
+  * IMAGE decode is REAL: JDK ImageIO ships PNG/JPEG/BMP/GIF readers in
+  * the JRE, so [[imageStats]]/[[decodeImage]] decode actual pixels
+  * (dims, channel count, per-channel moments) with zero external
+  * dependencies. Audio/video decode remains STUBBED ([[decodeStub]] —
+  * no ffmpeg in this container); in a real deployment replace that one
+  * body with the codec call (JNI/javacpp ffmpeg, …); every other line
+  * stays.
   */
 object Multimodal {
+
+  /** Exact per-image statistics from a real ImageIO decode: integer
+    * channel sums are EXACT (no float accumulation), which is what
+    * lets a decode query hash-match a SQL oracle bit-for-bit. */
+  final case class ImageStats(
+      width: Int, height: Int, channels: Int,
+      sums: Array[Long],                 // per-channel Σ sample
+      sumSquares: Array[Double])         // per-channel Σ sample² (exact ≤ 2⁵³)
+
+  /** Decode an image payload with JDK ImageIO. Returns None when no
+    * installed reader recognises the bytes (audio/video/garbage) —
+    * callers fall back to [[decodeStub]]. Streams the raster
+    * row-by-row; memory is O(width·bands). */
+  def imageStats(content: Array[Byte]): Option[ImageStats] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val nch = raster.getNumBands
+        val sums = new Array[Long](nch)
+        val sqs = new Array[Double](nch)
+        val rowBuf = new Array[Int](w)
+        var c = 0
+        while (c < nch) {
+          var y = 0
+          while (y < h) {
+            raster.getSamples(0, y, w, 1, c, rowBuf)
+            var x = 0
+            while (x < w) {
+              val v = rowBuf(x)
+              sums(c) += v
+              sqs(c) += v.toDouble * v
+              x += 1
+            }
+            y += 1
+          }
+          c += 1
+        }
+        Some(ImageStats(w, h, nch, sums, sqs))
+      }
+    } catch { case _: Exception => None }
+
+  /** Image feature vector from a real decode:
+    * `[width, height, channels, mean_c…, std_c…]` truncated/zero-padded
+    * to `dim`. None when the payload is not a decodable image. */
+  def decodeImage(content: Array[Byte], dim: Int): Option[Array[Float]] =
+    imageStats(content).map { st =>
+      val n = (st.width.toLong * st.height).toDouble
+      val out = new Array[Float](dim)
+      if (dim > 0) out(0) = st.width.toFloat
+      if (dim > 1) out(1) = st.height.toFloat
+      if (dim > 2) out(2) = st.channels.toFloat
+      var c = 0
+      while (c < st.channels) {
+        val mean = st.sums(c) / n
+        if (3 + c < dim) out(3 + c) = mean.toFloat
+        if (3 + st.channels + c < dim)
+          out(3 + st.channels + c) =
+            math.sqrt(math.max(st.sumSquares(c) / n - mean * mean, 0.0)).toFloat
+        c += 1
+      }
+      out
+    }
+
+  /** Deterministic RGB PNG fixture: `pixel(x, y, c) = (x + 2y + id + 5c)
+    * mod 256` over a `(8 + id mod 9) × (8 + id mod 7)` canvas — closed
+    * form a SQL oracle can regenerate, real bytes for the ImageIO
+    * round-trip. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          raster.setSample(x, y, c, ((x + 2L * y + id + 5L * c) % 256).toInt)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** A media row: opaque payload + typed metadata. */
   case class MediaRecord(
@@ -32,10 +129,11 @@ object Multimodal {
       checksum: Long,
       features: Array[Float])        // decoded feature vector (stubbed)
 
-  /** STUB — stands in for the real decoder. Deterministic byte-moment
-    * "features" keep the full pipeline testable end-to-end. */
+  /** STUB — stands in for the real audio/video decoder. Deterministic
+    * byte-moment "features" keep the full pipeline testable end-to-end.
+    * (Images do NOT go through this: see [[decodeImage]].) */
   def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    // ??? real codec goes here (resize / spectrogram / frame-sample)
+    // ??? real a/v codec goes here (spectrogram / frame-sample)
     val out = new Array[Float](dim)
     var i = 0
     while (i < content.length) {
@@ -55,13 +153,18 @@ object Multimodal {
   /** Per-partition batch feature extraction. Partitions stream through
     * the decoder one record at a time with constant memory; at cluster
     * scale, repartition upstream by size so a partition's payload fits
-    * the executor (see `repartitionBySize`). */
+    * the executor (see `repartitionBySize`). Image rows go through the
+    * real ImageIO decode; anything undecodable (and all audio/video)
+    * falls back to the stub. */
   def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
+        val feats =
+          (if (r.media_type == "image") decodeImage(r.content, dim) else None)
+            .getOrElse(decodeStub(r.content, dim))
         MediaFeatures(r.media_id, r.media_type, r.source,
-          r.content.length, checksum(r.content), decodeStub(r.content, dim))
+          r.content.length, checksum(r.content), feats)
       }
     }
   }

@@ -129,6 +129,68 @@ object Pipeline {
       |SELECT doc_id, cluster, cluster = doc_id AS is_rep
       |FROM lbl ORDER BY doc_id""".stripMargin
 
+  /** The artifact a training-data pipeline actually ships: cc1's
+    * clusters applied back to the corpus — one row per KEPT
+    * representative with its cluster size and how many near-dups it
+    * displaced. Deterministic (exact pair graph, min-id labels) →
+    * oracled. */
+  def cc2DedupApply(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5, prefixFilter = false)
+    val clusters = graft.pipeline.Components
+      .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    docs.join(clusters.filter(col("is_rep")), Seq("doc_id"))
+      .join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("source"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  val cc2Sql: String =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+      |                   for i in range(1, len(wd) - 1)]) AS sh
+      |  FROM w WHERE len(wd) >= 3),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT d.doc_id,
+      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id),
+      |sz AS (SELECT cluster, COUNT(*) AS n_members FROM lbl GROUP BY cluster)
+      |SELECT l.doc_id, d.source,
+      |  CAST(sz.n_members AS BIGINT) AS n_members,
+      |  CAST(sz.n_members - 1 AS BIGINT) AS n_dropped
+      |FROM lbl l JOIN documents d ON l.doc_id = d.doc_id
+      |JOIN sz ON l.cluster = sz.cluster
+      |WHERE l.doc_id = l.cluster
+      |ORDER BY l.doc_id""".stripMargin
+
+  /** The probabilistic path composed end-to-end: MinHash-LSH pair graph
+    * → connected components → keep/drop (rows-only: the pair graph is
+    * hash-seed-dependent; CC correctness itself is oracled via cc1/cc2
+    * and differential-tested in ComponentsSpec). */
+  def cc3MinhashClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    graft.pipeline.Components
+      .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .orderBy("doc_id")
+  }
+
   // ---- similarity search -------------------------------------------
 
   /** Brute-force cosine top-5 for the first 10 vectors; ranking on the
@@ -284,6 +346,42 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** REAL image decode end-to-end: a deterministic PNG is synthesized
+    * per doc, encoded, and decoded back through JDK ImageIO
+    * (`Multimodal.imageStats`); the emitted dims + EXACT integer
+    * channel sums are regenerated in closed form by the DuckDB oracle.
+    * Integer sums (not float means) so the hash compare is
+    * rounding-mode-free. */
+  def m2ImageDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val st = Multimodal.imageStats(Multimodal.syntheticPng(id))
+            .getOrElse(throw new IllegalStateException(
+              s"ImageIO failed to decode the synthesized PNG for doc $id"))
+          (id, st.width, st.height, st.channels,
+            st.sums(0), st.sums(1), st.sums(2))
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "sum_c0", "sum_c1", "sum_c2")
+      .orderBy("doc_id")
+  }
+
+  val m2Sql: String =
+    """WITH p AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(8 + doc_id % 7 AS INT) AS h
+      |           FROM documents),
+      |px AS (SELECT p.doc_id, p.w, p.h, x.range AS x, y.range AS y
+      |       FROM p, range(16) x, range(14) y
+      |       WHERE x.range < p.w AND y.range < p.h)
+      |SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+      |  CAST(SUM((x + 2*y + doc_id) % 256) AS BIGINT) AS sum_c0,
+      |  CAST(SUM((x + 2*y + doc_id + 5) % 256) AS BIGINT) AS sum_c1,
+      |  CAST(SUM((x + 2*y + doc_id + 10) % 256) AS BIGINT) AS sum_c2
+      |FROM px GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
@@ -291,20 +389,25 @@ object Pipeline {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embed_neardup" -> (d5EmbedNearDup _),
     "cc1_dedup_clusters" -> (cc1DedupClusters _),
+    "cc2_dedup_apply" -> (cc2DedupApply _),
+    "cc3_minhash_clusters" -> (cc3MinhashClusters _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
-    "m1_multimodal" -> (m1Multimodal _))
+    "m1_multimodal" -> (m1Multimodal _),
+    "m2_image_decode" -> (m2ImageDecode _))
 
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "cc1_dedup_clusters" -> cc1Sql,
+    "cc2_dedup_apply" -> cc2Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,
-    "t4_fingerprint" -> t4Sql)
+    "t4_fingerprint" -> t4Sql,
+    "m2_image_decode" -> m2Sql)
 }

@@ -197,4 +197,38 @@ class PipelineSpec extends AnyFunSuite {
     val frames = Multimodal.frameSample(bytes, 3, 2)
     assert(frames.length == 3 && frames.forall(_.length <= 2))
   }
+
+  test("multimodal: ImageIO decodes real PNGs — dims, sums, features; fallback for garbage") {
+    // PNG round-trip: synthesized pixels must come back exactly
+    for (id <- Seq(0L, 7L, 123L, 100000L)) {
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      val st = Multimodal.imageStats(Multimodal.syntheticPng(id)).get
+      assert(st.width == w && st.height == h && st.channels == 3)
+      for (c <- 0 until 3) {
+        var want = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          want += (x + 2L * y + id + 5L * c) % 256
+        assert(st.sums(c) == want, s"id=$id channel=$c")
+      }
+    }
+    // feature vector layout: [w, h, nch, means, stds]
+    val f = Multimodal.decodeImage(Multimodal.syntheticPng(7L), 9).get
+    val st7 = Multimodal.imageStats(Multimodal.syntheticPng(7L)).get
+    val n = st7.width * st7.height.toDouble
+    assert(f(0) == st7.width && f(1) == st7.height && f(2) == 3f)
+    assert(math.abs(f(3) - st7.sums(0) / n) < 1e-4)
+    // undecodable bytes → None → extractFeatures falls back to the stub
+    assert(Multimodal.imageStats("not an image".getBytes).isEmpty)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.syntheticPng(1L), "s"),
+      Multimodal.MediaRecord(2L, "image", "garbage".getBytes, "s"),
+      Multimodal.MediaRecord(3L, "audio", Multimodal.syntheticPng(1L), "s"))
+      .toDS()
+    val out = Multimodal.extractFeatures(media, dim = 9).collect()
+      .map(r => r.media_id -> r.features).toMap
+    assert(out(1L).sameElements(Multimodal.decodeImage(Multimodal.syntheticPng(1L), 9).get))
+    assert(out(2L).sameElements(Multimodal.decodeStub("garbage".getBytes, 9)))
+    // audio rows never consult ImageIO even when bytes happen to be a PNG
+    assert(out(3L).sameElements(Multimodal.decodeStub(Multimodal.syntheticPng(1L), 9)))
+  }
 }
