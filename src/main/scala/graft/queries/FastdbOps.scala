@@ -22,7 +22,7 @@ object FastdbOps {
 
   /** lineitem → diasource-shaped frame: multiple base procvers per
     * (rootid, visit) key so the priority dedup has real work. */
-  private def liSources(s: SparkSession, d: String): DataFrame =
+  private[queries] def liSources(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("diasourceid"),
       concat(lit("bpv"), (col("l_suppkey") % 3).cast("string")).as("base_procver_id"),
@@ -35,7 +35,7 @@ object FastdbOps {
       (col("l_partkey") * 1e-4).as("ra"),
       (col("l_suppkey") * 1e-4).as("dec"))
 
-  private val liSourcesSql =
+  private[queries] val liSourcesSql =
     """SELECT l_orderkey*10 + l_linenumber AS diasourceid,
       |  'bpv' || CAST(l_suppkey % 3 AS VARCHAR) AS base_procver_id,
       |  CAST(l_orderkey % 1000 AS VARCHAR) AS rootid,
@@ -48,7 +48,7 @@ object FastdbOps {
       |  l_suppkey * 1e-4 AS dec
       |FROM lineitem""".stripMargin
 
-  private def bpvPriorities(s: SparkSession): DataFrame = {
+  private[queries] def bpvPriorities(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(("bpv0", 0), ("bpv1", 1), ("bpv2", 2))
       .toDF("base_procver_id", "priority")

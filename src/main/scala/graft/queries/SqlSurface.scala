@@ -63,9 +63,75 @@ object SqlSurface {
       |WHERE sep <= 15.0 AND (c_custkey % 16) & 5 != 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** The reference's marquee user query — cone search + procver
+    * priority dedup + flux/magnitude cut — as ONE plain-SQL statement
+    * submitted through the asynchronous [[graft.api.QueryQueue]] (not a
+    * bare `spark.sql`): registered q3c/photometric functions resolve
+    * over registered silver-shaped views, the statement passes the
+    * read-only sandbox, executes, persists to the result sink, and the
+    * result is read back — the full ad-hoc stack composed end-to-end
+    * (ref: docs/overview.rst query examples; dbapp.py:72-119 +
+    * long_query_runner.py run the same lifecycle against Postgres).
+    *
+    * Cone center/radius sit off the synthesized 1e-4° position lattice
+    * and inside every SF's partkey range, so membership has float
+    * margin and the result is nonempty at sf0.001/0.01/0.1. */
+  def x2AdhocAstro(s: SparkSession, d: String): DataFrame = {
+    SqlFunctions.register(s)
+    FastdbOps.liSources(s, d).createOrReplaceTempView("diasource")
+    FastdbOps.bpvPriorities(s).createOrReplaceTempView("procver_priority")
+    val dir = java.nio.file.Files.createTempDirectory("x2queue").toString
+    val queue = new graft.api.QueryQueue(s, dir)
+    val id = queue.submit("astro_user", Seq(
+      """WITH hit AS (
+        |  SELECT s.*, p.priority
+        |  FROM diasource s
+        |  JOIN procver_priority p ON s.base_procver_id = p.base_procver_id
+        |  WHERE q3c_radial_query(s.ra, s.dec, 0.02, 0.0005, 0.01505)),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY rootid, visit
+        |      ORDER BY priority DESC, diasourceid DESC, midpointmjdtai DESC,
+        |               psffluxerr DESC, band DESC) AS rn
+        |  FROM hit)
+        |SELECT rootid, visit, diasourceid, base_procver_id,
+        |  ROUND(flux2mag(psfflux * 1000), 6) AS mag,
+        |  ROUND(psfflux, 4) AS psfflux
+        |FROM ranked
+        |WHERE rn = 1 AND psfflux >= 500
+        |ORDER BY rootid, visit""".stripMargin))
+    queue.runAll()
+    val entry = queue.status(id).get
+    require(!entry.error, s"x2 queue execution failed: ${entry.errortext}")
+    // the sink is parquet: re-impose the presentation order on read-back
+    queue.results(id).orderBy("rootid", "visit")
+  }
+
+  val x2Sql: String =
+    s"""WITH src AS (${FastdbOps.liSourcesSql}),
+       |hit AS (
+       |  SELECT *, CAST(SUBSTR(base_procver_id, 4) AS INT) AS priority,
+       |    DEGREES(2 * ASIN(SQRT(
+       |      POWER(SIN(RADIANS(0.0005 - dec) / 2), 2) +
+       |      COS(RADIANS(dec)) * COS(RADIANS(0.0005)) *
+       |      POWER(SIN(RADIANS(0.02 - ra) / 2), 2)))) AS sep
+       |  FROM src),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY rootid, visit
+       |      ORDER BY priority DESC, diasourceid DESC, midpointmjdtai DESC,
+       |               psffluxerr DESC, band DESC) AS rn
+       |  FROM hit WHERE sep <= 0.01505)
+       |SELECT rootid, visit, diasourceid, base_procver_id,
+       |  ROUND(-2.5 * LOG10(psfflux * 1000) + 31.4, 6) AS mag,
+       |  ROUND(psfflux, 4) AS psfflux
+       |FROM ranked
+       |WHERE rn = 1 AND psfflux >= 500
+       |ORDER BY rootid, visit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x1_sql_cone" -> (x1SqlCone _))
+    "x1_sql_cone" -> (x1SqlCone _),
+    "x2_adhoc_astro" -> (x2AdhocAstro _))
 
   def oracles: Map[String, String] = Map(
-    "x1_sql_cone" -> x1Sql)
+    "x1_sql_cone" -> x1Sql,
+    "x2_adhoc_astro" -> x2Sql)
 }
