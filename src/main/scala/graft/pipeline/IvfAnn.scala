@@ -70,6 +70,46 @@ object IvfAnn {
     Index(assigned, centroids)
   }
 
+  /** Persist an index: the assigned corpus laid out PARTITIONED BY
+    * cell id — so a probe's `_cell` equi-join prunes to its cells'
+    * files (dynamic partition pruning against the broadcast probe
+    * list) instead of scanning the corpus — plus the tiny centroid
+    * table. The centroid write lands last, so `centroids/_SUCCESS` is
+    * the commit marker for the whole index. At 100 TB the same layout
+    * holds; you'd additionally bucket within cells by id for
+    * co-located candidate joins. */
+  def save(index: Index, dir: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("_cell").parquet(s"$dir/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def isSaved(dir: String): Boolean =
+    new java.io.File(s"$dir/centroids/_SUCCESS").exists()
+
+  /** Reload a saved index. Probing a loaded index pays only the probe
+    * cost — quantizer training and cell assignment happened at
+    * [[save]] time, which is the deploy shape: build the index once,
+    * serve top-k queries against the persisted cells. */
+  def load(spark: SparkSession, dir: String): Index =
+    Index(spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/centroids"))
+
+  /** Load the index at `dir` if present, else build it from `corpus`
+    * and persist it there. Either way the returned index reads from
+    * the persisted cell-partitioned layout (and the build path frees
+    * its in-memory assignment cache after writing). */
+  def loadOrBuild(corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int, dir: String): Index = {
+    val spark = corpus.sparkSession
+    if (!isSaved(dir)) {
+      val built = buildIndex(corpus, idCol, embCol, nlist)
+      save(built, dir)
+      built.assigned.unpersist()
+    }
+    load(spark, dir)
+  }
+
   /** Top-k per query over the `nprobe` nearest cells. */
   def topK(index: Index, queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id",

@@ -155,6 +155,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("IVF index persists cell-partitioned and reloads to identical top-k") {
+    import graft.pipeline.IvfAnn
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_persist").toString
+    assert(!IvfAnn.isSaved(dir))
+    val viaBuild = IvfAnn.loadOrBuild(emb, "vec_id", "embedding", 8, dir)
+    assert(IvfAnn.isSaved(dir))
+    // the layout is partitioned by cell id → a probe reads only its cells
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_cell="))
+    assert(cellDirs.length == 8, s"expected 8 cell partitions, got ${cellDirs.length}")
+    def topk(ix: IvfAnn.Index) = IvfAnn.topK(ix, q, k = 5, nprobe = 5)
+      .select("q_vec_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = topk(viaBuild)
+    // second loadOrBuild must be a pure load (no retrain) with equal output
+    val viaLoad = IvfAnn.loadOrBuild(emb, "vec_id", "embedding", 8, dir)
+    assert(topk(viaLoad) == first)
+  }
+
   test("text analysis functions: tokens, bpe-ish, punctuation, quality, langid, fingerprint") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
