@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: JDK ImageIO ships PNG/JPEG/BMP/GIF readers in
   * the JRE, so [[imageStats]]/[[decodeImage]] decode actual pixels
   * (dims, channel count, per-channel moments) with zero external
-  * dependencies. Audio/video decode remains STUBBED ([[decodeStub]] —
-  * no ffmpeg in this container); in a real deployment replace that one
-  * body with the codec call (JNI/javacpp ffmpeg, …); every other line
-  * stays.
+  * dependencies. AUDIO decode is REAL for PCM WAV/AIFF/AU:
+  * `javax.sound.sampled` also ships with the JRE
+  * ([[audioStats]]/[[decodeAudio]]). VIDEO is a frame container split
+  * ([[splitPngFrames]]) + real per-frame ImageIO decode
+  * ([[decodeVideo]]); only the container demux is a fixture stand-in
+  * (no ffmpeg in this container) — swap that one function for the
+  * ffmpeg demuxer in a real deployment. [[decodeStub]] remains solely
+  * as the fallback for undecodable payloads and exotic formats.
   */
 object Multimodal {
 
@@ -86,11 +90,12 @@ object Multimodal {
       out
     }
 
-  /** Deterministic RGB PNG fixture: `pixel(x, y, c) = (x + 2y + id + 5c)
-    * mod 256` over a `(8 + id mod 9) × (8 + id mod 7)` canvas — closed
-    * form a SQL oracle can regenerate, real bytes for the ImageIO
-    * round-trip. */
-  def syntheticPng(id: Long): Array[Byte] = {
+  /** Deterministic RGB PNG fixture: `pixel(x, y, c) = (x + 2y + id +
+    * 7·frame + 5c) mod 256` over a `(8 + id mod 9) × (8 + id mod 7)`
+    * canvas — closed form a SQL oracle can regenerate, real bytes for
+    * the ImageIO round-trip. `frame` varies the content for multi-frame
+    * (video) fixtures. */
+  def syntheticPng(id: Long, frame: Int = 0): Array[Byte] = {
     val w = 8 + (id % 9).toInt
     val h = 8 + (id % 7).toInt
     val img = new java.awt.image.BufferedImage(
@@ -102,7 +107,8 @@ object Multimodal {
       while (x < w) {
         var c = 0
         while (c < 3) {
-          raster.setSample(x, y, c, ((x + 2L * y + id + 5L * c) % 256).toInt)
+          raster.setSample(x, y, c,
+            ((x + 2L * y + id + 7L * frame + 5L * c) % 256).toInt)
           c += 1
         }
         x += 1
@@ -112,6 +118,158 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  // ---- video: frame container + real per-frame decode --------------
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** A deterministic "video": `n` PNG frames concatenated back to back
+    * (a trivial container — the per-frame decode is the real part). */
+  def syntheticVideo(id: Long, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) { bos.write(syntheticPng(id, f)); f += 1 }
+    bos.toByteArray
+  }
+
+  /** Split a concatenated-PNG container into frames by scanning for
+    * the 8-byte PNG signature. An 8-byte magic inside compressed frame
+    * data is a ~n/2⁶⁴ coincidence — acceptable for a fixture
+    * container; a real deployment swaps this one function for the
+    * ffmpeg demuxer and keeps everything downstream. */
+  def splitPngFrames(content: Array[Byte]): Seq[Array[Byte]] = {
+    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i <= content.length - PngMagic.length) {
+      if (content(i) == PngMagic(0) && {
+        var j = 1
+        while (j < PngMagic.length && content(i + j) == PngMagic(j)) j += 1
+        j == PngMagic.length
+      }) { starts += i; i += PngMagic.length }
+      else i += 1
+    }
+    starts.toSeq.zipWithIndex.map { case (s, k) =>
+      val end = if (k + 1 < starts.length) starts(k + 1) else content.length
+      java.util.Arrays.copyOfRange(content, s, end)
+    }
+  }
+
+  /** Video feature vector: decode every frame with ImageIO and average
+    * the per-frame image features. None when the payload contains no
+    * decodable frames. */
+  def decodeVideo(content: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val frames = splitPngFrames(content).flatMap(decodeImage(_, dim))
+    if (frames.isEmpty) None
+    else {
+      val out = new Array[Float](dim)
+      frames.foreach { f =>
+        var i = 0
+        while (i < dim) { out(i) += f(i) / frames.length; i += 1 }
+      }
+      Some(out)
+    }
+  }
+
+  // ---- audio: real WAV decode via javax.sound.sampled --------------
+
+  /** Exact per-clip statistics from a real WAV decode: like
+    * [[ImageStats]], integer sample sums are exact so a decode query
+    * can hash-match a SQL oracle. */
+  final case class AudioStats(
+      channels: Int, sampleRate: Int, nFrames: Long,
+      sums: Array[Long],                 // per-channel Σ sample
+      sumSquares: Array[Double])         // per-channel Σ sample²
+
+  /** Decode an audio payload with the JRE's `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM readers ship with the JDK — no external codec).
+    * Supports 16-bit signed PCM, the canonical interchange format;
+    * returns None for anything else — callers fall back to the stub. */
+  def audioStats(content: Array[Byte]): Option[AudioStats] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val ch = fmt.getChannels
+        val bigEndian = fmt.isBigEndian
+        val sums = new Array[Long](ch)
+        val sqs = new Array[Double](ch)
+        val buf = new Array[Byte](4096 * ch * 2)
+        var nFrames = 0L
+        var read = ais.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 2 * ch <= read) {
+            var c = 0
+            while (c < ch) {
+              val lo = buf(i + 2 * c + (if (bigEndian) 1 else 0)) & 0xFF
+              val hi = buf(i + 2 * c + (if (bigEndian) 0 else 1))
+              val v = (hi << 8) | lo
+              sums(c) += v
+              sqs(c) += v.toDouble * v
+              c += 1
+            }
+            nFrames += 1
+            i += 2 * ch
+          }
+          read = ais.read(buf)
+        }
+        Some(AudioStats(ch, fmt.getSampleRate.toInt, nFrames, sums, sqs))
+      }
+    } catch { case _: Exception => None }
+
+  /** Audio feature vector from a real decode:
+    * `[channels, sampleRate, nFrames, mean_c…, std_c…]` truncated or
+    * zero-padded to `dim`. */
+  def decodeAudio(content: Array[Byte], dim: Int): Option[Array[Float]] =
+    audioStats(content).map { st =>
+      val n = math.max(st.nFrames, 1L).toDouble
+      val out = new Array[Float](dim)
+      if (dim > 0) out(0) = st.channels.toFloat
+      if (dim > 1) out(1) = st.sampleRate.toFloat
+      if (dim > 2) out(2) = st.nFrames.toFloat
+      var c = 0
+      while (c < st.channels) {
+        val mean = st.sums(c) / n
+        if (3 + c < dim) out(3 + c) = mean.toFloat
+        if (3 + st.channels + c < dim)
+          out(3 + st.channels + c) =
+            math.sqrt(math.max(st.sumSquares(c) / n - mean * mean, 0.0)).toFloat
+        c += 1
+      }
+      out
+    }
+
+  /** Deterministic 16-bit mono PCM WAV fixture:
+    * `sample(i) = ((i·k) mod 65536) − 32768` with `k = id mod 251 + 3`
+    * over `200 + id mod 100` samples at 8 kHz — closed form for the
+    * oracle, a real RIFF container for the AudioSystem round-trip. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 200 + (id % 100).toInt
+    val k = (id % 251) + 3
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(8000)                      // sample rate
+      .putInt(8000 * 2)                  // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((i * k) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
   }
 
   /** A media row: opaque payload + typed metadata. */
@@ -129,11 +287,13 @@ object Multimodal {
       checksum: Long,
       features: Array[Float])        // decoded feature vector (stubbed)
 
-  /** STUB — stands in for the real audio/video decoder. Deterministic
+  /** STUB — the fallback for payloads no real decoder accepts
+    * (compressed audio, real video containers, garbage). Deterministic
     * byte-moment "features" keep the full pipeline testable end-to-end.
-    * (Images do NOT go through this: see [[decodeImage]].) */
+    * (Images/WAV/PNG-frame video do NOT go through this: see
+    * [[decodeImage]]/[[decodeAudio]]/[[decodeVideo]].) */
   def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    // ??? real a/v codec goes here (spectrogram / frame-sample)
+    // ??? exotic-codec call goes here (mp3/mp4 spectrogram, ffmpeg)
     val out = new Array[Float](dim)
     var i = 0
     while (i < content.length) {
@@ -160,11 +320,15 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        val feats =
-          (if (r.media_type == "image") decodeImage(r.content, dim) else None)
-            .getOrElse(decodeStub(r.content, dim))
+        val decoded = r.media_type match {
+          case "image" => decodeImage(r.content, dim)
+          case "audio" => decodeAudio(r.content, dim)
+          case "video" => decodeVideo(r.content, dim)
+          case _ => None
+        }
         MediaFeatures(r.media_id, r.media_type, r.source,
-          r.content.length, checksum(r.content), feats)
+          r.content.length, checksum(r.content),
+          decoded.getOrElse(decodeStub(r.content, dim)))
       }
     }
   }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: token counting,
@@ -63,5 +64,42 @@ object TextAnalysis {
     val chars = filter(split(lower(text), ""), c => c =!= "")
     aggregate(transform(chars, c => ascii(c).cast("long")),
       lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+  }
+
+  /** Gopher-style repetition signals per document — the standard
+    * filters a training-data pipeline cuts on (fraction of tokens in
+    * the most frequent word / n-gram, distinct ratios). Emitted as
+    * EXACT integer counts, not ratios: integers hash-match across
+    * engines with no rounding-mode hazard, and the ratios are one
+    * division away.
+    *
+    * Shape: explode + two partially-aggregated groupBys keyed on
+    * (doc, term) — per-token work stays in codegen (no interpreted
+    * higher-order lambdas on the hot path), the shuffle is the
+    * aggregation's own, and skew is bounded per document. Documents
+    * with zero tokens produce no row (nothing to measure). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+"))
+        .as(Seq("_pos", "_w")))
+      .filter(col("_w") =!= "")
+    val words = tok.groupBy(idCol, "_w").agg(count(lit(1)).as("_c"))
+      .groupBy(idCol).agg(
+        sum("_c").as("n_tokens"),
+        count(lit(1)).as("n_distinct_words"),
+        max("_c").as("top_word_count"))
+    // adjacent-in-filtered-order pairing: lead() over token position
+    // skips the filtered empties exactly as a filtered-list index does
+    val w = Window.partitionBy(idCol).orderBy("_pos")
+    val bigrams = tok.withColumn("_nxt", lead("_w", 1).over(w))
+      .filter(col("_nxt").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("_w"), col("_nxt")).as("_bg"))
+      .groupBy(idCol, "_bg").agg(count(lit(1)).as("_c"))
+      .groupBy(idCol).agg(
+        sum("_c").as("n_2grams"),
+        count(lit(1)).as("n_distinct_2grams"),
+        max("_c").as("top_2gram_count"))
+    words.join(bigrams, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_2grams", "n_distinct_2grams", "top_2gram_count"))
   }
 }

@@ -340,6 +340,37 @@ object Pipeline {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signals (top-word / top-2-gram
+    * concentration, distinct ratios) as exact integer counts. */
+  def t2Repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionStats(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val t2Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(wd) AS word FROM w),
+      |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM t GROUP BY doc_id, word),
+      |wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |         CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+      |         CAST(MAX(c) AS BIGINT) AS top_word_count
+      |       FROM wc GROUP BY doc_id),
+      |b AS (SELECT doc_id,
+      |        unnest([wd[i] || ' ' || wd[i+1] for i in range(1, len(wd))]) AS bg
+      |      FROM w WHERE len(wd) >= 2),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+      |ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+      |         CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
+      |         CAST(MAX(c) AS BIGINT) AS top_2gram_count
+      |       FROM bc GROUP BY doc_id)
+      |SELECT wa.doc_id, wa.n_tokens, wa.n_distinct_words, wa.top_word_count,
+      |  COALESCE(ba.n_2grams, 0) AS n_2grams,
+      |  COALESCE(ba.n_distinct_2grams, 0) AS n_distinct_2grams,
+      |  COALESCE(ba.top_2gram_count, 0) AS top_2gram_count
+      |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+      |ORDER BY wa.doc_id""".stripMargin
+
   // ---- multimodal --------------------------------------------------
 
   /** Binary-column feature extraction through the typed mapPartitions
@@ -390,6 +421,72 @@ object Pipeline {
       |FROM px GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL per-frame video decode: a 3-frame PNG container is
+    * synthesized per doc, demuxed by signature scan, and every frame
+    * decoded through ImageIO; dims + exact integer channel sums per
+    * frame hash-match the closed-form oracle. */
+  def m3FrameDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val frames = Multimodal.splitPngFrames(Multimodal.syntheticVideo(id, 3))
+        require(frames.length == 3, s"expected 3 frames for doc $id, got ${frames.length}")
+        frames.zipWithIndex.map { case (png, idx) =>
+          val st = Multimodal.imageStats(png).getOrElse(
+            throw new IllegalStateException(s"frame $idx of doc $id failed to decode"))
+          (id, idx, st.width, st.height, st.sums(0), st.sums(1), st.sums(2))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "sum_c0", "sum_c1", "sum_c2")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val m3Sql: String =
+    """WITH p AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(8 + doc_id % 7 AS INT) AS h
+      |           FROM documents),
+      |px AS (SELECT p.doc_id, p.w, p.h, f.range AS f, x.range AS x, y.range AS y
+      |       FROM p, range(3) f, range(16) x, range(14) y
+      |       WHERE x.range < p.w AND y.range < p.h)
+      |SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width, h AS height,
+      |  CAST(SUM((x + 2*y + doc_id + 7*f) % 256) AS BIGINT) AS sum_c0,
+      |  CAST(SUM((x + 2*y + doc_id + 7*f + 5) % 256) AS BIGINT) AS sum_c1,
+      |  CAST(SUM((x + 2*y + doc_id + 7*f + 10) % 256) AS BIGINT) AS sum_c2
+      |FROM px GROUP BY doc_id, f, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** REAL audio decode: a 16-bit PCM WAV is synthesized per doc and
+    * decoded back through the JRE's javax.sound.sampled (RIFF header
+    * parsed by the real reader); format fields + exact integer sample
+    * sums hash-match the closed-form oracle. */
+  def m4AudioDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val st = Multimodal.audioStats(Multimodal.syntheticWav(id)).getOrElse(
+            throw new IllegalStateException(s"WAV for doc $id failed to decode"))
+          // Σv² ≤ 300·2³⁰ ≪ 2⁵³: the double accumulator is exact here
+          (id, st.channels, st.sampleRate, st.nFrames,
+            st.sums(0), st.sumSquares(0).toLong)
+        }
+      }
+      .toDF("doc_id", "channels", "sample_rate", "n_samples", "sum_s", "sum_sq")
+      .orderBy("doc_id")
+  }
+
+  val m4Sql: String =
+    """WITH p AS (SELECT doc_id, 200 + doc_id % 100 AS n, doc_id % 251 + 3 AS k
+      |           FROM documents),
+      |s AS (SELECT p.doc_id, ((i.range * p.k) % 65536) - 32768 AS v
+      |      FROM p, range(300) i WHERE i.range < p.n)
+      |SELECT doc_id, CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+      |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS sum_s,
+      |  CAST(SUM(v * v) AS BIGINT) AS sum_sq
+      |FROM s GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
@@ -405,8 +502,11 @@ object Pipeline {
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
+    "t2_repetition" -> (t2Repetition _),
     "m1_multimodal" -> (m1Multimodal _),
-    "m2_image_decode" -> (m2ImageDecode _))
+    "m2_image_decode" -> (m2ImageDecode _),
+    "m3_frame_decode" -> (m3FrameDecode _),
+    "m4_audio_decode" -> (m4AudioDecode _))
 
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -417,5 +517,8 @@ object Pipeline {
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
-    "m2_image_decode" -> m2Sql)
+    "t2_repetition" -> t2Sql,
+    "m2_image_decode" -> m2Sql,
+    "m3_frame_decode" -> m3Sql,
+    "m4_audio_decode" -> m4Sql)
 }

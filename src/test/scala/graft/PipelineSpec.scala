@@ -253,4 +253,55 @@ class PipelineSpec extends AnyFunSuite {
     // audio rows never consult ImageIO even when bytes happen to be a PNG
     assert(out(3L).sameElements(Multimodal.decodeStub(Multimodal.syntheticPng(1L), 9)))
   }
+
+  test("multimodal: javax.sound decodes real WAVs — format, exact sums, fallback") {
+    for (id <- Seq(0L, 13L, 99999L)) {
+      val (n, k) = (200 + (id % 100).toInt, (id % 251) + 3)
+      val st = Multimodal.audioStats(Multimodal.syntheticWav(id)).get
+      assert(st.channels == 1 && st.sampleRate == 8000 && st.nFrames == n)
+      var want = 0L
+      for (i <- 0 until n) want += ((i * k) % 65536) - 32768
+      assert(st.sums(0) == want, s"id=$id")
+    }
+    // non-audio bytes → None; audio media rows route through the real decoder
+    assert(Multimodal.audioStats("not a wav".getBytes).isEmpty)
+    val wav = Multimodal.syntheticWav(5L)
+    val out = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(1L, "audio", wav, "s")).toDS(), dim = 6)
+      .collect().head.features
+    assert(out.sameElements(Multimodal.decodeAudio(wav, 6).get))
+    assert(out(0) == 1f && out(1) == 8000f)   // channels, rate from the real header
+  }
+
+  test("multimodal: PNG-frame video demux + per-frame decode; video rows use it") {
+    val vid = Multimodal.syntheticVideo(42L, 4)
+    val frames = Multimodal.splitPngFrames(vid)
+    assert(frames.length == 4)
+    // each demuxed frame decodes to the same dims but different content
+    val stats = frames.map(Multimodal.imageStats(_).get)
+    assert(stats.forall(s => s.width == stats.head.width && s.height == stats.head.height))
+    assert(stats.map(_.sums(0)).distinct.length == 4)
+    // decodeVideo averages per-frame features
+    val f = Multimodal.decodeVideo(vid, 9).get
+    val perFrame = frames.map(Multimodal.decodeImage(_, 9).get)
+    assert(math.abs(f(3) - perFrame.map(_(3)).sum / 4) < 1e-3)
+    val out = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(1L, "video", vid, "s")).toDS(), dim = 9)
+      .collect().head.features
+    assert(out.sameElements(Multimodal.decodeVideo(vid, 9).get))
+  }
+
+  test("repetition stats match a naive scala computation") {
+    val docs = Seq(
+      (1L, "a b a b a c"),            // 6 tok, 3 distinct, top=3; 5 2grams: ab,ba,ab,ba,ac → 3 distinct, top=2
+      (2L, "x"),                      // 1 tok, no 2grams
+      (3L, "  y   y  y ")             // whitespace runs collapse
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(1L) == ((6L, 3L, 3L, 5L, 3L, 2L)))
+    assert(got(2L) == ((1L, 1L, 1L, 0L, 0L, 0L)))
+    assert(got(3L) == ((3L, 1L, 3L, 2L, 1L, 2L)))
+  }
 }
