@@ -299,6 +299,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.size == 1)
   }
 
+  test("streaming exact dedup: first-seen wins across batches; batch-mode agrees") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    implicit val docEnc = org.apache.spark.sql.Encoders.product[Doc]
+
+    val inDir = Files.createTempDirectory("sdedup").toString
+    val ckDir = Files.createTempDirectory("sdedupck").toString
+    val kept = scala.collection.mutable.ListBuffer[Doc]()
+    def runWave(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+        .parquet(s"$inDir/*").as[Doc]
+      val q = StreamingDedup.dedupStream(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Doc], _: Long) =>
+          kept ++= b.collect(); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    // wave 1: two copies of "aaa" in ONE batch → min-id copy kept
+    Seq(Doc(5L, "aaa", "s1"), Doc(2L, "aaa", "s2"), Doc(3L, "bbb", "s1"))
+      .toDF().write.parquet(s"$inDir/w1")
+    runWave()
+    assert(kept.map(d => (d.doc_id, d.text)).toSet == Set((2L, "aaa"), (3L, "bbb")))
+
+    // wave 2: a LATER batch's copy of "aaa" is dropped (state crossed
+    // the batch boundary); new text passes
+    Seq(Doc(1L, "aaa", "s3"), Doc(9L, "ccc", "s1"))
+      .toDF().write.parquet(s"$inDir/w2")
+    runWave()
+    assert(kept.map(d => (d.doc_id, d.text)).toSet ==
+      Set((2L, "aaa"), (3L, "bbb"), (9L, "ccc")))
+
+    // batch mode: same code, one-shot, agrees with pipeline.Dedup.exactDedup keys
+    val batch = Seq(Doc(5L, "aaa", "s1"), Doc(2L, "aaa", "s2"), Doc(3L, "bbb", "s1"))
+      .toDS()
+    val got = StreamingDedup.dedupStream(batch).collect().map(_.doc_id).toSet
+    assert(got == Set(2L, 3L))
+  }
+
   test("broker variants: wire framing, topic rediscovery, config invariants") {
     import graft.streaming.{AlertProducer, AvroAlerts, Brokers}
     // Confluent-wire framing: a 5-byte magic+schema-id prefix must be
