@@ -83,23 +83,33 @@ object TextAnalysis {
       .select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+"))
         .as(Seq("_pos", "_w")))
       .filter(col("_w") =!= "")
-    val words = tok.groupBy(idCol, "_w").agg(count(lit(1)).as("_c"))
-      .groupBy(idCol).agg(
-        sum("_c").as("n_tokens"),
-        count(lit(1)).as("n_distinct_words"),
-        max("_c").as("top_word_count"))
     // adjacent-in-filtered-order pairing: lead() over token position
     // skips the filtered empties exactly as a filtered-list index does
     val w = Window.partitionBy(idCol).orderBy("_pos")
-    val bigrams = tok.withColumn("_nxt", lead("_w", 1).over(w))
-      .filter(col("_nxt").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("_w"), col("_nxt")).as("_bg"))
-      .groupBy(idCol, "_bg").agg(count(lit(1)).as("_c"))
+    val withNext = tok.withColumn("_nxt", lead("_w", 1).over(w))
+    // SINGLE-PASS: each token row contributes a tagged word term and
+    // (unless last in doc) a tagged bigram term; one (doc, kind, term)
+    // count then one conditional rollup per doc. One corpus scan, one
+    // explode chain, no self-join — the two-branch formulation reads
+    // the (at scale, 100 TB) corpus twice because the optimizer prunes
+    // the shared window out of the word branch and kills exchange
+    // reuse. concat_ws never yields null, so the bigram term is
+    // null-wrapped explicitly and filtered for last tokens.
+    val terms = withNext
+      .select(col(idCol), explode(array(
+        struct(lit("w").as("_k"), col("_w").as("_t")),
+        struct(lit("b").as("_k"),
+          when(col("_nxt").isNotNull,
+            concat_ws(" ", col("_w"), col("_nxt"))).as("_t")))).as("_e"))
+      .select(col(idCol), col("_e._k").as("_k"), col("_e._t").as("_t"))
+      .filter(col("_t").isNotNull)
+    terms.groupBy(idCol, "_k", "_t").agg(count(lit(1)).as("_c"))
       .groupBy(idCol).agg(
-        sum("_c").as("n_2grams"),
-        count(lit(1)).as("n_distinct_2grams"),
-        max("_c").as("top_2gram_count"))
-    words.join(bigrams, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_2grams", "n_distinct_2grams", "top_2gram_count"))
+        sum(when(col("_k") === "w", col("_c"))).as("n_tokens"),
+        count(when(col("_k") === "w", lit(1))).as("n_distinct_words"),
+        max(when(col("_k") === "w", col("_c"))).as("top_word_count"),
+        coalesce(sum(when(col("_k") === "b", col("_c"))), lit(0L)).as("n_2grams"),
+        count(when(col("_k") === "b", lit(1))).as("n_distinct_2grams"),
+        coalesce(max(when(col("_k") === "b", col("_c"))), lit(0L)).as("top_2gram_count"))
   }
 }
