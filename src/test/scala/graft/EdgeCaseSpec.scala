@@ -60,6 +60,43 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.minhashNearDups(short, "doc_id", "text").count() == 0)
   }
 
+  test("decoders tolerate degenerate payloads: tiny, empty, truncated") {
+    import graft.pipeline.{Multimodal, TextAnalysis, Components}
+    // 1×1 image round-trips exactly
+    val one = {
+      val img = new java.awt.image.BufferedImage(1, 1,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      img.getRaster.setSample(0, 0, 0, 200)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val st = Multimodal.imageStats(one).get
+    assert(st.width == 1 && st.height == 1 && st.sums(0) == 200L)
+    // empty payloads: None, no throw
+    assert(Multimodal.imageStats(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.audioStats(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.splitPngFrames(Array.empty[Byte]).isEmpty)
+    // truncated WAV (header only, no samples): decodes to zero frames
+    val wav = Multimodal.syntheticWav(1L)
+    val headerOnly = java.util.Arrays.copyOfRange(wav, 0, 44)
+    assert(Multimodal.audioStats(headerOnly).forall(_.nFrames == 0L))
+    // truncated PNG: the reader throws internally → None, no crash
+    assert(Multimodal.imageStats(
+      java.util.Arrays.copyOfRange(Multimodal.syntheticPng(1L), 0, 20)).isEmpty)
+    // video container with trailing garbage: frames before it still decode
+    val vidPlus = Multimodal.syntheticVideo(3L, 2) ++ "garbage".getBytes
+    assert(Multimodal.decodeVideo(vidPlus, 9).isDefined)
+    // repetition stats on an empty corpus / whitespace-only doc: no rows
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.repetitionStats(empty, "doc_id", "text").count() == 0)
+    val blank = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(TextAnalysis.repetitionStats(blank, "doc_id", "text").count() == 0)
+    // dedupClusters with empty docs AND empty pairs: empty, converged
+    val noDocs = Seq.empty[Long].toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.dedupClusters(noDocs, "doc_id", noPairs, "id_a", "id_b").count() == 0)
+  }
+
   test("search with cone + predicates composes; empty stats yields empty search") {
     val stats = Ltcv.objStatsComb(Ltcv.sources(cat, "pvid-pv1"))
       .join(Ltcv.weightedPositions(Ltcv.sources(cat, "pvid-pv1")), Seq("rootid"))
