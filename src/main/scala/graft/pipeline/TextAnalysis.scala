@@ -66,6 +66,27 @@ object TextAnalysis {
       lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
   }
 
+  /** Sketch-based corpus profile per group — the pre-pass a 100 TB
+    * pipeline runs before deciding dedup/filter thresholds. One scan,
+    * constant memory: HLL++ (`approx_count_distinct`) for distinct
+    * texts and a mergeable quantile sketch (`percentile_approx`) for
+    * the token-length distribution, both of which partial-aggregate
+    * map-side — exact distincts/percentiles would shuffle the corpus.
+    * Both sketches are deterministic for fixed input (no seeded
+    * randomness), so output is stable across runs; accuracy vs the
+    * exact computation is asserted in PipelineSpec rather than by
+    * oracle (DuckDB's approximations differ by construction). */
+  def corpusProfile(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = tokenCount(col(textCol))
+    docs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(col(textCol), 0.02).as("approx_distinct_texts"),
+      sum(toks).cast("long").as("n_tokens_total"),
+      percentile_approx(toks, lit(0.5), lit(10000)).as("p50_tokens"),
+      percentile_approx(toks, lit(0.95), lit(10000)).as("p95_tokens"),
+      round(avg(length(col(textCol))), 4).as("avg_chars"))
+  }
+
   /** Gopher-style repetition signals per document — the standard
     * filters a training-data pipeline cuts on (fraction of tokens in
     * the most frequent word / n-gram, distinct ratios). Emitted as

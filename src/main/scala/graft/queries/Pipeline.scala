@@ -421,6 +421,13 @@ object Pipeline {
       |FROM px GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** Sketch-profiled corpus statistics per source (rows-only: the
+    * sketch outputs are deterministic but engine-specific; error
+    * bounds vs exact are asserted in PipelineSpec). */
+  def t5Profile(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusProfile(documents(s, d), "source", "text")
+      .orderBy("source")
+
   /** REAL per-frame video decode: a 3-frame PNG container is
     * synthesized per doc, demuxed by signature scan, and every frame
     * decoded through ImageIO; dims + exact integer channel sums per
@@ -503,6 +510,7 @@ object Pipeline {
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t2_repetition" -> (t2Repetition _),
+    "t5_profile" -> (t5Profile _),
     "m1_multimodal" -> (m1Multimodal _),
     "m2_image_decode" -> (m2ImageDecode _),
     "m3_frame_decode" -> (m3FrameDecode _),

@@ -291,6 +291,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.sameElements(Multimodal.decodeVideo(vid, 9).get))
   }
 
+  test("corpus profile sketches stay within error bounds of exact stats") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val prof = TextAnalysis.corpusProfile(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val tokCounts = docs
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getInt(1)).sorted.toIndexedSeq).toMap
+    val exactDistinct = docs.groupBy("source")
+      .agg(countDistinct(col("text")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof.keySet == tokCounts.keySet)
+    tokCounts.foreach { case (src, sorted) =>
+      val p = prof(src)
+      assert(p.getLong(1) == sorted.size.toLong, s"$src n_docs must be exact")
+      val nd = exactDistinct(src).toDouble
+      assert(math.abs(p.getLong(2) - nd) <= math.max(0.1 * nd, 2.0),
+        s"$src HLL distinct ${p.getLong(2)} vs exact $nd drifted > 10%")
+      // the sketch returns an actual data value whose rank error is
+      // bounded — assert it lands inside a ±1-rank window around the
+      // exact percentile rank (no interpolation ambiguity)
+      def rankWindow(q: Double): (Int, Int) = {
+        val idx = q * (sorted.size - 1)
+        (sorted(math.max(idx.floor.toInt - 1, 0)),
+          sorted(math.min(idx.ceil.toInt + 1, sorted.size - 1)))
+      }
+      for ((q, v) <- Seq((0.5, p.getInt(4)), (0.95, p.getInt(5)))) {
+        val (lo, hi) = rankWindow(q)
+        assert(v >= lo && v <= hi, s"$src p$q sketch $v outside rank window [$lo,$hi]")
+      }
+    }
+    // deterministic across runs (sketches carry no seeded randomness)
+    val again = TextAnalysis.corpusProfile(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(prof.keys.forall(k => again(k) == prof(k).toSeq))
+  }
+
   test("repetition stats match a naive scala computation") {
     val docs = Seq(
       (1L, "a b a b a c"),            // 6 tok, 3 distinct, top=3; 5 2grams: ab,ba,ab,ba,ac → 3 distinct, top=2
