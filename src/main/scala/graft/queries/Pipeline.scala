@@ -191,6 +191,87 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** The complete training-data funnel composed end-to-end: exact
+    * near-dup clustering (keep representatives) → repetition filter
+    * (top word ≤ 20% of tokens — an integer predicate, so the funnel
+    * boundary is float-free) → quality scoring → per-source corpus
+    * accounting (docs seen / after dedup / after filtering, tokens
+    * shipped, mean quality of the kept set). The artifact every
+    * pipeline stage feeds; oracled across the whole composition. */
+  def e1CorpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5, prefixFilter = false)
+    val clusters = graft.pipeline.Components
+      .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+    val flagged = docs.join(clusters, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("keep",
+        col("is_rep") && col("top_word_count") * 5 <= col("n_tokens"))
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("is_rep"), 1L).otherwise(0L)).as("n_reps"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+      round(avg(when(col("keep"), col("quality"))), 4).as("avg_quality_kept"))
+      .orderBy("source")
+  }
+
+  val e1Sql: String =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+      |                   for i in range(1, len(wd) - 1)]) AS sh
+      |  FROM w WHERE len(wd) >= 3),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT d.doc_id,
+      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id),
+      |t AS (SELECT doc_id, unnest(wd) AS word FROM w),
+      |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM t GROUP BY doc_id, word),
+      |rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |          CAST(MAX(c) AS BIGINT) AS top_word_count
+      |        FROM wc GROUP BY doc_id),
+      |qf AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS ntok,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+      |    len(list_filter(list_filter(string_split(trim(text), ' '), t -> t != ''),
+      |        t -> t IN ('the','a','an','and','of','to','in','is','it'))) AS nstop,
+      |    length(text) AS nchar
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    ROUND(0.4 * LEAST(ntok / 100.0, 1.0)
+      |      + 0.3 * (1.0 - LEAST(npunct * 5.0 / GREATEST(nchar, 1), 1.0))
+      |      + 0.3 * LEAST(nstop * 5.0 / GREATEST(ntok, 1), 1.0), 6) AS quality
+      |  FROM qf),
+      |f AS (SELECT d.doc_id, d.source,
+      |        l.cluster = d.doc_id AS is_rep,
+      |        rep.n_tokens, rep.top_word_count, q.quality,
+      |        (l.cluster = d.doc_id AND rep.top_word_count * 5 <= rep.n_tokens) AS keep
+      |      FROM documents d
+      |      JOIN lbl l ON d.doc_id = l.doc_id
+      |      JOIN rep ON d.doc_id = rep.doc_id
+      |      JOIN q ON d.doc_id = q.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reps,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |  ROUND(AVG(CASE WHEN keep THEN quality END), 4) AS avg_quality_kept
+      |FROM f GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // ---- similarity search -------------------------------------------
 
   /** Brute-force cosine top-5 for the first 10 vectors; ranking on the
@@ -503,6 +584,7 @@ object Pipeline {
     "cc1_dedup_clusters" -> (cc1DedupClusters _),
     "cc2_dedup_apply" -> (cc2DedupApply _),
     "cc3_minhash_clusters" -> (cc3MinhashClusters _),
+    "e1_corpus_funnel" -> (e1CorpusFunnel _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -521,6 +603,7 @@ object Pipeline {
     "d4_ngram_jaccard" -> d4Sql,
     "cc1_dedup_clusters" -> cc1Sql,
     "cc2_dedup_apply" -> cc2Sql,
+    "e1_corpus_funnel" -> e1Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,
