@@ -69,6 +69,36 @@ object Components {
     * longer be recomputed. */
   def release(df: DataFrame): Unit = freeCheckpoint(df)
 
+  /** Exact min-label union-find over an edge frame, in ONE task.
+    * The finishing move of the hybrid: once the (contracted) edge set
+    * fits a single executor task, each further distributed star round
+    * costs several shuffle/job round-trips to move a few thousand rows
+    * — a single mapPartitions pass with path compression labels the
+    * remainder in milliseconds. Executor-side, not a driver collect;
+    * memory is bounded by the caller's edge-count threshold. Labels are
+    * iteration-order-independent (the smaller root always wins), so the
+    * output is deterministic. */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) { parent.update(x, x); x }
+          else { val r = find(p); parent.update(x, r); r }
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+        }
+        parent.keysIterator.toArray.iterator.map(k => (k, find(k)))
+      }
+      .toDF("node", "component")
+  }
+
   /** Connected components of the undirected graph given as an edge
     * list. Returns (node, component) for every node that appears in an
     * edge, where component = the minimum node id of its component.
@@ -79,20 +109,32 @@ object Components {
     * CAST_INVALID_INPUT at runtime. Hash non-numeric ids to longs
     * upstream (cf. `Dedup.withShingles`' id contract).
     *
-    * Convergence is detected by an order-insensitive edge-set signature
-    * (count + XOR of per-edge hashes) — one cheap aggregate per round
-    * instead of a full `except` anti-join — then confirmed ONCE by an
-    * exact `except` when the signature first repeats, so even a 2⁻⁶⁴
-    * hash collision between different edge sets cannot end the loop
-    * early. `maxIter` is a safety bound; the alternation provably
-    * converges in O(log² n) rounds (O(log n) in practice) and the
-    * require() makes a silent partial result impossible.
+    * HYBRID: distributed large-star/small-star rounds contract the
+    * graph while it is big; as soon as the current edge count (free —
+    * it rides the convergence signature) drops to
+    * `localFinishEdges` or below, the remainder is labeled exactly by
+    * [[localUnionFind]] in one task. A billion-edge pair graph runs
+    * a few star rounds (each shrinks edges superlinearly) and finishes
+    * locally instead of paying O(log n) more multi-shuffle rounds on a
+    * vanishing edge set; a graph already under the threshold skips the
+    * loop entirely. Set `localFinishEdges = 0` to force pure star
+    * rounds (the spec does, to exercise both paths).
+    *
+    * Convergence of the star loop is detected by an order-insensitive
+    * edge-set signature (count + XOR of per-edge hashes) — one cheap
+    * aggregate per round instead of a full `except` anti-join — then
+    * confirmed ONCE by an exact `except` when the signature first
+    * repeats, so even a 2⁻⁶⁴ hash collision between different edge
+    * sets cannot end the loop early. `maxIter` is a safety bound; the
+    * alternation provably converges in O(log² n) rounds (O(log n) in
+    * practice) and the require() makes a silent partial result
+    * impossible.
     *
     * The returned frame is backed by checkpoint blocks; call
     * [[release]] when done with it (every superseded round's blocks
     * are freed eagerly inside the loop). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localFinishEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     // localCheckpoint (eager), NOT persist: persist caches rows but the
     // logical plan still nests — each round references the previous
@@ -119,14 +161,27 @@ object Components {
     }
 
     var sig = signature(e)
+    // star rounds preserve both connectivity and node presence (every
+    // non-min node keeps an edge toward a smaller neighbor; component
+    // minima appear as dst), so finishing locally at ANY round boundary
+    // labels the same node set with the same component minima.
+    def finishLocally(edges0: DataFrame): DataFrame = {
+      val out = localUnionFind(edges0).localCheckpoint()
+      freeCheckpoint(edges0)
+      out
+    }
+    if (sig._1 <= localFinishEdges) return finishLocally(e)
+
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val nextSig = signature(next)
+      if (nextSig._1 <= localFinishEdges) { freeCheckpoint(e); return finishLocally(next) }
       // exact confirmation runs at most once per convergence (both
       // sides are distinct() sets of equal count, so one-directional
-      // except-is-empty ⇒ set equality)
+      // except-is-empty ⇒ set equality); e's blocks are freed only
+      // AFTER the except that reads them (lineage is truncated)
       converged = nextSig == sig && next.except(e).isEmpty
       freeCheckpoint(e)
       e = next

@@ -24,36 +24,55 @@ class ComponentsSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Components.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  /** Both execution paths of the hybrid: localFinishEdges = 0 forces
+    * pure distributed star rounds; the default threshold routes these
+    * small graphs through the single-task union-find finish. */
+  private def runBoth(edges: Seq[(Long, Long)]): Seq[Map[Long, Long]] =
+    Seq(0L, 1000000L).map { thr =>
+      Components.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+          localFinishEdges = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
 
   test("chain of 60 nodes collapses to one component (diameter >> rounds)") {
     val chain = (0L until 59L).map(i => (i, i + 1))
-    val got = run(chain)
-    assert(got.size == 60 && got.values.forall(_ == 0L))
+    for (got <- runBoth(chain))
+      assert(got.size == 60 && got.values.forall(_ == 0L))
   }
 
   test("two cliques plus a bridge merge; disjoint cliques stay apart") {
     val cliqueA = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val cliqueB = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
     val cliqueC = for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)
-    val got = run(cliqueA ++ cliqueB ++ cliqueC ++ Seq((4L, 10L)))
-    assert(((0L to 4L) ++ (10L to 14L)).forall(n => got(n) == 0L))
-    assert((20L to 24L).forall(n => got(n) == 20L))
+    for (got <- runBoth(cliqueA ++ cliqueB ++ cliqueC ++ Seq((4L, 10L)))) {
+      assert(((0L to 4L) ++ (10L to 14L)).forall(n => got(n) == 0L))
+      assert((20L to 24L).forall(n => got(n) == 20L))
+    }
   }
 
-  test("random graphs match naive union-find") {
+  test("random graphs match naive union-find on both paths") {
     val rng = new scala.util.Random(42)
     for (trial <- 1 to 3) {
       val n = 200
       val edges = Seq.fill(150)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
-      val got = run(edges)
       val want = naive(edges)
-      assert(got == want, s"trial $trial: diff=${
-        (got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+      for ((got, path) <- runBoth(edges).zip(Seq("star", "local")))
+        assert(got == want, s"trial $trial ($path): diff=${
+          (got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
     }
+  }
+
+  test("mid-loop local finish (one star round, then threshold hit) is exact") {
+    // 150 random edges contract below 120 after round 1 but not at entry,
+    // so the loop runs at least one distributed round and then switches.
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Components.connectedComponents(edges.toDF("src", "dst"),
+        "src", "dst", localFinishEdges = edges.distinct.size - 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive(edges))
   }
 
   test("no checkpoint storage blocks survive dedupClusters + release") {
@@ -68,10 +87,17 @@ class ComponentsSpec extends AnyFunSuite {
     Components.release(out)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+    // and the pure star-round path frees every superseded round too
+    val out2 = Components.connectedComponents(
+      pairs.toDF("src", "dst"), "src", "dst", localFinishEdges = 0L)
+    assert(out2.count() == 20)
+    Components.release(out2)
+    val leaked2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked2.isEmpty, s"leaked persistent RDDs (star path): $leaked2")
   }
 
   test("empty edge list yields empty labels; dedupClusters makes singletons") {
-    assert(run(Seq.empty).isEmpty)
+    assert(runBoth(Seq.empty).forall(_.isEmpty))
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
     val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
     val got = Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
