@@ -57,19 +57,29 @@ object Dedup {
     * satisfies this by construction. */
   def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
       out: String): DataFrame = {
+    val sets = gramRows(df, idCol, textCol, n)
+      .groupBy("_sh_id").agg(collect_set(col("_sh_g")).as(out))
+    df.join(sets, df(idCol) === sets("_sh_id"), "left")
+      .drop("_sh_id")
+      .withColumn(out, coalesce(col(out), array().cast("array<string>")))
+  }
+
+  /** One (`_sh_id`, `_sh_g`) row per word-n-gram OCCURRENCE (duplicates
+    * included — group or distinct downstream as needed). Same
+    * codegen-friendly explode + per-doc window `lead` shape as
+    * [[withShingles]] (which is this + collect_set); exposed for
+    * consumers like decontamination that want the gram stream without
+    * materializing per-doc arrays. Same `idCol` contract. */
+  def gramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("_sh_id")).orderBy(col("_sh_pos"))
     val words = df.select(col(idCol).as("_sh_id"),
       posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("_sh_pos", "_sh_w0")))
     val leads = words.select(col("_sh_id") +: col("_sh_w0") +:
       (1 until n).map(k => lead(col("_sh_w0"), k).over(w).as(s"_sh_w$k")): _*)
-    val grams = leads.filter(col(s"_sh_w${n - 1}").isNotNull)
+    leads.filter(col(s"_sh_w${n - 1}").isNotNull)
       .select(col("_sh_id"),
         concat_ws(" ", (0 until n).map(k => col(s"_sh_w$k")): _*).as("_sh_g"))
-    val sets = grams.groupBy("_sh_id").agg(collect_set(col("_sh_g")).as(out))
-    df.join(sets, df(idCol) === sets("_sh_id"), "left")
-      .drop("_sh_id")
-      .withColumn(out, coalesce(col(out), array().cast("array<string>")))
   }
 
   /** Distinct word n-gram shingles of a text column (convenience

@@ -272,6 +272,36 @@ object Pipeline {
       |FROM f GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Benchmark decontamination: every (corpus doc, eval doc) pair
+    * sharing an 8-word-gram, with the shared-gram count — the hygiene
+    * pass that drops eval leakage before training. The eval set is the
+    * doc_id % 25 == 0 slice; its distinct gram set is broadcast so the
+    * corpus side never shuffles to find matches. Exact → oracled. */
+  def e2Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val evalSet = docs.filter(col("doc_id") % 25 === 0)
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+    graft.pipeline.Decontamination
+      .contaminationPairs(corpus, evalSet, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "eval_doc_id")
+  }
+
+  val e2Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    [array_to_string(wd[i:i+7], ' ') for i in range(1, len(wd) - 6)] AS sh
+      |  FROM w WHERE len(wd) >= 8),
+      |eg AS (SELECT DISTINCT doc_id AS eval_doc_id, unnest(sh) AS gram
+      |       FROM s WHERE doc_id % 25 = 0),
+      |cg AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 25 != 0)
+      |SELECT cg.doc_id, eg.eval_doc_id,
+      |  COUNT(DISTINCT cg.gram) AS n_shared_grams
+      |FROM cg JOIN eg USING (gram)
+      |GROUP BY cg.doc_id, eg.eval_doc_id
+      |ORDER BY cg.doc_id, eg.eval_doc_id""".stripMargin
+
   // ---- similarity search -------------------------------------------
 
   /** Brute-force cosine top-5 for the first 10 vectors; ranking on the
@@ -585,6 +615,7 @@ object Pipeline {
     "cc2_dedup_apply" -> (cc2DedupApply _),
     "cc3_minhash_clusters" -> (cc3MinhashClusters _),
     "e1_corpus_funnel" -> (e1CorpusFunnel _),
+    "e2_decontaminate" -> (e2Decontaminate _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -604,6 +635,7 @@ object Pipeline {
     "cc1_dedup_clusters" -> cc1Sql,
     "cc2_dedup_apply" -> cc2Sql,
     "e1_corpus_funnel" -> e1Sql,
+    "e2_decontaminate" -> e2Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,
