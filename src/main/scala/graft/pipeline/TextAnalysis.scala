@@ -87,6 +87,51 @@ object TextAnalysis {
       round(avg(length(col(textCol))), 4).as("avg_chars"))
   }
 
+  /** Corpus-level top-k n-grams per group — the "what boilerplate
+    * dominates this source/language" report that picks dedup and
+    * repetition thresholds. Adjacent tokens pair via posexplode + lead
+    * (the codegen shingle shape the dedup family uses); counts
+    * partial-aggregate map-side so only (group, gram, count) rows —
+    * never token rows — reach the rank window. The rank window keys on
+    * `groupCol` alone (one task per group): fine while per-group
+    * distinct-gram counts fit a task; for a web-scale vocabulary, put
+    * a per-shuffle-partition top-k (groupBy(group, pid) rank-prune)
+    * in front — exact, since a global top-k row is a top-k row of its
+    * partition. */
+  def topNgrams(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), col(groupCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("_pos", "_w")))
+      .filter(col("_w") =!= "")
+    val w = Window.partitionBy(idCol).orderBy("_pos")
+    val grams = tok.withColumn("_nxt", lead("_w", 1).over(w))
+      .filter(col("_nxt").isNotNull)
+      .select(col(groupCol), concat_ws(" ", col("_w"), col("_nxt")).as("gram"))
+    val rk = Window.partitionBy(groupCol).orderBy(desc("n"), col("gram"))
+    grams.groupBy(groupCol, "gram").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** PII patterns in the RE2-safe subset (no lookaround, no
+    * backreferences): identical semantics under Java regex (Spark)
+    * and RE2-based engines, so redaction output is engine-portable.
+    * The phone pattern is the NANP fictional 555 test exchange. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b555-[0-9]{4}\\b"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
+  /** Redact emails then phone numbers in place — a codegen'd column
+    * expression, so scrubbing runs inside the scan stage at 100 TB. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
   /** Gopher-style repetition signals per document — the standard
     * filters a training-data pipeline cuts on (fraction of tokens in
     * the most frequent word / n-gram, distinct ratios). Emitted as

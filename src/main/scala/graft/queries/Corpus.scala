@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.pipeline.{Sharding, TextAnalysis}
+
+/** Corpus-export operators — the last mile between a filtered corpus
+  * and training shards: token-budget shard packing, deterministic
+  * split assignment, boilerplate n-gram reporting, PII redaction.
+  * All four are exact/deterministic → DuckDB-oracled.
+  */
+object Corpus {
+
+  /** Token-budget shard packing (budget = 2000 whitespace tokens):
+    * per-shard doc/token accounting. Distributed two-phase prefix sum —
+    * the serial window sees one row per partition, never the corpus. */
+  def p2ShardPack(s: SparkSession, d: String): DataFrame =
+    Sharding.packByTokenBudget(documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 2000L)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard")
+
+  val p2Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, tok, SUM(tok) OVER (ORDER BY doc_id) AS cum FROM w),
+      |sh AS (SELECT doc_id, tok,
+      |         CAST((cum - tok) // 2000 AS BIGINT) AS shard FROM c)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS shard_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Deterministic md5-nibble train/val/test split: per (source,
+    * split) doc/token accounting. Stable across runs, partitionings,
+    * and engines — membership is a pure function of the id. */
+  def p3HashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("split", Sharding.hashSplit(col("doc_id")))
+      .groupBy("source", "split").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("source", "split")
+
+  val p3Sql: String =
+    """WITH s AS (SELECT source, doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS tok,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN nib IN ('c', 'd') THEN 'val'
+      |       WHEN nib IN ('e', 'f') THEN 'test'
+      |       ELSE 'train' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+      |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  /** Top-5 bigrams per language by exact corpus count (ties broken by
+    * gram text, so ranking is deterministic). */
+  def t7TopNgrams(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topNgrams(documents(s, d), "doc_id", "lang", "text", k = 5)
+      .select(col("lang"), col("gram"), col("n"), col("rank"))
+      .orderBy("lang", "rank")
+
+  val t7Sql: String =
+    """WITH w AS (SELECT doc_id, lang,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |b AS (SELECT lang,
+      |    unnest([wd[i] || ' ' || wd[i+1] for i in range(1, len(wd))]) AS gram
+      |  FROM w WHERE len(wd) >= 2),
+      |c AS (SELECT lang, gram, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY n DESC, gram) AS rank FROM c)
+      |SELECT lang, gram, n, rank FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  /** PII scrub: the synthetic corpus carries no PII, so a
+    * deterministic email + phone is appended per doc first; then both
+    * are counted and redacted. The md5 of the redacted text lets the
+    * oracle verify the FULL redaction output byte-for-byte without
+    * shipping the corpus through the compare step. */
+  def t8Redact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("full_text",
+        concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" now.")))
+      .select(col("doc_id"),
+        TextAnalysis.emailCount(col("full_text")).cast("long").as("n_emails"),
+        TextAnalysis.phoneCount(col("full_text")).cast("long").as("n_phones"),
+        md5(TextAnalysis.redactPii(col("full_text"))).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  val t8Sql: String =
+    """WITH f AS (SELECT doc_id,
+      |    text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@mail.example.com or call 555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.' AS full_text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(full_text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(full_text,
+      |    '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(full_text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b555-[0-9]{4}\b', '[PHONE]', 'g')) AS redacted_md5
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p2_shard_pack" -> (p2ShardPack _),
+    "p3_hash_split" -> (p3HashSplit _),
+    "t7_top_ngrams" -> (t7TopNgrams _),
+    "t8_redact" -> (t8Redact _))
+
+  def oracles: Map[String, String] = Map(
+    "p2_shard_pack" -> p2Sql,
+    "p3_hash_split" -> p3Sql,
+    "t7_top_ngrams" -> t7Sql,
+    "t8_redact" -> t8Sql)
+}

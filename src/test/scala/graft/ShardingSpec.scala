@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Sharding, TextAnalysis}
+
+/** Shard packing, hash splits, top-n-grams, and PII redaction — the
+  * corpus-export surface behind p2/p3/t7/t8. */
+class ShardingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 300 docs with irregular token masses: some zero-token, one far
+    * larger than the budget, ids deliberately sparse/unsorted on
+    * arrival so the range repartition has real work to do. */
+  lazy val docs = {
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 300L).map { i =>
+      val id = i * 7 % 2099                      // sparse, shuffled ids
+      val n = if (i % 50 == 13) 0 else if (i == 123) 900 else rng.nextInt(60) + 1
+      (id, Seq.fill(n)("w" + rng.nextInt(40)).mkString(" "))
+    }
+    rows.toDF("doc_id", "text").repartition(7)
+  }
+
+  test("two-phase shard packing equals the naive global-window prefix sum") {
+    val budget = 500L
+    val got = Sharding.packByTokenBudget(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget)
+      .select("doc_id", "n_tokens", "cum_tokens", "shard")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // naive reference: one global-order window (the single-task shape
+    // packByTokenBudget exists to avoid)
+    val wAll = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val want = docs
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(wAll))
+      .collect().map { r =>
+        val (id, tok, cum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        id -> ((tok, cum, (cum - tok) / budget))
+      }.toMap
+    assert(got == want)
+  }
+
+  test("shards are contiguous id-intervals and fill to the budget") {
+    val budget = 500L
+    val out = Sharding.packByTokenBudget(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget)
+      .orderBy("doc_id").collect()
+    val shards = out.map(_.getLong(3))
+    // monotone nondecreasing shard along id order = contiguous intervals
+    assert(shards.zip(shards.tail).forall { case (a, b) => a <= b })
+    // every shard's first doc starts inside the shard's token window
+    out.groupBy(_.getLong(3)).foreach { case (s, rows) =>
+      val first = rows.minBy(_.getLong(0))
+      val cumBefore = first.getLong(2) - first.getLong(1)
+      assert(cumBefore >= s * budget && cumBefore < (s + 1) * budget)
+    }
+  }
+
+  test("hash split is deterministic, pure, and roughly 75/12.5/12.5") {
+    val ids = (0L until 4000L).toDF("id")
+    val a = ids.select(col("id"), Sharding.hashSplit(col("id")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = ids.repartition(13).select(col("id"), Sharding.hashSplit(col("id")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a == b)                               // partitioning-invariant
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 4000.0).toMap
+    assert(frac("train") > 0.70 && frac("train") < 0.80)
+    assert(frac("val") > 0.08 && frac("val") < 0.17)
+    assert(frac("test") > 0.08 && frac("test") < 0.17)
+  }
+
+  test("topNgrams ranks by exact count with deterministic tie order") {
+    val tiny = Seq(
+      (1L, "en", "a b a b c"),                   // "a b"×2, "b a"×1, "b c"×1
+      (2L, "en", "a b"),                         // "a b"×1
+      (3L, "de", "x y")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.topNgrams(tiny, "doc_id", "lang", "text", k = 2)
+      .orderBy("lang", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("de", "x y", 1L, 1L),
+      ("en", "a b", 3L, 1L),
+      ("en", "b a", 1L, 2L)))                    // tie with "b c" broken by gram asc
+  }
+
+  test("PII redaction removes every planted email and phone") {
+    val planted = Seq(
+      (1L, "write to alice.smith+x@sub.example.org today"),
+      (2L, "call 555-0199 or 555-0200 now"),
+      (3L, "bob@ex.co and 555-1234 together"),
+      (4L, "no pii here at all")
+    ).toDF("id", "t")
+    val out = planted.select(
+        TextAnalysis.emailCount(col("t")).as("e"),
+        TextAnalysis.phoneCount(col("t")).as("p"),
+        TextAnalysis.redactPii(col("t")).as("r"))
+      .orderBy(col("e").desc, col("p").desc)
+      .collect()
+    val counts = out.map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(counts == Set((1, 0), (0, 2), (1, 1), (0, 0)))
+    out.foreach { r =>
+      val red = r.getString(2)
+      assert(TextAnalysis.EmailPattern.r.findFirstIn(red).isEmpty)
+      assert(TextAnalysis.PhonePattern.r.findFirstIn(red).isEmpty)
+    }
+  }
+
+  test("a doc larger than the budget owns its shards without skipping docs") {
+    val big = Seq((1L, 10L), (2L, 2000L), (3L, 10L))
+      .toDF("doc_id", "tok")
+    val got = Sharding.packByTokenBudget(big, "doc_id", col("tok"), 500L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // doc2 starts in shard 0 (cum_before=10); doc3 lands at floor(2010/500)=4
+    assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 4L)))
+  }
+}
