@@ -41,6 +41,18 @@ object Sharding {
   def packByTokenBudget(docs: DataFrame, idCol: String, tokens: Column,
       budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
+    // integral `div`, not a double quotient: a double can land a
+    // half-ulp under an exact multiple and floor off by one once
+    // cum_tokens outgrows the 2^53 mantissa
+    prefixSum(docs, idCol, tokens)
+      .withColumn("shard", expr(s"(cum_tokens - n_tokens) div ${budget}L"))
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("shard"))
+  }
+
+  /** The shared two-phase distributed prefix sum: each doc's running
+    * token total in `idCol` order, as (idCol, n_tokens, cum_tokens). */
+  private def prefixSum(docs: DataFrame, idCol: String,
+      tokens: Column): DataFrame = {
     val t = docs.select(col(idCol), tokens.cast("long").as("n_tokens"))
       .repartitionByRange(col(idCol))
       .withColumn("_pid", spark_partition_id())
@@ -53,11 +65,76 @@ object Sharding {
       .select("_pid", "_off")
     withLocal.join(broadcast(offsets), Seq("_pid"))
       .withColumn("cum_tokens", col("_off") + col("_cum_local"))
-      // integral `div`, not a double quotient: a double can land a
-      // half-ulp under an exact multiple and floor off by one once
-      // cum_tokens outgrows the 2^53 mantissa
-      .withColumn("shard", expr(s"(cum_tokens - n_tokens) div ${budget}L"))
-      .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("shard"))
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Fixed-context-length sequence packing — the layout a trainer
+    * actually consumes: tokens laid end-to-end in `idCol` order and
+    * cut every `seqLen`, documents SPLITTING across cuts (no padding,
+    * no discarded remainders). One output row per (document, sequence)
+    * span: `tok_start`/`tok_len` locate the span inside the document,
+    * `seq_off` locates it inside the sequence, so every sequence is
+    * tiled edge-to-edge and every document is reconstructable.
+    *
+    * Same two-phase prefix sum as [[packByTokenBudget]]; the explode
+    * emits one row per spanned sequence (⌈n/seqLen⌉+1 worst case per
+    * doc), all arithmetic integral. Zero-token docs occupy no span and
+    * are dropped, like empty records in a packed block. */
+  def packSequences(docs: DataFrame, idCol: String, tokens: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive, got $seqLen")
+    prefixSum(docs, idCol, tokens)
+      .filter(col("n_tokens") > 0)
+      .withColumn("_start", col("cum_tokens") - col("n_tokens"))
+      .withColumn("seq_id", explode(expr(
+        s"sequence(_start div ${seqLen}L, (cum_tokens - 1) div ${seqLen}L)")))
+      .withColumn("_span_start", greatest(col("_start"), col("seq_id") * seqLen))
+      .withColumn("_span_end",
+        least(col("cum_tokens"), (col("seq_id") + 1) * seqLen))
+      .select(col("seq_id"), col(idCol),
+        (col("_span_start") - col("_start")).as("tok_start"),
+        (col("_span_end") - col("_span_start")).as("tok_len"),
+        (col("_span_start") - col("seq_id") * seqLen).as("seq_off"))
+  }
+
+  /** Temperature-based source mixing (α = 0.5): draw `targetN` docs
+    * with per-stratum quotas k_s ∝ ⌊√n_s⌋ — the standard flattening of
+    * a skewed language/source mix for training. Membership is exact
+    * and engine-portable: within a stratum the k_s KEPT docs are those
+    * with the smallest md5(id) (a deterministic uniform order), so
+    * re-runs and engine swaps never move a document in or out.
+    *
+    * Every arithmetic step is integer-exact across engines: IEEE-754
+    * `sqrt` is correctly rounded (unlike `pow`), `floor` and the
+    * integral `div` do the rest — no float boundary for a doc to sit
+    * on. Scale shape: only (stratum, id, hash) rows shuffle, and a
+    * per-shuffle-partition top-k prune runs ahead of the per-stratum
+    * rank window, so the serial-per-stratum step sees at most
+    * partitions × k_s rows — a hot stratum never lands one task. */
+  def temperatureMix(docs: DataFrame, idCol: String, stratumCol: String,
+      targetN: Long): DataFrame = {
+    require(targetN > 0, s"target sample size must be positive, got $targetN")
+    val strata = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("_w", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = strata.agg(sum("_w").as("_tot"))
+    val quotas = strata.crossJoin(broadcast(tot))
+      .withColumn("k", least(col("n_docs"), expr(s"(${targetN}L * _w) div _tot")))
+      .select(col(stratumCol), col("k"))
+    val slim = docs
+      .select(col(stratumCol), col(idCol),
+        md5(col(idCol).cast("string")).as("_h"))
+      .withColumn("_pid", spark_partition_id())
+    // exact pre-prune: a stratum's global top-k rows are each top-k of
+    // their own shuffle partition, so rows past k never reach the
+    // per-stratum window
+    val wLoc = Window.partitionBy(stratumCol, "_pid").orderBy("_h")
+    val wGlob = Window.partitionBy(stratumCol).orderBy("_h")
+    slim.withColumn("_lrk", row_number().over(wLoc))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .filter(col("_lrk") <= col("k"))
+      .withColumn("rank", row_number().over(wGlob).cast("long"))
+      .filter(col("rank") <= col("k"))
+      .select(col(stratumCol), col(idCol), col("rank"))
   }
 
   /** Deterministic, engine-portable train/val/test assignment from the

@@ -37,6 +37,53 @@ object Corpus {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Fixed-context-length sequence packing (L = 512): tokens laid
+    * end-to-end in doc_id order, cut every 512, docs splitting across
+    * cuts. One row per (document, sequence) span — the exact layout a
+    * trainer's data loader materializes. */
+  def p4PackSequences(s: SparkSession, d: String): DataFrame =
+    Sharding.packSequences(documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 512L)
+      .orderBy("seq_id", "doc_id")
+
+  val p4Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, tok,
+      |    CAST(SUM(tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM w),
+      |s AS (SELECT doc_id, cum - tok AS strt, cum FROM c WHERE tok > 0),
+      |e AS (SELECT doc_id, strt, cum,
+      |    unnest(generate_series(strt // 512, (cum - 1) // 512)) AS seq
+      |  FROM s)
+      |SELECT CAST(seq AS BIGINT) AS seq_id, doc_id,
+      |  CAST(GREATEST(strt, seq * 512) - strt AS BIGINT) AS tok_start,
+      |  CAST(LEAST(cum, (seq + 1) * 512)
+      |       - GREATEST(strt, seq * 512) AS BIGINT) AS tok_len,
+      |  CAST(GREATEST(strt, seq * 512) - seq * 512 AS BIGINT) AS seq_off
+      |FROM e ORDER BY seq_id, doc_id""".stripMargin
+
+  /** Temperature mixing over the skewed language mix (α = 0.5,
+    * target 200): per-language quotas ∝ ⌊√n⌋ flatten the en-heavy
+    * corpus; the kept docs per language are the quota-many smallest
+    * md5(doc_id) — exact, engine-portable membership. */
+  def p5SourceMix(s: SparkSession, d: String): DataFrame =
+    Sharding.temperatureMix(documents(s, d), "doc_id", "lang", targetN = 200L)
+      .orderBy("lang", "rank")
+
+  val p5Sql: String =
+    """WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n_docs,
+      |    CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS wt FROM n),
+      |t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w),
+      |k AS (SELECT lang,
+      |    CAST(LEAST(n_docs, (200 * wt) // tot) AS BIGINT) AS k FROM w, t),
+      |r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk FROM documents)
+      |SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS rank
+      |FROM r JOIN k USING (lang) WHERE r.rk <= k.k
+      |ORDER BY lang, rank""".stripMargin
+
   /** Deterministic md5-nibble train/val/test split: per (source,
     * split) doc/token accounting. Stable across runs, partitionings,
     * and engines — membership is a pure function of the id. */
@@ -117,12 +164,16 @@ object Corpus {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_shard_pack" -> (p2ShardPack _),
     "p3_hash_split" -> (p3HashSplit _),
+    "p4_pack_sequences" -> (p4PackSequences _),
+    "p5_source_mix" -> (p5SourceMix _),
     "t7_top_ngrams" -> (t7TopNgrams _),
     "t8_redact" -> (t8Redact _))
 
   def oracles: Map[String, String] = Map(
     "p2_shard_pack" -> p2Sql,
     "p3_hash_split" -> p3Sql,
+    "p4_pack_sequences" -> p4Sql,
+    "p5_source_mix" -> p5Sql,
     "t7_top_ngrams" -> t7Sql,
     "t8_redact" -> t8Sql)
 }

@@ -110,6 +110,69 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences tiles every sequence edge-to-edge and reconstructs docs") {
+    val L = 500L
+    val out = Sharding.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalTok = out.map(_._4).sum
+    // sequences tile [0, totalTok): each full sequence's spans cover
+    // exactly [0, L) contiguously, the last covers [0, tail)
+    val lastSeq = out.map(_._1).max
+    out.groupBy(_._1).foreach { case (seq, spans) =>
+      val sorted = spans.sortBy(_._5)
+      assert(sorted.head._5 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._4 == b._5); case _ =>
+      }
+      val covered = sorted.map(_._4).sum
+      if (seq < lastSeq) assert(covered == L)
+      else assert(covered == totalTok - lastSeq * L)
+    }
+    // every doc's spans reconstruct it: tok_starts contiguous from 0
+    // and summing to the doc's token count
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.groupBy(_._2).foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3); case _ =>
+      }
+      assert(sorted.map(_._4).sum == toks(id))
+    }
+    // zero-token docs emit no span
+    assert(out.map(_._2).toSet == toks.filter(_._2 > 0).keySet)
+  }
+
+  test("temperatureMix fills sqrt-proportional quotas with hash-min members") {
+    val skewed = (0L until 900L).map { i =>
+      (i, if (i < 640) "en" else if (i < 800) "fr" else "de")
+    }.toDF("doc_id", "lang").repartition(9)
+    val got = Sharding.temperatureMix(skewed, "doc_id", "lang", targetN = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // quotas: w = floor(sqrt(n)) → en 25, fr 12, de 10, tot 47
+    // k = (100 * w) div 47 → en 53, fr 25, de 21
+    val counts = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts == Map("en" -> 53, "fr" -> 25, "de" -> 21))
+    // membership = the k smallest md5(id) per stratum (naive reference)
+    val ids = skewed.select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val want = ids.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy(_._3).take(counts(lang)).zipWithIndex
+        .map { case (r, i) => (lang, r._2, i + 1L) }.toSeq
+    }.toSet
+    assert(got.toSet == want)
+    // partitioning-invariant (the pre-prune must not change membership)
+    val again = Sharding.temperatureMix(skewed.repartition(2), "doc_id",
+        "lang", targetN = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == want)
+  }
+
   test("a doc larger than the budget owns its shards without skipping docs") {
     val big = Seq((1L, 10L), (2L, 2000L), (3L, 10L))
       .toDF("doc_id", "tok")
