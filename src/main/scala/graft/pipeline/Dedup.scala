@@ -117,6 +117,40 @@ object Dedup {
       .drop("_th", "_tm")
       .join(df, Seq(idCol))
 
+  /** The 192-bit digest [[exactDedup]] keys on, as a standalone frame —
+    * this is the "index" an incremental pipeline persists (bucketed by
+    * `_th` at scale) so each new batch dedups against the corpus
+    * without rescanning it. */
+  def digestIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(xxhash64(col(textCol)).as("_th"), md5(col(textCol)).as("_tm"))
+      .distinct()
+
+  /** Incremental exact dedup — the operational mode at 100 TB: the
+    * corpus is already deduped and indexed; only the NEW batch is
+    * scored. Each new row gets a `decision`:
+    * 'dup_corpus' (digest already in the index), 'dup_batch' (a
+    * smaller-id row in the same batch has the same text), or 'kept'.
+    *
+    * Cost is O(batch) + one join against the digest index: the index
+    * side is pre-distinct and fixed-width (192 bits/doc), so the join
+    * shuffles (or broadcasts) digests, never corpus text. The
+    * batch-internal tiebreak is a partial-aggregating min per digest,
+    * not a window sort. */
+  def incrementalExact(newBatch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame): DataFrame = {
+    val nb = newBatch
+      .withColumn("_th", xxhash64(col(textCol)))
+      .withColumn("_tm", md5(col(textCol)))
+    val batchMin = nb.groupBy("_th", "_tm").agg(min(col(idCol)).as("_minid"))
+    nb.join(index.withColumn("_inc", lit(true)), Seq("_th", "_tm"), "left")
+      .join(batchMin, Seq("_th", "_tm"))
+      .withColumn("decision",
+        when(col("_inc"), lit("dup_corpus"))
+          .when(col(idCol) > col("_minid"), lit("dup_batch"))
+          .otherwise(lit("kept")))
+      .drop("_th", "_tm", "_inc", "_minid")
+  }
+
   // ---- MinHash + LSH ----------------------------------------------
 
   /** Seeded rotate-XOR permutation family: perm_i(h) =

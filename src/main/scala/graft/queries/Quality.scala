@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.pipeline.{Dedup, LangModel, SemDedup, SpanDedup}
+
+/** Round-6 corpus-quality operators: bigram-LM perplexity scoring,
+  * duplicated-span (exact-substring) removal, incremental dedup
+  * against a persisted corpus index, and semantic (embedding-space)
+  * dedup. The first three are exact/deterministic → DuckDB-oracled;
+  * SemDeDup depends on the k-means quantizer → rows-only, with
+  * recall/precision vs the exact all-pairs ground truth in
+  * QualitySpec.
+  */
+object Quality {
+
+  /** Per-doc mean bigram log-likelihood under an add-0.5-smoothed
+    * model trained on the corpus itself (self-perplexity quality
+    * filtering). */
+  def t9LmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    LangModel.bigramScores(docs, "doc_id", "text", docs, "text", addK = 0.5)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_logp"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val t9Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |b AS (SELECT doc_id, wd[i] AS w1, wd[i+1] AS w2
+      |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd))) AS i
+      |        FROM w WHERE len(wd) >= 2)),
+      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |cx AS (SELECT w1, COUNT(*) AS cx FROM b GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT u) AS v
+      |      FROM (SELECT unnest(wd) AS u FROM w)),
+      |sc AS (SELECT b.doc_id,
+      |         LN((cb.c + 0.5) / (cx.cx + 0.5 * v.v)) AS lp
+      |       FROM b JOIN cb USING (w1, w2) JOIN cx USING (w1), v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(AVG(lp), 6) AS avg_logp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Duplicated 8-token spans removed corpus-wide (first occurrence
+    * kept); per-doc token accounting + md5 of the cleaned text. */
+  def d7DupSpans(s: SparkSession, d: String): DataFrame =
+    SpanDedup.removeDuplicateSpans(documents(s, d), "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val d7Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |tk AS (SELECT doc_id, unnest(wd) AS w,
+      |         unnest(range(1, len(wd) + 1)) AS pos FROM w),
+      |win AS (SELECT doc_id, i AS pos, array_to_string(wd[i:i+7], ' ') AS gram
+      |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd) - 6)) AS i
+      |        FROM w WHERE len(wd) >= 8)),
+      |st AS (SELECT doc_id, pos,
+      |         COUNT(*) OVER (PARTITION BY gram) AS n,
+      |         ROW_NUMBER() OVER (PARTITION BY gram
+      |           ORDER BY doc_id, pos) AS rk
+      |       FROM win),
+      |cov AS (SELECT DISTINCT st.doc_id, st.pos + o.o AS p
+      |        FROM st CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o
+      |        WHERE st.n >= 2 AND st.rk > 1),
+      |j AS (SELECT tk.doc_id, tk.pos, tk.w, cov.p IS NOT NULL AS c
+      |      FROM tk LEFT JOIN cov
+      |        ON tk.doc_id = cov.doc_id AND tk.pos = cov.p)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  md5(COALESCE(string_agg(CASE WHEN NOT c THEN w END, ' '
+      |        ORDER BY pos), '')) AS clean_md5
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Incremental dedup of a simulated re-crawl batch against the
+    * existing corpus's digest index: exact re-downloads of every
+    * 7th doc (→ dup_corpus), edited " v2" copies of every 5th doc
+    * (novel → kept), and second submissions of the every-25th " v2"
+    * texts (→ dup_batch). */
+  def d8Incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .unionAll(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+    Dedup.incrementalExact(batch, "doc_id", "text",
+        Dedup.digestIndex(docs, "text"))
+      .select("doc_id", "decision")
+      .orderBy("doc_id")
+  }
+
+  val d8Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' v2'
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' v2'
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |cx AS (SELECT DISTINCT text FROM documents),
+      |m AS (SELECT b.doc_id, b.text, cx.text IS NOT NULL AS inc,
+      |        MIN(b.doc_id) OVER (PARTITION BY b.text) AS mn
+      |      FROM b LEFT JOIN cx ON b.text = cx.text)
+      |SELECT doc_id, CASE WHEN inc THEN 'dup_corpus'
+      |  WHEN doc_id > mn THEN 'dup_batch' ELSE 'kept' END AS decision
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** SemDeDup over the embeddings table: per-vector semantic cluster +
+    * kept representative (rows-only: labels depend on the seeded
+    * k-means quantizer; recall vs exact all-pairs in QualitySpec). */
+  def d6SemanticDedup(s: SparkSession, d: String): DataFrame =
+    SemDedup.semanticDedup(embeddings(s, d), "vec_id", "embedding",
+        nlist = 16, threshold = 0.4)
+      .orderBy("vec_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_lm_score" -> (t9LmScore _),
+    "d7_dup_spans" -> (d7DupSpans _),
+    "d8_incremental" -> (d8Incremental _),
+    "d6_semantic_dedup" -> (d6SemanticDedup _))
+
+  def oracles: Map[String, String] = Map(
+    "t9_lm_score" -> t9Sql,
+    "d7_dup_spans" -> d7Sql,
+    "d8_incremental" -> d8Sql)
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Components, Dedup, LangModel, SemDedup, Similarity, SpanDedup}
+
+/** Round-6 corpus-quality operators: bigram LM scoring, duplicated-span
+  * removal, incremental dedup, semantic dedup. */
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- bigram LM ---------------------------------------------------
+
+  test("bigram LM: hand-computed probabilities on a three-doc corpus") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "c")).toDF("doc_id", "text")
+    // bigrams: d1: (a,b) (b,a) (a,b); d2: (a,b) (b,c). d3: none.
+    // c(a,b)=3, c(b,a)=1, c(b,c)=1; ctx a=3, b=2; V = {a,b,c} = 3
+    val got = LangModel.bigramScores(docs, "doc_id", "text", docs, "text", addK = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pAB = (3 + 0.5) / (3 + 0.5 * 3)
+    val pBA = (1 + 0.5) / (2 + 0.5 * 3)
+    val pBC = (1 + 0.5) / (2 + 0.5 * 3)
+    val d1 = (math.log(pAB) * 2 + math.log(pBA)) / 3
+    val d2 = (math.log(pAB) + math.log(pBC)) / 2
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - d1) < 1e-12)
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - d2) < 1e-12)
+    assert(!got.contains(3L), "single-token doc has no bigram evidence")
+  }
+
+  test("bigram LM: repetitive text scores higher than unseen-word text") {
+    val docs = (0L until 20L).map(i => (i, "the cat sat on the mat")) :+
+      (99L, "zz qq vv ww xx yy")
+    val df = docs.toDF("doc_id", "text")
+    val got = LangModel.bigramScores(df, "doc_id", "text", df, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(0L) > got(99L), "formulaic text must out-score noise")
+    assert(got.values.forall(_ < 0.0), "log-probs are negative")
+  }
+
+  // ---- duplicated-span removal ------------------------------------
+
+  test("span dedup: shared span removed from later doc only; clean docs untouched") {
+    val span = "one two three four five six seven eight"   // 8 tokens
+    val docs = Seq(
+      (1L, s"alpha $span beta"),
+      (2L, s"gamma delta $span"),
+      (3L, "no duplicated content here at all")).toDF("doc_id", "text")
+    val got = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((10L, 0L, s"alpha $span beta")), "first occurrence kept")
+    assert(got(2L) == ((10L, 8L, "gamma delta")), "later occurrence stripped")
+    assert(got(3L) == ((6L, 0L, "no duplicated content here at all")))
+  }
+
+  test("span dedup: overlapping duplicated windows merge into one removed span") {
+    // 9-token shared run => two overlapping 8-windows in each doc;
+    // removal must strip 9 tokens from doc 2, not 16
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val docs = Seq(
+      (1L, s"$run tail1"),
+      (2L, s"head2 $run")).toDF("doc_id", "text")
+    val got = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((0L, s"$run tail1")))
+    assert(got(2L) == ((9L, "head2")))
+  }
+
+  test("span dedup: within-doc repetition strips the second occurrence") {
+    val span = "p q r s t u v w"
+    val docs = Seq((1L, s"$span mid $span")).toDF("doc_id", "text")
+    val got = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().head
+    assert(got.getLong(1) == 17L && got.getLong(2) == 8L)
+    assert(got.getString(3) == s"$span mid")
+  }
+
+  // ---- incremental dedup ------------------------------------------
+
+  test("incremental dedup: corpus hit, batch-internal dup, and novel doc") {
+    val corpus = Seq((1L, "old text one"), (2L, "old text two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "old text two"),    // in corpus
+      (11L, "brand new text"),  // novel, first
+      (12L, "brand new text"),  // novel, dup of 11
+      (13L, "other new text")).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, "doc_id", "text",
+        Dedup.digestIndex(corpus, "text"))
+      .select("doc_id", "decision")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "dup_corpus", 11L -> "kept",
+      12L -> "dup_batch", 13L -> "kept"))
+  }
+
+  test("incremental dedup result is invariant to batch partitioning") {
+    val corpus = (0L until 50L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val batch = (0L until 30L).map(i => (100L + i, s"doc ${i % 10} body"))
+      .toDF("doc_id", "text")
+    val ix = Dedup.digestIndex(corpus, "text")
+    val a = Dedup.incrementalExact(batch, "doc_id", "text", ix)
+      .select("doc_id", "decision").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Dedup.incrementalExact(batch.repartition(7), "doc_id", "text", ix)
+      .select("doc_id", "decision").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a.forall(_._2 == "dup_corpus"), "every batch text exists in corpus")
+  }
+
+  // ---- semantic dedup ---------------------------------------------
+
+  /** Clustered embeddings with planted semantic dups: 8 well-separated
+    * cluster directions, vectors jittered around them; a pair within a
+    * cluster has high cosine, across clusters ~0. */
+  lazy val semCorpus = {
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      val v = c.map(x => (x + 0.08 * rng.nextGaussian()).toFloat)
+      (i, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("semantic dedup: precision 1 vs exact cosine; recall bounded below") {
+    val t = 0.9
+    val exact = Similarity.cosineNearDups(semCorpus, "vec_id", "embedding", t)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SemDedup.semanticPairs(semCorpus, "vec_id", "embedding",
+        nlist = 8, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain semantic dups")
+    assert(got.subsetOf(exact), "every emitted pair is exact-verified")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (got ${got.size} of ${exact.size})")
+  }
+
+  test("semantic dedup clusters: every vec labeled; reps are cluster minima") {
+    val labeled = SemDedup.semanticDedup(semCorpus, "vec_id", "embedding",
+      nlist = 8, threshold = 0.9)
+    val rows = labeled.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 400, "one row per corpus vector")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._1).min == c, "cluster label is min member id")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == c,
+        "exactly the min-id member is the representative")
+    }
+    Components.release(labeled)
+  }
+}
