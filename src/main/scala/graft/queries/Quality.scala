@@ -117,6 +117,40 @@ object Quality {
       |  WHEN doc_id > mn THEN 'dup_batch' ELSE 'kept' END AS decision
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** DSIR importance weights for the full corpus against the English
+    * slice as the target domain: docs whose hashed-bigram distribution
+    * is en-like weigh high, other-language docs weigh low — the
+    * data-selection ranking, oracle-replayed exactly (md5-prefix
+    * feature hash is engine-portable). */
+  def t10DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    LangModel.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text")
+      .select(col("doc_id"), col("n_features"),
+        round(col("dsir_weight"), 6).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
+  val t10Sql: String =
+    """WITH w AS (SELECT doc_id, lang,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |    substr(md5(wd[i] || ' ' || wd[i+1]), 1, 3) AS f
+      |  FROM (SELECT doc_id, lang, wd, unnest(range(1, len(wd))) AS i
+      |        FROM w WHERE len(wd) >= 2)),
+      |t AS (SELECT f, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+      |tt AS (SELECT COUNT(*) AS n FROM b WHERE lang = 'en'),
+      |r AS (SELECT f, COUNT(*) AS cr FROM b GROUP BY 1),
+      |rt AS (SELECT COUNT(*) AS n FROM b),
+      |sc AS (SELECT b.doc_id,
+      |    LN(((COALESCE(t.ct, 0) + 0.5) / (tt.n + 0.5 * 4096)) /
+      |       ((r.cr + 0.5) / (rt.n + 0.5 * 4096))) AS lr
+      |  FROM b LEFT JOIN t USING (f) JOIN r USING (f), tt, rt)
+      |SELECT doc_id, COUNT(*) AS n_features,
+      |  ROUND(AVG(lr), 6) AS dsir_weight
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** SemDeDup over the embeddings table: per-vector semantic cluster +
     * kept representative (rows-only: labels depend on the seeded
     * k-means quantizer; recall vs exact all-pairs in QualitySpec). */
@@ -127,12 +161,14 @@ object Quality {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t9_lm_score" -> (t9LmScore _),
+    "t10_dsir_weights" -> (t10DsirWeights _),
     "d7_dup_spans" -> (d7DupSpans _),
     "d8_incremental" -> (d8Incremental _),
     "d6_semantic_dedup" -> (d6SemanticDedup _))
 
   def oracles: Map[String, String] = Map(
     "t9_lm_score" -> t9Sql,
+    "t10_dsir_weights" -> t10Sql,
     "d7_dup_spans" -> d7Sql,
     "d8_incremental" -> d8Sql)
 }

@@ -41,6 +41,22 @@ class QualitySpec extends AnyFunSuite {
     assert(got.values.forall(_ < 0.0), "log-probs are negative")
   }
 
+  test("DSIR: target-like docs outweigh off-domain docs; ratio signs correct") {
+    // target domain speaks "cat mat"; off-domain speaks "zz qq"
+    val raw = ((0L until 10L).map(i => (i, "the cat sat on the mat again")) ++
+      (100L until 110L).map(i => (i, "zz qq vv zz qq vv zz qq"))).toDF("doc_id", "text")
+    val target = (0L until 5L).map(i => (i, "the cat sat on the mat again"))
+      .toDF("doc_id", "text")
+    val got = LangModel.dsirWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // absolute sign is smoothing-dependent on a tiny corpus (k·B
+    // dominates the totals); the DSIR contract is the RANKING
+    assert(got(0L) > got(100L) + 1.0,
+      s"target-like must clearly outweigh off-domain: ${got(0L)} vs ${got(100L)}")
+    assert(got.filterKeys(_ < 10L).values.forall(v => v > got(100L)),
+      "every target-like doc outranks every off-domain doc")
+  }
+
   // ---- duplicated-span removal ------------------------------------
 
   test("span dedup: shared span removed from later doc only; clean docs untouched") {
