@@ -72,7 +72,24 @@ object SqlFunctions {
       Set(2), a => VectorExprs.dotProduct(a(0), a(1))),
     Fn("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two numeric arrays",
-      Set(2), a => graft.pipeline.Similarity.cosine(a(0), a(1))))
+      Set(2), a => graft.pipeline.Similarity.cosine(a(0), a(1))),
+    // text-pipeline scalars: the training-data operators' per-row
+    // primitives, callable from ad-hoc SQL just like the astronomy set
+    Fn("token_count",
+      "token_count(text) - whitespace token count",
+      Set(1), a => graft.pipeline.TextAnalysis.tokenCount(a(0))),
+    Fn("bpeish_token_count",
+      "bpeish_token_count(text) - GPT-style pre-tokenizer token count",
+      Set(1), a => graft.pipeline.TextAnalysis.bpeishTokenCount(a(0))),
+    Fn("lang_id",
+      "lang_id(text) - heuristic stopword-argmax language id",
+      Set(1), a => graft.pipeline.TextAnalysis.langId(a(0))),
+    Fn("quality_score",
+      "quality_score(text) - composite [0,1] document quality",
+      Set(1), a => graft.pipeline.TextAnalysis.qualityScore(a(0))),
+    Fn("doc_fingerprint",
+      "doc_fingerprint(text) - 63-bit rolling-hash fingerprint",
+      Set(1), a => graft.pipeline.TextAnalysis.fingerprint(a(0))))
 
   private def builder(f: Fn)(args: Seq[Expression]): Expression = {
     require(f.arities(args.length),

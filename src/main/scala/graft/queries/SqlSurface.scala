@@ -127,11 +127,63 @@ object SqlSurface {
        |WHERE rn = 1 AND psfflux >= 500
        |ORDER BY rootid, visit""".stripMargin
 
+  /** The training-data pipeline's per-row primitives through the same
+    * ad-hoc SQL path as the astronomy set: language ID, token counts,
+    * quality score and fingerprint resolving as registered Catalyst
+    * expression trees inside one plain-SQL corpus report. Every value
+    * is exact-integer or a formula t1/t3/t4 already prove replays
+    * identically in DuckDB, so the whole statement is oracled. */
+  def x3SqlPipeline(s: SparkSession, d: String): DataFrame = {
+    SqlFunctions.register(s)
+    Tables.registerAll(s, d)
+    s.sql("""
+      SELECT lang_id(text) AS pred_lang, COUNT(*) AS n_docs,
+        CAST(SUM(token_count(text)) AS BIGINT) AS n_tokens,
+        ROUND(AVG(quality_score(text)), 4) AS avg_quality,
+        COUNT(DISTINCT doc_fingerprint(text)) AS n_distinct_fp
+      FROM documents
+      WHERE quality_score(text) >= 0.3
+      GROUP BY 1 ORDER BY 1""")
+  }
+
+  val x3Sql: String =
+    """WITH f AS (SELECT text,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS tok,
+      |    length(text) AS nchar
+      |  FROM documents),
+      |q AS (SELECT text, len(tok) AS ntok, nchar,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+      |    len(list_filter(tok, t -> t IN ('the','a','an','and','of','to','in','is','it'))) AS s_en,
+      |    len(list_filter(tok, t -> t IN ('el','la','los','las','de','y','en','es','un'))) AS s_es,
+      |    len(list_filter(tok, t -> t IN ('der','die','das','und','von','zu','ist','ein'))) AS s_de
+      |  FROM f),
+      |g AS (SELECT
+      |    CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 THEN 'und'
+      |         WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |         WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
+      |    ntok,
+      |    ROUND(0.4 * LEAST(ntok / 100.0, 1.0)
+      |      + 0.3 * (1.0 - LEAST(npunct * 5.0 / GREATEST(nchar, 1), 1.0))
+      |      + 0.3 * LEAST(s_en * 5.0 / GREATEST(ntok, 1), 1.0), 6) AS quality,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(ascii(x) AS BIGINT)
+      |       for x in list_filter(string_split(lower(text), ''), c -> c != '')]),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |  FROM q)
+      |SELECT pred_lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+      |  ROUND(AVG(quality), 4) AS avg_quality,
+      |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+      |FROM g WHERE quality >= 0.3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_sql_cone" -> (x1SqlCone _),
-    "x2_adhoc_astro" -> (x2AdhocAstro _))
+    "x2_adhoc_astro" -> (x2AdhocAstro _),
+    "x3_sql_pipeline" -> (x3SqlPipeline _))
 
   def oracles: Map[String, String] = Map(
     "x1_sql_cone" -> x1Sql,
-    "x2_adhoc_astro" -> x2Sql)
+    "x2_adhoc_astro" -> x2Sql,
+    "x3_sql_pipeline" -> x3Sql)
 }

@@ -91,6 +91,25 @@ class SqlFunctionsSpec extends AnyFunSuite {
       }.map(_.toLong).toSet)
   }
 
+  test("text-pipeline functions match their Column-API counterparts") {
+    val s = registered
+    import graft.pipeline.TextAnalysis
+    val docs = Seq("the cat sat, on the mat!", "el gato es un gato",
+      "", "zz qq").toDF("t")
+    docs.createOrReplaceTempView("x_txt")
+    val viaSql = s.sql(
+      """SELECT token_count(t) AS tc, bpeish_token_count(t) AS bc,
+        |  lang_id(t) AS lid, quality_score(t) AS q,
+        |  doc_fingerprint(t) AS fp FROM x_txt""".stripMargin).collect()
+    val viaCol = docs.select(
+      TextAnalysis.tokenCount(col("t")).as("tc"),
+      TextAnalysis.bpeishTokenCount(col("t")).as("bc"),
+      TextAnalysis.langId(col("t")).as("lid"),
+      TextAnalysis.qualityScore(col("t")).as("q"),
+      TextAnalysis.fingerprint(col("t")).as("fp")).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+  }
+
   test("register is idempotent: second call does not replace registered builders") {
     val s = registered
     val reg = s.sessionState.functionRegistry
