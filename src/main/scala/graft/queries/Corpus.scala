@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.pipeline.{Sharding, TextAnalysis}
+import graft.pipeline.{Dedup, Sharding, SpanDedup, TextAnalysis}
 
 /** Corpus-export operators — the last mile between a filtered corpus
   * and training shards: token-budget shard packing, deterministic
@@ -161,7 +161,100 @@ object Corpus {
       |    '\b555-[0-9]{4}\b', '[PHONE]', 'g')) AS redacted_md5
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** The gold export manifest — the whole last mile as ONE oracled
+    * DataFrame program: duplicated-span removal → exact dedup of the
+    * CLEANED texts (span removal creates new exact dups — real effect,
+    * the two dedups compose) → PII redaction → quality cut on the
+    * artifact text → deterministic split assignment → per-split
+    * token-budget shard packing. Output = the shard manifest a trainer
+    * consumes: (split, shard) → docs, tokens, id range. */
+  def e3ExportManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cleaned = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .filter(col("n_removed") < col("n_tokens"))   // all-boilerplate docs drop out
+    val deduped = Dedup.exactDedup(cleaned, "doc_id", "clean_text")
+    val kept = deduped
+      .withColumn("export_text", TextAnalysis.redactPii(col("clean_text")))
+      .filter(TextAnalysis.qualityScore(col("export_text")) >= 0.55)
+      .withColumn("split", Sharding.hashSplit(col("doc_id")))
+    val packed = Seq("train", "val", "test").map { sp =>
+      Sharding.packByTokenBudget(kept.filter(col("split") === sp), "doc_id",
+          TextAnalysis.tokenCount(col("export_text")), budget = 1000L)
+        .withColumn("split", lit(sp))
+    }.reduce(_ unionAll _)
+    packed.groupBy("split", "shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("split", "shard")
+  }
+
+  val e3Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |tk AS (SELECT doc_id, unnest(wd) AS w,
+      |         unnest(range(1, len(wd) + 1)) AS pos FROM w),
+      |win AS (SELECT doc_id, i AS pos, array_to_string(wd[i:i+7], ' ') AS gram
+      |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd) - 6)) AS i
+      |        FROM w WHERE len(wd) >= 8)),
+      |st AS (SELECT doc_id, pos,
+      |         COUNT(*) OVER (PARTITION BY gram) AS n,
+      |         ROW_NUMBER() OVER (PARTITION BY gram
+      |           ORDER BY doc_id, pos) AS rk
+      |       FROM win),
+      |cov AS (SELECT DISTINCT st.doc_id, st.pos + o.o AS p
+      |        FROM st CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o
+      |        WHERE st.n >= 2 AND st.rk > 1),
+      |j AS (SELECT tk.doc_id, tk.pos, tk.w, cov.p IS NOT NULL AS c
+      |      FROM tk LEFT JOIN cov
+      |        ON tk.doc_id = cov.doc_id AND tk.pos = cov.p),
+      |cl AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |         SUM(CASE WHEN c THEN 1 ELSE 0 END) AS n_removed,
+      |         COALESCE(string_agg(CASE WHEN NOT c THEN w END, ' '
+      |           ORDER BY pos), '') AS clean_text
+      |       FROM j GROUP BY doc_id),
+      |nd AS (SELECT * FROM cl WHERE n_removed < n_tokens),
+      |k AS (SELECT MIN(doc_id) AS doc_id FROM nd GROUP BY clean_text),
+      |ex AS (SELECT nd.doc_id,
+      |         regexp_replace(regexp_replace(nd.clean_text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |           '[EMAIL]', 'g'),
+      |           '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS export_text
+      |       FROM nd JOIN k USING (doc_id)),
+      |q AS (SELECT doc_id, export_text,
+      |        list_filter(string_split(trim(export_text), ' '),
+      |          t -> t != '') AS tok
+      |      FROM ex),
+      |qq AS (SELECT doc_id, len(tok) AS tokc,
+      |         ROUND(0.4 * LEAST(len(tok) / 100.0, 1.0)
+      |           + 0.3 * (1.0 - LEAST(len(regexp_extract_all(export_text,
+      |               '[^A-Za-z0-9\s]')) * 5.0
+      |               / GREATEST(length(export_text), 1), 1.0))
+      |           + 0.3 * LEAST(len(list_filter(tok,
+      |               t -> t IN ('the','a','an','and','of','to','in','is','it')))
+      |               * 5.0 / GREATEST(len(tok), 1), 1.0), 6) AS quality
+      |       FROM q),
+      |keep AS (SELECT doc_id, tokc,
+      |           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |                  IN ('c', 'd') THEN 'val'
+      |                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |                  IN ('e', 'f') THEN 'test'
+      |                ELSE 'train' END AS split
+      |         FROM qq WHERE quality >= 0.55),
+      |c AS (SELECT split, doc_id, tokc,
+      |        SUM(tokc) OVER (PARTITION BY split ORDER BY doc_id) AS cum
+      |      FROM keep),
+      |sh AS (SELECT split, doc_id, tokc,
+      |         CAST((cum - tokc) // 1000 AS BIGINT) AS shard FROM c)
+      |SELECT split, shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(tokc) AS BIGINT) AS shard_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM sh GROUP BY split, shard ORDER BY split, shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_export_manifest" -> (e3ExportManifest _),
     "p2_shard_pack" -> (p2ShardPack _),
     "p3_hash_split" -> (p3HashSplit _),
     "p4_pack_sequences" -> (p4PackSequences _),
@@ -170,6 +263,7 @@ object Corpus {
     "t8_redact" -> (t8Redact _))
 
   def oracles: Map[String, String] = Map(
+    "e3_export_manifest" -> e3Sql,
     "p2_shard_pack" -> p2Sql,
     "p3_hash_split" -> p3Sql,
     "p4_pack_sequences" -> p4Sql,
