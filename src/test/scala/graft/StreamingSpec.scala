@@ -340,6 +340,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(2L, 3L))
   }
 
+  test("streaming corpus ingest: dedup + scoring compose; batch and stream agree") {
+    import graft.streaming.{CorpusIngest, StreamingDedup}
+    import graft.streaming.StreamingDedup.Doc
+    implicit val docEnc = org.apache.spark.sql.Encoders.product[Doc]
+
+    val inDir = Files.createTempDirectory("scorp").toString
+    val ckDir = Files.createTempDirectory("scorpck").toString
+    val out = scala.collection.mutable.ListBuffer[org.apache.spark.sql.Row]()
+    def runWave(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+        .parquet(s"$inDir/*").as[Doc]
+      val q = CorpusIngest.scored(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    val w1 = Seq(
+      Doc(1L, "the cat sat on the mat and it is fine", "s1"),
+      Doc(2L, "el gato es un gato de la casa", "s2"),
+      Doc(7L, "the cat sat on the mat and it is fine", "s1"))  // dup of 1
+    val w2 = Seq(
+      Doc(3L, "the cat sat on the mat and it is fine", "s3"),  // late dup of 1
+      Doc(4L, "mail me at a.user@example.com or 555-0100 today", "s1"))
+    w1.toDF().write.parquet(s"$inDir/w1")
+    runWave()
+    w2.toDF().write.parquet(s"$inDir/w2")
+    runWave()
+
+    val got = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang_pred"),
+      r.getAs[String]("export_text"))).toSet
+    assert(got.map(_._1) == Set(1L, 2L, 4L), "dedup state crossed batches")
+    assert(got.find(_._1 == 1L).get._2 == "en")
+    assert(got.find(_._1 == 2L).get._2 == "es")
+    assert(got.find(_._1 == 4L).get._3 ==
+      "mail me at [EMAIL] or [PHONE] today", "PII scrubbed in-stream")
+
+    // one-shot batch run of the SAME definition agrees column-for-column
+    val batchGot = CorpusIngest.scored((w1 ++ w2).toDS())
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val streamGot = out.sortBy(_.getAs[Long]("doc_id")).map(_.toSeq).toSeq
+    assert(batchGot == streamGot)
+  }
+
   test("broker variants: wire framing, topic rediscovery, config invariants") {
     import graft.streaming.{AlertProducer, AvroAlerts, Brokers}
     // Confluent-wire framing: a 5-byte magic+schema-id prefix must be
