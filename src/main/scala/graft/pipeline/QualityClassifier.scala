@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier — the learned counterpart of the
+  * hand-weighted [[TextAnalysis.qualityScore]] heuristic, and the
+  * shape real pretraining pipelines use for quality filtering
+  * (a cheap linear/fasttext-style model over document statistics,
+  * trained on a labeled seed set, applied to the full corpus).
+  *
+  * Features are the cheap per-row statistics the scan stage already
+  * computes (token count, punctuation density, stopword ratio, mean
+  * token length, digit density) — pure column expressions, so
+  * featurization runs inside the parquet scan at 100 TB with no
+  * shuffle. Training is MLlib's distributed LBFGS logistic regression
+  * on the (comparatively tiny) labeled seed; scoring broadcasts the
+  * fitted coefficient vector back into a column expression, so
+  * inference is ALSO scan-stage — the corpus never shuffles for
+  * either step.
+  */
+object QualityClassifier {
+
+  /** The fixed feature surface, as an array<double> column. Every
+    * entry is bounded (ratios, or saturating caps) so LBFGS sees
+    * comparable scales without a separate normalization pass. */
+  def features(text: Column): Column = {
+    val nTok = TextAnalysis.tokenCount(text).cast("double")
+    val nChar = greatest(length(text).cast("double"), lit(1.0))
+    array(
+      least(nTok / 100.0, lit(1.0)),
+      TextAnalysis.punctCount(text).cast("double") / nChar,
+      TextAnalysis.stopwordCount(text, TextAnalysis.EnStopwords).cast("double")
+        / greatest(nTok, lit(1.0)),
+      least(nChar / greatest(nTok, lit(1.0)) / 10.0, lit(1.0)),
+      size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") / nChar)
+  }
+
+  final case class Model(coefficients: Array[Double], intercept: Double)
+
+  /** Fit on a labeled seed frame (`labelCol` ∈ {0.0, 1.0}). Seeded and
+    * order-insensitive up to float association; the spec pins the
+    * decisions, not the coefficient bits. */
+  def train(seed: DataFrame, textCol: String, labelCol: String): Model = {
+    val ds = seed.select(array_to_vector(features(col(textCol))).as("features"),
+      col(labelCol).cast("double").as("label"))
+    val m = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setStandardization(true)
+      .fit(ds)
+    Model(m.coefficients.toArray, m.intercept)
+  }
+
+  /** Scoring as a pure column expression: σ(w·f + b) from the
+    * broadcast-as-literals fitted model — no UDF, no MLlib transform
+    * on the corpus path, codegen end to end. */
+  def score(text: Column, model: Model): Column = {
+    val f = features(text)
+    val z = model.coefficients.zipWithIndex.map { case (w, i) =>
+      element_at(f, i + 1) * w
+    }.reduce(_ + _) + model.intercept
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Train on the seed, score the corpus: adds `p_good`. */
+  def trainAndScore(corpus: DataFrame, textCol: String,
+      seed: DataFrame, seedTextCol: String, labelCol: String): DataFrame =
+    corpus.withColumn("p_good", score(col(textCol),
+      train(seed, seedTextCol, labelCol)))
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.pipeline.{Dedup, LangModel, SemDedup, SpanDedup}
+import graft.pipeline.{Dedup, LangModel, QualityClassifier, SemDedup, SpanDedup, TextAnalysis}
 
 /** Round-6 corpus-quality operators: bigram-LM perplexity scoring,
   * duplicated-span (exact-substring) removal, incremental dedup
@@ -159,7 +159,24 @@ object Quality {
         nlist = 16, threshold = 0.4)
       .orderBy("vec_id")
 
+  /** Trained quality classifier over the corpus: pseudo-labels from
+    * the heuristic on the even-id half as the seed set, LBFGS-fitted,
+    * then the whole corpus scored by the broadcast model as a column
+    * expression (rows-only: LBFGS coefficient bits are
+    * float-association-dependent; decision behavior is pinned in
+    * QualitySpec). */
+  def t11QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val seed = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("label",
+        (TextAnalysis.qualityScore(col("text")) >= 0.55).cast("double"))
+    QualityClassifier.trainAndScore(docs, "text", seed, "text", "label")
+      .select(col("doc_id"), col("source"), round(col("p_good"), 4).as("p_good"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_quality_classifier" -> (t11QualityClassifier _),
     "t9_lm_score" -> (t9LmScore _),
     "t10_dsir_weights" -> (t10DsirWeights _),
     "d7_dup_spans" -> (d7DupSpans _),

@@ -125,6 +125,47 @@ class QualitySpec extends AnyFunSuite {
     assert(a.forall(_._2 == "dup_corpus"), "every batch text exists in corpus")
   }
 
+  // ---- trained quality classifier ---------------------------------
+
+  test("quality classifier: separates planted good/bad; column scoring equals MLlib") {
+    import graft.pipeline.QualityClassifier
+    val rng = new scala.util.Random(3)
+    val goodWords = Seq("the", "a", "of", "cat", "house", "garden", "story", "and")
+    val badBits = Seq("@@", "##", "$$", "77", "!!", "%%", "123", "&&")
+    def mk(ws: Seq[String], n: Int) = Seq.fill(n)(ws(rng.nextInt(ws.size))).mkString(" ")
+    val docs = ((0L until 40L).map(i => (i, mk(goodWords, 30), 1.0)) ++
+      (100L until 140L).map(i => (i, mk(badBits, 6), 0.0)))
+      .toDF("doc_id", "text", "label")
+    val seed = docs.filter($"doc_id" % 2 === 0)     // train on half
+    val holdout = docs.filter($"doc_id" % 2 === 1)
+    val model = QualityClassifier.train(seed, "text", "label")
+    val scored = holdout.withColumn("p",
+      QualityClassifier.score(col("text"), model)).collect()
+    val acc = scored.count(r =>
+      (r.getAs[Double]("p") >= 0.5) == (r.getAs[Double]("label") == 1.0)
+    ).toDouble / scored.length
+    assert(acc >= 0.95, s"holdout accuracy $acc")
+
+    // the column-expression σ(w·f+b) must equal MLlib's own transform
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val ds = seed.select(array_to_vector(
+      QualityClassifier.features(col("text"))).as("features"),
+      col("label"))
+    val mllib = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setStandardization(true).fit(ds)
+    val both = holdout
+      .withColumn("p_col", QualityClassifier.score(col("text"), model))
+      .withColumn("features", array_to_vector(QualityClassifier.features(col("text"))))
+    val viaMl = mllib.transform(both)
+      .select(col("doc_id"), col("p_col"),
+        element_at(vector_to_array(col("probability")), 2).as("p_ml"))
+      .collect()
+    viaMl.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p_col") - r.getAs[Double]("p_ml")) < 1e-9,
+        s"doc ${r.getLong(0)}: column score != MLlib probability")
+    }
+  }
+
   // ---- semantic dedup ---------------------------------------------
 
   /** Clustered embeddings with planted semantic dups: 8 well-separated
