@@ -117,6 +117,28 @@ object TextAnalysis {
     * backreferences): identical semantics under Java regex (Spark)
     * and RE2-based engines, so redaction output is engine-portable.
     * The phone pattern is the NANP fictional 555 test exchange. */
+  /** HTML → text extraction — step zero of a web corpus (C4/CCNet
+    * start from crawled markup): drop script/style payloads and
+    * comments, strip tags, decode the common entities, collapse
+    * whitespace. A chain of codegen'd regexp_replace steps in the
+    * RE2-safe subset (inline (?is) flags and non-greedy quantifiers,
+    * NO backreferences — script and style strip separately because
+    * `</\1>` would need one), so extraction runs inside the scan
+    * stage and replays identically on RE2 engines. `&amp;` decodes
+    * LAST, so `&amp;lt;` correctly yields `&lt;`, not `<`. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (k, v)) =>
+      regexp_replace(c, k, v)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\b555-[0-9]{4}\\b"
 

@@ -151,6 +151,57 @@ object Quality {
       |  ROUND(AVG(lr), 6) AS dsir_weight
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** HTML extraction end-to-end: each doc rendered into a
+    * deterministic page template (script + style payloads, comments,
+    * entities — the boilerplate a crawler actually fetches), then
+    * extracted back in-scan. md5 of the extraction lets the oracle
+    * verify the full output byte-for-byte. */
+  def t12HtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2 && 2 > 1;</script>"),
+      lit("<style>.c{color:red}</style></head><body><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><!-- hidden comment --><p>"), col("text"),
+      lit("</p><div class=\"footer\">&amp;lt; stays; tail &lt;2026&gt;&nbsp;fin</div></body></html>"))
+    documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.htmlToText(page).as("extracted"))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("extracted")).cast("long").as("n_tokens"),
+        md5(col("extracted")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val t12Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><script type="text/javascript">var x = 1 < 2 && 2 > 1;</script>' ||
+      |    '<style>.c{color:red}</style></head><body><h1>Doc ' ||
+      |    CAST(doc_id AS VARCHAR) ||
+      |    '</h1><!-- hidden comment --><p>' || text ||
+      |    '</p><div class="footer">&amp;lt; stays; tail &lt;2026&gt;&nbsp;fin</div></body></html>'
+      |    AS page
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(page,
+      |    '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM p),
+      |s2 AS (SELECT doc_id, regexp_replace(t,
+      |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(t,
+      |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(t,
+      |    '<[^>]+>', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+      |    replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+      |x AS (SELECT doc_id,
+      |    trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted FROM s5)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(string_split(extracted, ' '), t -> t != ''))
+      |    AS BIGINT) AS n_tokens,
+      |  md5(extracted) AS text_md5
+      |FROM x ORDER BY doc_id""".stripMargin
+
   /** SemDeDup over the embeddings table: per-vector semantic cluster +
     * kept representative (rows-only: labels depend on the seeded
     * k-means quantizer; recall vs exact all-pairs in QualitySpec). */
@@ -179,6 +230,7 @@ object Quality {
     "t11_quality_classifier" -> (t11QualityClassifier _),
     "t9_lm_score" -> (t9LmScore _),
     "t10_dsir_weights" -> (t10DsirWeights _),
+    "t12_html_extract" -> (t12HtmlExtract _),
     "d7_dup_spans" -> (d7DupSpans _),
     "d8_incremental" -> (d8Incremental _),
     "d6_semantic_dedup" -> (d6SemanticDedup _))
@@ -186,6 +238,7 @@ object Quality {
   def oracles: Map[String, String] = Map(
     "t9_lm_score" -> t9Sql,
     "t10_dsir_weights" -> t10Sql,
+    "t12_html_extract" -> t12Sql,
     "d7_dup_spans" -> d7Sql,
     "d8_incremental" -> d8Sql)
 }

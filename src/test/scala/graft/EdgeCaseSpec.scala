@@ -60,6 +60,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.minhashNearDups(short, "doc_id", "text").count() == 0)
   }
 
+  test("round-6 quality ops tolerate degenerate corpora") {
+    import graft.pipeline.{Dedup, LangModel, SpanDedup}
+    // docs shorter than the window never produce spans, never lose tokens
+    val tiny = Seq((1L, "only three words"), (2L, "x"), (3L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.removeDuplicateSpans(tiny, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(spans == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+
+    // identical short docs below window length: no span removal either
+    val dupTiny = Seq((1L, "same short text"), (2L, "same short text"))
+      .toDF("doc_id", "text")
+    assert(SpanDedup.duplicateSpans(dupTiny, "doc_id", "text", 8).count() == 0)
+
+    // LM scoring over a corpus with no bigrams at all → empty result
+    val singles = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    assert(LangModel.bigramScores(singles, "doc_id", "text",
+      singles, "text").count() == 0)
+
+    // incremental dedup of an empty batch / against an empty index
+    val corpus = Seq((1L, "abc")).toDF("doc_id", "text")
+    val emptyB = corpus.filter(col("doc_id") < 0)
+    assert(Dedup.incrementalExact(emptyB, "doc_id", "text",
+      Dedup.digestIndex(corpus, "text")).count() == 0)
+    val vsEmpty = Dedup.incrementalExact(corpus, "doc_id", "text",
+        Dedup.digestIndex(emptyB, "text"))
+      .select("decision").collect().map(_.getString(0))
+    assert(vsEmpty.sameElements(Array("kept")))
+  }
+
   test("decoders tolerate degenerate payloads: tiny, empty, truncated") {
     import graft.pipeline.{Multimodal, TextAnalysis, Components}
     // 1×1 image round-trips exactly

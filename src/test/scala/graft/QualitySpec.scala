@@ -125,6 +125,25 @@ class QualitySpec extends AnyFunSuite {
     assert(a.forall(_._2 == "dup_corpus"), "every batch text exists in corpus")
   }
 
+  // ---- HTML extraction --------------------------------------------
+
+  test("htmlToText: scripts/styles/comments dropped, tags stripped, entities decoded") {
+    import graft.pipeline.TextAnalysis
+    val cases = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      ("<script>var a = '<div>' + 1 < 2;</script>after", "after"),
+      ("<style>p { color: red }</style>text", "text"),
+      ("<!-- secret -->visible", "visible"),
+      ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+        "a & b <tag> \"q\" 's' end"),
+      // &amp;lt; is the ESCAPED text "&lt;", not a < character
+      ("&amp;lt;", "&lt;"),
+      ("  lots   of\n\nspace  ", "lots of space"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h"))).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+  }
+
   // ---- trained quality classifier ---------------------------------
 
   test("quality classifier: separates planted good/bad; column scoring equals MLlib") {
