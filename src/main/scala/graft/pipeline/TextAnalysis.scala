@@ -117,6 +117,24 @@ object TextAnalysis {
     * backreferences): identical semantics under Java regex (Spark)
     * and RE2-based engines, so redaction output is engine-portable.
     * The phone pattern is the NANP fictional 555 test exchange. */
+  /** URL canonicalization for URL-level dedup — the web-corpus step
+    * BEFORE content dedup (two crawls of `Example.COM/page?utm=x#top`
+    * and `example.com/page` are the same fetch): drop the fragment and
+    * query string, strip one trailing slash, lowercase scheme+host
+    * (the case-insensitive parts — the path is case-significant and
+    * kept). Pure codegen'd string expressions, identical under RE2. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noQf = regexp_replace(url, "[?#].*$", "")
+    val noSlash = regexp_replace(noQf, "/$", "")
+    val schemeHost = regexp_extract(noSlash, "^([A-Za-z]+://[^/]*)", 1)
+    val path = regexp_replace(noSlash, "^[A-Za-z]+://[^/]*", "")
+    concat(lower(schemeHost), path)
+  }
+
+  /** Host part of a canonical URL. */
+  def urlHost(url: Column): Column =
+    regexp_extract(canonicalizeUrl(url), "^[a-z]+://([^/]+)", 1)
+
   /** HTML → text extraction — step zero of a web corpus (C4/CCNet
     * start from crawled markup): drop script/style payloads and
     * comments, strip tags, decode the common entities, collapse

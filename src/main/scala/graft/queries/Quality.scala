@@ -202,6 +202,68 @@ object Quality {
       |  md5(extracted) AS text_md5
       |FROM x ORDER BY doc_id""".stripMargin
 
+  /** URL-level dedup + domain blocklist over planted crawl URLs: four
+    * fetch variants per page (query string, fragment, trailing slash,
+    * upper-cased scheme/host) canonicalize to one URL; blocked domains
+    * drop; per-domain accounting of fetches vs distinct pages vs kept
+    * (min-id) docs. The web-corpus step BEFORE content dedup. */
+  def t13UrlDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("_dom",
+        element_at(array(lit("example.com"), lit("www.example.com"),
+          lit("blog.example.org"), lit("ads.tracker.net")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+      .withColumn("_base",
+        concat(lit("https://"), col("_dom"), lit("/page"),
+          pmod(col("doc_id"), lit(50)).cast("string")))
+      .withColumn("url",
+        when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(col("_base"), lit("?utm_source=feed&ref=rss")))
+          .when(pmod(col("doc_id"), lit(4)) === 1, concat(col("_base"), lit("#section-2")))
+          .when(pmod(col("doc_id"), lit(4)) === 2, concat(col("_base"), lit("/")))
+          .otherwise(concat(upper(concat(lit("https://"), col("_dom"))),
+            lit("/page"), pmod(col("doc_id"), lit(50)).cast("string"))))
+    val canon = docs
+      .withColumn("canonical", TextAnalysis.canonicalizeUrl(col("url")))
+      .withColumn("domain", TextAnalysis.urlHost(col("url")))
+      .filter(!col("domain").isin("ads.tracker.net"))
+    canon.groupBy("domain").agg(
+        count(lit(1)).as("n_fetches"),
+        countDistinct(col("canonical")).as("n_pages"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("domain")
+  }
+
+  val t13Sql: String =
+    """WITH u AS (SELECT doc_id,
+      |    ['example.com', 'www.example.com', 'blog.example.org',
+      |     'ads.tracker.net'][CAST(doc_id % 4 AS INT) + 1] AS dom,
+      |    CAST(doc_id % 50 AS VARCHAR) AS pg
+      |  FROM documents),
+      |raw AS (SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'https://' || dom || '/page' || pg || '?utm_source=feed&ref=rss'
+      |      WHEN 1 THEN 'https://' || dom || '/page' || pg || '#section-2'
+      |      WHEN 2 THEN 'https://' || dom || '/page' || pg || '/'
+      |      ELSE upper('https://' || dom) || '/page' || pg
+      |    END AS url
+      |  FROM u),
+      |c0 AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(url, '[?#].*$', ''), '/$', '') AS nq
+      |  FROM raw),
+      |c AS (SELECT doc_id,
+      |    lower(regexp_extract(nq, '^([A-Za-z]+://[^/]*)', 1)) ||
+      |      regexp_replace(nq, '^[A-Za-z]+://[^/]*', '') AS canonical
+      |  FROM c0),
+      |k AS (SELECT doc_id, canonical,
+      |    regexp_extract(canonical, '^[a-z]+://([^/]+)', 1) AS domain
+      |  FROM c)
+      |SELECT domain, COUNT(*) AS n_fetches,
+      |  CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_pages,
+      |  MIN(doc_id) AS first_doc
+      |FROM k WHERE domain != 'ads.tracker.net'
+      |GROUP BY domain ORDER BY domain""".stripMargin
+
   /** SemDeDup over the embeddings table: per-vector semantic cluster +
     * kept representative (rows-only: labels depend on the seeded
     * k-means quantizer; recall vs exact all-pairs in QualitySpec). */
@@ -231,6 +293,7 @@ object Quality {
     "t9_lm_score" -> (t9LmScore _),
     "t10_dsir_weights" -> (t10DsirWeights _),
     "t12_html_extract" -> (t12HtmlExtract _),
+    "t13_url_dedup" -> (t13UrlDedup _),
     "d7_dup_spans" -> (d7DupSpans _),
     "d8_incremental" -> (d8Incremental _),
     "d6_semantic_dedup" -> (d6SemanticDedup _))
@@ -239,6 +302,7 @@ object Quality {
     "t9_lm_score" -> t9Sql,
     "t10_dsir_weights" -> t10Sql,
     "t12_html_extract" -> t12Sql,
+    "t13_url_dedup" -> t13Sql,
     "d7_dup_spans" -> d7Sql,
     "d8_incremental" -> d8Sql)
 }

@@ -144,6 +144,26 @@ class QualitySpec extends AnyFunSuite {
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
   }
 
+  test("canonicalizeUrl: variants of one fetch collapse; path case survives") {
+    import graft.pipeline.TextAnalysis
+    val urls = Seq(
+      "https://Example.COM/Page1?utm_source=x&id=2#top",
+      "https://example.com/Page1/",
+      "HTTPS://EXAMPLE.COM/Page1",
+      "https://example.com/Page1").toDF("u")
+    val canon = urls.select(TextAnalysis.canonicalizeUrl(col("u")))
+      .collect().map(_.getString(0)).toSet
+    assert(canon == Set("https://example.com/Page1"),
+      s"all variants must collapse to one canonical URL, got $canon")
+    // path case is significant: /A and /a stay distinct
+    val cased = Seq("https://x.com/A", "https://x.com/a").toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")))
+      .collect().map(_.getString(0)).toSet
+    assert(cased.size == 2)
+    assert(Seq("https://sub.X.com/p").toDF("u")
+      .select(TextAnalysis.urlHost(col("u"))).head().getString(0) == "sub.x.com")
+  }
+
   // ---- trained quality classifier ---------------------------------
 
   test("quality classifier: separates planted good/bad; column scoring equals MLlib") {
