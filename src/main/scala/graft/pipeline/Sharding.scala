@@ -44,28 +44,53 @@ object Sharding {
     // integral `div`, not a double quotient: a double can land a
     // half-ulp under an exact multiple and floor off by one once
     // cum_tokens outgrows the 2^53 mantissa
-    prefixSum(docs, idCol, tokens)
+    prefixSum(docs, idCol, tokens, Nil)
       .withColumn("shard", expr(s"(cum_tokens - n_tokens) div ${budget}L"))
       .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("shard"))
   }
 
+  /** Stratified packing in ONE corpus pass: independent shard
+    * numbering per stratum (e.g. per train/val/test split), same
+    * two-phase prefix sum. Calling [[packByTokenBudget]] once per
+    * stratum would scan the corpus once per stratum — 3 splits = 3
+    * full passes at 100 TB; here the range exchange sorts on
+    * (strata…, id), so each stratum occupies a contiguous run of
+    * partitions and its offsets accumulate per-stratum along the same
+    * partition-id order, still one row per (stratum, partition) in the
+    * serial window. */
+  def packByTokenBudgetStratified(docs: DataFrame, idCol: String,
+      tokens: Column, budget: Long, strata: Seq[String]): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    prefixSum(docs, idCol, tokens, strata)
+      .withColumn("shard", expr(s"(cum_tokens - n_tokens) div ${budget}L"))
+      .select((strata.map(col) ++ Seq(col(idCol), col("n_tokens"),
+        col("cum_tokens"), col("shard"))): _*)
+  }
+
   /** The shared two-phase distributed prefix sum: each doc's running
-    * token total in `idCol` order, as (idCol, n_tokens, cum_tokens). */
+    * token total in `idCol` order (within its stratum when `strata`
+    * is nonempty), as (strata…, idCol, n_tokens, cum_tokens). */
   private def prefixSum(docs: DataFrame, idCol: String,
-      tokens: Column): DataFrame = {
-    val t = docs.select(col(idCol), tokens.cast("long").as("n_tokens"))
-      .repartitionByRange(col(idCol))
+      tokens: Column, strata: Seq[String]): DataFrame = {
+    val sc = strata.map(col)
+    val t = docs.select((sc :+ col(idCol) :+ tokens.cast("long").as("n_tokens")): _*)
+      .repartitionByRange((sc :+ col(idCol)): _*)
       .withColumn("_pid", spark_partition_id())
-    val wLocal = Window.partitionBy("_pid").orderBy(idCol)
+    val wLocal = Window.partitionBy((strata :+ "_pid").map(col): _*).orderBy(idCol)
     val withLocal = t.withColumn("_cum_local", sum("n_tokens").over(wLocal))
-    // one row per partition: the only serial window in the plan
-    val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = t.groupBy("_pid").agg(sum("n_tokens").as("_ptot"))
+    // one row per (stratum, partition): the only serial window in the
+    // plan — per-stratum because range partitions are contiguous runs
+    // of the (strata…, id) sort order, so _pid order IS id order
+    // within a stratum
+    val wOff = Window.partitionBy(sc: _*).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy((strata :+ "_pid").map(col): _*)
+      .agg(sum("n_tokens").as("_ptot"))
       .withColumn("_off", coalesce(sum("_ptot").over(wOff), lit(0L)))
-      .select("_pid", "_off")
-    withLocal.join(broadcast(offsets), Seq("_pid"))
+      .select((strata :+ "_pid" :+ "_off").map(col): _*)
+    withLocal.join(broadcast(offsets), strata :+ "_pid")
       .withColumn("cum_tokens", col("_off") + col("_cum_local"))
-      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+      .select((sc ++ Seq(col(idCol), col("n_tokens"), col("cum_tokens"))): _*)
   }
 
   /** Fixed-context-length sequence packing — the layout a trainer
@@ -83,7 +108,7 @@ object Sharding {
   def packSequences(docs: DataFrame, idCol: String, tokens: Column,
       seqLen: Long): DataFrame = {
     require(seqLen > 0, s"sequence length must be positive, got $seqLen")
-    prefixSum(docs, idCol, tokens)
+    prefixSum(docs, idCol, tokens, Nil)
       .filter(col("n_tokens") > 0)
       .withColumn("_start", col("cum_tokens") - col("n_tokens"))
       .withColumn("seq_id", explode(expr(

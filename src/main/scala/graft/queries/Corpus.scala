@@ -177,11 +177,11 @@ object Corpus {
       .withColumn("export_text", TextAnalysis.redactPii(col("clean_text")))
       .filter(TextAnalysis.qualityScore(col("export_text")) >= 0.55)
       .withColumn("split", Sharding.hashSplit(col("doc_id")))
-    val packed = Seq("train", "val", "test").map { sp =>
-      Sharding.packByTokenBudget(kept.filter(col("split") === sp), "doc_id",
-          TextAnalysis.tokenCount(col("export_text")), budget = 1000L)
-        .withColumn("split", lit(sp))
-    }.reduce(_ unionAll _)
+    // one corpus pass for all three splits (a per-split pack would
+    // re-scan the kept corpus once per split at 100 TB)
+    val packed = Sharding.packByTokenBudgetStratified(kept, "doc_id",
+      TextAnalysis.tokenCount(col("export_text")), budget = 1000L,
+      strata = Seq("split"))
     packed.groupBy("split", "shard").agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("shard_tokens"),

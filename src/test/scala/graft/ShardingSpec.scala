@@ -44,6 +44,25 @@ class ShardingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stratified packing in one pass equals per-stratum packing") {
+    val budget = 500L
+    val strat = docs.withColumn("split",
+      when(col("doc_id") % 3 === 0, "a").when(col("doc_id") % 3 === 1, "b")
+        .otherwise("c"))
+    val oneShot = Sharding.packByTokenBudgetStratified(strat, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget, strata = Seq("split"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val perStratum = Seq("a", "b", "c").flatMap { sp =>
+      Sharding.packByTokenBudget(strat.filter(col("split") === sp), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget)
+        .collect()
+        .map(r => (sp, r.getLong(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+    assert(oneShot == perStratum)
+  }
+
   test("shards are contiguous id-intervals and fill to the budget") {
     val budget = 500L
     val out = Sharding.packByTokenBudget(docs, "doc_id",
