@@ -63,6 +63,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("props"), "unused JSON column must not be read")
   }
 
+  test("e3 export manifest: one-pass stratified packing; LM count joins broadcast") {
+    // The stratified prefix sum issues ONE logical range repartition
+    // whose exchange feeds both the row and offset subtrees (2 static
+    // occurrences, deduped by exchange reuse — ReusedExchange when AQE
+    // is off, the stage cache when on). A per-split pack would show 6.
+    val p = plan(graft.queries.Corpus.e3ExportManifest(spark, d))
+    val packExchanges = p.split("\n")
+      .count(l => l.contains("rangepartitioning") && l.contains("REPARTITION_BY_COL"))
+    assert(packExchanges == 2,
+      s"expected the single stratified pack's 2 static exchange mentions, got $packExchanges")
+    val p9 = plan(graft.queries.Quality.t9LmScore(spark, d))
+    assert(p9.contains("BroadcastHashJoin"),
+      "bigram count tables must broadcast back onto the gram rows under AQE")
+  }
+
   test("no battery plan is corpus-quadratic") {
     // BroadcastNestedLoopJoin is acceptable only where one side is a
     // broadcast of a bounded frame (the ANN query sets: linear corpus
