@@ -264,6 +264,19 @@ object Quality {
       |FROM k WHERE domain != 'ads.tracker.net'
       |GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** BPE tokenizer end-to-end: 64 merges trained on the corpus's
+    * word-frequency table (one distributed count + local merge loop),
+    * corpus encoded with the broadcast merge ranks. Rows-only: DuckDB
+    * cannot replay the iterative merge resolution; determinism and
+    * round-trip exactness are pinned in QualitySpec. */
+  def t14BpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val merges = graft.pipeline.Bpe.train(docs, "text", numMerges = 64)
+    graft.pipeline.Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup over the embeddings table: per-vector semantic cluster +
     * kept representative (rows-only: labels depend on the seeded
     * k-means quantizer; recall vs exact all-pairs in QualitySpec). */
@@ -294,6 +307,7 @@ object Quality {
     "t10_dsir_weights" -> (t10DsirWeights _),
     "t12_html_extract" -> (t12HtmlExtract _),
     "t13_url_dedup" -> (t13UrlDedup _),
+    "t14_bpe_tokenize" -> (t14BpeTokenize _),
     "d7_dup_spans" -> (d7DupSpans _),
     "d8_incremental" -> (d8Incremental _),
     "d6_semantic_dedup" -> (d6SemanticDedup _))

@@ -205,6 +205,72 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  // ---- BPE tokenizer ----------------------------------------------
+
+  test("BPE: classic merge order on a hand corpus; encode replays training") {
+    import graft.pipeline.Bpe
+    // freqs: "aaab"×10, "aab"×5 → pair (a,a) freq 10*2+5 = 25 wins first
+    val freqs = Seq(("aaab", 10L), ("aab", 5L))
+    val merges = Bpe.trainMerges(freqs, 3)
+    assert(merges.head == Bpe.Merge("a", "a"))
+    // after (a,a): "aaab" = [aa, a, b], "aab" = [aa, b]
+    // pairs: (aa,a)=10, (a,b)=10, (aa,b)=5 → tie 10: (a,b) vs (aa,a),
+    // lexicographic asc picks (a,b)... "a" < "aa" so (a,b) vs (aa,a):
+    // compare left first: "a" < "aa" → (a,b) wins
+    assert(merges(1) == Bpe.Merge("a", "b"))
+    // merge 3 fuses the remaining halves of the frequent word
+    assert(merges(2) == Bpe.Merge("aa", "ab"))
+    def ranksOf(ms: Seq[Bpe.Merge]) =
+      ms.zipWithIndex.map { case (m, i) => ((m.left, m.right), i) }.toMap
+    // encode must replay training exactly on a training word
+    assert(Bpe.encodeWord("aaab", ranksOf(merges.take(2))).mkString("|") == "aa|ab")
+    assert(Bpe.encodeWord("aaab", ranksOf(merges)).mkString("|") == "aaab")
+    // round-trip: tokens concatenate back to the word
+    assert(Bpe.encodeWord("ababa", ranksOf(merges)).mkString == "ababa")
+  }
+
+  test("BPE: corpus train/encode — round trip, compression, determinism") {
+    import graft.pipeline.Bpe
+    val docs = corpusLike(60).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 40)
+    // the small vocab fuses completely before 40 merges — training
+    // stops when no pair remains, never loops
+    assert(merges.nonEmpty && merges.size <= 40)
+    val enc = Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val words = t.trim.split("\\s+").filter(_.nonEmpty)
+      assert(enc(id).mkString == words.mkString, s"round trip failed for doc $id")
+      assert(enc(id).length <= words.map(_.length).sum,
+        "merged tokens can never exceed character count")
+    }
+    // more merges → token count never increases
+    val enc10 = Bpe.encodeCorpus(docs, "doc_id", "text", merges.take(10))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    texts.keys.foreach { id => assert(enc(id).length <= enc10(id)) }
+    // determinism under repartitioning (memo is per-partition)
+    val encShuffled = Bpe.encodeCorpus(docs.repartition(7), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(encShuffled == enc)
+    // a frequent whole word collapses to one token with enough merges
+    val freqWord = texts.values.flatMap(_.split(" ")).groupBy(identity)
+      .maxBy(_._2.size)._1
+    val full = Bpe.train(docs, "text", numMerges = 200)
+    val ranks = full.zipWithIndex.map { case (m, i) => ((m.left, m.right), i) }.toMap
+    assert(Bpe.encodeWord(freqWord, ranks).length == 1,
+      s"most frequent word '$freqWord' should become a single token")
+  }
+
+  private def corpusLike(n: Int): Seq[(Long, String)] = {
+    val vocab = Seq("spark", "join", "filter", "scan", "merge", "sort",
+      "hash", "group", "query", "table")
+    val rng = new scala.util.Random(13)
+    (0L until n.toLong).map { i =>
+      i -> Seq.fill(25)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+  }
+
   // ---- semantic dedup ---------------------------------------------
 
   /** Clustered embeddings with planted semantic dups: 8 well-separated
