@@ -22,8 +22,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // pipeline ops persist() shared intermediates; don't let caches
-      // from one query squeeze the next
+      // from one query squeeze the next. clearCache misses
+      // localCheckpoint blocks (connected components / SemDeDup), so
+      // unpersist every registered RDD too — same hygiene as Bench.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

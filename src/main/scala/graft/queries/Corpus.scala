@@ -170,8 +170,13 @@ object Corpus {
     * consumes: (split, shard) → docs, tokens, id range. */
   def e3ExportManifest(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // persist: exactDedup reads its input from BOTH sides of the
+    // keep/join, and the span-removal chain above it is the expensive
+    // part of the whole funnel — without this it recomputes per subtree
+    // (Verify/Bench clear the cache between queries)
     val cleaned = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
       .filter(col("n_removed") < col("n_tokens"))   // all-boilerplate docs drop out
+      .persist()
     val deduped = Dedup.exactDedup(cleaned, "doc_id", "clean_text")
     val kept = deduped
       .withColumn("export_text", TextAnalysis.redactPii(col("clean_text")))
