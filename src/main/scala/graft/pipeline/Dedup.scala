@@ -122,7 +122,9 @@ object Dedup {
     * `_th` at scale) so each new batch dedups against the corpus
     * without rescanning it. */
   def digestIndex(corpus: DataFrame, textCol: String): DataFrame =
-    corpus.select(xxhash64(col(textCol)).as("_th"), md5(col(textCol)).as("_tm"))
+    corpus.select(
+        coalesce(xxhash64(col(textCol)), lit(Long.MinValue)).as("_th"),
+        coalesce(md5(col(textCol)), lit("null-text")).as("_tm"))
       .distinct()
 
   /** Incremental exact dedup — the operational mode at 100 TB: the
@@ -138,9 +140,15 @@ object Dedup {
     * not a window sort. */
   def incrementalExact(newBatch: DataFrame, idCol: String, textCol: String,
       index: DataFrame): DataFrame = {
+    // null-safe digests: md5(null)/xxhash64(null) are null, and null
+    // keys never match an equi-join — a failed-fetch row would silently
+    // fall out of the result. Sentinels keep the contract "every batch
+    // row gets a decision": null texts are mutual duplicates of each
+    // other (and of null texts in the corpus), never of any real text
+    // (md5 output is hex, so the sentinel cannot collide).
     val nb = newBatch
-      .withColumn("_th", xxhash64(col(textCol)))
-      .withColumn("_tm", md5(col(textCol)))
+      .withColumn("_th", coalesce(xxhash64(col(textCol)), lit(Long.MinValue)))
+      .withColumn("_tm", coalesce(md5(col(textCol)), lit("null-text")))
     val batchMin = nb.groupBy("_th", "_tm").agg(min(col(idCol)).as("_minid"))
     nb.join(index.withColumn("_inc", lit(true)), Seq("_th", "_tm"), "left")
       .join(batchMin, Seq("_th", "_tm"))

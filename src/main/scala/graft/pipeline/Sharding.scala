@@ -32,11 +32,17 @@ object Sharding {
     * window to become start offsets, broadcast back. At 100 TB the
     * serial step sees a few thousand rows, never the corpus.
     *
-    * The range exchange feeds two subtrees (rows and totals) but
-    * canonicalizes identically, so Spark computes it once and reuses
-    * it (ReusedExchange); RangePartitioner's boundary sampling is
-    * seed-deterministic, so `spark_partition_id` agrees between the
-    * subtrees even if recomputed.
+    * The partitioned frame feeds two subtrees (rows and totals), so it
+    * is MATERIALIZED (eager localCheckpoint) before fanning out:
+    * `spark_partition_id` must mean the same id-range in both
+    * subtrees, and without materialization that only holds if
+    * exchange reuse fires — RangePartitioner seeds its boundary
+    * sampling from rdd.id, so two independent instantiations of the
+    * exchange can draw DIFFERENT boundaries and silently corrupt the
+    * offsets. Materializing pins the boundaries unconditionally (and
+    * the narrow (strata, id, n_tokens) projection is the cheapest
+    * frame in the plan to hold; on a cluster where executor loss
+    * matters, swap for storage-backed checkpoint).
     */
   def packByTokenBudget(docs: DataFrame, idCol: String, tokens: Column,
       budget: Long): DataFrame = {
@@ -76,6 +82,7 @@ object Sharding {
     val t = docs.select((sc :+ col(idCol) :+ tokens.cast("long").as("n_tokens")): _*)
       .repartitionByRange((sc :+ col(idCol)): _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy((strata :+ "_pid").map(col): _*).orderBy(idCol)
     val withLocal = t.withColumn("_cum_local", sum("n_tokens").over(wLocal))
     // one row per (stratum, partition): the only serial window in the

@@ -89,10 +89,11 @@ object TextAnalysis {
 
   /** Corpus-level top-k n-grams per group — the "what boilerplate
     * dominates this source/language" report that picks dedup and
-    * repetition thresholds. Adjacent tokens pair via posexplode + lead
-    * (the codegen shingle shape the dedup family uses); counts
+    * repetition thresholds. Adjacent tokens pair via the scan-stage
+    * array transform ([[LangModel.bigramRows]]); counts
     * partial-aggregate map-side so only (group, gram, count) rows —
-    * never token rows — reach the rank window. The rank window keys on
+    * never token rows — reach the rank window. (`idCol` is retained
+    * for signature stability; pairing is per row.) The rank window keys on
     * `groupCol` alone (one task per group): fine while per-group
     * distinct-gram counts fit a task; for a web-scale vocabulary, put
     * a per-shuffle-partition top-k (groupBy(group, pid) rank-prune)
@@ -100,40 +101,43 @@ object TextAnalysis {
     * partition. */
   def topNgrams(docs: DataFrame, idCol: String, groupCol: String,
       textCol: String, k: Int): DataFrame = {
-    val tok = docs.select(col(idCol), col(groupCol),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("_pos", "_w")))
-      .filter(col("_w") =!= "")
-    val w = Window.partitionBy(idCol).orderBy("_pos")
-    val grams = tok.withColumn("_nxt", lead("_w", 1).over(w))
-      .filter(col("_nxt").isNotNull)
-      .select(col(groupCol), concat_ws(" ", col("_w"), col("_nxt")).as("gram"))
+    // adjacent pairs via the scan-stage array transform (the
+    // LangModel.bigramRows shape) — the posexplode + lead() window
+    // formulation shuffles every token row of the corpus before any
+    // aggregation; this one shuffles only (group, gram, count)
+    val grams = LangModel.bigramRows(
+        docs.select(col(groupCol), col(textCol)), groupCol, textCol)
+      .select(col(groupCol), concat_ws(" ", col("w1"), col("w2")).as("gram"))
     val rk = Window.partitionBy(groupCol).orderBy(desc("n"), col("gram"))
     grams.groupBy(groupCol, "gram").agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(rk).cast("long"))
       .filter(col("rank") <= k)
   }
 
-  /** PII patterns in the RE2-safe subset (no lookaround, no
-    * backreferences): identical semantics under Java regex (Spark)
-    * and RE2-based engines, so redaction output is engine-portable.
-    * The phone pattern is the NANP fictional 555 test exchange. */
   /** URL canonicalization for URL-level dedup — the web-corpus step
     * BEFORE content dedup (two crawls of `Example.COM/page?utm=x#top`
     * and `example.com/page` are the same fetch): drop the fragment and
-    * query string, strip one trailing slash, lowercase scheme+host
-    * (the case-insensitive parts — the path is case-significant and
-    * kept). Pure codegen'd string expressions, identical under RE2. */
+    * query string, strip one trailing slash, lowercase everything up
+    * to the path (the case-insensitive parts — the path is
+    * case-significant and kept). Scheme-less (`Example.COM/p`) and
+    * protocol-relative (`//Host/p`) URLs canonicalize too: the
+    * host prefix is "optional scheme, then everything before the first
+    * path slash". Pure codegen'd string expressions, identical under
+    * RE2. */
   def canonicalizeUrl(url: Column): Column = {
     val noQf = regexp_replace(url, "[?#].*$", "")
     val noSlash = regexp_replace(noQf, "/$", "")
-    val schemeHost = regexp_extract(noSlash, "^([A-Za-z]+://[^/]*)", 1)
-    val path = regexp_replace(noSlash, "^[A-Za-z]+://[^/]*", "")
+    val prefixRe = "^((?:[A-Za-z]+://|//)?[^/]*)"
+    val schemeHost = regexp_extract(noSlash, prefixRe, 1)
+    val path = regexp_replace(noSlash, prefixRe, "")
     concat(lower(schemeHost), path)
   }
 
-  /** Host part of a canonical URL. */
+  /** Host part of a canonical URL (scheme-less / protocol-relative
+    * URLs included — a blocklist must not be bypassable by dropping
+    * the scheme). */
   def urlHost(url: Column): Column =
-    regexp_extract(canonicalizeUrl(url), "^[a-z]+://([^/]+)", 1)
+    regexp_extract(canonicalizeUrl(url), "^(?:[a-z]+://|//)?([^/]+)", 1)
 
   /** HTML → text extraction — step zero of a web corpus (C4/CCNet
     * start from crawled markup): drop script/style payloads and
@@ -157,6 +161,10 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** PII patterns in the RE2-safe subset (no lookaround, no
+    * backreferences): identical semantics under Java regex (Spark)
+    * and RE2-based engines, so redaction output is engine-portable.
+    * The phone pattern is the NANP fictional 555 test exchange. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\b555-[0-9]{4}\\b"
 

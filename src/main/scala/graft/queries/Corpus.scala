@@ -172,8 +172,10 @@ object Corpus {
     val docs = documents(s, d)
     // persist: exactDedup reads its input from BOTH sides of the
     // keep/join, and the span-removal chain above it is the expensive
-    // part of the whole funnel — without this it recomputes per subtree
-    // (Verify/Bench clear the cache between queries)
+    // part of the whole funnel — without this it recomputes per
+    // subtree. The cache lives until the session's next
+    // clearCache (Verify/Bench clear between queries; a library
+    // caller embedding this funnel should clearCache when done).
     val cleaned = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
       .filter(col("n_removed") < col("n_tokens"))   // all-boilerplate docs drop out
       .persist()

@@ -252,11 +252,11 @@ object Quality {
       |    regexp_replace(regexp_replace(url, '[?#].*$', ''), '/$', '') AS nq
       |  FROM raw),
       |c AS (SELECT doc_id,
-      |    lower(regexp_extract(nq, '^([A-Za-z]+://[^/]*)', 1)) ||
-      |      regexp_replace(nq, '^[A-Za-z]+://[^/]*', '') AS canonical
+      |    lower(regexp_extract(nq, '^((?:[A-Za-z]+://|//)?[^/]*)', 1)) ||
+      |      regexp_replace(nq, '^((?:[A-Za-z]+://|//)?[^/]*)', '') AS canonical
       |  FROM c0),
       |k AS (SELECT doc_id, canonical,
-      |    regexp_extract(canonical, '^[a-z]+://([^/]+)', 1) AS domain
+      |    regexp_extract(canonical, '^(?:[a-z]+://|//)?([^/]+)', 1) AS domain
       |  FROM c)
       |SELECT domain, COUNT(*) AS n_fetches,
       |  CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_pages,

@@ -64,15 +64,19 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("e3 export manifest: one-pass stratified packing; LM count joins broadcast") {
-    // The stratified prefix sum issues ONE logical range repartition
-    // whose exchange feeds both the row and offset subtrees (2 static
-    // occurrences, deduped by exchange reuse — ReusedExchange when AQE
-    // is off, the stage cache when on). A per-split pack would show 6.
+    // The stratified prefix sum range-partitions the kept corpus ONCE
+    // and materializes it (localCheckpoint pins the partition
+    // boundaries for both the row and offset subtrees), so the final
+    // plan contains NO pack-side range exchange — only the
+    // presentation ORDER BY's. A per-split pack would show three
+    // materializations / six exchanges.
     val p = plan(graft.queries.Corpus.e3ExportManifest(spark, d))
     val packExchanges = p.split("\n")
       .count(l => l.contains("rangepartitioning") && l.contains("REPARTITION_BY_COL"))
-    assert(packExchanges == 2,
-      s"expected the single stratified pack's 2 static exchange mentions, got $packExchanges")
+    assert(packExchanges == 0,
+      s"pack input must be materialized once, found $packExchanges live pack exchanges")
+    assert(p.contains("Scan ExistingRDD"),
+      "the packed frame must read from the materialized checkpoint")
     val p9 = plan(graft.queries.Quality.t9LmScore(spark, d))
     assert(p9.contains("BroadcastHashJoin"),
       "bigram count tables must broadcast back onto the gram rows under AQE")

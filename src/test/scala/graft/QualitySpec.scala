@@ -112,6 +112,26 @@ class QualitySpec extends AnyFunSuite {
       12L -> "dup_batch", 13L -> "kept"))
   }
 
+  test("incremental dedup: null-text rows still get decisions (mutual dups)") {
+    val corpus = Seq((1L, "real text"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, null.asInstanceOf[String]), (11L, "fresh"),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, "doc_id", "text",
+        Dedup.digestIndex(corpus, "text"))
+      .select("doc_id", "decision")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // corpus has a null text too → batch nulls are corpus dups
+    assert(got == Map(10L -> "dup_corpus", 11L -> "kept", 12L -> "dup_corpus"),
+      s"every batch row must receive a decision, got $got")
+    // without a null in the corpus, batch nulls dedup among themselves
+    val got2 = Dedup.incrementalExact(batch, "doc_id", "text",
+        Dedup.digestIndex(corpus.filter(col("text").isNotNull), "text"))
+      .select("doc_id", "decision")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(10L -> "kept", 11L -> "kept", 12L -> "dup_batch"))
+  }
+
   test("incremental dedup result is invariant to batch partitioning") {
     val corpus = (0L until 50L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
     val batch = (0L until 30L).map(i => (100L + i, s"doc ${i % 10} body"))
@@ -162,6 +182,16 @@ class QualitySpec extends AnyFunSuite {
     assert(cased.size == 2)
     assert(Seq("https://sub.X.com/p").toDF("u")
       .select(TextAnalysis.urlHost(col("u"))).head().getString(0) == "sub.x.com")
+    // scheme-less and protocol-relative URLs canonicalize and resolve
+    // a host too — a blocklist must not be bypassable by scheme games
+    val bare = Seq("Example.COM/page?utm=x#top", "//Ads.Tracker.NET/x",
+      "ads.tracker.net/x/").toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"),
+        TextAnalysis.urlHost(col("u")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bare(0) == (("example.com/page", "example.com")))
+    assert(bare(1) == (("//ads.tracker.net/x", "ads.tracker.net")))
+    assert(bare(2) == (("ads.tracker.net/x", "ads.tracker.net")))
   }
 
   // ---- trained quality classifier ---------------------------------
