@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Bpe, SpanDedup, TextAnalysis}
+
+/** Property-based invariants for the corpus operators — randomized
+  * corpora catch the shapes fixtures don't (token boundaries, window
+  * overlaps, merge-order ties). Spark jobs are expensive per-case, so
+  * each property batches many generated docs into ONE DataFrame and
+  * checks the invariant row-wise.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf("aa", "ab", "ba", "b", "ccc", "x")
+  private val docGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, wordGen))
+    .map(_.mkString(" "))
+
+  test("span dedup invariants: accounting exact, clean text is a subsequence") {
+    val docs = Gen.listOfN(120, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val texts = docs.toMap
+    out.foreach { case (id, (nTok, nRem, clean)) =>
+      val words = texts(id).trim.split("\\s+").filter(_.nonEmpty)
+      assert(nTok == words.length, s"doc $id token accounting")
+      assert(nRem >= 0 && nRem <= nTok)
+      val cleanWords = clean.split(" ").filter(_.nonEmpty)
+      assert(cleanWords.length == nTok - nRem, s"doc $id clean length")
+      // clean text is a subsequence of the original tokens
+      var j = 0
+      cleanWords.foreach { w =>
+        while (j < words.length && words(j) != w) j += 1
+        assert(j < words.length, s"doc $id: '$w' out of order in cleaned text")
+        j += 1
+      }
+    }
+    // docs with at least one token all have a row
+    assert(out.keySet == texts.filter(_._2.trim.nonEmpty).keySet)
+  }
+
+  test("BPE round-trip and memo safety on random corpora") {
+    val docs = Gen.listOfN(80, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .filter(_._2.nonEmpty)
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", numMerges = 20)
+    val enc = Bpe.encodeCorpus(df.repartition(5), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    docs.foreach { case (id, t) =>
+      val words = t.trim.split("\\s+").filter(_.nonEmpty)
+      assert(enc(id).mkString == words.mkString, s"round trip for doc $id")
+    }
+  }
+
+  test("canonicalizeUrl is idempotent and host extraction is stable") {
+    val hostGen = Gen.oneOf("Example.COM", "a.b.c", "X.org", "ads.net")
+    val urlGen = for {
+      scheme <- Gen.oneOf("https://", "http://", "//", "")
+      host <- hostGen
+      path <- Gen.oneOf("", "/P1", "/a/B", "/x/")
+      tail <- Gen.oneOf("", "?q=1", "#f", "?utm=x#y")
+    } yield s"$scheme$host$path$tail"
+    val urls = Gen.listOfN(200, urlGen).sample.get.distinct
+    val df = urls.toDF("u")
+      .select(col("u"), TextAnalysis.canonicalizeUrl(col("u")).as("c"),
+        TextAnalysis.urlHost(col("u")).as("h"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // idempotence: canonicalizing a canonical URL changes nothing
+    val canonAgain = rows.map(_._2).toSeq.toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
+    rows.map(_._2).zip(canonAgain).foreach { case (c1, c2) =>
+      assert(c1 == c2, s"canonicalize not idempotent: '$c1' -> '$c2'")
+    }
+    rows.foreach { case (u, c, h) =>
+      assert(h == h.toLowerCase, s"host must be lowercase for $u")
+      assert(!c.contains("?") && !c.contains("#"), s"query/fragment must drop for $u")
+      assert(h.isEmpty || c.contains(h), s"canonical '$c' must contain host '$h'")
+    }
+  }
+
+  test("LM scores: probabilities stay in (0,1); bigram accounting exact") {
+    val docs = Gen.listOfN(60, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val scored = graft.pipeline.LangModel
+      .bigramScores(df, "doc_id", "text", df, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    docs.foreach { case (id, t) =>
+      val n = t.trim.split("\\s+").count(_.nonEmpty)
+      if (n >= 2) {
+        val (nb, lp) = scored(id)
+        assert(nb == n - 1, s"doc $id bigram count")
+        // with V >= 2 every smoothed probability is < 1, so log < 0
+        assert(lp < 0.0, s"doc $id avg log prob must be negative, got $lp")
+      } else assert(!scored.contains(id), s"doc $id has no bigram evidence")
+    }
+  }
+}
