@@ -27,19 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** Same-cell pairs with exact cosine >= threshold. */
-  def semanticPairs(corpus: DataFrame, idCol: String, embCol: String,
-      nlist: Int, threshold: Double): DataFrame = {
-    val ix = IvfAnn.buildIndex(corpus, idCol, embCol, nlist)
-    val a = ix.assigned.select(col("_cell"), col(idCol).as("id_a"), col("_ne").as("_ea"))
-    val b = ix.assigned.select(col("_cell"), col(idCol).as("id_b"), col("_ne").as("_eb"))
-    val pairs = a.join(b, Seq("_cell"))
+  /** Same-cell pairs with exact cosine >= threshold, over an existing
+    * (possibly [[IvfAnn.load]]ed) index — the deploy shape: build and
+    * persist the quantizer once, run dedup passes against it. */
+  def semanticPairsWithIndex(index: IvfAnn.Index, idCol: String,
+      threshold: Double): DataFrame = {
+    val a = index.assigned.select(col("_cell"), col(idCol).as("id_a"), col("_ne").as("_ea"))
+    val b = index.assigned.select(col("_cell"), col(idCol).as("id_b"), col("_ne").as("_eb"))
+    a.join(b, Seq("_cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", Similarity.dot(col("_ea"), col("_eb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** Same-cell pairs with exact cosine >= threshold (index built
+    * in-place from the corpus). */
+  def semanticPairs(corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int, threshold: Double): DataFrame = {
+    val ix = IvfAnn.buildIndex(corpus, idCol, embCol, nlist)
     // materialize before releasing the assignment cache the build left
-    val out = pairs.localCheckpoint()
+    val out = semanticPairsWithIndex(ix, idCol, threshold).localCheckpoint()
     ix.assigned.unpersist()
     out
   }
