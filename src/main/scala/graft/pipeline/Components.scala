@@ -85,10 +85,17 @@ object Components {
       .coalesce(1)
       .mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
+        // iterative find with full path compression: a recursive find
+        // would recurse once per chain link, and a degenerate
+        // million-edge chain (well inside localFinishEdges) overflows
+        // the task thread's stack
         def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) { parent.update(x, x); x }
-          else { val r = find(p); parent.update(x, r); r }
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (c != r) { val nxt = parent.getOrElse(c, c); parent.update(c, r); c = nxt }
+          parent.update(r, r)
+          r
         }
         it.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))

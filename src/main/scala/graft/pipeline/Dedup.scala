@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * re-split on skew — the properties that matter at 100 TB, where
   * candidate generation must stay near-linear and only verified
   * candidates pay the quadratic cost.
+  *
+  * CACHE LIFETIME: the LSH operators persist() shared intermediates
+  * (signature/shingle frames read by both sides of their candidate
+  * joins). Those caches live until the session's next
+  * `spark.catalog.clearCache()` — Verify/Bench sweep between queries;
+  * a long-lived session embedding these operators should do the same
+  * between pipeline runs (same note applies to [[Similarity]]).
   */
 object Dedup {
 
@@ -65,21 +72,21 @@ object Dedup {
   }
 
   /** One (`_sh_id`, `_sh_g`) row per word-n-gram OCCURRENCE (duplicates
-    * included — group or distinct downstream as needed). Same
-    * codegen-friendly explode + per-doc window `lead` shape as
-    * [[withShingles]] (which is this + collect_set); exposed for
-    * consumers like decontamination that want the gram stream without
-    * materializing per-doc arrays. Same `idCol` contract. */
+    * included — group or distinct downstream as needed). Grams come
+    * from an array transform INSIDE the scan stage (the
+    * SpanDedup.windowRows shape) — the earlier posexplode + window
+    * `lead` formulation shuffled every corpus token row before any
+    * aggregation; this emits gram rows with no shuffle at all.
+    * Exposed for consumers like decontamination that want the gram
+    * stream without materializing per-doc arrays. Same `idCol`
+    * contract as [[withShingles]]. */
   def gramRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("_sh_id")).orderBy(col("_sh_pos"))
-    val words = df.select(col(idCol).as("_sh_id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("_sh_pos", "_sh_w0")))
-    val leads = words.select(col("_sh_id") +: col("_sh_w0") +:
-      (1 until n).map(k => lead(col("_sh_w0"), k).over(w).as(s"_sh_w$k")): _*)
-    leads.filter(col(s"_sh_w${n - 1}").isNotNull)
-      .select(col("_sh_id"),
-        concat_ws(" ", (0 until n).map(k => col(s"_sh_w$k")): _*).as("_sh_g"))
+    val wd = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("_sh_id"), wd.as("_sh_wd"))
+      .filter(size(col("_sh_wd")) >= n)
+      .select(col("_sh_id"), explode(transform(
+        sequence(lit(0), size(col("_sh_wd")) - n),
+        i => array_join(slice(col("_sh_wd"), i + 1, lit(n)), " "))).as("_sh_g"))
   }
 
   /** Distinct word n-gram shingles of a text column (convenience

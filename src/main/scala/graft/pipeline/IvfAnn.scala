@@ -49,8 +49,14 @@ object IvfAnn {
     val train0 =
       if (total <= maxTrainRows) n
       else {
-        val keep = math.min(10000L,
-          math.max(1L, (maxTrainRows.toDouble * 10000 / total).toLong * 11 / 10))
+        // expected sample ≈ 1.1 × maxTrainRows REGARDLESS of corpus
+        // size: compute the keep fraction in floating point and ceil —
+        // flooring the quotient to a 1-in-10000 minimum would make the
+        // sample grow linearly with the corpus (total/10000 rows at
+        // web scale), and integer `*11/10` truncates away the 10%
+        // headroom for small quotients
+        val keep = math.min(10000L, math.max(1L,
+          math.ceil(maxTrainRows.toDouble * 10000 / total * 1.1).toLong))
         n.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(10000L)) < keep)
       }
     val train = train0.select("_features").coalesce(4).cache()

@@ -285,7 +285,7 @@ object Multimodal {
       source: String,
       n_bytes: Int,
       checksum: Long,
-      features: Array[Float])        // decoded feature vector (stubbed)
+      features: Array[Float])        // decoded features (real codecs; stub only for unknown formats)
 
   /** STUB — the fallback for payloads no real decoder accepts
     * (compressed audio, real video containers, garbage). Deterministic
@@ -313,9 +313,10 @@ object Multimodal {
   /** Per-partition batch feature extraction. Partitions stream through
     * the decoder one record at a time with constant memory; at cluster
     * scale, repartition upstream by size so a partition's payload fits
-    * the executor (see `repartitionBySize`). Image rows go through the
-    * real ImageIO decode; anything undecodable (and all audio/video)
-    * falls back to the stub. */
+    * the executor (see `repartitionBySize`). Image, audio, and video
+    * rows all go through their REAL decoders (ImageIO, javax.sound,
+    * PNG-frame demux); only payloads those decoders reject — exotic
+    * codecs, garbage — fall back to the stub. */
   def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
@@ -350,7 +351,10 @@ object Multimodal {
     * 100 TB (range-partition on a running size key would be exact; a
     * hash on id is sufficient and shuffle-cheap). */
   def repartitionBySize(df: DataFrame, byteCol: String, targetBytes: Long): DataFrame = {
-    val total = df.agg(sum(col(byteCol))).head().getLong(0)
+    // sum() over zero rows is null — an empty media table passes
+    // through unchanged instead of NPE-ing on getLong
+    val r = df.agg(sum(col(byteCol))).head()
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
     val parts = math.max((total / targetBytes).toInt, 1)
     df.repartition(parts)
   }

@@ -58,6 +58,12 @@ object SemDedup {
   def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, threshold: Double): DataFrame = {
     val pairs = semanticPairs(corpus, idCol, embCol, nlist, threshold)
-    Components.dedupClusters(corpus.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+    val out = Components.dedupClusters(corpus.select(col(idCol)), idCol,
+      pairs, "id_a", "id_b")
+    // the CC loop materialized everything it needs from the pair frame
+    // (eager checkpoints inside connectedComponents), so the pairs'
+    // own checkpoint blocks can be freed before returning
+    Components.release(pairs)
+    out
   }
 }

@@ -24,7 +24,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, zero-norm-safe: a zero vector (empty/OOV
+    * document embedding) has undefined direction — its similarity is
+    * defined as 0 rather than NaN, because Spark sorts NaN ABOVE every
+    * real number and a single NaN row would otherwise rank first in
+    * every top-k window it reaches. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
 
   /** All (query, corpus) cosine similarities. `queries` should be small
     * (it is broadcast); corpus scans stay partition-local. */
@@ -45,10 +53,14 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
   }
 
-  /** Unit-normalize an embedding column (norm computed once per row). */
+  /** Unit-normalize an embedding column (norm computed once per row).
+    * A zero vector stays a zero vector (0/0 would propagate NaN into
+    * every downstream dot product, ranking, and k-means fit). */
   def normalized(df: DataFrame, embCol: String, outCol: String): DataFrame =
     df.withColumn("_nrm", norm(col(embCol)))
-      .withColumn(outCol, transform(col(embCol), x => x.cast("double") / col("_nrm")))
+      .withColumn(outCol, when(col("_nrm") > 0,
+          transform(col(embCol), x => x.cast("double") / col("_nrm")))
+        .otherwise(transform(col(embCol), x => lit(0.0))))
       .drop("_nrm")
 
   /** All pairs with cosine >= threshold (embedding near-dup detection),
