@@ -64,7 +64,19 @@ object AlertProducer {
     * [mjd − prevSrcDays, mjd), different visit, mjd-ascending
     * (projectsim.py:174-188). Previous forced: mjd in
     * (mjd − prevFrcedDays, mjd − prevFrcedGapDays)
-    * (projectsim.py:190-211, the gap models forced-photometry lag). */
+    * (projectsim.py:190-211, the gap models forced-photometry lag).
+    *
+    * INPUT CONTRACT: pass procver-RESOLVED frames (one row per
+    * physical source/object — the reference producer reads the
+    * un-versioned PPDB sim tables; in this engine that means
+    * priority-deduped views, e.g. Ltcv.priorityDedup output). The
+    * joins key on the physical ids, so a multi-procver frame would
+    * duplicate every packet and its history arrays once per version.
+    *
+    * An anchor whose object row is missing still emits (diaObject
+    * carries the id with null position) — an inner join here would
+    * silently drop the alert, and since only emitted alerts are
+    * marked sent, it would be re-selected and re-dropped forever. */
   def reconstruct(toSend: DataFrame, sources: DataFrame, forced: DataFrame,
       objects: DataFrame, prevSrcDays: Double = 365.0,
       prevFrcedDays: Double = 365.0, prevFrcedGapDays: Double = 0.0): DataFrame = {
@@ -108,7 +120,11 @@ object AlertProducer {
     anchor
       .join(prvS, Seq("_aid"), "left_outer")
       .join(prvF, Seq("_aid"), "left_outer")
-      .join(obj, Seq("_objid"))
+      .join(obj, Seq("_objid"), "left_outer")
+      .withColumn("_obj", coalesce(col("_obj"),
+        struct(col("_objid").as("diaObjectId"),
+          lit(null).cast("double").as("ra"),
+          lit(null).cast("double").as("dec"))))
       .select(
         col("_aid").as("alertId"),
         col("_src").as("diaSource"),

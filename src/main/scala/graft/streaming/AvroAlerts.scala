@@ -111,26 +111,29 @@ object AvroAlerts {
 
   // ---- encoding (the producer's inverse of decode) -------------------
 
-  private def putSrc(schema: Schema, r: Row): GenericRecord = {
+  /** Positional Row → avro record fill, field names taken from the
+    * record schema itself: the avsc and the Spark struct types are the
+    * two remaining copies of the field order (down from four), and the
+    * arity check catches a drifted edit at the first encode instead of
+    * silently mis-assigning neighbouring columns. */
+  private def putByPosition(schema: Schema, r: Row): GenericRecord = {
     val rec = new org.apache.avro.generic.GenericData.Record(schema)
-    val names = Seq("diaSourceId", "diaObjectId", "visit", "band",
-      "midpointMjdTai", "psfFlux", "psfFluxErr", "ra", "dec",
-      "snr", "scienceFlux", "scienceFluxErr", "extendedness", "reliability")
-    names.zipWithIndex.foreach { case (n, i) =>
-      rec.put(n, if (r.isNullAt(i)) null else r.get(i))
+    val fields = schema.getFields
+    require(fields.size == r.size,
+      s"avro/struct arity skew for ${schema.getName}: ${fields.size} avro fields vs ${r.size} struct columns")
+    var i = 0
+    while (i < fields.size) {
+      rec.put(fields.get(i).name, if (r.isNullAt(i)) null else r.get(i))
+      i += 1
     }
     rec
   }
 
-  private def putForced(schema: Schema, r: Row): GenericRecord = {
-    val rec = new org.apache.avro.generic.GenericData.Record(schema)
-    val names = Seq("diaForcedSourceId", "diaObjectId", "visit", "band",
-      "midpointMjdTai", "psfFlux", "psfFluxErr", "scienceFlux", "scienceFluxErr")
-    names.zipWithIndex.foreach { case (n, i) =>
-      rec.put(n, if (r.isNullAt(i)) null else r.get(i))
-    }
-    rec
-  }
+  private def putSrc(schema: Schema, r: Row): GenericRecord =
+    putByPosition(schema, r)
+
+  private def putForced(schema: Schema, r: Row): GenericRecord =
+    putByPosition(schema, r)
 
   /** [[AlertStream.alertSchema]] rows → one binary avro datum per
     * alert, schemaless (the inverse of [[decode]]; writer allocated

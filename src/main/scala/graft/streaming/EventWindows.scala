@@ -15,18 +15,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object EventWindows {
 
-  /** Per-(window, keyCol) counts and value sums with a `lateness`
-    * watermark over `tsCol`. Works on a streaming OR batch frame (same
-    * plan — Spark unifies them). */
+  /** Per-(window, keyCol) counts — plus a sum over `valueCol` when the
+    * frame has one to sum (hardcoding "value" made every frame without
+    * that column fail analysis) — with a `lateness` watermark over
+    * `tsCol`. Works on a streaming OR batch frame (same plan — Spark
+    * unifies them). */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-      window_ : String = "5 minutes", lateness: String = "10 minutes"): DataFrame =
+      window_ : String = "5 minutes", lateness: String = "10 minutes",
+      valueCol: Option[String] = Some("value")): DataFrame = {
+    val sums = valueCol.filter(events.columns.contains)
+      .map(c => sum(col(c)).as("sum_value")).toSeq
+    val outCols = Seq(col("window.start").as("window_start"),
+      col("window.end").as("window_end"), col(keyCol), col("n")) ++
+      sums.map(_ => col("sum_value"))
     events
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), window_), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"), col(keyCol),
-        col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(outCols: _*)
+  }
 
   /** Run as a file-source stream into an in-memory sink (tests /
     * local monitoring); production would writeStream to a gold table. */

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{lit, struct}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
@@ -65,9 +66,19 @@ object Monitoring {
   def detach(spark: SparkSession, l: HeartbeatListener): Unit =
     spark.streams.removeListener(l)
 
-  /** The heartbeat log as a queryable table. */
-  def progress(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.json(Paths.get(logDir, "progress.jsonl").toString)
+  /** The heartbeat log as a queryable table. Empty (correct schema, no
+    * rows) before the first progress line lands — the listener bus is
+    * async, so a poller may ask before batch 1 reports; that must read
+    * as "zero batches", not a PATH_NOT_FOUND crash. */
+  def progress(spark: SparkSession, logDir: String): DataFrame = {
+    val p = Paths.get(logDir, "progress.jsonl")
+    if (!java.nio.file.Files.exists(p))
+      spark.range(0).select(
+        lit("").as("runId"), lit(0L).as("batchId"),
+        lit(0L).as("numInputRows"),
+        struct(lit(0L).as("triggerExecution")).as("durationMs"))
+    else spark.read.json(p.toString)
+  }
 
   /** Per-run rollup: batches, rows, mean batch duration — the
     * "how is ingest doing" heartbeat summary. */

@@ -63,22 +63,30 @@ final class SilverStore(baseDir: String) {
         .asScala.toSeq.filter(_.nonEmpty)
     else Seq.empty
 
-  /** A table dir with parquet content but no manifest is a store laid
-    * down by the pre-manifest format (flat parquet under the table
-    * dir). Readable as one legacy "segment"; [[commit]]'s GC never
-    * touches it (it only deletes `seg_*` dirs), so an un-migrated
-    * store cannot be destroyed by the first new-format write. */
-  private def legacyDir(name: String): Option[String] = {
+  /** Flat `.parquet` files in a manifest-less table dir are a store
+    * laid down by the pre-manifest format. Only FILES count as legacy
+    * content: a `seg_*` DIRECTORY with no manifest is an orphan from a
+    * crashed first-ever stage, and treating it as committed data would
+    * make the replayed batch's anti-joins see its rows as already
+    * present — the rows would never re-import, and the next commit's
+    * GC would delete the orphan: silent loss. The explicit file list
+    * (rather than reading the table dir) also keeps Spark from
+    * recursing into orphan segment dirs. [[commit]]'s GC only deletes
+    * `seg_*` dirs, so legacy files can never be destroyed. */
+  private def legacyFiles(name: String): Seq[String] = {
     val d = tableDir(name)
-    if (Files.exists(manifestPath(name)) || !Files.exists(d)) return None
+    if (Files.exists(manifestPath(name)) || !Files.exists(d)) return Nil
     val s = Files.list(d)
-    try { if (s.findFirst().isPresent) Some(d.toString) else None }
+    try s.iterator().asScala.toSeq
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString)
     finally s.close()
   }
 
   private def segPaths(name: String): Seq[String] =
     liveSegments(name).map(s => tableDir(name).resolve(s).toString) ++
-      legacyDir(name)
+      legacyFiles(name)
 
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -198,10 +206,33 @@ final class SilverStore(baseDir: String) {
 
   def save(r: ImportResult): Unit = commit(stageFull(r))
 
+  /** First delta-write on a pre-manifest table: the manifest flip
+    * would hide the legacy flat files from segPaths, so the legacy
+    * rows are materialized into a segment FIRST and lead the new
+    * manifest. A crash before the flip leaves the manifest absent and
+    * the legacy files authoritative (the migration segment becomes a
+    * GC-able orphan); the legacy flat files themselves are never
+    * deleted either way. MOR tables read legacy with null `_seq`,
+    * which readMor ranks as seq 0 — the same compacted-base rank the
+    * migration preserves. */
+  private def migrateLegacy(name: String,
+      spark: SparkSession): Seq[String] = {
+    val files = legacyFiles(name)
+    if (files.isEmpty) Nil
+    else {
+      val schema =
+        if (morTables.exists(_._1 == name)) withSeq(tables(name))
+        else tables(name)
+      writeSegment(name, spark.read.schema(schema).parquet(files: _*)).toSeq
+    }
+  }
+
   /** Append one importer batch: O(delta) I/O. Insert-only tables gain
     * a segment holding exactly their new rows; COALESCE tables append
     * their staged docs with the next `_seq` (merge-on-read recovers
-    * upsert semantics); untouched tables' manifests are not flipped. */
+    * upsert semantics); untouched tables' manifests are not flipped.
+    * A table still on the pre-manifest flat layout is migrated into
+    * its first manifest (see [[migrateLegacy]]). */
   def saveDelta(d: ImportDeltas): Unit = {
     val appends = Seq(
       "root_diaobject" -> d.rootDiaobject, "diaobject" -> d.diaobject,
@@ -216,7 +247,10 @@ final class SilverStore(baseDir: String) {
         name -> df.withColumn("_seq", lit(seq))
       }
     val staged = Staged((appends ++ morAppends).flatMap { case (name, df) =>
-      writeSegment(name, df).map(seg => name -> (liveSegments(name) :+ seg))
+      writeSegment(name, df).map { seg =>
+        val legacy = migrateLegacy(name, df.sparkSession)
+        name -> (legacy ++ liveSegments(name) :+ seg)
+      }
     })
     commit(staged)
   }

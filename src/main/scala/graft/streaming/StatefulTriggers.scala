@@ -13,9 +13,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * "object just became interesting" is a burst trigger: emit once per
   * object when `minDets` detections land within `windowDays`. State
   * per object is the bounded list of recent detection times plus the
-  * fired flag — O(minDets) doubles per live object, evicted by the
-  * fired flag as soon as the trigger emits, so state growth is
-  * bounded by the active-object count, not by history. */
+  * fired flag — a fired object sheds its list immediately (one boolean
+  * from then on), so state growth is bounded by the not-yet-fired
+  * object count, not by history. Late detections are handled with
+  * watermark-like semantics: a detection arriving more than
+  * `windowDays` behind the newest time already seen for its object is
+  * expired (it can no longer complete a window that would fire). */
 object StatefulTriggers {
 
   final case class Det(diaobjectid: Long, midpointmjdtai: Double)
@@ -38,18 +41,36 @@ object StatefulTriggers {
         (id: Long, it: Iterator[Det], state: GroupState[BurstState]) => {
           var s = state.getOption.getOrElse(BurstState(Nil, fired = false))
           val out = scala.collection.mutable.ListBuffer[BurstTrigger]()
+          // cap on retained times: enough to find any qualifying run,
+          // bounded even under pathological cadence
+          val maxKeep = math.max(minDets * 4, 32)
           // within a batch, process in event-time order so the trigger
           // point does not depend on shuffle arrival order
           it.toSeq.sortBy(_.midpointmjdtai).foreach { d =>
             if (!s.fired) {
-              val recent =
-                (d.midpointmjdtai :: s.recent)
-                  .filter(m => d.midpointmjdtai - m <= windowDays)
-                  .sorted.takeRight(minDets)
-              if (recent.size >= minDets) {
-                out += BurstTrigger(id, recent.size, recent.head, d.midpointmjdtai)
-                s = BurstState(recent, fired = true)
-              } else s = BurstState(recent, fired = false)
+              // prune against the NEWEST time seen, not the incoming
+              // one: a late detection must expire itself, never
+              // resurrect a window wider than windowDays (subtracting
+              // from the incoming time kept future times at negative
+              // offsets, so three detections spanning 99 days could
+              // fire a 10-day trigger)
+              val merged = d.midpointmjdtai :: s.recent
+              val maxT = merged.max
+              val recent = merged.filter(m => maxT - m <= windowDays)
+                .sorted.takeRight(maxKeep)
+              // fire iff some run of minDets consecutive retained
+              // times spans <= windowDays
+              val run = recent.sliding(minDets)
+                .find(w => w.size == minDets && w.last - w.head <= windowDays)
+              run match {
+                case Some(w) =>
+                  out += BurstTrigger(id, minDets, w.head, w.last)
+                  // fired: shed the list — one boolean per object from
+                  // here on, the doc's eviction promise
+                  s = BurstState(Nil, fired = true)
+                case None =>
+                  s = BurstState(recent, fired = false)
+              }
             }
           }
           state.update(s)

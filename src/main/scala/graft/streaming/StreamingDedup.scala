@@ -27,7 +27,12 @@ object StreamingDedup {
 
   final case class Doc(doc_id: Long, text: String, source: String)
 
+  /** Null-safe (a failed-fetch row must not crash the whole stream):
+    * null texts key to a sentinel no hex digest can collide with, so
+    * they dedup as mutual duplicates — the batch-side
+    * `Dedup.incrementalExact` convention. */
   def contentKey(text: String): String = {
+    if (text == null) return "null-text"
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(text.getBytes("UTF-8"))
     val sb = new StringBuilder(64)
