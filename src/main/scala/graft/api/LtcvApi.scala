@@ -39,10 +39,17 @@ object LtcvApi {
       includeHostinfo: Boolean = false): DataFrame = {
     val ids = Ltcv.expandObjids(cat, procverId, diaobjectids, rootids)
     val prios = cat.dims.priorities(procverId, "diaobject")
+    // semi-join FIRST: the best-position aggregate must scan only the
+    // requested objects, not the whole catalog (a 3-object request
+    // previously shuffled every position row); tiebreak on
+    // base_procver_id so equal-priority versions resolve
+    // deterministically, like priorityDedup
     val pos = cat.diaobjectPosition
+      .join(ids.select("diaobjectid").distinct(), Seq("diaobjectid"), "left_semi")
       .join(broadcast(prios), Seq("base_procver_id"))
       .groupBy("diaobjectid")
-      .agg(max_by(struct(col("ra"), col("dec")), struct(col("priority"))).as("_p"))
+      .agg(max_by(struct(col("ra"), col("dec")),
+        struct(col("priority"), col("base_procver_id"))).as("_p"))
       .select(col("diaobjectid"), col("_p.ra").as("ra"), col("_p.dec").as("dec"))
     val base = ids.join(pos, Seq("diaobjectid"), "left_outer")
       .groupBy("rootid")

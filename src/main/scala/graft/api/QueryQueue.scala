@@ -25,8 +25,15 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
   final case class Entry(
       queryid: String, userid: String, queries: Seq[String],
       submitted: Timestamp, var started: Option[Timestamp] = None,
-      var finished: Option[Timestamp] = None,
-      var error: Boolean = false, var errortext: String = "")
+      // @volatile: execute() writes these from a runner thread while
+      // status() reads under the queue monitor the writer never takes;
+      // without the fences a poller can see finished set but
+      // error/errortext still torn (or never see finished at all).
+      // finished is written LAST, so volatile ordering makes the
+      // error fields visible to any reader that observes finished.
+      @volatile var finished: Option[Timestamp] = None,
+      @volatile var error: Boolean = false,
+      @volatile var errortext: String = "")
 
   private val entries = mutable.LinkedHashMap[String, Entry]()
   private val counter = new AtomicLong(0)
@@ -93,6 +100,10 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
         assertReadOnly(q)
         last = Some(spark.sql(q))
       }
+      // an empty statement list must not complete "successfully" with
+      // no output — results() would later fail with a raw path error
+      if (last.isEmpty)
+        throw new IllegalArgumentException("query entry has no statements")
       last.foreach(_.write.mode("overwrite").parquet(s"$resultDir/${e.queryid}"))
     } catch {
       case ex: Throwable => e.error = true; e.errortext = ex.getMessage

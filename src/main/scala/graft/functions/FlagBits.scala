@@ -35,6 +35,8 @@ object FlagBits {
     0x00002000 -> "shape_flag_not_contained",
     0x00004000 -> "shape_flag_parent_source",
     0x00008000 -> "isDipole",
+    // "diple" [sic] — the reference's own spelling (db.py:1811); a
+    // migrating user's flag queries use THESE names, so do not "fix"
     0x00010000 -> "dipleFitAttempted",
     0x00020000 -> "glint_trail")
 
@@ -58,6 +60,7 @@ object FlagBits {
     0x00010000 -> "pixelFlags_injected",
     0x00020000 -> "pixelFlags_injectedCenter",
     0x00040000 -> "pixelFlags_injected_template",
+    // "injectedd" [sic] — the reference's spelling (db.py:1836)
     0x00080000 -> "pixelFlags_injectedd_templateCenter")
 
   /** Pack the catalog's boolean columns (those present on `df`) into

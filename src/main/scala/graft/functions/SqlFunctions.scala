@@ -63,7 +63,7 @@ object SqlFunctions {
       Set(1), a => Funcs.timestampToMjd(a(0))),
     Fn("zone_id",
       "zone_id(dec, zone_height_deg) - dense integer declination zone",
-      Set(2), a => floor((a(0) + lit(90.0)) / a(1)).cast("int")),
+      Set(2), a => graft.spatial.Spatial.zoneId(a(0), a(1))),
     Fn("has_any_bit",
       "has_any_bit(field, mask) - true iff field AND mask is nonzero",
       Set(2), a => a(0).bitwiseAND(a(1)) =!= 0),

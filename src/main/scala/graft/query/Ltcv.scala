@@ -172,11 +172,14 @@ object Ltcv {
     * replacing the reference's 8-subquery materialized view
     * (src/ltcv.py:1600-1754). Input: deduped detections from
     * [[sources]]. */
-  def objStats(dedupedSources: DataFrame): DataFrame = {
+  /** The shared stat aggregate list — objStats and objStatsComb differ
+    * ONLY in grouping keys; one definition keeps the cut set from
+    * silently diverging between the per-band and cross-band tables. */
+  private def statAggs: Seq[Column] = {
     val mjdOrd = struct(col("midpointmjdtai"), col("diasourceid"))
     val detTriple = struct(col("midpointmjdtai").as("mjd"),
       col("psfflux").as("flux"), col("psffluxerr").as("fluxerr"))
-    val aggs = Seq(
+    Seq(
       count(lit(1)).as("ndets"),
       min_by(detTriple, mjdOrd).as("firstdet"),
       max_by(detTriple, mjdOrd).as("lastdet"),
@@ -185,6 +188,10 @@ object Ltcv {
         sum(when(col("psfflux") >= f, 1L).otherwise(0L)).as(s"ndets$m") } ++
       snCuts.map { n =>
         sum(when(col("psfflux") / col("psffluxerr") >= n, 1L).otherwise(0L)).as(s"nsn$n") }
+  }
+
+  def objStats(dedupedSources: DataFrame): DataFrame = {
+    val aggs = statAggs
     dedupedSources
       .groupBy("rootid", "band")
       .agg(aggs.head, aggs.tail: _*)
@@ -207,29 +214,42 @@ object Ltcv {
     * across bands. Takes the *deduped sources* so the extrema are exact
     * (not a max-of-maxes on ties). */
   def objStatsComb(dedupedSources: DataFrame): DataFrame = {
-    val mjdOrd = struct(col("midpointmjdtai"), col("diasourceid"))
-    val detTriple = struct(col("midpointmjdtai").as("mjd"),
-      col("psfflux").as("flux"), col("psffluxerr").as("fluxerr"))
-    val aggs = Seq(
-      count(lit(1)).as("ndets"),
-      min_by(detTriple, mjdOrd).as("firstdet"),
-      max_by(detTriple, mjdOrd).as("lastdet"),
-      max_by(detTriple, struct(col("psfflux"), col("diasourceid"))).as("maxdet")) ++
-      magCuts.map { case (m, f) =>
-        sum(when(col("psfflux") >= f, 1L).otherwise(0L)).as(s"ndets$m") } ++
-      snCuts.map { n =>
-        sum(when(col("psfflux") / col("psffluxerr") >= n, 1L).otherwise(0L)).as(s"nsn$n") }
+    val aggs = statAggs
     dedupedSources.groupBy("rootid").agg(aggs.head, aggs.tail: _*)
       .select(col("rootid") +: statCols: _*)
   }
 
   /** A7 — (S/N)²-weighted mean position per rootid over detections with
     * S/N > 3 (src/ltcv.py:828-878), as single-pass column arithmetic
-    * instead of the reference's per-lightcurve numpy loop. */
-  def weightedPositions(dedupedSources: DataFrame, snCut: Double = 3.0): DataFrame = {
+    * instead of the reference's per-lightcurve numpy loop.
+    *
+    * Default semantics are REFERENCE-FAITHFUL: a plain arithmetic mean
+    * of RA, exactly like ltcv.py:855 — which means an object whose
+    * astrometric scatter straddles the RA 0/360 meridian averages to
+    * ~180° (half a sky away), in the reference too. `wrapRa = true`
+    * fixes that: every detection's RA is taken relative to the
+    * object's first-detection RA (wrapped to ±180°) before averaging,
+    * and the mean is wrapped back to [0, 360) — identical output for
+    * any object away from the meridian, correct at it. */
+  def weightedPositions(dedupedSources: DataFrame, snCut: Double = 3.0,
+      wrapRa: Boolean = false): DataFrame = {
     val w = pow(col("psfflux") / col("psffluxerr"), 2)
-    dedupedSources
+    val base = dedupedSources
       .filter(col("psfflux") / col("psffluxerr") > snCut)
+    val input =
+      if (!wrapRa) base
+      else {
+        // per-object reference meridian: the FIRST detection's RA
+        // (deterministic min_by on (mjd, id)); deltas wrap to ±180
+        val ra0 = base.groupBy("rootid").agg(min_by(col("ra"),
+          struct(col("midpointmjdtai"), col("diasourceid"))).as("_ra0"))
+        base.join(ra0, Seq("rootid"))
+          .withColumn("_d", col("ra") - col("_ra0"))
+          .withColumn("ra",
+            col("_ra0") + col("_d") - lit(360.0) * floor((col("_d") + 180.0) / 360.0))
+          .drop("_d", "_ra0")
+      }
+    val unwrapped = input
       .withColumn("_w", w)
       .groupBy("rootid")
       .agg(
@@ -247,6 +267,9 @@ object Ltcv {
         sqrt(greatest(col("_swra2") / col("_sw") - pow(col("_swra") / col("_sw"), 2), lit(0.0))).as("rastd"),
         sqrt(greatest(col("_swdec2") / col("_sw") - pow(col("_swdec") / col("_sw"), 2), lit(0.0))).as("decstd"),
         (col("_swradec") / col("_sw") - col("_swra") * col("_swdec") / (col("_sw") * col("_sw"))).as("ra_dec_cov"))
+    if (!wrapRa) unwrapped
+    else unwrapped.withColumn("ra",
+      col("ra") - lit(360.0) * floor(col("ra") / 360.0))
   }
 
   /** T6 — hot transients: lightcurves of objects with a detection in

@@ -21,7 +21,13 @@ object Spatial {
 
   /** Dense integer zone id for a declination, given zone height in deg. */
   def zoneId(dec: Column, zoneHeightDeg: Double): Column =
-    floor((dec + lit(90.0)) / lit(zoneHeightDeg)).cast("int")
+    zoneId(dec, lit(zoneHeightDeg))
+
+  /** Column-height variant — the single source of truth the SQL
+    * surface's `zone_id` also resolves to, so the DataFrame cone join
+    * and ad-hoc SQL can never zone differently. */
+  def zoneId(dec: Column, zoneHeight: Column): Column =
+    floor((dec + lit(90.0)) / zoneHeight).cast("int")
 
   /** Cone join: all (left, right) pairs within `radiusArcsec`.
     *

@@ -22,12 +22,18 @@ object GoldTables {
     * Joins weighted positions (A7) so cone search works on the gold
     * table alone. */
   def refreshObjStats(cat: Catalog, procverId: String, outDir: String): Unit = {
-    val src = Ltcv.sources(cat, procverId)
-    val perBand = Ltcv.objStats(src)
-    val comb = Ltcv.objStatsComb(src)
-      .join(Ltcv.weightedPositions(src), Seq("rootid"), "left_outer")
-    perBand.write.mode("overwrite").parquet(s"$outDir/objstats_$procverId")
-    comb.write.mode("overwrite").parquet(s"$outDir/objstatscomb_$procverId")
+    // persist: the priority dedup over the full photometry is the most
+    // expensive aggregation in the system, and without it the two
+    // writes would execute it three times (perBand once, comb's
+    // objStatsComb + weightedPositions join twice more)
+    val src = Ltcv.sources(cat, procverId).persist()
+    try {
+      val perBand = Ltcv.objStats(src)
+      val comb = Ltcv.objStatsComb(src)
+        .join(Ltcv.weightedPositions(src), Seq("rootid"), "left_outer")
+      perBand.write.mode("overwrite").parquet(s"$outDir/objstats_$procverId")
+      comb.write.mode("overwrite").parquet(s"$outDir/objstatscomb_$procverId")
+    } finally src.unpersist()
   }
 
   def objStats(spark: SparkSession, outDir: String, procverId: String,
@@ -44,12 +50,20 @@ object GoldTables {
   def exportLtcvs(cat: Catalog, procverId: String, outDir: String,
       whichPhot: String = "patch"): Unit = {
     val ltcv = Ltcv.objectLtcvs(cat, procverId, whichPhot = whichPhot)
+    // isdet/ispatch exist only on the patch-join output; the
+    // detections-only / forced-only exports carry the constant flags
+    // instead of failing analysis
+    val (isdet, ispatch) = whichPhot match {
+      case "detections" => (lit(true).as("isdet"), lit(false).as("ispatch"))
+      case "forced"     => (lit(false).as("isdet"), lit(true).as("ispatch"))
+      case _            => (col("isdet"), col("ispatch"))
+    }
     ltcv
       .groupBy("rootid")
       .agg(array_sort(collect_list(struct(
         col("midpointmjdtai").as("mjd"), col("band"),
         col("psfflux"), col("psffluxerr"),
-        col("isdet"), col("ispatch")))).as("ltcv"),
+        isdet, ispatch))).as("ltcv"),
         count(lit(1)).as("nobs"))
       .write.mode("overwrite").parquet(outDir)
   }

@@ -151,6 +151,31 @@ class LtcvSpec extends AnyFunSuite {
     assert(comb == perBand)
   }
 
+  test("A7 wrapRa: meridian-straddling object averages near 0, not 180") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // scatter straddling RA 0/360: naive mean ~180 (the reference's own
+    // behavior); wrapped mean lands at the cluster
+    val dets = Seq(
+      ("r1", 1L, 359.999, 10.0, 60000.0, 100.0f, 1.0f),
+      ("r1", 2L, 0.001, 10.0, 60001.0, 100.0f, 1.0f),
+      ("r1", 3L, 359.997, 10.0, 60002.0, 100.0f, 1.0f),
+      // control object away from the meridian: both paths agree
+      ("r2", 4L, 180.1, -5.0, 60000.0, 100.0f, 1.0f),
+      ("r2", 5L, 180.3, -5.0, 60001.0, 100.0f, 1.0f))
+      .toDF("rootid", "diasourceid", "ra", "dec", "midpointmjdtai",
+        "psfflux", "psffluxerr")
+    val naive = Ltcv.weightedPositions(dets).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("ra")).toMap
+    val wrapped = Ltcv.weightedPositions(dets, wrapRa = true).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("ra"), r.getAs[Double]("rastd"))).toMap
+    assert(math.abs(naive("r1") - 239.999) < 1e-6, "naive mean is reference-faithful (and wrong)")
+    val (wra, wstd) = wrapped("r1")
+    assert(wra > 359.99 || wra < 0.01, s"wrapped mean must sit at the cluster, got $wra")
+    assert(wstd < 0.01, s"wrapped rastd must reflect the tight scatter, got $wstd")
+    assert(math.abs(wrapped("r2")._1 - naive("r2")) < 1e-9, "away from the meridian both agree")
+  }
+
   test("A7 weighted positions match naive oracle (ltcv.py:828-878)") {
     val pv = "pv3"
     val got = Ltcv.weightedPositions(Ltcv.sources(cat, pvId(pv))).collect()
