@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Readers for the driver-provided synthetic parquet tables
   * (TESTDATA.md: TPC-H-ish star schema + events/documents/embeddings).
@@ -38,13 +38,18 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long (legacy conf) and
-    * convert to a microsecond TimestampType column — same truncation
-    * DuckDB applies, so oracle comparisons agree. */
+    * reader rejects outright. Read nanos as long (legacy conf; note
+    * this is a SESSION-wide setting — every later nanos-parquet read
+    * in the session also arrives as long, which is the behavior this
+    * engine wants everywhere) and convert to a microsecond
+    * TimestampType column with INTEGER division: `/ 1000` promotes to
+    * double, and 2026-era nanosecond epochs (~1.8e18) exceed 2^53, so
+    * the double path lands up to a microsecond off DuckDB's exact
+    * integer truncation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   /** documents/embeddings arrive as one small parquet file → one input
     * split → every downstream per-row computation (shingling, hashing,

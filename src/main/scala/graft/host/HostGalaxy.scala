@@ -23,7 +23,10 @@ object HostGalaxy {
     Seq("nearbyextobj1", "nearbyextobj2", "nearbyextobj3")
 
   /** Unpivot the nearbyextobj columns: one (diaobjectid, host_id,
-    * prio) row per non-null reference, prio = column index (0 best). */
+    * prio) row per non-null reference, prio = column index (0 best).
+    * The same host referenced from two columns keeps only its BEST
+    * prio — duplicate (diaobjectid, host_id) rows would violate the
+    * match table's key and double-count n_hosts downstream. */
   def nearbyPairs(objects: DataFrame,
       cols: Seq[String] = nearbyCols): DataFrame =
     cols.zipWithIndex.map { case (c, i) =>
@@ -32,6 +35,8 @@ object HostGalaxy {
         lit(i).cast("smallint").as("prio"))
         .filter(col("host_id").isNotNull)
     }.reduce(_ unionByName _)
+      .groupBy("diaobjectid", "host_id")
+      .agg(min(col("prio")).cast("smallint").as("prio"))
 
   /** dr_importer.import_host_info steps 1+2: host ids referenced by
     * objects but absent from host_galaxy are pulled from the upstream
@@ -48,7 +53,12 @@ object HostGalaxy {
           col("base_procver_id") === bpv)
         .select("host_id"),
       Seq("host_id"), "left_anti")
-    val newHosts = catalog.join(missing, Seq("host_id"), "left_semi")
+    // join on an EXPLICIT string cast of the catalog's native-typed
+    // host_id: a string-vs-bigint equi-join would coerce both sides to
+    // DOUBLE, and LSST object ids above 2^53 would collide on rounding
+    val newHosts = catalog
+      .withColumn("host_id", col("host_id").cast("string"))
+      .join(missing, Seq("host_id"), "left_semi")
       .select(
         SourceImporter.deterministicUuid(
           lit(hostCatalog), col("host_id"), lit(bpv)).as("id"),

@@ -13,9 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object Dp1Loader {
 
-  final case class Loaded(diaobject: DataFrame, diasource: DataFrame,
-      diaforcedsource: DataFrame)
-
   /** `objects` schema: (diaObjectId, ra, dec,
     *   diaSource: array<struct<...>>, diaObjectForcedSource: array<struct<...>>) */
   def load(objects: DataFrame, baseProcverId: String): Loaded = {
@@ -38,7 +35,13 @@ object Dp1Loader {
         col("s.psfFlux").cast("float").as("psfflux"),
         col("s.psfFluxErr").cast("float").as("psffluxerr"),
         col("s.ra").cast("double").as("ra"),
-        col("s.dec").cast("double").as("dec"))
+        col("s.dec").cast("double").as("dec"),
+        // null astrometric errors, matching SnanaLoader's detected
+        // shape — without them SourceImporter.newRows'
+        // select(existing.columns) fails on a DP1-loaded batch
+        lit(null).cast("float").as("raerr"),
+        lit(null).cast("float").as("decerr"),
+        lit(null).cast("float").as("ra_dec_cov"))
 
     val forced = objects
       .select(col("diaObjectId").cast("long").as("diaobjectid"),

@@ -24,9 +24,6 @@ import graft.functions.Funcs
   */
 object SnanaLoader {
 
-  final case class Loaded(diaobject: DataFrame, diasource: DataFrame,
-      diaforcedsource: DataFrame)
-
   /** Attach SNID to PHOT rows via the HEAD row ranges. PHOT carries a
     * 1-indexed physical row number (`_rownum`); the range assignment is
     * an explode of HEAD ranges into (rownum → snid) — an equi-join, not
@@ -35,7 +32,12 @@ object SnanaLoader {
   def assignSnid(head: DataFrame, phot: DataFrame): DataFrame =
     if (phot.columns.contains("SNID")) phot
     else {
-      val ranges = head.select(col("SNID"),
+      // guard inverted ranges: sequence(a, b) with a > b silently
+      // generates a DESCENDING range, which would map the wrong rows
+      // to this SNID instead of mapping none
+      val ranges = head
+        .filter(col("PTROBS_MIN") <= col("PTROBS_MAX"))
+        .select(col("SNID"),
           explode(sequence(col("PTROBS_MIN"), col("PTROBS_MAX"))).as("_rownum"))
       phot.join(ranges, Seq("_rownum"))
     }

@@ -568,10 +568,13 @@ object FastdbOps {
       |    CASE WHEN c_custkey % 5 = 0
       |      THEN CAST(((c_custkey * 13) % 100) + 1 AS VARCHAR) END AS h2
       |  FROM customer),
-      |pairs AS (
+      |pairs0 AS (
       |  SELECT diaobjectid, h0 AS host_id, 0 AS prio FROM obj
       |  UNION ALL SELECT diaobjectid, h1, 1 FROM obj WHERE h1 IS NOT NULL
       |  UNION ALL SELECT diaobjectid, h2, 2 FROM obj WHERE h2 IS NOT NULL),
+      |pairs AS (
+      |  SELECT diaobjectid, host_id, MIN(prio) AS prio
+      |  FROM pairs0 GROUP BY 1, 2),
       |hosts AS (
       |  SELECT CAST(s_suppkey AS VARCHAR) AS host_id,
       |    (s_suppkey % 360) * 0.7 AS host_ra,
