@@ -93,8 +93,74 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd polynomial rolling hash over a string's codepoints:
+  * acc = (acc * 31 + codepoint) % 1_000_000_007, left to right.
+  *
+  * The composable form — `aggregate(transform(split(text, ""), ascii),
+  * 0L, (acc, c) => ...)` — runs every character through three
+  * interpreted lambda hops (~30 µs/char stack overhead) and
+  * materializes a per-codepoint string array; on a 100 TB corpus the
+  * fingerprint pass would be interpreter-bound. This expression is the
+  * same fold as a primitive loop inside whole-stage codegen.
+  * Codepoint semantics match `split(s, "")` + `ascii` exactly: split
+  * is codepoint-wise (surrogate pairs stay one element) and ascii
+  * yields the full codepoint. Empty string → 0, null → null.
+  * Callers wanting case-insensitivity compose with `lower()` (its
+  * UTF8String lowercasing, untouched here).
+  */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_hash needs a string input, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp"); val acc = ctx.freshName("acc")
+      s"""
+         |String $s = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two numeric array columns. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.toColumn(DotProduct(Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** Codegen'd codepoint rolling hash (see [[RollingHash]]). */
+  def rollingHash(s: Column): Column =
+    Bridge.toColumn(RollingHash(Bridge.toExpression(s)))
 }

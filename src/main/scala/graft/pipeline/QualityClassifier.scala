@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
-  /** The fixed feature surface, as an array<double> column. Every
-    * entry is bounded (ratios, or saturating caps) so LBFGS sees
-    * comparable scales without a separate normalization pass. */
-  def features(text: Column): Column = {
+  /** The fixed feature surface. Every entry is bounded (ratios, or
+    * saturating caps) so LBFGS sees comparable scales without a
+    * separate normalization pass. Exposed as individual columns so
+    * [[score]] can combine them without an array construction —
+    * `element_at(array(...), i)` is not simplified by Catalyst, so a
+    * dot product phrased through it would rebuild the whole feature
+    * array once per coefficient. */
+  def featureCols(text: Column): Seq[Column] = {
     val nTok = TextAnalysis.tokenCount(text).cast("double")
     val nChar = greatest(length(text).cast("double"), lit(1.0))
-    array(
+    Seq(
       least(nTok / 100.0, lit(1.0)),
       TextAnalysis.punctCount(text).cast("double") / nChar,
       TextAnalysis.stopwordCount(text, TextAnalysis.EnStopwords).cast("double")
@@ -37,6 +41,9 @@ object QualityClassifier {
       least(nChar / greatest(nTok, lit(1.0)) / 10.0, lit(1.0)),
       size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") / nChar)
   }
+
+  /** The feature surface as one array<double> column (training shape). */
+  def features(text: Column): Column = array(featureCols(text): _*)
 
   final case class Model(coefficients: Array[Double], intercept: Double)
 
@@ -46,9 +53,19 @@ object QualityClassifier {
   def train(seed: DataFrame, textCol: String, labelCol: String): Model = {
     val ds = seed.select(array_to_vector(features(col(textCol))).as("features"),
       col(labelCol).cast("double").as("label"))
+      .persist()
+    // Each LBFGS iteration is one treeAggregate job over the seed; a
+    // small seed scattered across the session's default parallelism
+    // pays ~input-partition-count task launches per iteration for
+    // microseconds of math each. Size partitions to the seed (64k
+    // rows/partition), so a 2.5k-row seed fits one task per iteration
+    // while a 10M-row seed still trains distributed.
+    val n = ds.count()
+    val fitOn = ds.coalesce(math.max(1, (n / 65536).toInt))
     val m = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)
-      .fit(ds)
+      .fit(fitOn)
+    ds.unpersist(blocking = false)
     Model(m.coefficients.toArray, m.intercept)
   }
 
@@ -56,9 +73,8 @@ object QualityClassifier {
     * broadcast-as-literals fitted model — no UDF, no MLlib transform
     * on the corpus path, codegen end to end. */
   def score(text: Column, model: Model): Column = {
-    val f = features(text)
-    val z = model.coefficients.zipWithIndex.map { case (w, i) =>
-      element_at(f, i + 1) * w
+    val z = featureCols(text).zip(model.coefficients).map { case (f, w) =>
+      f * w
     }.reduce(_ + _) + model.intercept
     lit(1.0) / (lit(1.0) + exp(-z))
   }

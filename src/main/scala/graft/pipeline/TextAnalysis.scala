@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens (empty-safe). */
-  def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+  /** Whitespace tokens (empty-safe). Split of a trimmed string can
+    * produce an empty token only for empty/whitespace-only input
+    * (split("") = [""]), so that case is handled with a conditional
+    * instead of a per-element `filter` lambda — higher-order array
+    * functions run interpreted (~30µs/element) and would put a
+    * per-token interpreter hop inside every scan that tokenizes. */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -27,9 +35,17 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Occurrences of any of `words` as whole tokens. */
-  def stopwordCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+  /** Occurrences of any of `words` as whole tokens. A whitespace
+    * token equals `w` exactly when `w` occurs in the text with no
+    * adjacent non-whitespace character, so the count is one codegen'd
+    * regex scan (lookarounds keep the match zero-width at both edges —
+    * consecutive stopwords separated by a single space all count)
+    * instead of tokenize + interpreted per-token `filter`/`isin`. */
+  def stopwordCount(text: Column, words: Seq[String]): Column = {
+    val pat = words.map(java.util.regex.Pattern.quote)
+      .mkString("(?<![\\S])(?:", "|", ")(?![\\S])")
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
 
   val EnStopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it")
   val EsStopwords = Seq("el", "la", "los", "las", "de", "y", "en", "es", "un")
@@ -58,13 +74,13 @@ object TextAnalysis {
       lit(0.3) * least(stopRatio * 5, lit(1.0)), 6)
   }
 
-  /** Deterministic 63-bit rolling-hash fingerprint (polynomial base 31
-    * mod 1e9+7 over the lowercased character stream). */
-  def fingerprint(text: Column): Column = {
-    val chars = filter(split(lower(text), ""), c => c =!= "")
-    aggregate(transform(chars, c => ascii(c).cast("long")),
-      lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
-  }
+  /** Deterministic rolling-hash fingerprint (polynomial base 31 mod
+    * 1e9+7 over the lowercased codepoint stream). A native codegen
+    * expression — the composable split/transform/aggregate chain runs
+    * interpreted per character (see [[graft.functions.RollingHash]];
+    * TextAnalysisSpec pins value equality against that form). */
+  def fingerprint(text: Column): Column =
+    graft.functions.VectorExprs.rollingHash(lower(text))
 
   /** Sketch-based corpus profile per group — the pre-pass a 100 TB
     * pipeline runs before deciding dedup/filter thresholds. One scan,

@@ -203,6 +203,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L)._5 == naiveFp("the quick brown fox jumps over the lazy dog"))
   }
 
+  test("RollingHash expression ≡ the interpreted split/ascii/aggregate fold, unicode included") {
+    // the composable HOF form the codegen expression replaced — kept
+    // here as the semantic oracle (codepoint-wise split, full-codepoint
+    // ascii, left-to-right fold)
+    def hofFp(text: org.apache.spark.sql.Column) = {
+      val chars = filter(split(lower(text), ""), c => c =!= "")
+      aggregate(transform(chars, c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+    }
+    val texts = Seq("the quick brown fox", "", " ", "HÉLLO wörld", "€uro – sign",
+      "emoji 😀 pair", "tab\tand\nnewline", "a" * 2000,
+      "mixed ASCII και ελληνικά и русский 中文")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(col("id"), hofFp(col("text")).as("hof"),
+      TextAnalysis.fingerprint(col("text")).as("native")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+    // null text → null fingerprint, both forms
+    val nr = Seq((0L, Option.empty[String])).toDF("id", "text")
+      .select(hofFp(col("text")).as("hof"),
+        TextAnalysis.fingerprint(col("text")).as("native")).collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("multimodal: binary plumbing round-trips with deterministic stub features") {
     val docs = Seq((1L, "hello world", "en", "srcA", 11L),
       (2L, "abc", "en", "srcB", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
