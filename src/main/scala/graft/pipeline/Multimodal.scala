@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO wraps every read/write stream in a FileCacheImageInputStream
+  // by default — a temp FILE per call. Decoding millions of in-memory
+  // payloads must not touch disk; the memory-backed cache is exact-same
+  // behavior minus the I/O. (JVM-global, set when the first decode task
+  // classloads this object on an executor.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Exact per-image statistics from a real ImageIO decode: integer
     * channel sums are EXACT (no float accumulation), which is what
     * lets a decode query hash-match a SQL oracle bit-for-bit. */

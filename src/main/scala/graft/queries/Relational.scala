@@ -148,13 +148,31 @@ object Relational {
       |ORDER BY s_suppkey""".stripMargin
 
   /** J7: range self-join — events within the preceding hour per user
-    * (projectsim.py:174-210's prv-source window shape). */
+    * (projectsim.py:174-210's prv-source window shape).
+    *
+    * Bucketed: the plain (user_id equi + time-range theta) join pairs
+    * every event of a user with every other — quadratic in per-user
+    * volume, catastrophic on a power user at corpus scale. Adding the
+    * hour bucket to the equi key bounds candidates per (user, hour)
+    * instead: a probe row's 1-hour lookback spans at most its own and
+    * the previous bucket, so probing those two buckets (build side
+    * keyed by its own bucket — each match found exactly once) is
+    * complete, and the range predicate keeps the output identical.
+    * The left join's null row from a matchless bucket adds nothing to
+    * `count(b_event_id)`. */
   def j7RangeJoin(s: SparkSession, d: String): DataFrame = {
+    // hour bucket by integer division (µs epochs stay exact — the
+    // double-division path loses integer precision past 2^53)
     val a = events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("_bkt", explode(array(
+        expr("unix_micros(ts) div 3600000000") - 1,
+        expr("unix_micros(ts) div 3600000000"))))
     val b = events(s, d).select(col("user_id"),
-      col("event_id").as("b_event_id"), col("ts").as("b_ts"))
+        col("event_id").as("b_event_id"), col("ts").as("b_ts"))
+      .withColumn("_bkt", expr("unix_micros(b_ts) div 3600000000"))
     a.join(b,
         a("user_id") === b("user_id") &&
+        a("_bkt") === b("_bkt") &&
         col("b_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
         col("b_ts") <= col("ts") &&
         col("b_event_id") =!= col("event_id"), "left_outer")
