@@ -346,8 +346,76 @@ object Relational {
       |GROUP BY flags
       |ORDER BY flags""".stripMargin
 
+  /** J10: as-of join — each purchase matched to the user's most recent
+    * at-or-before view (attribution lookup; the reference's
+    * latest-row-before-t shape, `ltcv.py` detection queries). Runs as
+    * [[graft.query.Temporal.asofJoin]]'s union + carry-forward window:
+    * one shuffle, no candidate pairs. Event timestamps are unique per
+    * user (driver data), so no tieBreak is needed; the gap is emitted
+    * in integer microseconds, which both engines compute exactly. */
+  def j8AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_event_id"),
+        col("ts").as("v_ts"))
+    graft.query.Temporal.asofJoin(purchases, views, "user_id", "ts", "v_ts")
+      .select(col("user_id"), col("event_id"), col("v_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val j8AsofJoinSql: String =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, event_id AS v_event_id, ts AS v_ts FROM events
+      |      WHERE event_type = 'view'),
+      |j AS (SELECT p.user_id, p.event_id, v.v_event_id,
+      |        epoch_us(p.ts) - epoch_us(v.v_ts) AS gap_us,
+      |        ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |          ORDER BY v.v_ts DESC) AS rk
+      |      FROM p LEFT JOIN v
+      |        ON p.user_id = v.user_id AND v.v_ts <= p.ts)
+      |SELECT user_id, event_id, v_event_id, CAST(gap_us AS BIGINT) AS gap_us
+      |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin
+
+  /** W3: gap sessionization (30-minute inactivity cutoff) — per-session
+    * event/purchase counts and exact duration. The session id is a
+    * running sum of boundary flags over one (user, time) window
+    * ([[graft.query.Temporal.sessionize]]). */
+  def w3Sessionize(s: SparkSession, d: String): DataFrame =
+    graft.query.Temporal.sessionize(events(s, d), "user_id", "ts",
+        expr("INTERVAL 30 MINUTES"))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        (unix_micros(max("ts")) - unix_micros(min("ts"))).as("dur_us"))
+      .orderBy("user_id", "session_seq")
+
+  val w3SessionizeSql: String =
+    """WITH o AS (SELECT user_id, ts, event_type,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_type,
+      |    SUM(CASE WHEN prev_ts IS NULL
+      |               OR ts - prev_ts > INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+      |  FROM o)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_purchases,
+      |  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS dur_us
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "j8_asof_join" -> (j8AsofJoin _),
+    "w3_sessionize" -> (w3Sessionize _),
     "p1_filters" -> (p1Filters _),
     "j1_join_chain" -> (j1JoinChain _),
     "j3_anti_join" -> (j3AntiJoin _),
@@ -364,6 +432,8 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "j8_asof_join" -> j8AsofJoinSql,
+    "w3_sessionize" -> w3SessionizeSql,
     "p1_filters" -> p1FiltersSql,
     "j1_join_chain" -> j1JoinChainSql,
     "j3_anti_join" -> j3AntiJoinSql,

@@ -1,0 +1,104 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins and event sequencing the reference expresses with
+  * correlated subqueries / window SQL (prv-source reconstruction,
+  * `projectsim.py:174-210`; latest-row-before-t lookups in
+  * `src/ltcv.py`'s detection queries) — re-expressed as single-shuffle
+  * window programs.
+  *
+  * Scale notes (100 TB): both operators shuffle each input row exactly
+  * once, on the entity key, then sort within partition — the
+  * merge-join shape. There is no pairwise candidate generation at all,
+  * so a "power user" with millions of events costs O(n log n) in its
+  * sort, never O(n²) (contrast the bucketed range join in
+  * [[graft.queries.Relational.j7RangeJoin]], which bounds but cannot
+  * eliminate candidate pairs). The per-key event list must fit a
+  * partition's sort spill budget, which ExternalSorter handles by
+  * spilling — no OOM cliff.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the single most recent right row
+    * with the same `key` and `right.rightTime <= left.leftTime`
+    * (at-or-before semantics; ties at equal time match). Left-outer:
+    * unmatched left rows keep null right columns.
+    *
+    * Implementation: tag + union both sides, then one
+    * `last(_, ignoreNulls)` carry-forward window partitioned by key
+    * and ordered by (time, side) — right rows sort before left rows at
+    * equal timestamps so equality matches. The whole right payload
+    * travels as ONE struct, so all matched columns come from the same
+    * right row even when some of its fields are legitimately null.
+    *
+    * `tolerance` (an INTERVAL column, e.g. `expr("INTERVAL 7 DAYS")`)
+    * nulls out matches older than `leftTime - tolerance`.
+    *
+    * CONTRACT: right rows should be unique per (key, rightTime) — at
+    * duplicate instants pass `tieBreak` columns (ascending; the LAST
+    * row in that order wins) to make the matched row deterministic.
+    * Column names must not collide between left and right except
+    * `key`; alias the right side before calling.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      tolerance: Option[Column] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val rPayload = right.columns.filterNot(_ == key).toSeq
+    val lPayloadType = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
+    val rPayloadType = right.select(struct(rPayload.map(col): _*)).schema.head.dataType
+    val lNorm = left.select(col(key).as("_k"), col(leftTime).as("_t"),
+      lit(1).as("_side"), struct(left.columns.map(col): _*).as("_lp"),
+      lit(null).cast(rPayloadType).as("_rp"))
+    val rNorm = right.select(col(key).as("_k"), col(rightTime).as("_t"),
+      lit(0).as("_side"), lit(null).cast(lPayloadType).as("_lp"),
+      struct(rPayload.map(col): _*).as("_rp"))
+    // _side orders right(0) before left(1) at equal _t: at-or-before
+    // includes equality. tieBreak fields order duplicate right
+    // instants; left rows (null _rp) sort among themselves at equal
+    // (_t, _side) arbitrarily, which is fine — they all see the same
+    // carry state.
+    val ord: Seq[Column] = Seq(col("_t"), col("_side")) ++
+      tieBreak.map(c => col("_rp").getField(c))
+    val w = Window.partitionBy("_k").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lNorm.unionByName(rNorm)
+      .withColumn("_m", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val gated = tolerance match {
+      case Some(tol) => carried.withColumn("_m",
+        when(col("_t") - col("_m").getField(rightTime) <= tol, col("_m")))
+      case None => carried
+    }
+    gated.select(
+      left.columns.toSeq.map(c => col("_lp").getField(c).as(c)) ++
+        rPayload.map(c => col("_m").getField(c).as(c)): _*)
+  }
+
+  /** Gap-based sessionization: `session_seq` numbers each `key`'s
+    * sessions 1..n in time order, where a new session starts whenever
+    * the gap to the previous event exceeds `gap` (an INTERVAL column).
+    * Appends `session_seq` to the input columns.
+    *
+    * One window over (key, time): a boundary flag from `lag`, then a
+    * running sum of boundaries — both ride the same sort. Duplicate
+    * (key, time) instants land in the same session but make boundary
+    * placement among themselves nondeterministic; pass `tieBreak` to
+    * pin the order if the input has duplicate instants.
+    */
+  def sessionize(events: DataFrame, key: String, time: String,
+      gap: Column, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord: Seq[Column] = (time +: tieBreak).map(col)
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(time), 1).over(w)
+    events
+      .withColumn("_boundary",
+        when(prev.isNull || col(time) - prev > gap, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("_boundary").over(run))
+      .drop("_boundary")
+  }
+}
