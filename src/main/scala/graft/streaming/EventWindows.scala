@@ -35,6 +35,25 @@ object EventWindows {
       .select(outCols: _*)
   }
 
+  /** Per-(session, keyCol) counts with watermarked event-time session
+    * windows: a session extends while consecutive events arrive within
+    * `gap` (strictly less; an exactly-`gap` pause closes it — Spark's
+    * `session_window` merge rule). The streaming analogue of
+    * [[graft.query.Temporal.sessionize]]: same per-key sessions, but
+    * computed incrementally with state bounded by the watermark — open
+    * sessions older than `lateness` finalize and emit, so a 100 TB/day
+    * stream holds state only for currently-live sessions, never the
+    * corpus. Works on a streaming OR batch frame (identical plan
+    * semantics, which is what the spec's stream-vs-batch check pins). */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
+
   /** Run as a file-source stream into an in-memory sink (tests /
     * local monitoring); production would writeStream to a gold table. */
   def runFileStream(spark: SparkSession, inputDir: String,

@@ -145,6 +145,54 @@ class ApiSkewSpec extends AnyFunSuite {
     gotMap.foreach { case (k, n) => assert(batchMap(k) == n, s"window $k") }
   }
 
+  test("streamed session windows equal the batch computation") {
+    val dir = Files.createTempDirectory("sessstream").toString
+    val ck = Files.createTempDirectory("sessck").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "user_id")
+    ev.write.parquet(s"$dir/batch1")
+    val query = EventWindows.sessionCounts(
+        spark.readStream.schema(ev.schema).parquet(s"$dir/*"),
+        "ts", "user_id", gap = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_test").option("checkpointLocation", ck).start()
+    query.processAllAvailable(); query.stop()
+    // append mode emits only watermark-finalized sessions; every one
+    // of them must appear identically in the batch computation
+    val got = spark.sql("SELECT * FROM sess_test").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val batch = EventWindows.sessionCounts(ev, "ts", "user_id", gap = "10 minutes")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, n) => assert(batch(k) == n, s"session $k") }
+  }
+
+  test("session_window sessions agree with Temporal.sessionize labels") {
+    // same gap semantics except the exactly-equal-gap edge (strict vs
+    // inclusive); the fixture avoids exact 10-minute gaps so the two
+    // definitions must coincide.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "user_id")
+    val fromWindows = EventWindows.sessionCounts(ev, "ts", "user_id",
+        gap = "10 minutes")
+      .groupBy("user_id").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n").as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fromSessionize = graft.query.Temporal.sessionize(ev, "user_id", "ts",
+        org.apache.spark.sql.functions.expr("INTERVAL 10 MINUTES"))
+      .groupBy("user_id").agg(
+        org.apache.spark.sql.functions.max("session_seq").as("n_sessions"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromWindows === fromSessionize)
+  }
+
   test("brokerinfo fetch + classification envelope explode") {
     import graft.api.BrokerInfo
     val bi = Seq(
