@@ -102,4 +102,32 @@ class PropertySpec extends AnyFunSuite {
       } else assert(!scored.contains(id), s"doc $id has no bigram evidence")
     }
   }
+
+  test("asofJoin equals brute force on random keyed event histories") {
+    // few keys + a coarse time grid force collisions: many rows per
+    // key, left/right rows at identical instants (equality must
+    // match), keys with only one side present.
+    val rng = new scala.util.Random(7)
+    def side(n: Int, idBase: Long) = (0 until n).map { i =>
+      (rng.nextInt(6).toLong, idBase + i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+          rng.nextInt(40) * 60000L)
+    }
+    val lRows = side(120, 1000)
+    val rRows = side(90, 5000)
+    val l = lRows.map { case (k, id, t) => (k, id, new java.sql.Timestamp(t)) }
+      .toDF("k", "lid", "lt")
+    val r = rRows.map { case (k, id, t) => (k, id, new java.sql.Timestamp(t)) }
+      .toDF("k", "rid", "rt")
+    val got = graft.query.Temporal
+      .asofJoin(l, r, "k", "lt", "rt", tieBreak = Seq("rid"))
+      .collect().map(rr => rr.getLong(1) ->
+        (if (rr.isNullAt(3)) -1L else rr.getLong(3))).toMap
+    // brute force: max rt <= lt, ties by max rid
+    lRows.foreach { case (k, lid, lt) =>
+      val want = rRows.filter(x => x._1 == k && x._3 <= lt)
+        .sortBy(x => (x._3, x._2)).lastOption.map(_._2).getOrElse(-1L)
+      assert(got(lid) == want, s"left $lid (key $k)")
+    }
+  }
 }
