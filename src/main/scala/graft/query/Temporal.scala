@@ -53,9 +53,15 @@ object Temporal {
     val lNorm = left.select(col(key).as("_k"), col(leftTime).as("_t"),
       lit(1).as("_side"), struct(left.columns.map(col): _*).as("_lp"),
       lit(null).cast(rPayloadType).as("_rp"))
-    val rNorm = right.select(col(key).as("_k"), col(rightTime).as("_t"),
-      lit(0).as("_side"), lit(null).cast(lPayloadType).as("_lp"),
-      struct(rPayload.map(col): _*).as("_rp"))
+    // a null-time right row can never be "most recent at-or-before"
+    // anything — and NULLS FIRST ordering would otherwise make it the
+    // carry for the whole key. Null-time LEFT rows stay (left-outer
+    // contract) and match nothing, since they too sort before every
+    // real instant.
+    val rNorm = right.filter(col(rightTime).isNotNull)
+      .select(col(key).as("_k"), col(rightTime).as("_t"),
+        lit(0).as("_side"), lit(null).cast(lPayloadType).as("_lp"),
+        struct(rPayload.map(col): _*).as("_rp"))
     // _side orders right(0) before left(1) at equal _t: at-or-before
     // includes equality. tieBreak fields order duplicate right
     // instants; left rows (null _rp) sort among themselves at equal

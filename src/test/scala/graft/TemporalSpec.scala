@@ -78,6 +78,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("null timestamps: right rows never match, left rows pass unmatched") {
+    val l = Seq((1L, 500L, Option(ts("2024-01-01 10:10:00"))),
+        (1L, 501L, Option.empty[java.sql.Timestamp]))
+      .toDF("k", "lid", "lt")
+    val r = Seq((1L, 600L, Option(ts("2024-01-01 10:00:00")), "ok"),
+        (1L, 601L, Option.empty[java.sql.Timestamp], "poison"))
+      .toDF("k", "rid", "rt", "payload")
+    val got = Temporal.asofJoin(l, r, "k", "lt", "rt")
+      .select("lid", "rid")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got === Map(500L -> Some(600L), 501L -> None))
+  }
+
   test("asofJoin plan is one window over one shuffle - no join node") {
     val plan = Temporal.asofJoin(leftDf, rightDf, "k", "lt", "rt")
       .queryExecution.executedPlan.toString
