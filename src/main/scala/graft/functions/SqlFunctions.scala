@@ -37,7 +37,17 @@ object SqlFunctions {
   val all: Seq[Fn] = Seq(
     Fn("q3c_dist",
       "q3c_dist(ra1, dec1, ra2, dec2) - great-circle separation in degrees",
-      Set(4), a => Funcs.greatCircleDeg(a(0), a(1), a(2), a(3))),
+      // builds the recognizable GreatCircleDist anchor (bit-identical
+      // to Funcs.greatCircleDeg) so SargableCone can rewrite naive
+      // `q3c_dist(...) <= r` predicates into pushdown-able dec bands
+      // children converted EAGERLY: the lazy Column→Expression wrapper
+      // is only unwrapped at the start of analysis, and this builder
+      // runs during analysis (see Bridge.toExpressionEager)
+      Set(4), a => Bridge.toColumn(graft.spatial.GreatCircleDist(
+        Bridge.toExpressionEager(a(0).cast("double")),
+        Bridge.toExpressionEager(a(1).cast("double")),
+        Bridge.toExpressionEager(a(2).cast("double")),
+        Bridge.toExpressionEager(a(3).cast("double"))))),
     Fn("q3c_radial_query",
       "q3c_radial_query(ra, dec, center_ra, center_dec, radius_deg) - true iff within the cone",
       // the dec-band conjunct is implied by the haversine cut
@@ -111,11 +121,19 @@ object SqlFunctions {
       if (!reg.functionExists(FunctionIdentifier(f.name)))
         reg.createOrReplaceTempFunction(f.name, builder(f) _, "built-in")
     }
+    // session-level hook for the SargableCone rewrite (the
+    // non-extensions path; fixed-point batch, rule is idempotent)
+    if (!spark.experimental.extraOptimizations.contains(graft.spatial.SargableCone))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.spatial.SargableCone
   }
 
   /** Extension-based injection, for `spark.sql.extensions` deploys. */
-  def inject(ext: SparkSessionExtensions): Unit = all.foreach { f =>
-    ext.injectFunction((FunctionIdentifier(f.name), info(f), builder(f) _))
+  def inject(ext: SparkSessionExtensions): Unit = {
+    all.foreach { f =>
+      ext.injectFunction((FunctionIdentifier(f.name), info(f), builder(f) _))
+    }
+    ext.injectOptimizerRule(_ => graft.spatial.SargableCone)
   }
 }
 

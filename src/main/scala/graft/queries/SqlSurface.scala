@@ -177,13 +177,50 @@ object SqlSurface {
       |FROM g WHERE quality >= 0.3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The NAIVE q3c spelling — `WHERE q3c_dist(...) <= r`, the form the
+    * reference's example SQL actually uses — through the driver gate.
+    * Same fixture cone as x1 (its boundary margin is proven), but the
+    * predicate here is the bare distance comparison: membership is
+    * computed via [[graft.spatial.GreatCircleDist]] + the SargableCone
+    * optimizer rewrite rather than q3c_radial_query's explicit band
+    * expansion, so a hash match proves the migration form and the
+    * blessed form agree end to end. */
+  def x4NaiveCone(s: SparkSession, d: String): DataFrame = {
+    SqlFunctions.register(s)
+    Tables.registerAll(s, d)
+    s.sql("""
+      WITH c AS (SELECT c_custkey, (c_custkey % 3600) * 0.1 AS ra,
+                   (c_custkey % 1700) * 0.1 - 85.0 AS dec
+                 FROM customer)
+      SELECT c_custkey, ROUND(q3c_dist(ra, dec, 7.5, -77.5), 6) AS sep_deg
+      FROM c
+      WHERE q3c_dist(ra, dec, 7.5, -77.5) <= 15.0
+      ORDER BY c_custkey""")
+  }
+
+  val x4Sql: String =
+    """WITH c AS (SELECT c_custkey, (c_custkey % 3600) * 0.1 AS ra,
+      |             (c_custkey % 1700) * 0.1 - 85.0 AS dec
+      |           FROM customer),
+      |d AS (SELECT c_custkey,
+      |        DEGREES(2 * ASIN(SQRT(
+      |          POWER(SIN(RADIANS(-77.5 - dec) / 2), 2) +
+      |          COS(RADIANS(dec)) * COS(RADIANS(-77.5)) *
+      |          POWER(SIN(RADIANS(7.5 - ra) / 2), 2)))) AS sep
+      |      FROM c)
+      |SELECT c_custkey, ROUND(sep, 6) AS sep_deg
+      |FROM d WHERE sep <= 15.0
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_sql_cone" -> (x1SqlCone _),
     "x2_adhoc_astro" -> (x2AdhocAstro _),
-    "x3_sql_pipeline" -> (x3SqlPipeline _))
+    "x3_sql_pipeline" -> (x3SqlPipeline _),
+    "x4_naive_cone" -> (x4NaiveCone _))
 
   def oracles: Map[String, String] = Map(
     "x1_sql_cone" -> x1Sql,
     "x2_adhoc_astro" -> x2Sql,
-    "x3_sql_pipeline" -> x3Sql)
+    "x3_sql_pipeline" -> x3Sql,
+    "x4_naive_cone" -> x4Sql)
 }
