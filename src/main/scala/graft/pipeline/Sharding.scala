@@ -129,6 +129,37 @@ object Sharding {
         (col("_span_start") - col("seq_id") * seqLen).as("seq_off"))
   }
 
+  /** Materialize the fixed-length sequences [[packSequences]] lays
+    * out: one row per `seq_id` with the actual tokens, spliced across
+    * document boundaries in order — the artifact a trainer's data
+    * loader reads. `tokensCol` is the per-document token ARRAY (e.g.
+    * `Bpe.encodeCorpus` output); every sequence except the final one
+    * has exactly `seqLen` tokens.
+    *
+    * Scale shape: spans join their documents on the id (plain equi
+    * join), each span SLICES its piece out of the document array, and
+    * pieces reassemble with `array_sort(collect_list(struct(seq_off,
+    * piece)))` + `getField` + `flatten` — all codegen'd collection
+    * expressions, no interpreted lambda and no per-token row explosion;
+    * the shuffle moves each token once, inside its span's array. A
+    * sequence holds ≤ seqLen tokens by construction, so per-group state
+    * is bounded regardless of corpus size. */
+  def assembleSequences(docs: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long): DataFrame = {
+    val spans = packSequences(docs, idCol, size(col(tokensCol)).cast("long"), seqLen)
+    spans.join(docs.select(col(idCol), col(tokensCol)), Seq(idCol))
+      .select(col("seq_id"),
+        slice(col(tokensCol), (col("tok_start") + 1).cast("int"),
+          col("tok_len").cast("int")).as("_piece"),
+        col("seq_off"))
+      .groupBy("seq_id")
+      .agg(
+        flatten(array_sort(collect_list(struct(col("seq_off"), col("_piece"))))
+          .getField("_piece")).as("tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Temperature-based source mixing (α = 0.5): draw `targetN` docs
     * with per-stratum quotas k_s ∝ ⌊√n_s⌋ — the standard flattening of
     * a skewed language/source mix for training. Membership is exact

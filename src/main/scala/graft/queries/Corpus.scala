@@ -260,8 +260,29 @@ object Corpus {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM sh GROUP BY split, shard ORDER BY split, shard""".stripMargin
 
+  /** Tokenizer → trainer handoff composed end-to-end: BPE (64 merges
+    * trained on this corpus) encodes every document, then
+    * [[Sharding.assembleSequences]] splices the real token arrays into
+    * fixed 256-token training sequences, documents splitting across
+    * boundaries. Output is the per-sequence manifest with an
+    * order-aware content signature (xxhash64 of the space-joined
+    * token stream; tokens come from whitespace-split words, so the
+    * separator is unambiguous) — rows-only, since DuckDB cannot replay the
+    * iterative BPE merge resolution; exact reconstruction is pinned in
+    * ShardingSpec. */
+  def e4TokenizedPack(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val merges = graft.pipeline.Bpe.train(docs, "text", numMerges = 64)
+    val enc = graft.pipeline.Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+    Sharding.assembleSequences(enc, "doc_id", "bpe_tokens", seqLen = 256L)
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+        xxhash64(array_join(col("tokens"), " ")).as("seq_sig"))
+      .orderBy("seq_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e3_export_manifest" -> (e3ExportManifest _),
+    "e4_tokenized_pack" -> (e4TokenizedPack _),
     "p2_shard_pack" -> (p2ShardPack _),
     "p3_hash_split" -> (p3HashSplit _),
     "p4_pack_sequences" -> (p4PackSequences _),

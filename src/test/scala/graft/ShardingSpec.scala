@@ -166,6 +166,60 @@ class ShardingSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet == toks.filter(_._2 > 0).keySet)
   }
 
+  test("assembleSequences materializes the exact packed token stream") {
+    val L = 7L
+    // token arrays of irregular lengths, incl. empty and > L
+    val rng = new scala.util.Random(5)
+    val rows = (0L until 40L).map { i =>
+      val id = i * 13 % 997
+      val n = if (i % 9 == 4) 0 else rng.nextInt(20)
+      (id, (0 until n).map(j => s"t${id}_$j"))
+    }
+    val df = rows.toDF("doc_id", "toks").repartition(5)
+    val got = Sharding.assembleSequences(df, "doc_id", "toks", L)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // the concatenation of sequences in seq_id order IS the
+    // concatenation of documents in doc_id order
+    val flat = rows.sortBy(_._1).flatMap(_._2)
+    assert(got.flatMap(_._2).toSeq == flat)
+    // every sequence but the last is exactly L; ids are dense from 0
+    assert(got.map(_._1).toSeq == got.indices.map(_.toLong))
+    got.dropRight(1).foreach { case (_, toks, _, n) =>
+      assert(toks.length == L && n == L)
+    }
+    assert(got.last._2.length == (flat.size % L match {
+      case 0 => L.toInt case t => t }))
+    // n_docs counts the spans feeding the sequence
+    got.foreach { case (_, toks, nd, _) =>
+      assert(nd >= 1 && nd <= toks.length)
+    }
+  }
+
+  test("e4 composition: BPE encode then assemble reconstructs the encoded corpus") {
+    val texts = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the mat sat on the cat and the cat sat"),
+      (3L, ""),
+      (4L, "a b a b a b a b the the the"))
+    val docs = texts.toDF("doc_id", "text")
+    val merges = graft.pipeline.Bpe.train(docs, "text", numMerges = 16)
+    val enc = graft.pipeline.Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+    val encLocal = enc.collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    val seqs = Sharding.assembleSequences(enc, "doc_id", "bpe_tokens", 5L)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    assert(seqs.flatMap(_._2).toSeq == encLocal.flatMap(_._2).toSeq)
+    // and every token round-trips: concatenating a doc's tokens
+    // reproduces its whitespace-normalized text
+    encLocal.foreach { case (id, toks) =>
+      val want = texts.find(_._1 == id).get._2
+        .trim.split("\\s+").filter(_.nonEmpty).mkString("")
+      assert(toks.mkString("") == want)
+    }
+  }
+
   test("temperatureMix fills sqrt-proportional quotas with hash-min members") {
     val skewed = (0L until 900L).map { i =>
       (i, if (i < 640) "en" else if (i < 800) "fr" else "de")
