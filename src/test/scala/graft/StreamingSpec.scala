@@ -445,6 +445,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == streamGot)
   }
 
+  test("windowed corpus stats: streamed rollup equals the batch rollup per closed window") {
+    import graft.streaming.CorpusIngest
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:30")
+    // two 5-minute windows in wave 1; wave 2 sits 20+ minutes later so
+    // the 10-minute watermark closes (and append-emits) both of them
+    val w1 = Seq(
+      (1L, "the cat sat on the mat and it is fine", ts(1)),
+      (2L, "el gato es un gato de la casa", ts(2)),
+      (3L, "the dog sat on the log and it is good", ts(3)),
+      (4L, "the bird is in the tree and it is ok", ts(7)),
+      (5L, "el perro es un perro de la casa", ts(8)))
+    val w2 = Seq(
+      (6L, "the fish is in the sea and it is wet", ts(31)),
+      (7L, "der hund ist ein hund von der stadt", ts(32)))
+    val all = w1 ++ w2
+    val cols = Seq("doc_id", "text", "ts")
+
+    val inDir = Files.createTempDirectory("cwstats").toString
+    val ck = Files.createTempDirectory("cwstatsck").toString
+    val out = scala.collection.mutable.ListBuffer[org.apache.spark.sql.Row]()
+    def runWave(): Unit = {
+      val stream = spark.readStream
+        .schema(w1.toDF(cols: _*).schema)
+        .parquet(s"$inDir/*")
+      val q = CorpusIngest.windowedStats(stream, "ts")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out ++= b.collect(); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    w1.toDF(cols: _*).write.parquet(s"$inDir/w1")
+    runWave()
+    w2.toDF(cols: _*).write.parquet(s"$inDir/w2")
+    runWave()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getString(2))
+    def payload(r: org.apache.spark.sql.Row) =
+      (r.getLong(3), r.getLong(4),
+        math.round(r.getDouble(5) * 1e9), r.getLong(6))
+    val batch = CorpusIngest.windowedStats(all.toDF(cols: _*), "ts")
+      .collect().map(r => key(r) -> payload(r)).toMap
+    val got = out.map(r => key(r) -> payload(r)).toMap
+    // wave-1 windows must have closed and emitted: both languages seen
+    assert(got.keySet.map(_._3).contains("en") && got.keySet.map(_._3).contains("es"),
+      s"expected closed en/es windows, got ${got.keySet}")
+    // every emitted window matches the batch computation exactly
+    got.foreach { case (k, v) => assert(batch(k) == v, s"window $k") }
+  }
+
   test("broker variants: wire framing, topic rediscovery, config invariants") {
     import graft.streaming.{AlertProducer, AvroAlerts, Brokers}
     // Confluent-wire framing: a 5-byte magic+schema-id prefix must be
