@@ -101,6 +101,15 @@ object IvfAnn {
     Index(spark.read.parquet(s"$dir/assigned"),
       spark.read.parquet(s"$dir/centroids"))
 
+  /** Canonical per-dataset scratch location for a shared demo index,
+    * keyed by the dataset path — s3_ann_ivf and d6_semantic_dedup use
+    * the same (nlist = 16, default seed) index, so whichever runs
+    * first builds it and the other reads it, exactly like two
+    * production consumers sharing one persisted quantizer. */
+  def scratchDir(dataset: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${
+      java.lang.Integer.toHexString(dataset.hashCode)}"
+
   /** Load the index at `dir` if present, else build it from `corpus`
     * and persist it there. Either way the returned index reads from
     * the persisted cell-partitioned layout (and the build path frees

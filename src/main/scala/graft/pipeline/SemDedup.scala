@@ -52,6 +52,22 @@ object SemDedup {
     out
   }
 
+  /** SemDeDup against an existing (typically [[IvfAnn.load]]ed)
+    * index — the deploy shape: quantize and persist once, then every
+    * dedup pass (rerun after a threshold change, a nightly re-audit, a
+    * new downstream consumer) pays the in-cell pair scan only, reading
+    * the cell-partitioned parquet instead of re-training k-means and
+    * re-assigning the corpus. The id universe is the index's own
+    * assignment table (every corpus row is assigned), so no separate
+    * corpus frame is needed. Call [[Components.release]] on the result
+    * when done. */
+  def semanticDedupWithIndex(index: IvfAnn.Index, idCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = semanticPairsWithIndex(index, idCol, threshold)
+    Components.dedupClusters(index.assigned.select(col(idCol)), idCol,
+      pairs, "id_a", "id_b")
+  }
+
   /** Full SemDeDup: every corpus row labeled with its semantic
     * duplicate cluster and `is_rep` (the min-id member a pipeline
     * keeps). Call [[Components.release]] on the result when done. */

@@ -363,8 +363,7 @@ object Pipeline {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${
-      java.lang.Integer.toHexString(d.hashCode)}"
+    val ixDir = graft.pipeline.IvfAnn.scratchDir(d)
     val index = graft.pipeline.IvfAnn.loadOrBuild(emb, "vec_id", "embedding",
       nlist = 16, dir = ixDir)
     graft.pipeline.IvfAnn.topK(index, q, k = 5, nprobe = 6)

@@ -345,4 +345,27 @@ class QualitySpec extends AnyFunSuite {
     }
     Components.release(labeled)
   }
+
+  test("semantic dedup against a persisted index equals the in-place build") {
+    import graft.pipeline.IvfAnn
+    val dir = java.nio.file.Files.createTempDirectory("semix").toString + "/ix"
+    val index = IvfAnn.loadOrBuild(semCorpus, "vec_id", "embedding",
+      nlist = 8, dir = dir)
+    val viaIndex = SemDedup.semanticDedupWithIndex(index, "vec_id", threshold = 0.9)
+    val inPlace = SemDedup.semanticDedup(semCorpus, "vec_id", "embedding",
+      nlist = 8, threshold = 0.9)
+    val a = viaIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = inPlace.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // seeded-deterministic quantizer: build-then-load must label
+    // identically to build-in-place (the d6 deploy contract)
+    assert(a == b)
+    Components.release(viaIndex)
+    Components.release(inPlace)
+    // and a RE-load (second consumer) sees the same index
+    assert(IvfAnn.isSaved(dir))
+    val again = SemDedup.semanticDedupWithIndex(
+      IvfAnn.load(spark, dir), "vec_id", threshold = 0.9)
+    assert(again.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet == a)
+    Components.release(again)
+  }
 }
