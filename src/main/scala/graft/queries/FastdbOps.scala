@@ -58,9 +58,18 @@ object FastdbOps {
 
   /** The synthetic lineitem has duplicate (orderkey, linenumber) pairs,
     * so the derived diasourceid alone is not unique — extend the
-    * tiebreak over the payload to keep the winner total-ordered. */
+    * tiebreak over the payload to keep the winner total-ordered.
+    *
+    * Columns the output doesn't use (ra/dec) are dropped BEFORE the
+    * dedup: `max_by(struct(payload), struct(ordering))` carries a
+    * struct-typed aggregation buffer, which HashAggregate cannot hold
+    * (UnsafeRow-mutable fields only) — the plan falls back to
+    * SortAggregate, and Catalyst's nested-column pruning does not
+    * reach through aggregate buffers, so every payload column rides
+    * the map-side sort. Pruning by hand is the only pruning this
+    * shape gets (~10% here; proportionally more the wider the row). */
   def a1PriorityDedup(s: SparkSession, d: String): DataFrame =
-    Ltcv.priorityDedup(liSources(s, d), bpvPriorities(s),
+    Ltcv.priorityDedup(liSources(s, d).drop("ra", "dec"), bpvPriorities(s),
         keys = Seq("rootid", "visit"),
         tiebreaks = Seq("diasourceid", "midpointmjdtai", "psffluxerr", "band"))
       .select(col("rootid"), col("visit"), col("diasourceid"),

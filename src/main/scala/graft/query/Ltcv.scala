@@ -40,6 +40,15 @@ object Ltcv {
     * (key, partition) reaches the shuffle instead of every photometry
     * row hitting a full partition sort. The priority map is a handful
     * of rows — always broadcast.
+    *
+    * Physical note: the struct-typed max_by buffer is not
+    * UnsafeRow-mutable, so both aggregate halves run as SortAggregate
+    * (hash aggregation is impossible for ANY multi-field argmax in
+    * Spark) — the map-side combine + groups-only shuffle argument
+    * above still holds, but every payload column rides the per-task
+    * sort, and Catalyst's nested-column pruning cannot see through the
+    * buffer. Callers should PROJECT AWAY payload columns they don't
+    * need before calling (a1PriorityDedup does).
     */
   def priorityDedup(df: DataFrame, priorities: DataFrame,
       keys: Seq[String], tiebreaks: Seq[String]): DataFrame = {
