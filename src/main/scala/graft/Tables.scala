@@ -62,4 +62,22 @@ object Tables {
     table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
+
+  /** Content signature of a source table's files (names, lengths,
+    * mtimes — no data read). Derived artifacts cached outside the
+    * dataset dir (the persisted IVF index, the DP1 nested fixture) key
+    * their scratch location on this, so a REGENERATED dataset at the
+    * same path can never serve a stale artifact — the signature
+    * changes, the artifact rebuilds. */
+  def tableSignature(dir: String, name: String): String = {
+    val root = new java.io.File(s"$dir/$name.parquet")
+    val files: Seq[java.io.File] =
+      if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+      else if (root.isFile) Seq(root)
+      else Nil
+    val desc = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir/$name|$desc").toLong & 0xFFFFFFFFL)
+  }
 }

@@ -101,14 +101,16 @@ object IvfAnn {
     Index(spark.read.parquet(s"$dir/assigned"),
       spark.read.parquet(s"$dir/centroids"))
 
-  /** Canonical per-dataset scratch location for a shared demo index,
-    * keyed by the dataset path — s3_ann_ivf and d6_semantic_dedup use
-    * the same (nlist = 16, default seed) index, so whichever runs
-    * first builds it and the other reads it, exactly like two
-    * production consumers sharing one persisted quantizer. */
+  /** Canonical per-dataset scratch location for a shared demo index —
+    * s3_ann_ivf and d6_semantic_dedup use the same (nlist = 16, default
+    * seed) index, so whichever runs first builds it and the other
+    * reads it, exactly like two production consumers sharing one
+    * persisted quantizer. Keyed by the embeddings table's CONTENT
+    * signature, not just the path: a regenerated dataset at the same
+    * path gets a fresh index instead of stale cell assignments. */
   def scratchDir(dataset: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${
-      java.lang.Integer.toHexString(dataset.hashCode)}"
+      graft.Tables.tableSignature(dataset, "embeddings")}"
 
   /** Load the index at `dir` if present, else build it from `corpus`
     * and persist it there. Either way the returned index reads from

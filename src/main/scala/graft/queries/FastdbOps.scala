@@ -402,8 +402,11 @@ object FastdbOps {
     * charge the loader for a collect_list shuffle it never performs —
     * repeat runs measure what S2 is: a nested-parquet scan + explode. */
   def s2Dp1Load(s: SparkSession, d: String): DataFrame = {
+    // keyed on the SOURCE table's content signature: a regenerated
+    // dataset rebuilds the fixture instead of serving a stale one
+    // (s2 is oracled — a stale fixture would hash-mismatch)
     val fixDir = s"${System.getProperty("java.io.tmpdir")}/graft_dp1_${
-      java.lang.Integer.toHexString(d.hashCode)}"
+      graft.Tables.tableSignature(d, "lineitem")}"
     if (!new java.io.File(s"$fixDir/_SUCCESS").exists())
       s2NestedFixture(s, d).write.mode("overwrite").parquet(fixDir)
     val out = Dp1Loader.load(s.read.parquet(fixDir), "bpv-dp1")
