@@ -258,6 +258,74 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The two persisted halves of an incremental near-dup pipeline:
+    * `buckets` = (_band, _bucket, id) — the LSH postings a new batch
+    * probes — and `shingles` = (id, _shingles) — fetched per candidate
+    * for exact-Jaccard verification. Persist `buckets` partitioned (or
+    * bucketed) by (_band, _bucket) and `shingles` bucketed by id at
+    * scale, so a batch's probes and verifications are point lookups,
+    * never corpus scans. */
+  final case class NearDupIndex(buckets: DataFrame, shingles: DataFrame)
+
+  /** Build the near-dup index for a (deduped) corpus. Same
+    * shingle/signature parameters must be used for every later batch —
+    * the index stores no text, only shingle sets and band postings. */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): NearDupIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = withMinhash(corpus.select(col(idCol), col(textCol)), idCol,
+      textCol, shingleWords, numHashes).persist()
+    val buckets = lshBuckets(sigs, bands, numHashes / bands)
+      .select(col("_band"), col("_bucket"), col(idCol))
+    NearDupIndex(buckets, sigs.select(col(idCol), col("_shingles")))
+  }
+
+  /** Incremental NEAR-dup — [[incrementalExact]]'s counterpart for
+    * paraphrase-level duplicates, the operational mode at 100 TB: the
+    * corpus's LSH postings are already persisted; only the NEW batch is
+    * shingled and hashed. Emits exact-Jaccard-verified pairs
+    * (id_a, id_b, jaccard, origin) where id_b is always a batch doc and
+    * origin marks whether id_a came from the corpus index or earlier in
+    * the same batch (id_a < id_b for batch-internal pairs; corpus ids
+    * win ties by convention since the corpus was there first).
+    *
+    * Cost shape: O(batch) shingling, band probes that shuffle ids only,
+    * and a verification join that touches candidate ids alone — the
+    * corpus is never rescanned. Identical parameters ⇒ identical
+    * hashing, so the result equals the batch recomputation
+    * [[minhashNearDups]] over corpus ∪ batch restricted to pairs
+    * involving a batch doc (QualitySpec pins this). */
+  def incrementalMinhash(newBatch: DataFrame, idCol: String, textCol: String,
+      index: NearDupIndex, shingleWords: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = withMinhash(newBatch.select(col(idCol), col(textCol)), idCol,
+      textCol, shingleWords, numHashes).persist()
+    val nb = lshBuckets(sigs, bands, numHashes / bands)
+      .select(col("_band"), col("_bucket"), col(idCol))
+    // batch ⋈ corpus postings + batch-internal candidates, ids only
+    val vsCorpus = index.buckets
+      .select(col("_band"), col("_bucket"), col(idCol).as("id_a"))
+      .join(nb.select(col("_band"), col("_bucket"), col(idCol).as("id_b")),
+        Seq("_band", "_bucket"))
+      .select(col("id_a"), col("id_b"), lit("corpus").as("origin"))
+    val within = nb.select(col("_band"), col("_bucket"), col(idCol).as("id_a"))
+      .join(nb.select(col("_band"), col("_bucket"), col(idCol).as("id_b")),
+        Seq("_band", "_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit("batch").as("origin"))
+    val cands = vsCorpus.union(within).dropDuplicates("id_a", "id_b", "origin")
+    val shA = index.shingles.select(col(idCol).as("id_a"), col("_shingles").as("_sh_a"))
+      .union(sigs.select(col(idCol).as("id_a"), col("_shingles").as("_sh_a")))
+    cands
+      .join(shA, Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("_shingles").as("_sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard", "origin")
+  }
+
   // ---- SimHash -----------------------------------------------------
 
   /** 64-bit SimHash over a token-array column: bit b is set iff the sum

@@ -117,6 +117,28 @@ object Quality {
       |  WHEN doc_id > mn THEN 'dup_batch' ELSE 'kept' END AS decision
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Incremental NEAR-dup: the corpus's MinHash band postings are the
+    * persisted state; a new batch (near-copies of a corpus slice plus
+    * a batch-internal near-pair) probes them and verifies candidates
+    * by exact Jaccard — the paraphrase-level counterpart of d8, and
+    * the operational mode at 100 TB (no corpus rescan). Rows-only:
+    * DuckDB cannot replay 32 rotate-XOR permutations practically;
+    * QualitySpec pins the result equal to the full-batch
+    * minhashNearDups recomputation restricted to batch pairs. */
+  def d9IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // near-copies: append one token so shingles overlap heavily but not
+    // exactly; ids offset to keep the id space disjoint from the corpus
+    val batch = docs.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text"))
+    val index = Dedup.minhashIndex(docs, "doc_id", "text")
+    Dedup.incrementalMinhash(batch, "doc_id", "text", index, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jacc"),
+        col("origin"))
+      .orderBy("id_a", "id_b", "origin")
+  }
+
   /** DSIR importance weights for the full corpus against the English
     * slice as the target domain: docs whose hashed-bigram distribution
     * is en-like weigh high, other-language docs weigh low — the
@@ -318,6 +340,7 @@ object Quality {
     "t14_bpe_tokenize" -> (t14BpeTokenize _),
     "d7_dup_spans" -> (d7DupSpans _),
     "d8_incremental" -> (d8Incremental _),
+    "d9_incremental_neardup" -> (d9IncrementalNeardup _),
     "d6_semantic_dedup" -> (d6SemanticDedup _))
 
   def oracles: Map[String, String] = Map(

@@ -318,6 +318,41 @@ class QualitySpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("incremental minhash equals the full-batch recomputation on batch pairs") {
+    val corpus = corpusLike(60).toDF("doc_id", "text")
+    // batch: near-copies of corpus docs (one appended token), one
+    // exact-ish pair WITHIN the batch, and one unrelated doc
+    val rng = new scala.util.Random(99)
+    val batchRows = corpusLike(60).filter(_._1 % 6 == 0)
+      .map { case (id, t) => (id + 1000L, t + " extrawordhere") } ++
+      Seq((2001L, corpusLike(3).head._2 + " twin"),
+        (2002L, corpusLike(3).head._2 + " twin sibling"),
+        (2003L, Seq.fill(25)("zz" + rng.nextInt(1000)).mkString(" ")))
+    val batch = batchRows.toDF("doc_id", "text")
+
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val inc = Dedup.incrementalMinhash(batch, "doc_id", "text", index,
+        threshold = 0.3)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+
+    val batchIds = batchRows.map(_._1).toSet
+    val full = Dedup.minhashNearDups(corpus.unionAll(batch), "doc_id", "text",
+        threshold = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => batchIds(a) || batchIds(b) }.toSet
+    assert(inc.nonEmpty, "fixture must produce near-dup pairs")
+    assert(inc == full, s"incremental ${inc.size} vs full ${full.size}")
+    // origins: corpus hits for planted near-copies, batch hit for the twin pair
+    val origins = Dedup.incrementalMinhash(batch, "doc_id", "text", index,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(origins.exists(_._2 == "corpus"))
+    assert(origins((2001L, 2002L)) == "batch")
+  }
+
   test("semantic dedup: precision 1 vs exact cosine; recall bounded below") {
     val t = 0.9
     val exact = Similarity.cosineNearDups(semCorpus, "vec_id", "embedding", t)
