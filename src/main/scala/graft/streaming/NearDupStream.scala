@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** Cross-batch NEAR-dup for a streamed corpus — the paraphrase-level
+  * counterpart of [[StreamingDedup]], built as `foreachBatch` glue
+  * around [[Dedup.incrementalMinhash]]: the accumulated corpus lives as
+  * a persisted LSH band-posting + shingle-set index on disk, each
+  * micro-batch probes it (and itself), and only NOVEL documents append
+  * new postings. The corpus text is never rescanned; per-batch cost is
+  * O(batch) shingling + ids-only probe joins — the same shape a nightly
+  * batch append would run, so stream and batch ingestion share one
+  * dedup definition.
+  *
+  * State layout: one segment directory per micro-batch
+  * (`dir/buckets/b<id>`, `dir/shingles/b<id>`), written with overwrite —
+  * a foreachBatch retry of batch N rewrites exactly its own segment, so
+  * at-least-once delivery cannot duplicate postings (the SilverStore
+  * segment idea, without the manifest since segments here are
+  * append-only and self-identifying).
+  *
+  * Decisions are pairwise, like [[Dedup.incrementalExact]]'s labels:
+  * `dup_corpus` (near-dups an already-indexed doc), `dup_batch`
+  * (near-dups a smaller-id doc in the same batch), else `kept`. A
+  * pipeline wanting transitive clusters feeds the emitted pairs to
+  * [[graft.pipeline.Components]] downstream.
+  */
+object NearDupStream {
+
+  final case class Params(shingleWords: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5)
+
+  /** Accumulated index across all committed segments; typed-empty (via
+    * a zero-row slice of `like`) when no segment exists yet. */
+  def loadIndex(spark: SparkSession, dir: String, like: DataFrame,
+      idCol: String, textCol: String, p: Params): Dedup.NearDupIndex =
+    if (new java.io.File(s"$dir/buckets").exists())
+      Dedup.NearDupIndex(
+        spark.read.parquet(s"$dir/buckets/*"),
+        spark.read.parquet(s"$dir/shingles/*"))
+    else
+      Dedup.minhashIndex(like.limit(0), idCol, textCol,
+        p.shingleWords, p.numHashes, p.bands)
+
+  /** Score one micro-batch against the accumulated corpus, append the
+    * novel docs' postings, and return (idCol, decision) for every
+    * batch row. Call from `foreachBatch` with the sink-provided batch
+    * id; ids must be globally unique across the stream ([[Dedup
+    * .withShingles]]' contract). */
+  def processBatch(batch: DataFrame, idCol: String, textCol: String,
+      dir: String, batchId: Long, p: Params = Params()): DataFrame = {
+    val spark = batch.sparkSession
+    val index = loadIndex(spark, dir, batch, idCol, textCol, p)
+    val pairs = Dedup.incrementalMinhash(batch, idCol, textCol, index,
+      p.shingleWords, p.numHashes, p.bands, p.threshold)
+    // strongest applicable label per batch doc: corpus beats batch
+    val perDoc = pairs.groupBy(col("id_b").as(idCol))
+      .agg(max(when(col("origin") === "corpus", 2).otherwise(1)).as("_lvl"))
+    val decisions = batch.select(col(idCol), col(textCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("decision",
+        when(col("_lvl") === 2, lit("dup_corpus"))
+          .when(col("_lvl") === 1, lit("dup_batch"))
+          .otherwise(lit("kept")))
+      .persist()
+    val kept = decisions.filter(col("decision") === "kept")
+      .select(col(idCol), col(textCol))
+    val seg = Dedup.minhashIndex(kept, idCol, textCol,
+      p.shingleWords, p.numHashes, p.bands)
+    seg.buckets.write.mode("overwrite").parquet(s"$dir/buckets/b$batchId")
+    seg.shingles.write.mode("overwrite").parquet(s"$dir/shingles/b$batchId")
+    decisions.select(col(idCol), col("decision"))
+  }
+}

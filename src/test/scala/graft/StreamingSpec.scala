@@ -445,6 +445,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == streamGot)
   }
 
+  test("streamed near-dup: index accumulates across batches; retries idempotent") {
+    import graft.streaming.NearDupStream
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(25)(s"w${r.nextInt(1000)}").mkString(" ")
+    }
+    val inDir = Files.createTempDirectory("snd").toString
+    val ckDir = Files.createTempDirectory("sndck").toString
+    val ixDir = Files.createTempDirectory("sndix").toString + "/ix"
+    val decisions = scala.collection.mutable.Map[Long, String]()
+    def runWave(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq((1L, "x")).toDF("doc_id", "text").schema)
+        .parquet(s"$inDir/*")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          NearDupStream.processBatch(b, "doc_id", "text", ixDir, id,
+              NearDupStream.Params(threshold = 0.3))
+            .collect().foreach(r => decisions(r.getLong(0)) = r.getString(1))
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    // wave 1: two novel docs + a near-copy of doc 1 (same batch)
+    Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(1) + " tail"))
+      .toDF("doc_id", "text").write.parquet(s"$inDir/w1")
+    runWave()
+    assert(decisions(1L) == "kept" && decisions(2L) == "kept")
+    assert(decisions(3L) == "dup_batch")
+
+    // wave 2: near-copy of wave-1 doc 2 (crosses the batch boundary via
+    // the persisted index) + a novel doc
+    Seq((10L, doc(2) + " tail"), (11L, doc(7)))
+      .toDF("doc_id", "text").write.parquet(s"$inDir/w2")
+    runWave()
+    assert(decisions(10L) == "dup_corpus", s"got ${decisions.get(10L)}")
+    assert(decisions(11L) == "kept")
+
+    // the index holds postings for exactly the kept docs
+    val indexed = spark.read.parquet(s"$ixDir/shingles/*")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 11L))
+
+    // a replay of batch 1 (as foreachBatch would after a crash)
+    // overwrites its own segment — postings do not duplicate
+    val w1df = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(1) + " tail"))
+      .toDF("doc_id", "text")
+    NearDupStream.processBatch(w1df, "doc_id", "text", ixDir, 0L,
+      NearDupStream.Params(threshold = 0.3))
+    val postings = spark.read.parquet(s"$ixDir/buckets/*")
+      .groupBy("doc_id", "_band").count()
+      .filter(col("count") > 1).count()
+    assert(postings == 0L, "replay duplicated postings")
+  }
+
   test("windowed corpus stats: streamed rollup equals the batch rollup per closed window") {
     import graft.streaming.CorpusIngest
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:30")
