@@ -208,6 +208,54 @@ object Components {
     out
   }
 
+  /** Incrementally fold a batch of NEW pairs into an existing
+    * (id, cluster) map — live duplicate clusters for an appending or
+    * streaming corpus, without re-running CC over every pair ever seen.
+    *
+    * Correctness: a cluster map IS the contraction of the processed
+    * graph (one star edge per member), and contraction preserves
+    * connectivity — so CC over (touched stars ∪ new pairs) equals CC
+    * over the full history restricted to touched clusters, and
+    * untouched clusters pass through byte-identical (ComponentsSpec
+    * pins the differential against full recomputation). Cluster labels
+    * stay component minima, so a merge relabels to the smaller id.
+    *
+    * Cost shape: the touched-cluster id set is bounded by the batch's
+    * pair endpoints — it BROADCASTS, so the previous map is filtered
+    * map-side (semi/anti), never shuffled; the CC loop runs only on
+    * touched stars + new pairs (usually tiny → its local-finish path).
+    * At 100 TB, bucket the persisted map by cluster so the semi-join
+    * prunes files too. Same numeric-id contract as
+    * [[connectedComponents]]; [[release]] the result when consumed. */
+  def updateClusters(prev: DataFrame, idCol: String, clusterCol: String,
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val ends = pairs.select(col(srcCol).cast("long").as("_id"))
+      .union(pairs.select(col(dstCol).cast("long").as("_id")))
+      .filter(col("_id").isNotNull).distinct()
+    // clusters the batch touches: current cluster of every endpoint
+    // (endpoints never seen before are their own cluster)
+    val touchedIds = ends.join(
+        prev.select(col(idCol).cast("long").as("_id"),
+          col(clusterCol).cast("long").as("_c")), Seq("_id"), "left")
+      .select(coalesce(col("_c"), col("_id")).as("_c")).distinct()
+    val touched = prev.select(col(idCol).cast("long").as("id"),
+        col(clusterCol).cast("long").as("_c"))
+      .join(broadcast(touchedIds), Seq("_c"), "left_semi")
+    val edges = touched.select(col("id").as("src"), col("_c").as("dst"))
+      .union(pairs.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
+    val sub = connectedComponents(edges, "src", "dst")
+    prev.select(col(idCol).cast("long").as("id"),
+        col(clusterCol).cast("long").as("cluster"))
+      .join(broadcast(touchedIds.withColumnRenamed("_c", "cluster")),
+        Seq("cluster"), "left_anti")
+      // the join moved its key first — realign before the POSITIONAL union
+      .select(col("id"), col("cluster"))
+      .union(sub.select(col("node").as("id"), col("component").as("cluster")))
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("cluster", clusterCol)
+  }
+
   /** Cluster assignment for a document table given near-dup pairs:
     * every doc gets a `cluster` (min doc id of its duplicate group;
     * singletons cluster as themselves) and `is_rep` marks the one row

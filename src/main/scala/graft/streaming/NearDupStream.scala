@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.Dedup
+import graft.pipeline.{Components, Dedup}
 
 /** Cross-batch NEAR-dup for a streamed corpus — the paraphrase-level
   * counterpart of [[StreamingDedup]], built as `foreachBatch` glue
@@ -50,11 +50,14 @@ object NearDupStream {
     * id; ids must be globally unique across the stream ([[Dedup
     * .withShingles]]' contract). */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
-      dir: String, batchId: Long, p: Params = Params()): DataFrame = {
+      dir: String, batchId: Long, p: Params = Params(),
+      liveClusters: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val index = loadIndex(spark, dir, batch, idCol, textCol, p)
     val pairs = Dedup.incrementalMinhash(batch, idCol, textCol, index,
-      p.shingleWords, p.numHashes, p.bands, p.threshold)
+      p.shingleWords, p.numHashes, p.bands, p.threshold).persist()
+    if (liveClusters)
+      updateClusterState(spark, dir, pairs, idCol, batchId)
     // strongest applicable label per batch doc: corpus beats batch
     val perDoc = pairs.groupBy(col("id_b").as(idCol))
       .agg(max(when(col("origin") === "corpus", 2).otherwise(1)).as("_lvl"))
@@ -72,5 +75,38 @@ object NearDupStream {
     seg.buckets.write.mode("overwrite").parquet(s"$dir/buckets/b$batchId")
     seg.shingles.write.mode("overwrite").parquet(s"$dir/shingles/b$batchId")
     decisions.select(col(idCol), col("decision"))
+  }
+
+  /** LIVE duplicate clusters: fold the batch's verified pairs into the
+    * versioned (id, cluster) map via [[Components.updateClusters]] —
+    * only clusters the batch touches recompute; everything else passes
+    * through. One full map version per batch (`clusters/v<id>`),
+    * overwrite-idempotent under retries like the posting segments; the
+    * latest committed version is the serving state. Returns the new
+    * map. The map holds every doc that has ever appeared in a pair —
+    * docs with no duplicate are implicit singletons (cluster = own id),
+    * the same convention [[graft.pipeline.Components.dedupClusters]]
+    * exposes. */
+  def updateClusterState(spark: SparkSession, dir: String,
+      pairs: DataFrame, idCol: String, batchId: Long): DataFrame = {
+    import spark.implicits._
+    val prev = latestClusters(spark, dir)
+      .getOrElse(Seq.empty[(Long, Long)].toDF(idCol, "cluster"))
+    val next = Components.updateClusters(prev, idCol, "cluster",
+      pairs, "id_a", "id_b")
+    next.write.mode("overwrite").parquet(s"$dir/clusters/v$batchId")
+    Components.release(next)
+    spark.read.parquet(s"$dir/clusters/v$batchId")
+  }
+
+  /** The highest committed cluster-map version, if any. */
+  def latestClusters(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val root = new java.io.File(s"$dir/clusters")
+    val versions = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
+    versions.sortBy(_._1).lastOption
+      .map { case (_, f) => spark.read.parquet(f.getAbsolutePath) }
   }
 }

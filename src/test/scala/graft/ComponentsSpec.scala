@@ -96,6 +96,39 @@ class ComponentsSpec extends AnyFunSuite {
     assert(leaked2.isEmpty, s"leaked persistent RDDs (star path): $leaked2")
   }
 
+  test("updateClusters folds batches incrementally, equal to full recomputation") {
+    val rng = new scala.util.Random(17)
+    // random pair stream over 120 nodes, delivered in 3 batches —
+    // includes merges of previously-separate clusters by construction
+    val allPairs = Seq.fill(90)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val batches = allPairs.grouped((allPairs.size + 2) / 3).toSeq
+    var map = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    var seen = Seq.empty[(Long, Long)]
+    batches.foreach { batch =>
+      seen = seen ++ batch
+      map = Components.updateClusters(map, "id", "cluster",
+        batch.toDF("id_a", "id_b"), "id_a", "id_b")
+      val got = map.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = Components.connectedComponents(
+          seen.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"after ${seen.size} pairs")
+    }
+  }
+
+  test("updateClusters: untouched clusters pass through; merges relabel to the min") {
+    val prev = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (50L, 50L), (51L, 50L)).toDF("id", "cluster")
+    // one pair bridges clusters 1 and 10; cluster 50 is untouched
+    val next = Components.updateClusters(prev, "id", "cluster",
+      Seq((2L, 11L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val got = next.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      50L -> 50L, 51L -> 50L))
+    Components.release(next)
+  }
+
   test("empty edge list yields empty labels; dedupClusters makes singletons") {
     assert(runBoth(Seq.empty).forall(_.isEmpty))
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")

@@ -463,7 +463,7 @@ class StreamingSpec extends AnyFunSuite {
         .option("checkpointLocation", ckDir)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           NearDupStream.processBatch(b, "doc_id", "text", ixDir, id,
-              NearDupStream.Params(threshold = 0.3))
+              NearDupStream.Params(threshold = 0.3), liveClusters = true)
             .collect().foreach(r => decisions(r.getLong(0)) = r.getString(1))
           ()
         }.start()
@@ -488,6 +488,13 @@ class StreamingSpec extends AnyFunSuite {
     val indexed = spark.read.parquet(s"$ixDir/shingles/*")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(indexed == Set(1L, 2L, 11L))
+
+    // live clusters: wave-1 pair (1,3) and wave-2 pair (2,10), folded
+    // incrementally across batches into one versioned map
+    val clusters = NearDupStream.latestClusters(spark, ixDir).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 3L -> 1L, 2L -> 2L, 10L -> 2L),
+      s"got $clusters")
 
     // a replay of batch 1 (as foreachBatch would after a crash)
     // overwrites its own segment — postings do not duplicate
