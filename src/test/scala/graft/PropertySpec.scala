@@ -103,6 +103,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental minhash equals full recomputation on random corpus/batch splits") {
+    import graft.pipeline.Dedup
+    val rng = new scala.util.Random(41)
+    def doc() = Seq.fill(8 + rng.nextInt(20))(s"t${rng.nextInt(120)}").mkString(" ")
+    (0 until 3).foreach { trial =>
+      // docs with planted mutations so near-dup pairs exist both within
+      // and across the split
+      val base = (0L until 40L).map(i => (i, doc()))
+      val mutated = base.filter(_._1 % 4 == 0)
+        .map { case (id, t) => (id + 100L, t + " mut") }
+      val all = rng.shuffle(base ++ mutated)
+      val (corpusRows, batchRows) = all.splitAt(all.size * 2 / 3)
+      // ids must be disjoint by construction (they are: base ∪ +100)
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val batch = batchRows.toDF("doc_id", "text")
+      val inc = Dedup.incrementalMinhash(batch, "doc_id", "text",
+          Dedup.minhashIndex(corpus, "doc_id", "text"), threshold = 0.3)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+      val batchIds = batchRows.map(_._1).toSet
+      val full = Dedup.minhashNearDups(corpus.unionAll(batch), "doc_id", "text",
+          threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => batchIds(a) || batchIds(b) }.toSet
+      assert(inc == full, s"trial $trial: inc ${inc.size} vs full ${full.size}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("asofJoin equals brute force on random keyed event histories") {
     // few keys + a coarse time grid force collisions: many rows per
     // key, left/right rows at identical instants (equality must

@@ -131,6 +131,24 @@ class SargableConeSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("rewrite is sound under OR and NOT: band only tightens its own disjunct") {
+    val s = registered
+    pts(s)
+    // dist ≤ r ⇒ band, so (band AND dist≤r) ≡ dist≤r under any boolean
+    // context — including negation, where ¬band ⇒ ¬(dist≤r) keeps
+    // ¬(band AND dist≤r) ≡ ¬(dist≤r)
+    val orQ = s.sql(
+      """SELECT id FROM cone_pts
+        |WHERE q3c_dist(ra, dec, 42.0, 13.0) <= 0.5 OR id < 5""".stripMargin)
+    assert(orQ.collect().map(_.getLong(0)).toSet ==
+      (expectedIds(0.5) ++ (0L until 5L)))
+    val notQ = s.sql(
+      """SELECT id FROM cone_pts
+        |WHERE NOT (q3c_dist(ra, dec, 42.0, 13.0) <= 0.5)""".stripMargin)
+    assert(notQ.collect().map(_.getLong(0)).toSet ==
+      ((0L until 1000L).toSet -- expectedIds(0.5)))
+  }
+
   test("the rule also fires through the GraftExtensions deploy path") {
     val prev = spark
     SparkSession.clearActiveSession()
