@@ -32,17 +32,26 @@ object NearDupStream {
   final case class Params(shingleWords: Int = 3, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5)
 
+  /** Segment subdirectories that actually committed (`_SUCCESS`
+    * present) — a crash mid-write leaves a marker-less directory,
+    * which a bare glob read would trip over forever. */
+  private def committedSegments(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getAbsolutePath).sorted
+
   /** Accumulated index across all committed segments; typed-empty (via
-    * a zero-row slice of `like`) when no segment exists yet. */
+    * a zero-row slice of `like`) when no committed segment exists. */
   def loadIndex(spark: SparkSession, dir: String, like: DataFrame,
-      idCol: String, textCol: String, p: Params): Dedup.NearDupIndex =
-    if (new java.io.File(s"$dir/buckets").exists())
-      Dedup.NearDupIndex(
-        spark.read.parquet(s"$dir/buckets/*"),
-        spark.read.parquet(s"$dir/shingles/*"))
+      idCol: String, textCol: String, p: Params): Dedup.NearDupIndex = {
+    val (b, sh) = (committedSegments(s"$dir/buckets"),
+      committedSegments(s"$dir/shingles"))
+    if (b.nonEmpty && sh.nonEmpty)
+      Dedup.NearDupIndex(spark.read.parquet(b: _*), spark.read.parquet(sh: _*))
     else
       Dedup.minhashIndex(like.limit(0), idCol, textCol,
         p.shingleWords, p.numHashes, p.bands)
+  }
 
   /** Score one micro-batch against the accumulated corpus, append the
     * novel docs' postings, and return (idCol, decision) for every

@@ -502,10 +502,23 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     NearDupStream.processBatch(w1df, "doc_id", "text", ixDir, 0L,
       NearDupStream.Params(threshold = 0.3))
-    val postings = spark.read.parquet(s"$ixDir/buckets/*")
+    val committed = new java.io.File(s"$ixDir/buckets").listFiles()
+      .filter(f => new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getAbsolutePath)
+    val postings = spark.read.parquet(committed: _*)
       .groupBy("doc_id", "_band").count()
       .filter(col("count") > 1).count()
     assert(postings == 0L, "replay duplicated postings")
+
+    // a crash-orphaned, marker-less segment directory must not poison
+    // future batches: drop one in and process another wave
+    new java.io.File(s"$ixDir/buckets/b99").mkdirs()
+    new java.io.File(s"$ixDir/shingles/b99").mkdirs()
+    val more = NearDupStream.processBatch(
+      Seq((20L, doc(7) + " other tail")).toDF("doc_id", "text"),
+      "doc_id", "text", ixDir, 3L, NearDupStream.Params(threshold = 0.3))
+    assert(more.collect().map(r => (r.getLong(0), r.getString(1))).toMap ==
+      Map(20L -> "dup_corpus"), "orphaned segment broke the index read")
   }
 
   test("windowed corpus stats: streamed rollup equals the batch rollup per closed window") {
