@@ -229,21 +229,35 @@ object Components {
     * [[connectedComponents]]; [[release]] the result when consumed. */
   def updateClusters(prev: DataFrame, idCol: String, clusterCol: String,
       pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val ends = pairs.select(col(srcCol).cast("long").as("_id"))
-      .union(pairs.select(col(dstCol).cast("long").as("_id")))
-      .filter(col("_id").isNotNull).distinct()
+    val spark = prev.sparkSession
+    import spark.implicits._
+    // self-pairs carry no connectivity but would mark their node's
+    // cluster touched while contributing only filtered-out self-loop
+    // edges — a lone singleton would be anti-joined away and never
+    // re-emitted. Drop them before computing the touched set.
+    val realPairs = pairs
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src") =!= col("dst"))
+    val ends = realPairs.select(col("src").as("_id"))
+      .union(realPairs.select(col("dst").as("_id"))).distinct()
     // clusters the batch touches: current cluster of every endpoint
-    // (endpoints never seen before are their own cluster)
-    val touchedIds = ends.join(
+    // (endpoints never seen before are their own cluster). COLLECTED:
+    // the set is bounded by the batch's pair endpoints (micro-batch
+    // sized), and both consumers below would otherwise re-execute this
+    // prev-scanning join once each — a bounded driver list, reused as
+    // one broadcast-able local frame, scans prev exactly once.
+    val touchedSeq = ends.join(
         prev.select(col(idCol).cast("long").as("_id"),
           col(clusterCol).cast("long").as("_c")), Seq("_id"), "left")
       .select(coalesce(col("_c"), col("_id")).as("_c")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val touchedIds = touchedSeq.toDF("_c")
     val touched = prev.select(col(idCol).cast("long").as("id"),
         col(clusterCol).cast("long").as("_c"))
       .join(broadcast(touchedIds), Seq("_c"), "left_semi")
     val edges = touched.select(col("id").as("src"), col("_c").as("dst"))
-      .union(pairs.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst")))
+      .union(realPairs)
     val sub = connectedComponents(edges, "src", "dst")
     prev.select(col(idCol).cast("long").as("id"),
         col(clusterCol).cast("long").as("cluster"))

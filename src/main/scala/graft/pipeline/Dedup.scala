@@ -298,17 +298,33 @@ object Dedup {
     * involving a batch doc (QualitySpec pins this). */
   def incrementalMinhash(newBatch: DataFrame, idCol: String, textCol: String,
       index: NearDupIndex, shingleWords: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 8, threshold: Double = 0.5): DataFrame =
+    incrementalMinhashWithSigs(newBatch, idCol, textCol, index,
+      shingleWords, numHashes, bands, threshold)._1
+
+  /** [[incrementalMinhash]] plus the batch's persisted signature frame
+    * (id, _shingles, _sig) — for callers that go on to index the batch
+    * (e.g. [[graft.streaming.NearDupStream]]) and should not shingle
+    * it a second time. The caller owns the sigs frame's unpersist once
+    * both it and the pair frame are consumed. */
+  def incrementalMinhashWithSigs(newBatch: DataFrame, idCol: String,
+      textCol: String, index: NearDupIndex, shingleWords: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = withMinhash(newBatch.select(col(idCol), col(textCol)), idCol,
       textCol, shingleWords, numHashes).persist()
     val nb = lshBuckets(sigs, bands, numHashes / bands)
       .select(col("_band"), col("_bucket"), col(idCol))
-    // batch ⋈ corpus postings + batch-internal candidates, ids only
+    // batch ⋈ corpus postings + batch-internal candidates, ids only.
+    // id_a =!= id_b also here: ids are contract-unique across corpus
+    // and batch, but a REPLAYED batch whose postings already committed
+    // would otherwise self-match every doc at jaccard 1.0
     val vsCorpus = index.buckets
       .select(col("_band"), col("_bucket"), col(idCol).as("id_a"))
       .join(nb.select(col("_band"), col("_bucket"), col(idCol).as("id_b")),
         Seq("_band", "_bucket"))
+      .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), lit("corpus").as("origin"))
     val within = nb.select(col("_band"), col("_bucket"), col(idCol).as("id_a"))
       .join(nb.select(col("_band"), col("_bucket"), col(idCol).as("id_b")),
@@ -318,12 +334,13 @@ object Dedup {
     val cands = vsCorpus.union(within).dropDuplicates("id_a", "id_b", "origin")
     val shA = index.shingles.select(col(idCol).as("id_a"), col("_shingles").as("_sh_a"))
       .union(sigs.select(col(idCol).as("id_a"), col("_shingles").as("_sh_a")))
-    cands
+    val pairs = cands
       .join(shA, Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("_shingles").as("_sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard", "origin")
+    (pairs, sigs)
   }
 
   // ---- SimHash -----------------------------------------------------

@@ -98,12 +98,17 @@ case class GreatCircleDist(ra: Expression, dec: Expression,
 
 object SargableCone extends Rule[LogicalPlan] {
 
-  /** Foldable double value, if the expression folds to a non-null one.
-    * Children of a double comparison / a double-typed function are
-    * already coerced, so eval() yields java.lang.Double or null. */
+  /** Foldable double value, if the expression folds to a non-null,
+    * non-NaN one. Children of a double comparison / a double-typed
+    * function are already coerced, so eval() yields java.lang.Double
+    * or null. NaN must NOT band: Spark's total order ranks NaN above
+    * every double, so `dist <= NaN` is true for all rows while a
+    * `dec >= cDec − NaN` conjunct would be false for all — the rewrite
+    * would invert the result instead of preserving it. (±Infinity is
+    * fine: the band degenerates consistently with the comparison.) */
   private def foldD(e: Expression): Option[Double] =
     if (e.foldable) e.eval() match {
-      case d: java.lang.Double => Some(d.doubleValue())
+      case d: java.lang.Double if !d.isNaN => Some(d.doubleValue())
       case _ => None
     } else None
 

@@ -34,18 +34,28 @@ object NearDupStream {
 
   /** Segment subdirectories that actually committed (`_SUCCESS`
     * present) — a crash mid-write leaves a marker-less directory,
-    * which a bare glob read would trip over forever. */
-  private def committedSegments(root: String): Seq[String] =
+    * which a bare glob read would trip over forever. `below` restricts
+    * to segments from batches strictly earlier than the given id: a
+    * RETRY of a batch whose own segment already committed must not see
+    * itself in the index (every doc would match its replayed twin and
+    * the "kept" rewrite would empty the segment). */
+  private def committedSegments(root: String, below: Option[Long]): Seq[String] =
     Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Nil)
       .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+      .filter { f =>
+        val id = scala.util.Try(f.getName.drop(1).toLong).toOption
+        below.forall(b => id.forall(_ < b))
+      }
       .map(_.getAbsolutePath).sorted
 
-  /** Accumulated index across all committed segments; typed-empty (via
-    * a zero-row slice of `like`) when no committed segment exists. */
+  /** Accumulated index across committed segments (strictly before
+    * `below` when given); typed-empty (via a zero-row slice of `like`)
+    * when no committed segment exists. */
   def loadIndex(spark: SparkSession, dir: String, like: DataFrame,
-      idCol: String, textCol: String, p: Params): Dedup.NearDupIndex = {
-    val (b, sh) = (committedSegments(s"$dir/buckets"),
-      committedSegments(s"$dir/shingles"))
+      idCol: String, textCol: String, p: Params,
+      below: Option[Long] = None): Dedup.NearDupIndex = {
+    val (b, sh) = (committedSegments(s"$dir/buckets", below),
+      committedSegments(s"$dir/shingles", below))
     if (b.nonEmpty && sh.nonEmpty)
       Dedup.NearDupIndex(spark.read.parquet(b: _*), spark.read.parquet(sh: _*))
     else
@@ -62,28 +72,44 @@ object NearDupStream {
       dir: String, batchId: Long, p: Params = Params(),
       liveClusters: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
-    val index = loadIndex(spark, dir, batch, idCol, textCol, p)
-    val pairs = Dedup.incrementalMinhash(batch, idCol, textCol, index,
-      p.shingleWords, p.numHashes, p.bands, p.threshold).persist()
+    // the index view excludes this batch's own (possibly already
+    // committed) segment, so a foreachBatch RETRY recomputes the same
+    // decisions instead of matching its replayed twin
+    val index = loadIndex(spark, dir, batch, idCol, textCol, p,
+      below = Some(batchId))
+    val (pairs0, sigs) = Dedup.incrementalMinhashWithSigs(batch, idCol,
+      textCol, index, p.shingleWords, p.numHashes, p.bands, p.threshold)
+    val pairs = pairs0.persist()
     if (liveClusters)
       updateClusterState(spark, dir, pairs, idCol, batchId)
     // strongest applicable label per batch doc: corpus beats batch
     val perDoc = pairs.groupBy(col("id_b").as(idCol))
       .agg(max(when(col("origin") === "corpus", 2).otherwise(1)).as("_lvl"))
-    val decisions = batch.select(col(idCol), col(textCol))
+    val decisions = batch.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .withColumn("decision",
         when(col("_lvl") === 2, lit("dup_corpus"))
           .when(col("_lvl") === 1, lit("dup_batch"))
           .otherwise(lit("kept")))
-      .persist()
-    val kept = decisions.filter(col("decision") === "kept")
-      .select(col(idCol), col(textCol))
-    val seg = Dedup.minhashIndex(kept, idCol, textCol,
-      p.shingleWords, p.numHashes, p.bands)
-    seg.buckets.write.mode("overwrite").parquet(s"$dir/buckets/b$batchId")
-    seg.shingles.write.mode("overwrite").parquet(s"$dir/shingles/b$batchId")
-    decisions.select(col(idCol), col("decision"))
+      .select(col(idCol), col("decision"))
+    // decisions are STATE like the postings (the dedup log a pipeline
+    // audits), and writing them materializes every plan this batch
+    // needs — so all caches this call created can be released before
+    // returning; nothing leaks across a long-lived stream's batches
+    decisions.write.mode("overwrite").parquet(s"$dir/decisions/b$batchId")
+    val committed = spark.read.parquet(s"$dir/decisions/b$batchId")
+    // the batch was already shingled once: derive the new segment from
+    // the signature frame by kept-id semi-join, no second tokenize
+    val keptIds = committed.filter(col("decision") === "kept").select(col(idCol))
+    val segSigs = sigs.join(keptIds, Seq(idCol), "left_semi")
+    Dedup.lshBuckets(segSigs, p.bands, p.numHashes / p.bands)
+      .select(col("_band"), col("_bucket"), col(idCol))
+      .write.mode("overwrite").parquet(s"$dir/buckets/b$batchId")
+    segSigs.select(col(idCol), col("_shingles"))
+      .write.mode("overwrite").parquet(s"$dir/shingles/b$batchId")
+    pairs.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    committed
   }
 
   /** LIVE duplicate clusters: fold the batch's verified pairs into the
@@ -99,7 +125,12 @@ object NearDupStream {
   def updateClusterState(spark: SparkSession, dir: String,
       pairs: DataFrame, idCol: String, batchId: Long): DataFrame = {
     import spark.implicits._
-    val prev = latestClusters(spark, dir)
+    // fold on the latest version STRICTLY BELOW this batch: a retry
+    // whose own v<batchId> already committed must neither read the
+    // directory it is about to overwrite (Spark refuses to overwrite a
+    // path being read) nor fold its pairs in twice — recomputing from
+    // the predecessor is idempotent by construction
+    val prev = latestClusters(spark, dir, below = Some(batchId))
       .getOrElse(Seq.empty[(Long, Long)].toDF(idCol, "cluster"))
     val next = Components.updateClusters(prev, idCol, "cluster",
       pairs, "id_a", "id_b")
@@ -108,13 +139,16 @@ object NearDupStream {
     spark.read.parquet(s"$dir/clusters/v$batchId")
   }
 
-  /** The highest committed cluster-map version, if any. */
-  def latestClusters(spark: SparkSession, dir: String): Option[DataFrame] = {
+  /** The highest committed cluster-map version (strictly below the
+    * given batch id when set), if any. */
+  def latestClusters(spark: SparkSession, dir: String,
+      below: Option[Long] = None): Option[DataFrame] = {
     val root = new java.io.File(s"$dir/clusters")
     val versions = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
       .filter(f => f.getName.startsWith("v") &&
         new java.io.File(f, "_SUCCESS").exists())
       .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
+      .filter { case (v, _) => below.forall(v < _) }
     versions.sortBy(_._1).lastOption
       .map { case (_, f) => spark.read.parquet(f.getAbsolutePath) }
   }

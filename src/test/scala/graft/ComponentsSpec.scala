@@ -129,6 +129,15 @@ class ComponentsSpec extends AnyFunSuite {
     Components.release(next)
   }
 
+  test("updateClusters: self-pairs and null endpoints are no-ops, not deletions") {
+    val prev = Seq((7L, 7L), (8L, 8L), (9L, 8L)).toDF("id", "cluster")
+    val got = Components.updateClusters(prev, "id", "cluster",
+        Seq((Some(7L), Some(7L)), (Some(8L), Option.empty[Long]))
+          .toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(7L -> 7L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("empty edge list yields empty labels; dedupClusters makes singletons") {
     assert(runBoth(Seq.empty).forall(_.isEmpty))
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")

@@ -149,6 +149,18 @@ class SargableConeSpec extends AnyFunSuite {
       ((0L until 1000L).toSet -- expectedIds(0.5)))
   }
 
+  test("NaN radius is not banded: result matches the un-rewritten semantics") {
+    val s = registered
+    pts(s)
+    // Spark's total order ranks NaN above every double, so dist <= NaN
+    // is TRUE for every row; a band built from NaN arithmetic would be
+    // false for every row. The rule must decline.
+    val q = s.sql(
+      "SELECT id FROM cone_pts WHERE q3c_dist(ra, dec, 42.0, 13.0) <= double('NaN')")
+    assert(decBandBounds(q).isEmpty, "NaN radius must not produce a band")
+    assert(q.count() == 1000L)
+  }
+
   test("the rule also fires through the GraftExtensions deploy path") {
     val prev = spark
     SparkSession.clearActiveSession()

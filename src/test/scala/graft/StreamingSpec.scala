@@ -496,24 +496,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(clusters == Map(1L -> 1L, 3L -> 1L, 2L -> 2L, 10L -> 2L),
       s"got $clusters")
 
-    // a replay of batch 1 (as foreachBatch would after a crash)
-    // overwrites its own segment — postings do not duplicate
+    // a replay of batch 0 (as foreachBatch would after a crash, with
+    // its segment ALREADY committed) must reproduce the original
+    // decisions — not match its own replayed postings — and must leave
+    // the segment intact, not emptied
     val w1df = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(1) + " tail"))
       .toDF("doc_id", "text")
-    NearDupStream.processBatch(w1df, "doc_id", "text", ixDir, 0L,
-      NearDupStream.Params(threshold = 0.3))
+    val replay = NearDupStream.processBatch(w1df, "doc_id", "text", ixDir, 0L,
+        NearDupStream.Params(threshold = 0.3), liveClusters = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(replay == Map(1L -> "kept", 2L -> "kept", 3L -> "dup_batch"),
+      s"replay changed decisions: $replay")
     val committed = new java.io.File(s"$ixDir/buckets").listFiles()
       .filter(f => new java.io.File(f, "_SUCCESS").exists())
       .map(_.getAbsolutePath)
-    val postings = spark.read.parquet(committed: _*)
-      .groupBy("doc_id", "_band").count()
-      .filter(col("count") > 1).count()
-    assert(postings == 0L, "replay duplicated postings")
+    val postingDocs = spark.read.parquet(committed: _*)
+    assert(postingDocs.groupBy("doc_id", "_band").count()
+      .filter(col("count") > 1).count() == 0L, "replay duplicated postings")
+    assert(postingDocs.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 11L),
+      "replay emptied or grew the segment")
+    // and the replayed cluster fold is idempotent too
+    val clusters2 = NearDupStream.latestClusters(spark, ixDir).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters2 == Map(1L -> 1L, 3L -> 1L, 2L -> 2L, 10L -> 2L),
+      s"replayed cluster fold drifted: $clusters2")
 
     // a crash-orphaned, marker-less segment directory must not poison
-    // future batches: drop one in and process another wave
-    new java.io.File(s"$ixDir/buckets/b99").mkdirs()
-    new java.io.File(s"$ixDir/shingles/b99").mkdirs()
+    // future batches: drop one in (id BELOW the probing batch, so only
+    // the _SUCCESS filter excludes it) and process another wave
+    new java.io.File(s"$ixDir/buckets/b2").mkdirs()
+    new java.io.File(s"$ixDir/shingles/b2").mkdirs()
     val more = NearDupStream.processBatch(
       Seq((20L, doc(7) + " other tail")).toDF("doc_id", "text"),
       "doc_id", "text", ixDir, 3L, NearDupStream.Params(threshold = 0.3))
