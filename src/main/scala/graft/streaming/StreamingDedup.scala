@@ -40,6 +40,55 @@ object StreamingDedup {
     sb.toString
   }
 
+  final case class TimedDoc(doc_id: Long, text: String, source: String,
+      ts: java.sql.Timestamp)
+
+  /** [[dedupStream]] with a bounded DEDUP HORIZON — the documented
+    * 100 TB/day knob, made real: per-digest state expires once the
+    * event-time watermark passes `last seen + ttl`, so total state is
+    * O(distinct docs inside the horizon), not O(corpus lifetime), and
+    * a copy arriving after the horizon is treated as a fresh document
+    * (the standard crawl-dedup contract: re-fetches cluster in time;
+    * beyond the horizon a re-fetch is a legitimate re-observation).
+    *
+    * Event-time timeout, not processing-time: expiry is driven by the
+    * stream's own watermark, so replays and catch-up runs expire state
+    * at the same points in the data, making the operator
+    * deterministic for a given input history — and testable. Caller
+    * must `withWatermark` the input on `ts`. */
+  def dedupStreamTtl(docs: Dataset[TimedDoc],
+      ttl: java.time.Duration): Dataset[TimedDoc] = {
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[TimedDoc]
+    docs.groupByKey(d => contentKey(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (_: String, it: Iterator[TimedDoc], state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var latest = if (state.exists) state.get else Long.MinValue
+            var first: TimedDoc = null
+            var any = false
+            it.foreach { d =>
+              any = true
+              if (d.ts != null) latest = math.max(latest, d.ts.getTime)
+              if (!state.exists && (first == null || d.doc_id < first.doc_id))
+                first = d
+            }
+            if (latest != Long.MinValue) {
+              state.update(latest)
+              // a very late doc's horizon may already be behind the
+              // watermark — the API rejects past timestamps, so clamp
+              // just ahead: the state then expires at the next trigger
+              state.setTimeoutTimestamp(
+                math.max(latest + ttl.toMillis, state.getCurrentWatermarkMs() + 1))
+            }
+            if (any && first != null) Iterator.single(first) else Iterator.empty
+          }
+        })
+  }
+
   /** First-seen-wins exact dedup over a (streaming or batch) Dataset.
     * Streaming: state carries across micro-batches, so a duplicate in
     * batch N of a document kept in batch 1 is dropped. Batch: one-shot

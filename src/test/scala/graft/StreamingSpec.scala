@@ -445,6 +445,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot == streamGot)
   }
 
+  test("TTL dedup: duplicates drop inside the horizon, re-enter beyond it") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.TimedDoc
+    implicit val enc = org.apache.spark.sql.Encoders.product[TimedDoc]
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime + min * 60000L)
+    val inDir = Files.createTempDirectory("ttldup").toString
+    val ckDir = Files.createTempDirectory("ttldupck").toString
+    val kept = scala.collection.mutable.ListBuffer[Long]()
+    def runWave(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[TimedDoc]].schema)
+        .parquet(s"$inDir/*").as[TimedDoc]
+        .withWatermark("ts", "0 seconds")
+      val q = StreamingDedup.dedupStreamTtl(stream, java.time.Duration.ofMinutes(30))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TimedDoc], _: Long) =>
+          kept ++= b.collect().map(_.doc_id); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    // wave 1: doc kept; in-batch duplicate dropped (min id wins)
+    Seq(TimedDoc(2L, "aaa", "s", ts(0)), TimedDoc(5L, "aaa", "s", ts(1)))
+      .toDF().write.parquet(s"$inDir/w1")
+    runWave()
+    assert(kept.toList == List(2L))
+    // wave 2 at +10 min: duplicate inside the 30-min horizon → dropped;
+    // watermark advances to +10
+    Seq(TimedDoc(7L, "aaa", "s", ts(10))).toDF().write.parquet(s"$inDir/w2")
+    runWave()
+    assert(kept.toList == List(2L))
+    // wave 3 pushes the watermark past +40 (last seen +10, ttl 30) so
+    // the state expires...
+    Seq(TimedDoc(8L, "zzz", "s", ts(50))).toDF().write.parquet(s"$inDir/w3")
+    runWave()
+    // ...and wave 4's copy of "aaa" re-enters as a fresh document
+    Seq(TimedDoc(9L, "aaa", "s", ts(51))).toDF().write.parquet(s"$inDir/w4")
+    runWave()
+    assert(kept.toList == List(2L, 8L, 9L),
+      s"expected horizon-expired duplicate to re-enter; got $kept")
+  }
+
   test("streamed near-dup: index accumulates across batches; retries idempotent") {
     import graft.streaming.NearDupStream
     def doc(seed: Int) = {
