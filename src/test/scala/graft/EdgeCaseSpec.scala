@@ -60,6 +60,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.minhashNearDups(short, "doc_id", "text").count() == 0)
   }
 
+  test("incremental/assembly ops tolerate empty inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val some = Seq((1L, "a few words of text here ok then"),
+      (2L, "a few words of text here ok now")).toDF("doc_id", "text")
+    // empty batch vs real index; real batch vs empty-corpus index
+    val ix = Dedup.minhashIndex(some, "doc_id", "text")
+    assert(Dedup.incrementalMinhash(empty, "doc_id", "text", ix).count() == 0)
+    val emptyIx = Dedup.minhashIndex(empty, "doc_id", "text")
+    assert(Dedup.incrementalMinhash(some, "doc_id", "text", emptyIx,
+      threshold = 0.5).collect().forall(_.getString(3) == "batch"))
+    // empty prev + empty pairs; empty pairs over a real map
+    import graft.pipeline.Components
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val noMap = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    assert(Components.updateClusters(noMap, "id", "cluster",
+      noPairs, "id_a", "id_b").count() == 0)
+    val map = Seq((3L, 3L), (4L, 3L)).toDF("id", "cluster")
+    assert(Components.updateClusters(map, "id", "cluster",
+        noPairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(3L -> 3L, 4L -> 3L))
+    // sequence assembly of an empty / all-empty-token corpus
+    import graft.pipeline.Sharding
+    val noToks = Seq.empty[(Long, Seq[String])].toDF("doc_id", "toks")
+    assert(Sharding.assembleSequences(noToks, "doc_id", "toks", 5L).count() == 0)
+    val emptyToks = Seq((1L, Seq.empty[String])).toDF("doc_id", "toks")
+    assert(Sharding.assembleSequences(emptyToks, "doc_id", "toks", 5L).count() == 0)
+  }
+
   test("round-6 quality ops tolerate degenerate corpora") {
     import graft.pipeline.{Dedup, LangModel, SpanDedup}
     // docs shorter than the window never produce spans, never lose tokens
