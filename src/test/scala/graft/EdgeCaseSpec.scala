@@ -89,6 +89,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Sharding.assembleSequences(emptyToks, "doc_id", "toks", 5L).count() == 0)
   }
 
+  test("tableSignature: stable on unchanged data, changes on regeneration") {
+    val d = java.nio.file.Files.createTempDirectory("sig").toString
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$d/lineitem.parquet")
+    val s1 = Tables.tableSignature(d, "lineitem")
+    assert(s1 == Tables.tableSignature(d, "lineitem"), "signature must be stable")
+    assert(s1.nonEmpty && Tables.tableSignature(d, "absent") != s1)
+    // a regenerated table (same path, new mtime) must change the
+    // signature — this is what keeps scratch artifacts from going stale
+    val part = new java.io.File(s"$d/lineitem.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.setLastModified(part.lastModified() + 60000))
+    assert(Tables.tableSignature(d, "lineitem") != s1,
+      "mtime change must change the signature")
+  }
+
   test("round-6 quality ops tolerate degenerate corpora") {
     import graft.pipeline.{Dedup, LangModel, SpanDedup}
     // docs shorter than the window never produce spans, never lose tokens
