@@ -23,13 +23,16 @@ object BrokerInfo {
   }
 
   /** Flatten the classification envelope into one row per
-    * (message, classId): json array → explode → typed columns. */
+    * (message, classId): json array → explode → typed columns.
+    * `explode_outer`: a message whose info carries no (or unparseable)
+    * classifications still surfaces, with null classid/probability —
+    * silently dropping it would understate per-source message counts. */
   def explodeClassifications(messages: DataFrame): DataFrame = {
     val cls = from_json(get_json_object(col("info"), "$.classifications"),
       org.apache.spark.sql.types.DataType.fromDDL(
         "array<struct<classId:int,probability:double>>"))
     messages
-      .withColumn("_c", explode(cls))
+      .withColumn("_c", explode_outer(cls))
       .select(col("brokername"), col("topic"), col("diasourceid"),
         col("diaobjectid"), col("msgtime"),
         col("_c.classId").as("classid"),

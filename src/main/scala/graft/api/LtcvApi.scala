@@ -37,7 +37,12 @@ object LtcvApi {
       useWeightedSourcePositions: Boolean = false,
       alwaysUseWeightedSourcePositions: Boolean = false,
       includeHostinfo: Boolean = false): DataFrame = {
-    val ids = Ltcv.expandObjids(cat, procverId, diaobjectids, rootids)
+    // no ids requested = ALL objects, the same convention getLtcvs
+    // uses — previously this path silently returned zero rows
+    val ids =
+      if (diaobjectids.nonEmpty || rootids.nonEmpty)
+        Ltcv.expandObjids(cat, procverId, diaobjectids, rootids)
+      else Ltcv.objMap(cat, procverId)
     val prios = cat.dims.priorities(procverId, "diaobject")
     // semi-join FIRST: the best-position aggregate must scan only the
     // requested objects, not the whole catalog (a 3-object request
@@ -90,11 +95,17 @@ object LtcvApi {
     else (cat.hostGalaxy, cat.diaobjectHostMatch) match {
       case (Some(hosts), Some(matches)) =>
         // ltcvapp's include_hostinfo: attach the best (lowest-prio)
-        // host's columns per root. Matches are diaobjectid-keyed (and
-        // may span base procvers), so lift to rootid through the
-        // expanded id set and argmax once more — both argmaxes are
-        // partial-aggregating min_by, no window sort.
-        val best = graft.host.HostGalaxy.bestHost(matches, hosts)
+        // host's columns per root. Matches are diaobjectid-keyed and
+        // span base procvers — restrict to versions under the REQUESTED
+        // procver first, like every other path in this call (an
+        // experimental version's match must not win the argmax) — then
+        // lift to rootid through the expanded id set and argmax once
+        // more; both argmaxes are partial-aggregating min_by, no
+        // window sort.
+        val inProcver = matches.join(
+          broadcast(prios.select("base_procver_id")),
+          Seq("base_procver_id"), "left_semi")
+        val best = graft.host.HostGalaxy.bestHost(inProcver, hosts)
         val perRoot = ids.join(best, Seq("diaobjectid"))
           .groupBy("rootid")
           .agg(min_by(struct(col("host_id"), col("prio"), col("host_ra"),
@@ -119,7 +130,10 @@ object LtcvApi {
   def randomObject(cat: Catalog, procverId: String, seed: Long = -1L): String = {
     val m = Ltcv.objMap(cat, procverId).select("rootid").distinct()
     val shuffled = if (seed >= 0) m.orderBy(rand(seed)) else m.orderBy(rand())
-    shuffled.limit(1).collect().head.getString(0)
+    shuffled.limit(1).collect().headOption
+      .getOrElse(throw new NoSuchElementException(
+        s"no objects under processing version '$procverId'"))
+      .getString(0)
   }
 
   /** A5 — exact count and optimizer-estimated count of the deduped

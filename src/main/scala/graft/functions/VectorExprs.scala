@@ -20,7 +20,11 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   * Null handling: null input → null; null *elements* contribute 0
   * (embeddings never carry null elements; branching per element would
-  * cost more than it protects).
+  * cost more than it protects). Length mismatch: the product runs over
+  * the SHORTER array's prefix — same convention as `zip_with`'s
+  * truncating cousins in other engines; callers comparing embeddings
+  * of differing dimensionality get a prefix dot product, not an error,
+  * so validate dimensions upstream where mismatches are possible.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -28,13 +32,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(lt: NumericType, _), ArrayType(rt: NumericType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"dot_product needs two numeric arrays, got ${left.dataType} / ${right.dataType}")
+    // DecimalType is a NumericType but has no primitive accessor — the
+    // getByte fallthrough would misread it (codegen would silently
+    // produce garbage); reject it at analysis instead of at runtime
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(_: DecimalType, _) => false
+      case ArrayType(_: NumericType, _) => true
+      case _ => false
     }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs two non-decimal numeric arrays, got ${left.dataType} / ${right.dataType}")
   }
 
   private def elemType(e: Expression): NumericType =

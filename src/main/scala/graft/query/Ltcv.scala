@@ -53,7 +53,12 @@ object Ltcv {
   def priorityDedup(df: DataFrame, priorities: DataFrame,
       keys: Seq[String], tiebreaks: Seq[String]): DataFrame = {
     val joined = df.join(broadcast(priorities), Seq("base_procver_id"))
-    val payload = joined.columns.filterNot(keys.contains)
+    // the joined `priority` is ordering machinery, not row payload: it
+    // must not leak into the output schema (the reference's tables have
+    // no such column, and it would collide with a fact table's own
+    // priority), and keeping it out also narrows the SortAggregate
+    // buffer this scaladoc warns about
+    val payload = joined.columns.filterNot(keys.contains).filterNot(_ == "priority")
     val ordKey = struct(col("priority") +: tiebreaks.map(col): _*)
     joined
       .groupBy(keys.map(col): _*)
@@ -160,6 +165,10 @@ object Ltcv {
       if (diaobjectids.nonEmpty || rootids.nonEmpty)
         Some(expandObjids(cat, procverId, diaobjectids, rootids))
       else None
+    // reject typos instead of silently serving the patch dataset (the
+    // reference raises on an unknown which_phot the same way)
+    require(Seq("patch", "detections", "forced").contains(whichPhot),
+      s"whichPhot must be patch|detections|forced, got '$whichPhot'")
     val out = whichPhot match {
       case "detections" => sources(cat, procverId, mjdNow, bands, ids)
       case "forced"     => forced(cat, procverId, mjdNow, bands, ids)

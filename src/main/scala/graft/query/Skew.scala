@@ -5,36 +5,38 @@ import org.apache.spark.sql.functions._
 
 /** Skew mitigation for heavy aggregations.
   *
-  * AQE handles skewed *joins* at runtime; for skewed *groupBy* keys
-  * (one transient with millions of forced-photometry rows, one LSH
-  * bucket holding a template page duplicated across the crawl), salting
-  * splits each hot key into `buckets` subkeys, partially aggregates,
-  * then merges — two small shuffles instead of one unbounded partition.
+  * AQE handles skewed *joins* at runtime. For skewed *groupBy* keys the
+  * first question is whether the aggregate PARTIALLY COMBINES: sums,
+  * counts, min/max and friends already aggregate map-side, so a hot key
+  * sends one partial row per map task to the reducer — salting those
+  * only adds a second shuffle for nothing. The aggregates that actually
+  * melt a reducer under skew are the NON-combinable ones whose buffer
+  * grows with input rows: `collect_list`/`collect_set` (one transient
+  * with millions of forced-photometry rows in the a8 export shape, one
+  * LSH bucket holding a template page duplicated across the crawl).
   *
-  * Works for any algebraic aggregate expressible as (partial, merge)
-  * pairs — counts and sums here, which covers the engine's stats ops.
+  * For those, salting splits each hot key into `buckets` subkeys,
+  * collects per subkey in parallel, then merges the (already
+  * list-compressed) partials — per-task buffer is bounded by the hot
+  * key's rows / buckets instead of all of them.
   */
 object Skew {
 
-  /** Two-phase salted sum/count aggregation.
+  /** Two-phase salted `collect_list`, sorted for determinism.
     *
-    * `sums`: (outputName → column to sum). Also emits `count` if
-    * `withCount`. Result equals a direct
-    * `df.groupBy(keys).agg(sum/count)` for any data, but bounded per-
-    * task state under arbitrary key skew.
-    */
-  def saltedSumCount(df: DataFrame, keys: Seq[String],
-      sums: Seq[(String, Column)], buckets: Int = 32,
-      withCount: Boolean = true): DataFrame = {
+    * `values`: the column to collect. Result equals
+    * `df.groupBy(keys).agg(array_sort(collect_list(values)))` for any
+    * data — collect per (key, salt) first, then flatten the partial
+    * lists — but the per-task aggregation state under a hot key is
+    * `rows/buckets` elements instead of unbounded. The final
+    * `array_sort` makes the output independent of which salt bucket
+    * delivered first (the a8 ordered-ARRAY_AGG contract). */
+  def saltedCollectList(df: DataFrame, keys: Seq[String], values: Column,
+      buckets: Int = 32): DataFrame = {
     val salted = df.withColumn("_salt", pmod(spark_partition_id(), lit(buckets)))
-    val partialAggs =
-      sums.map { case (n, c) => sum(c).as(s"_p_$n") } ++
-        (if (withCount) Seq(count(lit(1)).as("_p_cnt")) else Nil)
-    val partial = salted.groupBy((keys :+ "_salt").map(col): _*)
-      .agg(partialAggs.head, partialAggs.tail: _*)
-    val finalAggs =
-      sums.map { case (n, _) => sum(col(s"_p_$n")).as(n) } ++
-        (if (withCount) Seq(sum(col("_p_cnt")).as("count")) else Nil)
-    partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+    val partial = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(collect_list(values).as("_part"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(array_sort(flatten(collect_list(col("_part")))).as("values"))
   }
 }

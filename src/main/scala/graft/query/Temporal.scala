@@ -57,8 +57,11 @@ object Temporal {
     // anything — and NULLS FIRST ordering would otherwise make it the
     // carry for the whole key. Null-time LEFT rows stay (left-outer
     // contract) and match nothing, since they too sort before every
-    // real instant.
-    val rNorm = right.filter(col(rightTime).isNotNull)
+    // real instant. Null KEYS follow equi-join semantics: a window's
+    // partitionBy would group null keys TOGETHER (fabricating matches
+    // no SQL as-of join would produce), so null-key right rows are
+    // dropped and null-key left rows pass through unmatched.
+    val rNorm = right.filter(col(rightTime).isNotNull && col(key).isNotNull)
       .select(col(key).as("_k"), col(rightTime).as("_t"),
         lit(0).as("_side"), lit(null).cast(lPayloadType).as("_lp"),
         struct(rPayload.map(col): _*).as("_rp"))

@@ -68,14 +68,19 @@ class ApiSkewSpec extends AnyFunSuite {
   test("getObjectInfos include_hostinfo attaches the best-prio host per root") {
     import spark.implicits._
     // root-0's members (100, 1000) match hosts HA (prio 1) and HB
-    // (prio 0) — the prio-0 host must win at the root level
+    // (prio 0) — the prio-0 host must win at the root level. The third
+    // match is MORE attractive (prio -1) but belongs to a base procver
+    // OUTSIDE the requested chain: it must be ignored, like every
+    // other path of this call restricts by dims.priorities.
+    val bpv = FixtureWorld.bpvId("bpv1", "diaobject")
     val hosts = Seq(
-      ("uuid-a", "cat", "HA", "bpv", 10.0, 20.0, "{}"),
-      ("uuid-b", "cat", "HB", "bpv", 30.0, 40.0, "{\"z\":0.1}"))
+      ("uuid-a", "cat", "HA", bpv, 10.0, 20.0, "{}"),
+      ("uuid-b", "cat", "HB", bpv, 30.0, 40.0, "{\"z\":0.1}"))
       .toDF("id", "host_catalog", "host_id", "base_procver_id", "ra", "dec", "info")
     val matches = Seq(
-      (100L, "uuid-a", "bpv", 1.toShort),
-      (1000L, "uuid-b", "bpv", 0.toShort))
+      (100L, "uuid-a", bpv, 1.toShort),
+      (1000L, "uuid-b", bpv, 0.toShort),
+      (100L, "uuid-a", "bpv-experimental:diaobject", (-1).toShort))
       .toDF("diaobjectid", "host_galaxy_id", "base_procver_id", "prio")
     val cat2 = cat.copy(hostGalaxy = Some(hosts), diaobjectHostMatch = Some(matches))
     val infos = LtcvApi.getObjectInfos(cat2, "pvid-pv1",
@@ -109,15 +114,19 @@ class ApiSkewSpec extends AnyFunSuite {
     assert(est == -1 || est > 0)   // estimate present only with CBO stats
   }
 
-  test("salted aggregation equals direct aggregation under skew") {
-    val skewed = (0 until 20000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toDouble))
-      .toDF("k", "v")
+  test("salted collect_list equals direct collection under skew") {
+    // combinable aggregates (sum/count) never need salting — partial
+    // aggregation already bounds reducer input; collect_list is the
+    // one whose buffer grows with rows, so it is what Skew salts
+    val skewed = (0 until 20000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toLong))
+      .toDF("k", "v").repartition(8)
     val direct = skewed.groupBy("k")
-      .agg(sum("v").as("sv"), count(lit(1)).as("count"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    val salted = Skew.saltedSumCount(skewed, Seq("k"), Seq("sv" -> col("v")))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      .agg(array_sort(collect_list(col("v"))).as("values"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val salted = Skew.saltedCollectList(skewed, Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(salted == direct)
+    assert(salted("hot").size == 2000)
   }
 
   test("watermarked windowed aggregation over a streamed event file") {

@@ -122,6 +122,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
       "register() re-created an already-registered function")
   }
 
+  test("dot_product rejects decimal arrays at analysis, not with runtime garbage") {
+    val s = registered
+    val ex = intercept[Exception](
+      s.sql("SELECT dot_product(array(1.5BD, 2.5BD), array(1.5BD, 2.5BD)) FROM range(1)")
+        .collect())
+    assert(ex.getMessage.toLowerCase.contains("decimal") ||
+      ex.getMessage.contains("dot_product"), ex.getMessage)
+  }
+
   test("wrong arity fails analysis with the usage hint, not at runtime") {
     val s = registered
     val ex = intercept[Exception](s.sql("SELECT q3c_dist(1.0, 2.0) FROM range(1)").collect())

@@ -92,6 +92,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === Map(500L -> Some(600L), 501L -> None))
   }
 
+  test("null keys follow equi-join semantics: no fabricated null-to-null match") {
+    val l = Seq((Option(1L), 500L, ts("2024-01-01 10:10:00")),
+        (Option.empty[Long], 501L, ts("2024-01-01 10:10:00")))
+      .toDF("k", "lid", "lt")
+    val r = Seq((Option(1L), 600L, ts("2024-01-01 10:00:00")),
+        (Option.empty[Long], 601L, ts("2024-01-01 10:00:00")))
+      .toDF("k", "rid", "rt")
+    val got = Temporal.asofJoin(l, r, "k", "lt", "rt")
+      .select("lid", "rid")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    // a SQL as-of equi-join never matches NULL = NULL: the null-key
+    // left row passes through unmatched
+    assert(got === Map(500L -> Some(600L), 501L -> None))
+  }
+
   test("asofJoin plan is one window over one shuffle - no join node") {
     val plan = Temporal.asofJoin(leftDf, rightDf, "k", "lt", "rt")
       .queryExecution.executedPlan.toString
