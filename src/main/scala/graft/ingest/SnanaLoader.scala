@@ -72,8 +72,15 @@ object SnanaLoader {
       .partitionBy("diaobjectid")
       .orderBy("midpointmjdtai", "visit", "band", "psfflux", "psffluxerr", "PHOTFLAG")
     val seqd = p.withColumn("_seq", row_number().over(w).cast("long") - 1)
+      // id-space guard: _seq beyond the per-object budget would collide
+      // with the NEXT object's id range and silently corrupt the
+      // (diasourceid, base_procver_id) PK — fail loudly on the row
+      // instead (raise_error costs nothing until it fires)
       .withColumn("_srcid",
-        col("diaobjectid") * maxSourcesPerObject + col("_seq"))
+        when(col("_seq") >= maxSourcesPerObject,
+          raise_error(concat(lit("SNANA object "), col("diaobjectid").cast("string"),
+            lit(s" exceeds maxSourcesPerObject=$maxSourcesPerObject observations"))))
+          .otherwise(col("diaobjectid") * maxSourcesPerObject + col("_seq")))
 
     val joined = seqd.join(
       head.select(col("SNID").cast("long").as("diaobjectid"),

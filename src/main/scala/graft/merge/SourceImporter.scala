@@ -49,12 +49,27 @@ object SourceImporter {
     * separately because it IS the physical delta — an append-only
     * store persists exactly these rows instead of rewriting the
     * table. */
+  /** Deterministic intra-batch key resolution: the lexicographically
+    * smallest payload tuple wins. `dropDuplicates(keys)` keeps
+    * whichever copy a partition scans first — replays on a different
+    * partitioning would persist a different payload, breaking the
+    * byte-identical-replay guarantee for direct callers of the merge
+    * ops (importBatch callers are already safe via dedupFirstSeen's
+    * explicit tiebreak). */
+  private def dropDupDeterministic(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = df.columns.toSeq.filterNot(keys.contains)
+    if (payload.isEmpty) df.dropDuplicates(keys)
+    else df.groupBy(keys.map(col): _*)
+      .agg(min(struct(payload.map(col): _*)).as("_p"))
+      .select(keys.map(col) ++ payload.map(c => col(s"_p.$c").as(c)): _*)
+  }
+
   def newRows(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String]): DataFrame =
-    incoming.select(existing.columns.toSeq.map(col): _*)
-      .join(existing.select(keys.map(col): _*), keys, "left_anti")
-      // at-least-once sources can repeat a key within one batch
-      .dropDuplicates(keys)
+    dropDupDeterministic(
+      incoming.select(existing.columns.toSeq.map(col): _*)
+        .join(existing.select(keys.map(col): _*), keys, "left_anti"),
+      keys)
 
   /** A11 / S6 — "ON CONFLICT DO NOTHING" merge: insert only rows whose
     * key is absent from the existing table. */
@@ -70,7 +85,7 @@ object SourceImporter {
       keys: Seq[String]): DataFrame = {
     val cols = existing.columns.toSeq
     val payload = cols.filterNot(keys.contains)
-    val inc = incoming.select(cols.map(col): _*).dropDuplicates(keys)
+    val inc = dropDupDeterministic(incoming.select(cols.map(col): _*), keys)
       .select(keys.map(col) ++ payload.map(c => col(c).as(s"_inc_$c")): _*)
     val updated = existing.join(inc, keys, "left_outer")
       .select(keys.map(col) ++ payload.map(c =>

@@ -308,9 +308,8 @@ object Relational {
   def f9Json(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .groupBy(col("k") % 10)
+      .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
-      .withColumnRenamed("(k % 10)", "k_mod")
       .select(col("k_mod"), col("n"), col("sum_value"))
       .orderBy("k_mod")
 

@@ -82,6 +82,10 @@ object SqlSurface {
     FastdbOps.bpvPriorities(s).createOrReplaceTempView("procver_priority")
     val dir = java.nio.file.Files.createTempDirectory("x2queue").toString
     val queue = new graft.api.QueryQueue(s, dir)
+    // the queue dir is per-invocation scratch: the result is
+    // materialized (localCheckpoint) before returning so the dir can
+    // be deleted — repeated bench runs must not litter tmp with
+    // result sinks (blocks are freed by the caller's standard sweep)
     val id = queue.submit("astro_user", Seq(
       """WITH hit AS (
         |  SELECT s.*, p.priority
@@ -103,7 +107,12 @@ object SqlSurface {
     val entry = queue.status(id).get
     require(!entry.error, s"x2 queue execution failed: ${entry.errortext}")
     // the sink is parquet: re-impose the presentation order on read-back
-    queue.results(id).orderBy("rootid", "visit")
+    val out = queue.results(id).orderBy("rootid", "visit").localCheckpoint()
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    out
   }
 
   val x2Sql: String =

@@ -52,10 +52,13 @@ object GoldTables {
     val ltcv = Ltcv.objectLtcvs(cat, procverId, whichPhot = whichPhot)
     // isdet/ispatch exist only on the patch-join output; the
     // detections-only / forced-only exports carry the constant flags
-    // instead of failing analysis
+    // instead of failing analysis. Constants follow patchJoin's pinned
+    // semantics (ispatch = "this flux comes from the detection"): a
+    // detections export is all detection fluxes (true, true), a forced
+    // export is all forced photometry (false, false).
     val (isdet, ispatch) = whichPhot match {
-      case "detections" => (lit(true).as("isdet"), lit(false).as("ispatch"))
-      case "forced"     => (lit(false).as("isdet"), lit(true).as("ispatch"))
+      case "detections" => (lit(true).as("isdet"), lit(true).as("ispatch"))
+      case "forced"     => (lit(false).as("isdet"), lit(false).as("ispatch"))
       case _            => (col("isdet"), col("ispatch"))
     }
     ltcv
