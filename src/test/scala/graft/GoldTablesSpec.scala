@@ -45,5 +45,21 @@ class GoldTablesSpec extends AnyFunSuite {
     assert(arr.nonEmpty && row.getAs[Long]("nobs") == arr.size)
     val mjds = arr.map(_.getAs[Double]("mjd"))
     assert(mjds == mjds.sorted, "lightcurve array must be mjd-ordered")
+
+    // constant-flag exports follow patchJoin's semantics: a detections
+    // export is all detection fluxes (isdet, ispatch both true), a
+    // forced export is all forced photometry (both false)
+    val detDir = Files.createTempDirectory("ltcvdet").toString
+    GoldTables.exportLtcvs(cat, "pvid-pv3", detDir, whichPhot = "detections")
+    val det = spark.read.parquet(detDir)
+      .select(explode(col("ltcv")).as("p")).select("p.isdet", "p.ispatch")
+    assert(det.count() > 0 &&
+      det.filter(!col("isdet") || !col("ispatch")).count() == 0)
+    val forDir = Files.createTempDirectory("ltcvfor").toString
+    GoldTables.exportLtcvs(cat, "pvid-pv3", forDir, whichPhot = "forced")
+    val for_ = spark.read.parquet(forDir)
+      .select(explode(col("ltcv")).as("p")).select("p.isdet", "p.ispatch")
+    assert(for_.count() > 0 &&
+      for_.filter(col("isdet") || col("ispatch")).count() == 0)
   }
 }
