@@ -86,6 +86,28 @@ object Bpe {
       maxWords: Int = 100000): Seq[Merge] =
     trainMerges(wordFreqs(docs, textCol, maxWords), numMerges)
 
+  /** Persist a merge table — rank order IS the file order, exactly the
+    * `merges.txt` convention every BPE implementation ships, so the
+    * artifact is portable beyond this engine. Train once on the big
+    * corpus, [[loadMerges]] everywhere that encodes. */
+  def saveMerges(merges: Seq[Merge], path: String): Unit = {
+    // tokens come from whitespace-split words, so TAB can never occur
+    // inside a symbol — it is a safe separator
+    val lines = merges.map(m => s"${m.left}\t${m.right}").mkString("\n")
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, lines.getBytes("UTF-8"))
+  }
+
+  def loadMerges(path: String): Seq[Merge] =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        require(i > 0, s"malformed merge line: '$l'")
+        Merge(l.substring(0, i), l.substring(i + 1))
+      }
+
   /** GPT-2-style encode of one word: repeatedly apply the LOWEST-rank
     * applicable merge until none applies. Equivalent to replaying the
     * training merges in order; rank-priority makes it O(|w| log |w|)

@@ -69,6 +69,31 @@ object QualityClassifier {
     Model(m.coefficients.toArray, m.intercept)
   }
 
+  /** Persist a fitted model as one JSON line (coefficients +
+    * intercept, full double precision via raw bits — the decimal text
+    * round-trip could perturb a decision at the boundary). Train once
+    * on the labeled seed, [[load]] in every scoring job. */
+  def save(model: Model, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val j = model.coefficients.map(d =>
+      java.lang.Long.toString(java.lang.Double.doubleToLongBits(d)))
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(p,
+      s"""{"coefficients":$j,"intercept":${
+        java.lang.Double.doubleToLongBits(model.intercept)}}""".getBytes("UTF-8"))
+  }
+
+  def load(path: String): Model = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val coef = "\\[(.*)\\]".r.findFirstMatchIn(s).get.group(1)
+      .split(",").filter(_.nonEmpty)
+      .map(b => java.lang.Double.longBitsToDouble(b.trim.toLong))
+    val icp = "\"intercept\":(-?\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+    Model(coef, java.lang.Double.longBitsToDouble(icp))
+  }
+
   /** Scoring as a pure column expression: σ(w·f + b) from the
     * broadcast-as-literals fitted model — no UDF, no MLlib transform
     * on the corpus path, codegen end to end. */

@@ -318,6 +318,34 @@ class QualitySpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("trained artifacts round-trip through persistence bit-exactly") {
+    import graft.pipeline.{Bpe, QualityClassifier}
+    val docs = corpusLike(40).toDF("doc_id", "text")
+    // BPE merges: merges.txt convention, rank order = file order
+    val merges = Bpe.train(docs, "text", numMerges = 24)
+    val mPath = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges.txt"
+    Bpe.saveMerges(merges, mPath)
+    assert(Bpe.loadMerges(mPath) == merges)
+    // an encode with loaded merges is identical to the in-memory one
+    val a = Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = Bpe.encodeCorpus(docs, "doc_id", "text", Bpe.loadMerges(mPath))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+
+    // classifier: raw-bits JSON keeps every coefficient bit-identical
+    val seed = docs.withColumn("label",
+      (graft.pipeline.TextAnalysis.qualityScore(col("text")) >= 0.5).cast("double"))
+    val model = QualityClassifier.train(seed, "text", "label")
+    val cPath = java.nio.file.Files.createTempDirectory("qc").toString + "/model.json"
+    QualityClassifier.save(model, cPath)
+    val loaded = QualityClassifier.load(cPath)
+    assert(loaded.coefficients.toSeq.map(java.lang.Double.doubleToLongBits) ==
+      model.coefficients.toSeq.map(java.lang.Double.doubleToLongBits))
+    assert(java.lang.Double.doubleToLongBits(loaded.intercept) ==
+      java.lang.Double.doubleToLongBits(model.intercept))
+  }
+
   test("incremental minhash equals the full-batch recomputation on batch pairs") {
     val corpus = corpusLike(60).toDF("doc_id", "text")
     // batch: near-copies of corpus docs (one appended token), one
