@@ -1,22 +1,56 @@
 package graft
 
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR
   * and prints one JSON line.
   *
-  * Each query is executed four times: the first (cold) run pays
-  * whole-stage codegen compilation and JVM warmup — fixed per-plan
+  * Process model: the battery is NOT one long-lived JVM. Round-6
+  * measurement showed 76 queries x 4 executions in a single JVM
+  * contaminate each other (codegen-cache pressure + GC residue):
+  * `d3_simhash` measured 18.6 s in-battery vs 5.5 s in an isolated
+  * JVM (`BenchOne`), d9 16.7 vs 2.2, e1 13.5 vs 2.8 — the battery was
+  * overstating the engine ~2x. The parent therefore forks a child JVM
+  * per query GROUP: every dedup/composition query (d*, e*, cc*) runs
+  * in its own JVM, the cheap relational/scalar queries run in chunks
+  * of 8 with the same inter-query cache hygiene. JVM + session
+  * startup happens OUTSIDE the timed region, so `cold` still means
+  * "first execution of this plan" (codegen compile), not "JVM boot".
+  *
+  * Within a child, each query is executed four times: the first
+  * (cold) run pays whole-stage codegen compilation — fixed per-plan
   * overhead that amortizes away on a long-lived cluster — then three
   * warm runs measure steady state. `value`/`queries` report the warm
-  * MEDIAN (robust to the single-JVM container's documented ±50%
-  * scheduler/GC jitter, which best-of-2 was not); per-query best and
-  * cold times land in `bench_detail.json` rather than on stdout so
-  * the stdout JSON line stays inside the driver's 2000-char tail.
+  * MEDIAN (robust to the container's documented ±50% scheduler/GC
+  * jitter); per-query best and cold times land in `bench_detail.json`
+  * rather than on stdout so the stdout JSON line stays inside the
+  * driver's 2000-char tail.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** Matches build.sbt's jdk17AddOpens: Spark 4.x on JDK 17 needs
+    * these when SparkSession is created outside spark-submit. */
+  private val addOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("--child")  => childMain(args(1), args(2).split(",").toSeq)
+    case Some("--ingest") => ingestChildMain(args(1))
+    case _                => parentMain()
+  }
+
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,11 +59,142 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // a failing query must not masquerade as a fast one: report -1
-      // per query AND exclude it from every total (a summed sentinel
-      // would make a broken 10s query IMPROVE the headline number)
+  // ------------------------------------------------------------------
+  // parent: fork a JVM per group, aggregate, emit the driver contract
+  // ------------------------------------------------------------------
+
+  private def parentMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Heavy dedup / clustering / end-to-end compositions are isolated
+    // one-per-JVM; everything else is cheap (<~2.5 s) and runs in
+    // chunks of 8 where residue is negligible.
+    val (solo, cheap) = names.partition(n =>
+      n.startsWith("d") || n.startsWith("e") || n.startsWith("cc"))
+    val groups: Seq[Seq[String]] =
+      solo.map(Seq(_)) ++ cheap.grouped(8).toSeq
+
+    val log = new File("bench_children.log")
+    val results: Seq[(String, Double, Double, Double)] = groups.flatMap { g =>
+      System.err.println(s"[bench] forking group: ${g.mkString(",")}")
+      forkGroup(g, log)
+    }
+
+    val ingest = forkIngest(log)
+    emit(results, ingest, sfDir)
+  }
+
+  /** Fork one child JVM for `names`; returns (name, cold, median, best)
+    * per query. The child appends results incrementally, so a child
+    * that dies mid-group still reports the queries it finished; any
+    * query still unreported after the fork is retried ONCE in a fresh
+    * child (a one-off environment hiccup — classpath race with a
+    * concurrent compile, OOM-killed container neighbor — must not
+    * stamp -1 on a healthy query). Only after the retry does a missing
+    * query yield -1s (a failing query must not masquerade as a fast
+    * one, and -1 is excluded from every total). */
+  private def forkGroup(names: Seq[String], log: File): Seq[(String, Double, Double, Double)] = {
+    def attempt(ns: Seq[String]): Map[String, (Double, Double, Double)] = {
+      val out = Files.createTempFile("benchgrp", ".csv").toFile
+      forkChild(Seq("--child", out.getAbsolutePath, ns.mkString(",")), log,
+        timeoutMin = 20)
+      val reported: Map[String, (Double, Double, Double)] =
+        if (!out.exists()) Map.empty
+        else scala.io.Source.fromFile(out).getLines().flatMap { line =>
+          line.split(",") match {
+            case Array(n, c, m, b) if c.toDouble >= 0 =>
+              Some(n -> (c.toDouble, m.toDouble, b.toDouble))
+            case _ => None
+          }
+        }.toMap
+      out.delete()
+      reported
+    }
+    val first = attempt(names)
+    val missing = names.filterNot(first.contains)
+    val second =
+      if (missing.isEmpty) Map.empty[String, (Double, Double, Double)]
+      else {
+        System.err.println(s"[bench] retrying unreported: ${missing.mkString(",")}")
+        attempt(missing)
+      }
+    names.map { n =>
+      val (c, m, b) = first.orElse(second).applyOrElse(
+        n, (_: String) => (-1.0, -1.0, -1.0))
+      (n, c, m, b)
+    }
+  }
+
+  private def forkIngest(log: File): (Long, Double, Double) = {
+    val out = Files.createTempFile("benchingest", ".csv").toFile
+    val ok = forkChild(Seq("--ingest", out.getAbsolutePath), log, timeoutMin = 20)
+    val res =
+      if (!ok || !out.exists()) (0L, -1.0, -1.0)
+      else scala.io.Source.fromFile(out).getLines().toSeq.headOption match {
+        case Some(line) => line.split(",") match {
+          case Array(r, s, re) => (r.toLong, s.toDouble, re.toDouble)
+          case _               => (0L, -1.0, -1.0)
+        }
+        case None => (0L, -1.0, -1.0)
+      }
+    out.delete()
+    res
+  }
+
+  /** Child classpath is derived from code-source locations (graft
+    * classes dir + the Spark jars dir), not java.class.path, so this
+    * works however the parent itself was launched. */
+  private def forkChild(childArgs: Seq[String], log: File, timeoutMin: Long): Boolean = {
+    def loc(c: Class[_]): String =
+      new File(c.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+    val graftCp = loc(Bench.getClass)
+    val sparkJars = new File(loc(classOf[SparkSession])).getParent
+    val scalaJar = loc(classOf[scala.Option[_]]) // scala-library (also in sparkJars, kept explicit)
+    val cp = Seq(graftCp, scalaJar, sparkJars + "/*").mkString(File.pathSeparator)
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx$mem",
+      "-Dspark.ui.enabled=false",
+      "-cp", cp, "graft.Bench") ++ childArgs
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.appendTo(log))
+    val p = pb.start()
+    val done = p.waitFor(timeoutMin, TimeUnit.MINUTES)
+    if (!done) {
+      System.err.println(s"[bench] child timed out after $timeoutMin min: $childArgs")
+      p.destroyForcibly()
+      false
+    } else {
+      if (p.exitValue() != 0)
+        System.err.println(s"[bench] child exited ${p.exitValue()}: $childArgs (see ${log.getName})")
+      p.exitValue() == 0
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // child: run a group of queries in a fresh JVM
+  // ------------------------------------------------------------------
+
+  private def childMain(outPath: String, names: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    // truncate, then APPEND one line per finished query: a child that
+    // dies mid-group (OOM, classpath race) still reports what it ran,
+    // and the parent retries only the remainder
+    Files.write(Paths.get(outPath), Array.emptyByteArray)
+    names.foreach { name =>
+      // the lookup itself can throw (NoClassDefFoundError if the
+      // classes dir is being rewritten under us) — contain it to this
+      // query, not the group
+      val fn = try SparkEntry.queries(name) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name lookup failed: $e")
+        (_: SparkSession, _: String) => throw e
+      }
       def run(): Double = {
         val t0 = System.nanoTime()
         // noop sink, not count(): under Aggregate(count(1)) Catalyst
@@ -45,9 +210,7 @@ object Bench {
       // operators that persist() intermediates are measured
       // recomputing, and unpersisting every registered RDD frees
       // localCheckpoint blocks (connected components), which
-      // clearCache does NOT touch — without this, earlier queries'
-      // checkpoint blocks squat on executor memory and skew later
-      // queries' times.
+      // clearCache does NOT touch.
       def cleanRun(): Double = {
         val t = run()
         spark.catalog.clearCache()
@@ -57,14 +220,31 @@ object Bench {
       }
       val cold = cleanRun()
       val warms = Seq(cleanRun(), cleanRun(), cleanRun()).sorted
-      (name, cold, warms(1), warms.head)
+      Files.write(Paths.get(outPath),
+        s"$name,$cold,${warms(1)},${warms.head}\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
     }
+    spark.stop()
+  }
+
+  private def ingestChildMain(outPath: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    val (rows, sec, reSec) = ingestBench(spark, sfDir)
+    Files.write(Paths.get(outPath), s"$rows,$sec,$reSec\n".getBytes("UTF-8"))
+    spark.stop()
+  }
+
+  // ------------------------------------------------------------------
+  // aggregation + driver contract (unchanged stdout format)
+  // ------------------------------------------------------------------
+
+  private def emit(results: Seq[(String, Double, Double, Double)],
+                   ingest: (Long, Double, Double), sfDir: String): Unit = {
     // The driver captures only the LAST ~2000 chars of output and
-    // parses the JSON line out of that tail: rounds 1-5 all came back
-    // "parsed": null because three full-precision per-query maps blew
-    // past the buffer. The stdout line therefore carries ONLY the warm
-    // medians at millisecond precision (~1.5 kB for 58 queries); the
-    // full cold/best/warm detail goes to bench_detail.json instead.
+    // parses the JSON line out of that tail: the stdout line carries
+    // ONLY the warm medians at millisecond precision; the full
+    // cold/best/warm detail goes to bench_detail.json instead.
     def r3(d: Double): Double = math.round(d * 1000) / 1000.0
     def jsonMap(f: ((String, Double, Double, Double)) => (String, Double)) =
       results.map(r => { val (k, v) = f(r); "\"" + k + "\":" + r3(v) })
@@ -78,16 +258,14 @@ object Bench {
     val bestTotal = okSum(_._4)
     val coldTotal = okSum(_._2)
     val nFailed = results.count(_._3 < 0)
-    val (ingestRows, ingestSecRaw, reimportSec) = ingestBench(spark, sfDir)
+    val (ingestRows, ingestSecRaw, reimportSec) = ingest
     val ingestSec = r3(ingestSecRaw)
     val ingestRate =
       if (ingestSecRaw > 0) math.round(ingestRows / ingestSecRaw) else 0L
     val scalars = s""""best_total":$bestTotal,"cold_total":$coldTotal,"n_failed":$nFailed,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_rows_per_sec":$ingestRate,"reimport_sec":${r3(reimportSec)},"sf":"$sfDir""""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_best":$qsBest,"queries_cold":$qsCold,$scalars}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      detail.getBytes("UTF-8"))
+    Files.write(Paths.get("bench_detail.json"), detail.getBytes("UTF-8"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$scalars}""")
-    spark.stop()
   }
 
   /** Bulk-import throughput: lineitem-shaped staging rows through the
@@ -123,12 +301,10 @@ object Bench {
       java.nio.file.Files.createTempDirectory("ingestbench").toString)
     val empty = store.load(spark)
     val nRows = li.count() * 2   // sources + forced
-
     val t0 = System.nanoTime()
     store.saveDelta(SourceImporter.importBatchWithDeltas(
       empty, objs, staged, forced)._2)
     val ingestSec = (System.nanoTime() - t0) / 1e9
-
     // idempotent re-import: every delta is empty, so the store appends
     // nothing — per-batch write cost is O(new rows), not O(catalog)
     val t1 = System.nanoTime()
