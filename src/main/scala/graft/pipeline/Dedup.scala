@@ -272,14 +272,72 @@ object Dedup {
     * the index stores no text, only shingle sets and band postings. */
   def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 32,
-      bands: Int = 8): NearDupIndex = {
+      bands: Int = 8): NearDupIndex =
+    minhashIndexWithSigs(corpus, idCol, textCol, shingleWords, numHashes, bands)._1
+
+  /** [[minhashIndex]] plus the persisted signature frame both index
+    * halves derive from — callers that materialize the index elsewhere
+    * (e.g. [[saveIndex]]) use the handle to release the cache. */
+  def minhashIndexWithSigs(corpus: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): (NearDupIndex, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = withMinhash(corpus.select(col(idCol), col(textCol)), idCol,
       textCol, shingleWords, numHashes).persist()
     val buckets = lshBuckets(sigs, bands, numHashes / bands)
       .select(col("_band"), col("_bucket"), col(idCol))
-    NearDupIndex(buckets, sigs.select(col(idCol), col("_shingles")))
+    (NearDupIndex(buckets, sigs.select(col(idCol), col("_shingles"))), sigs)
   }
+
+  /** Persist a [[NearDupIndex]]: band postings laid out PARTITIONED BY
+    * `_band` — a batch's probe join prunes to matching band files —
+    * plus the shingle frame for candidate verification. The shingle
+    * write lands last, so `shingles/_SUCCESS` is the commit marker for
+    * the whole index. At 100 TB the same layout holds; you'd
+    * additionally bucket postings by `_bucket` and shingles by id so
+    * probes and verifications become co-located point lookups. */
+  def saveIndex(index: NearDupIndex, dir: String): Unit = {
+    index.buckets.write.mode("overwrite").partitionBy("_band")
+      .parquet(s"$dir/buckets")
+    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  def isIndexSaved(dir: String): Boolean =
+    new java.io.File(s"$dir/shingles/_SUCCESS").exists()
+
+  /** Reload a saved index. Probing a loaded index pays only the probe
+    * cost — shingling and banding the corpus happened at [[saveIndex]]
+    * time, which is the operational mode incrementalMinhash exists
+    * for: index once, probe every batch, never rescan the corpus. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): NearDupIndex =
+    NearDupIndex(spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/shingles"))
+
+  /** Load the index at `dir` if present, else build it from `corpus`
+    * and persist it there (freeing the build's signature cache once
+    * written). Either way the returned index reads from the persisted
+    * band-partitioned layout. */
+  def loadOrBuildIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      dir: String): NearDupIndex = {
+    if (!isIndexSaved(dir)) {
+      val (built, sigs) = minhashIndexWithSigs(corpus, idCol, textCol,
+        shingleWords, numHashes, bands)
+      saveIndex(built, dir)
+      sigs.unpersist()
+    }
+    loadIndex(corpus.sparkSession, dir)
+  }
+
+  /** Canonical per-dataset scratch location for the demo corpus band
+    * index (d9 + NearDupStream-style consumers). Keyed by the source
+    * table's CONTENT signature, not just its path — a regenerated
+    * dataset at the same path gets a fresh index instead of stale
+    * postings (same contract as [[IvfAnn.scratchDir]]). */
+  def indexScratchDir(dataset: String, table: String = "documents"): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_neardup_${
+      graft.Tables.tableSignature(dataset, table)}"
 
   /** Incremental NEAR-dup — [[incrementalExact]]'s counterpart for
     * paraphrase-level duplicates, the operational mode at 100 TB: the

@@ -124,7 +124,12 @@ object Quality {
     * the operational mode at 100 TB (no corpus rescan). Rows-only:
     * DuckDB cannot replay 32 rotate-XOR permutations practically;
     * QualitySpec pins the result equal to the full-batch
-    * minhashNearDups recomputation restricted to batch pairs. */
+    * minhashNearDups recomputation restricted to batch pairs.
+    *
+    * The corpus band index is loaded from the content-signature-keyed
+    * scratch location (built on first use, like s3/d6's shared IVF
+    * index) — so this query measures what the operator costs in its
+    * own stated mode: probe + verify, NOT full-corpus indexing. */
   def d9IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     // near-copies: append one token so shingles overlap heavily but not
@@ -132,7 +137,8 @@ object Quality {
     val batch = docs.filter(col("doc_id") % 6 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" appended")).as("text"))
-    val index = Dedup.minhashIndex(docs, "doc_id", "text")
+    val index = Dedup.loadOrBuildIndex(docs, "doc_id", "text",
+      dir = Dedup.indexScratchDir(d))
     Dedup.incrementalMinhash(batch, "doc_id", "text", index, threshold = 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jacc"),
         col("origin"))
