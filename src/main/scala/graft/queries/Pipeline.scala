@@ -99,8 +99,9 @@ object Pipeline {
     * via a DuckDB recursive-CTE transitive closure. */
   def cc1DedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // prefixFilter ON — scale default for the compositions; see e1
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleWords = 3, threshold = 0.5, prefixFilter = false)
+      shingleWords = 3, threshold = 0.5, prefixFilter = true)
     graft.pipeline.Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
       .orderBy("doc_id")
   }
@@ -136,8 +137,9 @@ object Pipeline {
     * oracled. */
   def cc2DedupApply(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // prefixFilter ON — scale default for the compositions; see e1
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleWords = 3, threshold = 0.5, prefixFilter = false)
+      shingleWords = 3, threshold = 0.5, prefixFilter = true)
     val clusters = graft.pipeline.Components
       .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
     val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_members"))
@@ -200,8 +202,12 @@ object Pipeline {
     * pipeline stage feeds; oracled across the whole composition. */
   def e1CorpusFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // prefixFilter ON: the compositions run the scale-default candidate
+    // path (PPJoin prefix bound on Σ df²), not the plain inverted index
+    // d4 keeps as the exactness baseline — output is identical either
+    // way (PipelineSpec proves it); only the candidate volume differs
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleWords = 3, threshold = 0.5, prefixFilter = false)
+      shingleWords = 3, threshold = 0.5, prefixFilter = true)
     val clusters = graft.pipeline.Components
       .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
     val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")

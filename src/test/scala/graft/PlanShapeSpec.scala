@@ -82,6 +82,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "bigram count tables must broadcast back onto the gram rows under AQE")
   }
 
+  test("compositions' pair stage is prefix-filtered (scale default), d4 stays plain") {
+    // cc1/cc2/e1's candidate stage runs BEFORE the CC checkpoint, so
+    // the final composition plans truncate at Scan ExistingRDD — pin
+    // the stage itself, built with the exact arguments the
+    // compositions pass (Pipeline.scala: prefixFilter = true).
+    val docs = graft.Tables.documents(spark, d)
+    val pref = plan(graft.pipeline.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", shingleWords = 3, threshold = 0.5,
+      prefixFilter = true))
+    assert(pref.contains("row_number"),
+      "prefix path must rank shingles per doc (df-ordered window)")
+    assert(pref.contains("_df"),
+      "prefix path must compute global shingle document frequency")
+    assert(!pref.contains("CartesianProduct") &&
+      !pref.contains("BroadcastNestedLoopJoin"))
+    // d4 is the documented plain-inverted-index baseline: no df pass
+    val plain = plan(graft.queries.Pipeline.d4NgramJaccard(spark, d))
+    assert(!plain.contains("_df"),
+      "d4 must remain the plain inverted-index exactness baseline")
+  }
+
   test("no battery plan is corpus-quadratic") {
     // BroadcastNestedLoopJoin is acceptable only where one side is a
     // broadcast of a bounded frame (the ANN query sets: linear corpus
