@@ -275,9 +275,15 @@ object Components {
     * singletons cluster as themselves) and `is_rep` marks the one row
     * per cluster a dedup pipeline keeps.
     *
-    * Same numeric-id contract as [[connectedComponents]]; the result
-    * references its checkpointed component map — [[release]] it after
-    * the output is consumed or persisted. */
+    * CONTRACT (same as [[connectedComponents]]): `idCol` and the two
+    * pair columns must be (castable to) integral ids — cluster labels
+    * are group minima under numeric total order, and under Spark 4
+    * ANSI mode a non-numeric string id throws CAST_INVALID_INPUT at
+    * runtime. Hash non-numeric ids to longs upstream (cf.
+    * `Dedup.withShingles`' id contract).
+    *
+    * The result references its checkpointed component map —
+    * [[release]] it after the output is consumed or persisted. */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val comp = connectedComponents(pairs, srcCol, dstCol)

@@ -98,7 +98,14 @@ object QualityClassifier {
     * broadcast-as-literals fitted model — no UDF, no MLlib transform
     * on the corpus path, codegen end to end. */
   def score(text: Column, model: Model): Column = {
-    val z = featureCols(text).zip(model.coefficients).map { case (f, w) =>
+    val fs = featureCols(text)
+    // zip would silently truncate on a drifted artifact (stale model
+    // after a feature-surface change, or a corrupt file load() still
+    // parsed) and mis-score the whole corpus — fail loudly instead
+    require(model.coefficients.length == fs.length,
+      s"model has ${model.coefficients.length} coefficients but the " +
+        s"feature surface has ${fs.length} — retrain or reload the artifact")
+    val z = fs.zip(model.coefficients).map { case (f, w) =>
       f * w
     }.reduce(_ + _) + model.intercept
     lit(1.0) / (lit(1.0) + exp(-z))

@@ -43,7 +43,14 @@ object SqlSurface {
   }
 
   /** DuckDB replay: haversine spelled out (same formula as
-    * Funcs.greatCircleDeg), zeropoint arithmetic inline. */
+    * Funcs.greatCircleDeg), zeropoint arithmetic inline.
+    *
+    * `sep <= 15.0` is a FLOAT boundary evaluated by two different
+    * libm stacks — safe only because the fixture's 0.1° lattice keeps
+    * every actual separation ≫1 ULP away from exactly 15.0 (see the
+    * note on [[x1SqlCone]]); if the cutoff or the position generator
+    * changes, keep the boundary off the lattice or the two engines may
+    * disagree on a boundary row. */
   val x1Sql: String =
     """WITH c AS (SELECT c_custkey, (c_custkey % 3600) * 0.1 AS ra,
       |             (c_custkey % 1700) * 0.1 - 85.0 AS dec,

@@ -119,8 +119,15 @@ object SargableCone extends Rule[LogicalPlan] {
   private def band(g: GreatCircleDist, r: Expression): Option[(Expression, GreatCircleDist)] =
     if (g.bandApplied) None
     else for { cd <- foldD(g.cDec); rv <- foldD(r) } yield (
-      And(GreaterThanOrEqual(g.dec, Literal(cd - rv)),
-        LessThanOrEqual(g.dec, Literal(cd + rv))),
+      // |dec − cDec| <= dist holds in real arithmetic but not strictly
+      // in floating point: for a boundary row (pure-dec offset) the
+      // haversine round-trip can come out an ulp BELOW |Δdec|, so an
+      // exact band could drop a row the distance predicate keeps. The
+      // band is only a pruning aid — widen it by a fixed epsilon (1e-9°
+      // ≈ 3.6 µas, far above any double rounding here) so it can never
+      // change results.
+      And(GreaterThanOrEqual(g.dec, Literal(cd - rv - 1e-9)),
+        LessThanOrEqual(g.dec, Literal(cd + rv + 1e-9))),
       g.copy(bandApplied = true))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -76,6 +76,13 @@ object StreamingDedup {
               if (!state.exists && (first == null || d.doc_id < first.doc_id))
                 first = d
             }
+            // a NEW key whose batch rows all carry null timestamps must
+            // still create state — otherwise a later duplicate would be
+            // re-emitted as fresh, silently bypassing cross-batch dedup.
+            // Anchor its horizon at the current watermark: the doc was
+            // first seen "now" as far as event time can tell.
+            if (any && latest == Long.MinValue)
+              latest = state.getCurrentWatermarkMs()
             if (latest != Long.MinValue) {
               state.update(latest)
               // a very late doc's horizon may already be behind the

@@ -79,9 +79,11 @@ class SargableConeSpec extends AnyFunSuite {
     val q = s.sql(
       "SELECT id FROM cone_pts WHERE q3c_dist(ra, dec, 42.0, 13.0) <= 0.5")
     val scan = q.queryExecution.executedPlan.toString()
+    // band is epsilon-padded (±1e-9°) so float rounding at the cone
+    // boundary can never drop a row the distance predicate keeps
     assert(scan.contains("PushedFilters") &&
-      scan.contains("GreaterThanOrEqual(dec,12.5)") &&
-      scan.contains("LessThanOrEqual(dec,13.5)"),
+      scan.contains("GreaterThanOrEqual(dec,12.499999999)") &&
+      scan.contains("LessThanOrEqual(dec,13.500000001)"),
       s"dec band not pushed to parquet:\n$scan")
     assert(q.collect().map(_.getLong(0)).toSet == expectedIds(0.5))
   }
@@ -96,7 +98,7 @@ class SargableConeSpec extends AnyFunSuite {
       "0.5 > q3c_dist(ra, dec, 42.0, 13.0)")
     forms.foreach { w =>
       val q = s.sql(s"SELECT id FROM cone_pts WHERE $w")
-      assert(decBandBounds(q) == Seq((12.5, 13.5)), s"no band for: $w")
+      assert(decBandBounds(q) == Seq((12.499999999, 13.500000001)), s"no band for: $w")
     }
   }
 
@@ -105,7 +107,7 @@ class SargableConeSpec extends AnyFunSuite {
     pts(s)
     val q = s.sql(
       "SELECT id FROM cone_pts WHERE q3c_dist(ra, dec, 42.0, 13.0) <= 0.5")
-    assert(decBandBounds(q) == Seq((12.5, 13.5)), "band missing or duplicated")
+    assert(decBandBounds(q) == Seq((12.499999999, 13.500000001)), "band missing or duplicated")
     val dists = q.queryExecution.optimizedPlan.collect { case f: Filter => f }
       .flatMap(_.condition.collect { case g: GreatCircleDist => g })
     assert(dists.nonEmpty && dists.forall(_.bandApplied))
@@ -173,7 +175,7 @@ class SargableConeSpec extends AnyFunSuite {
       val q = s2.sql(
         "SELECT id FROM cone_pts WHERE q3c_dist(ra, dec, 42.0, 13.0) <= 0.5")
       val scan = q.queryExecution.executedPlan.toString()
-      assert(scan.contains("GreaterThanOrEqual(dec,12.5)"),
+      assert(scan.contains("GreaterThanOrEqual(dec,12.499999999)"),
         s"extensions-injected rule did not fire:\n$scan")
       assert(q.collect().map(_.getLong(0)).toSet == expectedIds(0.5))
     } finally {
