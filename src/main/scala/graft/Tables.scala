@@ -37,19 +37,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long (legacy conf; note
-    * this is a SESSION-wide setting — every later nanos-parquet read
-    * in the session also arrives as long, which is the behavior this
-    * engine wants everywhere) and convert to a microsecond
-    * TimestampType column with INTEGER division: `/ 1000` promotes to
-    * double, and 2026-era nanosecond epochs (~1.8e18) exceed 2^53, so
-    * the double path lands up to a microsecond off DuckDB's exact
-    * integer truncation. */
+  /** events.ts normalization — schema-adaptive because the driver has
+    * shipped this column as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across dataset generations. Either way the
+    * result is a session-UTC microsecond TimestampType column:
+    *
+    *  - NANOS: Spark's vectorized reader rejects nanos outright, so
+    *    read them as long (legacy conf; SESSION-wide — every later
+    *    nanos-parquet read also arrives as long, which is the behavior
+    *    this engine wants everywhere) and convert with INTEGER
+    *    division: `/ 1000` promotes to double, and 2026-era nanosecond
+    *    epochs (~1.8e18) exceed 2^53, so the double path lands up to a
+    *    microsecond off DuckDB's exact integer truncation.
+    *  - MICROS (isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ; cast
+    *    to TimestampType, which under the fixed UTC session timezone
+    *    relabels the same wall-clock instant (no value shift) and
+    *    matches DuckDB's naive reading of the file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   /** documents/embeddings arrive as one small parquet file → one input
     * split → every downstream per-row computation (shingling, hashing,
