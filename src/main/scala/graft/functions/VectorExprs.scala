@@ -165,6 +165,133 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row loop bodies shared by the interpreted (`nullSafeEval`) and
+  * generated (`doGenCode`) paths of [[SimHash64]] / [[WordShingles]].
+  * The generated code calls these static methods: the loops run as
+  * plain compiled bytecode inside the whole-stage-codegen'd stage (one
+  * monomorphic call per row), which keeps the expression out of the
+  * interpreted-lambda trap without inlining a page of Java. */
+object SimHashUtil {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** 64-bit SimHash of a token array: bit b set iff the sum over
+    * tokens of ±1 (sign of bit b of xxhash64(token, seed=42)) is
+    * >= 0. Bit-identical to the explode + 64-conditional-sums
+    * aggregation formulation (Dedup.withSimhash): same per-token hash
+    * (`XXH64.hashUTF8String`, the kernel of Spark's `xxhash64`), same
+    * tie-at-zero convention, and a null token contributes the seed's
+    * bits exactly as `xxhash64(null)` does. */
+  def simhash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val cnt = new Array[Int](64)
+    var k = 0
+    while (k < n) {
+      val h =
+        if (arr.isNullAt(k)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(k), 42L)
+      var b = 0
+      while (b < 64) {
+        cnt(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      k += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (cnt(b) >= 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  private val SP = UTF8String.fromString(" ")
+
+  /** Distinct space-joined word n-grams of a token array, first-
+    * occurrence order. Same set as the explode/window + collect_set
+    * and scan-stage gramRows formulations (order differs; every
+    * consumer is set-semantic). Null tokens are skipped inside a gram
+    * exactly as `concat_ws`/`array_join` skip them. */
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= len) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out.add(UTF8String.concatWs(SP, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+}
+
+/** Codegen'd per-row SimHash64 over a words-array column (see
+  * [[SimHashUtil.simhash]]). Replaces a posexplode + window + 64-sum
+  * aggregation + join-back program: the signature is a per-document
+  * function of the document alone, so computing it in the scan-stage
+  * projection removes the token-row shuffle entirely AND shrinks the
+  * compiled plan (the 64 aggregate columns dominated d3's ~20 s cold
+  * codegen time). Null array → null; null elements contribute the
+  * seed like `xxhash64(null)`. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 needs array<string>, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashUtil.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Codegen'd distinct word-n-gram shingles of a words-array column
+  * (see [[SimHashUtil.wordShingles]]). Null array → null (callers
+  * coalesce to empty where the legacy left-join shape did). */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles needs array<string>, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.wordShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashUtil.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two numeric array columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -173,4 +300,12 @@ object VectorExprs {
   /** Codegen'd codepoint rolling hash (see [[RollingHash]]). */
   def rollingHash(s: Column): Column =
     Bridge.toColumn(RollingHash(Bridge.toExpression(s)))
+
+  /** Codegen'd per-row SimHash64 of a words-array column. */
+  def simhash64Words(words: Column): Column =
+    Bridge.toColumn(SimHash64(Bridge.toExpression(words)))
+
+  /** Codegen'd distinct word n-gram shingles of a words-array column. */
+  def wordShingles(words: Column, n: Int): Column =
+    Bridge.toColumn(WordShingles(Bridge.toExpression(words), n))
 }

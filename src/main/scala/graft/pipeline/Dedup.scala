@@ -416,44 +416,34 @@ object Dedup {
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Fused shingles + SimHash: ONE tokenize/posexplode pass feeds both
-    * the n-gram lead-window and the 64 sign-sum aggregates, in a single
-    * per-document aggregation (collect_set rides with the codegen'd
-    * conditional sums in the same ObjectHashAggregate).
+  /** Fused shingles + SimHash: a pure scan-stage PROJECTION — both the
+    * n-gram set and the 64-bit signature are per-document functions of
+    * the document alone, so they're computed per row by the codegen'd
+    * [[graft.functions.WordShingles]] / [[graft.functions.SimHash64]]
+    * expressions over one tokenization. No explode, no window or
+    * groupBy shuffle, no join back, and the compiled plan is two
+    * expression calls instead of 64 aggregate columns (whose codegen
+    * compile alone dominated d3's cold time; the earlier posexplode +
+    * window-`lead` + 64-conditional-sum formulation also shuffled
+    * every corpus token row before aggregating).
     *
-    * vs running [[withShingles]] then [[withSimhash]]: saves a second
-    * full-corpus scan + regex split + explode, a second shuffle (the
-    * window's (id, pos) exchange already co-locates by id, so the
-    * groupBy needs no further exchange), and one join back to `df`.
-    * Values are identical: the window's trailing `lead` nulls produce a
-    * null gram, which `collect_set` skips, and every word row still
-    * contributes its ±1 to each bit sum exactly as [[withSimhash]]'s
-    * separate explode did. Same id contract as [[withShingles]]. */
+    * Values are identical to [[withShingles]] + [[withSimhash]] modulo
+    * shingle element order (set semantics; every consumer is
+    * order-insensitive): same tokenizer, same per-token xxhash64
+    * kernel and sign-sum convention (see [[graft.functions
+    * .SimHashUtil]]), and a null/short document yields an empty
+    * shingle set exactly as the legacy left-join + coalesce did. Rows
+    * and ids pass through 1:1, so the [[withShingles]] id contract is
+    * no longer load-bearing here. */
   def withShinglesAndSimhash(df: DataFrame, idCol: String, textCol: String,
       n: Int, shinglesOut: String, simOut: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("_sh_id")).orderBy(col("_sh_pos"))
-    val words = df.select(col(idCol).as("_sh_id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("_sh_pos", "_sh_w0")))
-    val leads = words.select(col("_sh_id") +: col("_sh_w0") +:
-      (1 until n).map(k => lead(col("_sh_w0"), k).over(w).as(s"_sh_w$k")): _*)
-    val withGram = leads
-      .withColumn("_sh_g", when(col(s"_sh_w${n - 1}").isNotNull,
-        concat_ws(" ", (0 until n).map(k => col(s"_sh_w$k")): _*)))
-      .withColumn("_h", xxhash64(col("_sh_w0")))
-    val sumAggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"_b$b")
-    }
-    val grouped = withGram.groupBy(col("_sh_id"))
-      .agg(collect_set(col("_sh_g")).as(shinglesOut), sumAggs: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    df.join(grouped.select(col("_sh_id"), col(shinglesOut), sim.as(simOut)),
-        df(idCol) === col("_sh_id"), "left")
-      .drop("_sh_id")
-      .withColumn(shinglesOut, coalesce(col(shinglesOut), array().cast("array<string>")))
+    import graft.functions.VectorExprs
+    df.withColumn("_sh_wd", split(trim(col(textCol)), "\\s+"))
+      .withColumn(shinglesOut,
+        coalesce(VectorExprs.wordShingles(col("_sh_wd"), n),
+          array().cast("array<string>")))
+      .withColumn(simOut, VectorExprs.simhash64Words(col("_sh_wd")))
+      .drop("_sh_wd")
   }
 
   /** Add a `_sim` SimHash column to `df`, computed by exploding tokens

@@ -73,10 +73,19 @@ object Pipeline {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dups via rotated-block candidate join (rows-only). */
+  /** SimHash near-dups via combined-block candidate join (rows-only).
+    *
+    * maxHamming = 4, profiled at sf0.1 (5 k docs): verified pairs by
+    * hamming are 36/60/49/43/23 at h=0..4 then a long tail (22/12/8/2
+    * at h=5..8); widening 4→8 recovers that 17 % tail but multiplies
+    * candidate volume into quadratic territory (80 k candidates for
+    * 255 survivors, 8.2 s vs 1.3 s wall). SimHash is the
+    * high-similarity fast path — callers wanting moderate-similarity
+    * recall at τ≈0.5 should use MinHash (d2), whose banding bounds
+    * candidates by design at any similarity target. */
   def d3Simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashNearDups(documents(s, d), "doc_id", "text",
-        maxHamming = 8, shingleWords = 3, threshold = 0.5)
+        maxHamming = 4, shingleWords = 3, threshold = 0.5)
       .select(col("id_a"), col("id_b"), col("hamming"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
