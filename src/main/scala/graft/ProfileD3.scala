@@ -44,6 +44,20 @@ object ProfileD3 {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("pairs")) {
+      // ngramJaccardPairs: plain inverted index vs PPJoin prefix filter
+      for (_ <- 1 to 3; pf <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val n = Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
+          "doc_id", "text", shingleWords = 3, threshold = 0.5,
+          prefixFilter = pf).count()
+        println(f"[pairs] prefixFilter=$pf n=$n wall=${(System.nanoTime()-t0)/1e9}%.2f s")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     val runs = if (args.nonEmpty) args(0).toInt else 2
     (1 to runs).foreach { it =>
       println(s"--- iteration $it ---")

@@ -108,9 +108,11 @@ object Pipeline {
     * via a DuckDB recursive-CTE transitive closure. */
   def cc1DedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    // prefixFilter ON — scale default for the compositions; see e1
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleWords = 3, threshold = 0.5, prefixFilter = true)
+    // candidate path auto-chosen by corpus size (Dedup.usePrefixFilter):
+    // plain inverted index below ~50k docs, PPJoin prefix bound above —
+    // identical output either way; see e1 for the measured rationale
+    val pairs = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5)
     graft.pipeline.Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
       .orderBy("doc_id")
   }
@@ -146,9 +148,11 @@ object Pipeline {
     * oracled. */
   def cc2DedupApply(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    // prefixFilter ON — scale default for the compositions; see e1
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleWords = 3, threshold = 0.5, prefixFilter = true)
+    // candidate path auto-chosen by corpus size (Dedup.usePrefixFilter):
+    // plain inverted index below ~50k docs, PPJoin prefix bound above —
+    // identical output either way; see e1 for the measured rationale
+    val pairs = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5)
     val clusters = graft.pipeline.Components
       .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
     val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_members"))
@@ -211,12 +215,15 @@ object Pipeline {
     * pipeline stage feeds; oracled across the whole composition. */
   def e1CorpusFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    // prefixFilter ON: the compositions run the scale-default candidate
-    // path (PPJoin prefix bound on Σ df²), not the plain inverted index
-    // d4 keeps as the exactness baseline — output is identical either
-    // way (PipelineSpec proves it); only the candidate volume differs
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleWords = 3, threshold = 0.5, prefixFilter = true)
+    // candidate path auto-chosen by corpus size (Dedup.usePrefixFilter):
+    // the PPJoin prefix bound costs two extra full-gram-stream shuffles
+    // (global df agg + df-ranked window), measured 3-8x slower than the
+    // plain inverted index at sf0.1 (ProfileD3 `pairs`: 4.6-9.8s vs
+    // 1.2-2.0s, identical 256 pairs) — it pays only where sum df^2 can
+    // explode, i.e. large/boilerplate-heavy corpora. Output is
+    // identical either way (PipelineSpec proves it)
+    val pairs = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5)
     val clusters = graft.pipeline.Components
       .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
     val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")

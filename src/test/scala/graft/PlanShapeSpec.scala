@@ -82,11 +82,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "bigram count tables must broadcast back onto the gram rows under AQE")
   }
 
-  test("compositions' pair stage is prefix-filtered (scale default), d4 stays plain") {
-    // cc1/cc2/e1's candidate stage runs BEFORE the CC checkpoint, so
-    // the final composition plans truncate at Scan ExistingRDD — pin
-    // the stage itself, built with the exact arguments the
-    // compositions pass (Pipeline.scala: prefixFilter = true).
+  test("pair-stage policy: size-based auto-choice, both branch shapes pinned") {
+    // cc1/cc2/e1 call ngramJaccardPairsAuto, which picks the candidate
+    // path by corpus size (Dedup.usePrefixFilter): plain inverted index
+    // below the 50k-doc threshold (the prefix bound's two extra
+    // gram-stream shuffles measured 3-8x slower at sf0.1 for identical
+    // output), PPJoin prefix filter above it (where sum df^2 can
+    // explode). Pin the policy at its boundary, then both branch
+    // shapes built with the compositions' exact arguments.
+    assert(!graft.pipeline.Dedup.usePrefixFilter(49999L))
+    assert(graft.pipeline.Dedup.usePrefixFilter(50000L))
     val docs = graft.Tables.documents(spark, d)
     val pref = plan(graft.pipeline.Dedup.ngramJaccardPairs(
       docs, "doc_id", "text", shingleWords = 3, threshold = 0.5,
@@ -97,6 +102,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "prefix path must compute global shingle document frequency")
     assert(!pref.contains("CartesianProduct") &&
       !pref.contains("BroadcastNestedLoopJoin"))
+    // the auto path at test scale (< threshold) resolves to the plain
+    // inverted index — no df pass in the plan
+    val auto = plan(graft.pipeline.Dedup.ngramJaccardPairsAuto(
+      docs, "doc_id", "text", shingleWords = 3, threshold = 0.5))
+    assert(!auto.contains("_df"),
+      "auto path below the threshold must be the plain inverted index")
     // d4 is the documented plain-inverted-index baseline: no df pass
     val plain = plan(graft.queries.Pipeline.d4NgramJaccard(spark, d))
     assert(!plain.contains("_df"),
