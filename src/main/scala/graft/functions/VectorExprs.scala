@@ -207,6 +207,49 @@ object SimHashUtil {
     sim
   }
 
+  /** Rotate-XOR permutation constants for [[minhashSig]], drawn
+    * identically to Dedup.permConsts (same seed, same draw order: all
+    * k rotations first, then all k masks) so the per-row signature is
+    * bit-identical to the closed-form / aggregated formulations.
+    * Cached per k; the map is tiny (one entry per distinct signature
+    * width in the process). */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Int], Array[Long])]()
+  private def perms(k: Int): (Array[Int], Array[Long]) =
+    permCache.computeIfAbsent(k, { kk =>
+      val rng = new scala.util.Random(0x5EEDL)
+      val rots = Array.fill(kk)(1 + rng.nextInt(63))
+      val masks = Array.fill(kk)(rng.nextLong())
+      (rots, masks)
+    })
+
+  /** k-permutation MinHash signature of a shingle array:
+    * sig[i] = min over shingles of rotl(xxhash64(s), rot_i) ^ mask_i.
+    * Empty array → null (callers filter empty shingle sets first,
+    * matching the aggregate formulation, whose explode emits no row
+    * for them). */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val (rots, masks) = perms(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h =
+        if (arr.isNullAt(j)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      var i = 0
+      while (i < k) {
+        val r = rots(i)
+        val v = ((h << r) | (h >>> (64 - r))) ^ masks(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   private val SP = UTF8String.fromString(" ")
 
   /** Distinct space-joined word n-grams of a token array, first-
@@ -292,6 +335,46 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd per-row k-permutation MinHash signature of a shingle-array
+  * column (see [[SimHashUtil.minhashSig]]). Replaces an explode + k
+  * min-aggregates + join-back program with a scan-stage projection —
+  * same motivation and same value-identity discipline as [[SimHash64]]
+  * (the permutation constants replicate Dedup.permConsts draw-for-
+  * draw). Null/empty array → null. */
+case class MinHashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1, s"signature width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig needs array<string>, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $v =
+         |  graft.functions.SimHashUtil.minhashSig($c, $k);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two numeric array columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -308,4 +391,8 @@ object VectorExprs {
   /** Codegen'd distinct word n-gram shingles of a words-array column. */
   def wordShingles(words: Column, n: Int): Column =
     Bridge.toColumn(WordShingles(Bridge.toExpression(words), n))
+
+  /** Codegen'd per-row k-permutation MinHash signature. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    Bridge.toColumn(MinHashSig(Bridge.toExpression(shingles), k))
 }

@@ -42,34 +42,32 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Add a distinct word-n-gram shingle column.
+  /** Add a distinct word-n-gram shingle column — a pure scan-stage
+    * projection via the codegen'd [[graft.functions.WordShingles]]
+    * expression (per-document work computes where the document already
+    * is; no explode, no shuffle, no join back). NOT
+    * [[shinglesFromWords]]: higher-order array lambdas run interpreted
+    * in Spark (~30 µs of interpreter overhead per shingle dominated
+    * the dedup battery at sf0.1); the custom expression is the same
+    * loop as compiled bytecode inside whole-stage codegen. Earlier
+    * formulations (posexplode + window `lead` + collect_set, then
+    * gramRows + groupBy + join-back) paid a full gram-stream shuffle
+    * and an id join for what is a per-row function.
     *
-    * NOT [[shinglesFromWords]]: higher-order array lambdas run
-    * interpreted in Spark, and the per-shingle transform dominated the
-    * whole dedup battery (7.7 s just to shingle 5 k docs at sf0.1 —
-    * ~30 µs of interpreter overhead per shingle). Instead: posexplode
-    * the words, form each n-gram with window `lead`s over (doc,
-    * position), and `collect_set` back per doc — every step
-    * whole-stage-codegen'd except the object-hash collect_set, ~10×
-    * faster locally and the shape that scales (the window partitions
-    * by document, so parallelism is per-doc and skew is bounded by the
-    * longest document, not corpus size). Set semantics match
-    * `array_distinct` modulo element order; all consumers
-    * (size/intersect/explode) are order-insensitive.
-    *
-    * CONTRACT: `idCol` must be non-null and unique per row — shingles
-    * are grouped and joined back by it, so duplicate ids would merge
-    * their documents' shingle sets and null ids would come back
-    * empty. Every dedup entry point keys by a document id, which
-    * satisfies this by construction. */
+    * Set semantics match `array_distinct` modulo element order
+    * (first-occurrence here); all consumers (size/intersect/explode)
+    * are order-insensitive. Rows pass through 1:1 — a null/short
+    * document yields an empty array exactly as the legacy left-join +
+    * coalesce shape did, and `idCol` no longer carries a uniqueness
+    * contract for THIS function (downstream pair joins still key on
+    * it). */
   def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
-      out: String): DataFrame = {
-    val sets = gramRows(df, idCol, textCol, n)
-      .groupBy("_sh_id").agg(collect_set(col("_sh_g")).as(out))
-    df.join(sets, df(idCol) === sets("_sh_id"), "left")
-      .drop("_sh_id")
-      .withColumn(out, coalesce(col(out), array().cast("array<string>")))
-  }
+      out: String): DataFrame =
+    df.withColumn("_sh_wd0", split(trim(col(textCol)), "\\s+"))
+      .withColumn(out, coalesce(
+        graft.functions.VectorExprs.wordShingles(col("_sh_wd0"), n),
+        array().cast("array<string>")))
+      .drop("_sh_wd0")
 
   /** One (`_sh_id`, `_sh_g`) row per word-n-gram OCCURRENCE (duplicates
     * included — group or distinct downstream as needed). Grams come
@@ -197,27 +195,23 @@ object Dedup {
     }: _*)
   }
 
-  /** Add `_shingles` and `_sig` columns.
-    *
-    * Signatures are computed by exploding shingles and running k
-    * whole-stage-codegen `min` aggregates with map-side combine —
-    * per-row higher-order lambdas are interpreted in Spark and cost
-    * ~k×|shingles| interpreted evals per document, which dominated the
-    * profile at sf0.1. Result is bit-identical to
-    * [[minhashSignature]]. */
+  /** Add `_shingles` and `_sig` columns — both pure scan-stage
+    * projections ([[withShingles]] + the codegen'd
+    * [[graft.functions.MinHashSig]] expression, whose rotate-XOR
+    * constants replicate [[permConsts]] draw-for-draw, so the
+    * signature is bit-identical to [[minhashSignature]] and to the
+    * earlier explode + k-min-aggregate formulation). The signature is
+    * a per-document function, so nothing shuffles here: the only
+    * exchange in a MinHash dedup is the downstream band-bucket join,
+    * which carries ids only. Docs too short to shingle are filtered
+    * (they have no signature), exactly as the aggregate formulation's
+    * explode-then-inner-join did. */
   def withMinhash(df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int, k: Int): DataFrame = {
-    val base = withShingles(df, idCol, textCol, shingleWords, "_shingles")
+      shingleWords: Int, k: Int): DataFrame =
+    withShingles(df, idCol, textCol, shingleWords, "_shingles")
       .filter(size(col("_shingles")) > 0)
-    val (r, b) = permConsts(k)
-    val ex = base.select(col(idCol), explode(col("_shingles")).as("_s"))
-      .withColumn("_h", xxhash64(col("_s")))
-    val aggs = (0 until k).map(i =>
-      min(perm(col("_h"), r(i), b(i))).as(s"_h$i"))
-    val sigs = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"_h$i")): _*).as("_sig"))
-    base.join(sigs, Seq(idCol))
-  }
+      .withColumn("_sig",
+        graft.functions.VectorExprs.minhashSig(col("_shingles"), k))
 
   /** LSH banding: explode the signature into `bands` buckets of `rows`
     * values each; two docs sharing any (band, hash) bucket become a

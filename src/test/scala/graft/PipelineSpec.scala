@@ -25,6 +25,31 @@ class PipelineSpec extends AnyFunSuite {
     (base ++ exactDups ++ near).toDF("doc_id", "text")
   }
 
+  test("per-row shingles equal the gram-stream sets; per-row minhash equals the closed form") {
+    // WordShingles (scan-stage expression) vs the gram-stream
+    // formulation (explode + collect_set): same sets per doc
+    val viaExpr = Dedup.withShingles(corpus, "doc_id", "text", 3, "_sh")
+      .select("doc_id", "_sh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val viaGrams = Dedup.gramRows(corpus, "doc_id", "text", 3)
+      .groupBy("_sh_id").agg(collect_set(col("_sh_g")).as("_sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(viaExpr.keySet == viaGrams.keySet ++
+      viaExpr.filter(_._2.isEmpty).keys) // gram stream drops shingle-less docs
+    viaGrams.foreach { case (id, s) => assert(viaExpr(id) == s, s"doc $id") }
+    // MinHashSig (scan-stage expression) vs the closed-form HOF
+    // signature: bit-identical arrays
+    val sigExpr = Dedup.withMinhash(corpus, "doc_id", "text", 3, 32)
+      .select("doc_id", "_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigClosed = Dedup.withShingles(corpus, "doc_id", "text", 3, "_sh")
+      .filter(size(col("_sh")) > 0)
+      .select(col("doc_id"), Dedup.minhashSignature(col("_sh"), 32).as("_sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigExpr.keySet == sigClosed.keySet)
+    sigClosed.foreach { case (id, s) => assert(sigExpr(id) == s, s"doc $id") }
+  }
+
   test("exact dedup keeps min id and counts copies") {
     val got = Dedup.exactDedup(corpus, "doc_id", "text")
     assert(got.count() == 61)   // 64 rows, 3 planted exact copies removed
