@@ -718,4 +718,84 @@ class StreamingSpec extends AnyFunSuite {
     val w = graft.streaming.AlertStream.wrangle(decoded, "bpv-avro")
     assert(w.sources.count() == 4 && w.objects.count() == 2)
   }
+
+  test("end-to-end streaming corpus: ingest → near-dup → silver → telemetry") {
+    // The streaming analog of e3's gold composition: one pipeline wires
+    // the existing pieces — file-source ingest, cross-batch NEAR-dup
+    // against the persisted band index (NearDupStream), the codegen'd
+    // scoring surface on the kept docs, an append-only silver corpus,
+    // and the windowed telemetry — and the whole chain is pinned
+    // stream ≡ batch at both ends: the silver doc set equals a
+    // single-batch run of the same dedup definition, and telemetry
+    // over the streamed silver equals the batch rollup of that
+    // equivalent corpus.
+    import graft.streaming.{CorpusIngest, NearDupStream}
+    import graft.pipeline.TextAnalysis
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(25)(s"w${r.nextInt(1000)}").mkString(" ")
+    }
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-06-01 09:00:00").getTime + min * 60000L)
+    val w1 = Seq((1L, doc(1), ts(0)), (2L, doc(2), ts(2)),
+      (3L, doc(1) + " tail", ts(3)))                   // 3 near-dups 1 in-batch
+    val w2 = Seq((10L, doc(2) + " tail", ts(32)),      // near-dups indexed 2
+      (11L, doc(7), ts(33)))
+    val cols = Seq("doc_id", "text", "ts")
+
+    val inDir = Files.createTempDirectory("e2e").toString
+    val ckDir = Files.createTempDirectory("e2eck").toString
+    val ixDir = Files.createTempDirectory("e2eix").toString + "/ix"
+    val silverDir = Files.createTempDirectory("e2esilver").toString + "/corpus"
+    def score(kept: org.apache.spark.sql.DataFrame) = kept
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .withColumn("export_text", TextAnalysis.redactPii(col("text")))
+    def runWave(): Unit = {
+      val stream = spark.readStream
+        .schema(w1.toDF(cols: _*).schema)
+        .parquet(s"$inDir/*")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val decisions = NearDupStream.processBatch(b, "doc_id", "text",
+            ixDir, id, NearDupStream.Params(threshold = 0.3))
+          val kept = b.join(decisions.filter(col("decision") === "kept"),
+            Seq("doc_id"), "left_semi")
+          score(kept).write.mode("append").parquet(silverDir)
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    w1.toDF(cols: _*).write.parquet(s"$inDir/w1")
+    runWave()
+    w2.toDF(cols: _*).write.parquet(s"$inDir/w2")
+    runWave()
+
+    // silver holds exactly the near-deduped corpus
+    val silver = spark.read.parquet(silverDir)
+    assert(silver.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 11L))
+
+    // stream ≡ batch: one-shot run of the SAME dedup definition over
+    // all docs (fresh index) keeps the same doc set
+    val ixDir2 = Files.createTempDirectory("e2eix2").toString + "/ix"
+    val batchKept = NearDupStream.processBatch(
+        (w1 ++ w2).toDF(cols: _*), "doc_id", "text", ixDir2, 0L,
+        NearDupStream.Params(threshold = 0.3))
+      .filter(col("decision") === "kept")
+    val batchCorpus = (w1 ++ w2).toDF(cols: _*)
+      .join(batchKept, Seq("doc_id"), "left_semi")
+    assert(batchCorpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 11L))
+
+    // telemetry over the streamed silver equals the batch rollup of
+    // the equivalent corpus, window for window
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      CorpusIngest.windowedStats(df.select("doc_id", "text", "ts"), "ts")
+        .orderBy("window_start", "lang_pred").collect().map(_.toSeq).toSeq
+    assert(rollup(silver) == rollup(batchCorpus))
+  }
 }
