@@ -183,6 +183,21 @@ object Bench {
   private def childMain(outPath: String, names: Seq[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
+    // Generic untimed warmup: a fresh JVM would otherwise pay Spark's
+    // OWN JIT/classloading (parquet reader, exchange, codegen
+    // compiler, noop sink) inside the first timed runs — measured
+    // ~2x inflation on the first queries of a chunk (x1 0.75->1.61 s
+    // vs the long-lived r6 JVM). This plan shares no fragment with
+    // any battery query, so every query's `cold` remains a true
+    // first-execution-of-that-plan measurement; only process-level
+    // infrastructure gets hot, as it would be on any real cluster.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_regionkey").agg(count(lit(1)).as("_w"))
+        .orderBy("r_regionkey")
+        .write.mode("overwrite").format("noop").save()
+    }
     // truncate, then APPEND one line per finished query: a child that
     // dies mid-group (OOM, classpath race) still reports what it ran,
     // and the parent retries only the remainder

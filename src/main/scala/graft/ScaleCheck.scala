@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity demonstration: `runMain graft.ScaleCheck [nCopies]`.
+  *
+  * Builds an `nCopies`× (default 10×) corpus from the sf0.1 documents
+  * table — copy k offsets every doc_id and suffixes every word with
+  * `_ck`, so each copy replicates the original's shingle/df structure
+  * exactly while staying disjoint in shingle space from every other
+  * copy (true pairs, candidate volume, and cluster structure all grow
+  * exactly ×nCopies by construction). Against that corpus it tables
+  * wall time AND candidate volume at 1× vs N× for the dedup operators
+  * whose scale story the banding/prefix bounds carry: if the bound
+  * holds, both grow ~linearly in corpus size; a superlinear wall-time
+  * ratio flags a stage doing corpus-quadratic work.
+  *
+  * Candidate volume is computed exactly as Σ_gram C(df, 2) from the
+  * gram df histogram (what the pair join materializes before any
+  * threshold filter), without running the join — so the metric is
+  * exact even where the join itself would be the expensive part.
+  *
+  * The pair stage is measured with prefixFilter FORCED to each path at
+  * both scales (apples to apples; the auto policy would flip right at
+  * the 10× point, 50 k docs). Generation time is excluded from every
+  * timing. Results land in the round notes. */
+object ScaleCheck {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Median-of-3 wall seconds for `f` (first run separately reported
+    * as cold), with cache hygiene between runs. */
+  private def timed(spark: SparkSession)(f: => Long): (Long, Double, Double) = {
+    def clean(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val (n, cold) = time(f); clean()
+    val warms = Seq.fill(3) { val (_, w) = time(f); clean(); w }.sorted
+    (n, cold, warms(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nCopies = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scale")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline.{Components, Dedup, TextAnalysis}
+
+    // ---- build the N× corpus (generation excluded from timings) ----
+    val bigPath = s"$scratch/documents_${nCopies}x.parquet"
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    if (!new java.io.File(bigPath).exists()) {
+      val copies = (0 until nCopies).map { k =>
+        base.select(
+          (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          (if (k == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", s"$$1_c$k")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      copies.reduce(_ unionByName _)
+        .repartition(cpus.toInt).write.mode("overwrite").parquet(bigPath)
+    }
+    val n1 = base.count()
+    val big = spark.read.parquet(bigPath)
+    val nN = big.count()
+    println(s"[scale] corpus 1x=$n1 docs, ${nCopies}x=$nN docs")
+
+    def docs1 = base.repartition(cpus.toInt)
+    def docsN = big.repartition(cpus.toInt)
+
+    // exact candidate volume of the inverted-index pair join:
+    // sum over grams of C(df, 2)
+    def candidateVolume(df: DataFrame): Long =
+      Dedup.gramRows(df.select(col("doc_id"), col("text")), "doc_id", "text", 3)
+        .distinct() // per-doc distinct grams, as the pair join explodes them
+        .groupBy("_sh_g").agg(count(lit(1)).as("_df"))
+        .select((sum(col("_df") * (col("_df") - 1)) / 2).cast("long").as("cand"))
+        .head().getLong(0)
+
+    case class Row3(name: String, n1: Long, w1: Double, nN: Long, wN: Double)
+    val rows = scala.collection.mutable.ArrayBuffer[Row3]()
+
+    def stage(name: String)(f: DataFrame => Long): Unit = {
+      val (c1, cold1, m1) = timed(spark)(f(docs1))
+      val (cN, coldN, mN) = timed(spark)(f(docsN))
+      rows += Row3(name, c1, m1, cN, mN)
+      println(f"[scale] $name%-28s 1x: n=$c1%-9d ${m1}%6.2f s (cold ${cold1}%5.1f)   " +
+        f"${nCopies}x: n=$cN%-9d ${mN}%6.2f s (cold ${coldN}%5.1f)   " +
+        f"n-ratio ${cN.toDouble / math.max(c1, 1)}%5.2f  t-ratio ${mN / math.max(m1, 1e-9)}%5.2f")
+    }
+
+    stage("candidate_volume")(d => candidateVolume(d))
+    stage("d1_exact_dedup")(d => Dedup.exactDedup(d, "doc_id", "text").count())
+    stage("d2_minhash_lsh")(d => Dedup.minhashNearDups(d, "doc_id", "text",
+      shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.5).count())
+    stage("d3_simhash_h4")(d => Dedup.simhashNearDups(d, "doc_id", "text",
+      maxHamming = 4, shingleWords = 3, threshold = 0.5).count())
+    stage("d4_pairs_plain")(d => Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      3, 0.5, prefixFilter = false).count())
+    stage("d4_pairs_prefix")(d => Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      3, 0.5, prefixFilter = true).count())
+    stage("cc1_clusters")(d => Components.dedupClusters(d, "doc_id",
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5, prefixFilter = false),
+      "id_a", "id_b").count())
+    stage("e1_funnel")(d => {
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5,
+        prefixFilter = false)
+      val clusters = Components.dedupClusters(d, "doc_id", pairs, "id_a", "id_b")
+      val rep = TextAnalysis.repetitionStats(d, "doc_id", "text")
+      d.join(clusters, Seq("doc_id")).join(rep, Seq("doc_id"))
+        .withColumn("keep", col("is_rep") && col("top_word_count") * 5 <= col("n_tokens"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .count()
+    })
+
+    println("\n| stage | 1x n | 1x s | " + nCopies + "x n | " + nCopies +
+      "x s | n-ratio | t-ratio |")
+    println("|---|---|---|---|---|---|---|")
+    rows.foreach { r =>
+      println(f"| ${r.name} | ${r.n1} | ${r.w1}%.2f | ${r.nN} | ${r.wN}%.2f " +
+        f"| ${r.nN.toDouble / math.max(r.n1, 1)}%.2f | ${r.wN / math.max(r.w1, 1e-9)}%.2f |")
+    }
+    spark.stop()
+  }
+}
