@@ -250,6 +250,27 @@ object SimHashUtil {
     new GenericArrayData(mins)
   }
 
+  /** Space-join of the words whose index is not listed in `pos`
+    * (out-of-range entries ignored); see [[RemoveTokens]]. */
+  def removeTokens(words: ArrayData, pos: ArrayData, posIsLong: Boolean): UTF8String = {
+    val n = words.numElements()
+    val drop = new Array[Boolean](n)
+    var i = 0
+    while (i < pos.numElements()) {
+      val p = if (pos.isNullAt(i)) -1L
+              else if (posIsLong) pos.getLong(i) else pos.getInt(i).toLong
+      if (p >= 0 && p < n) drop(p.toInt) = true
+      i += 1
+    }
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var j = 0
+    while (j < n) {
+      if (!drop(j)) kept.add(if (words.isNullAt(j)) null else words.getUTF8String(j))
+      j += 1
+    }
+    UTF8String.concatWs(SP, kept.toArray(new Array[UTF8String](kept.size())): _*)
+  }
+
   private val SP = UTF8String.fromString(" ")
 
   /** Distinct space-joined word n-grams of a token array, first-
@@ -270,6 +291,45 @@ object SimHashUtil {
     }
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
   }
+}
+
+/** Codegen'd span-removal rebuild: `RemoveTokens(words, positions)`
+  * joins back the words whose 0-based index is NOT in `positions`
+  * (space-separated), preserving order — the per-row half of
+  * [[graft.pipeline.SpanDedup.removeDuplicateSpans]], which lets the
+  * rebuild run where each document already is instead of exploding the
+  * corpus token stream through a shuffle and collect_list-ing it back.
+  * Positions outside [0, |words|) are ignored; null positions array is
+  * treated as empty by the caller (coalesce); null words → null. */
+case class RemoveTokens(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), ArrayType(IntegerType | LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"remove_tokens needs (array<string>, array<int|long>), got ($l, $r)")
+    }
+
+  private def posIsLong = right.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(w: Any, p: Any): Any =
+    SimHashUtil.removeTokens(w.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData], posIsLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, p) =>
+      s"${ev.value} = graft.functions.SimHashUtil.removeTokens($w, $p, $posIsLong);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveTokens =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd per-row SimHash64 over a words-array column (see
@@ -395,4 +455,8 @@ object VectorExprs {
   /** Codegen'd per-row k-permutation MinHash signature. */
   def minhashSig(shingles: Column, k: Int): Column =
     Bridge.toColumn(MinHashSig(Bridge.toExpression(shingles), k))
+
+  /** Codegen'd order-preserving token removal by position. */
+  def removeTokens(words: Column, positions: Column): Column =
+    Bridge.toColumn(RemoveTokens(Bridge.toExpression(words), Bridge.toExpression(positions)))
 }

@@ -389,4 +389,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 1L, 1L, 0L, 0L, 0L)))
     assert(got(3L) == ((3L, 1L, 3L, 2L, 1L, 2L)))
   }
+
+  test("remove_tokens drops listed positions in order; edge inputs behave") {
+    import graft.functions.VectorExprs.removeTokens
+    def run(words: Seq[String], pos: Seq[Int]): String =
+      Seq((words, pos)).toDF("w", "p")
+        .select(removeTokens(col("w"), col("p")).as("out"))
+        .collect().head.getString(0)
+    assert(run(Seq("a", "b", "c", "d"), Seq(1, 3)) == "a c")
+    assert(run(Seq("a", "b", "c"), Seq()) == "a b c")
+    assert(run(Seq("a", "b"), Seq(0, 1)) == "")               // all removed
+    assert(run(Seq("a", "b"), Seq(-1, 5, 1)) == "a")          // out-of-range ignored
+    assert(run(Seq("a", "b", "c"), Seq(1, 1)) == "a c")       // duplicate positions
+    // long positions accepted identically
+    val viaLong = Seq((Seq("a", "b", "c"), Seq(0L, 2L))).toDF("w", "p")
+      .select(removeTokens(col("w"), col("p")).as("out"))
+      .collect().head.getString(0)
+    assert(viaLong == "b")
+    // null words column → null result
+    val nw = Seq((Option.empty[Seq[String]], Seq(0)))
+      .toDF("w", "p")
+      .select(removeTokens(col("w"), col("p")).as("out"))
+      .collect().head
+    assert(nw.isNullAt(0))
+  }
 }
