@@ -108,6 +108,11 @@ object ScaleCheck {
       shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.5).count())
     stage("d3_simhash_h4")(d => Dedup.simhashNearDups(d, "doc_id", "text",
       maxHamming = 4, shingleWords = 3, threshold = 0.5).count())
+    // n = total removed tokens: every copy replicates the original's
+    // 8-gram window structure, so duplicated-span volume grows ×N
+    stage("d7_span_dedup")(d => graft.pipeline.SpanDedup
+      .removeDuplicateSpans(d, "doc_id", "text", k = 8)
+      .agg(sum(col("n_removed"))).head().getLong(0))
     stage("d4_pairs_plain")(d => Dedup.ngramJaccardPairs(d, "doc_id", "text",
       3, 0.5, prefixFilter = false).count())
     stage("d4_pairs_prefix")(d => Dedup.ngramJaccardPairs(d, "doc_id", "text",

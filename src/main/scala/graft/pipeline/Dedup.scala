@@ -490,24 +490,8 @@ object Dedup {
     // (comb, v1, v2, id) rows — candidates dominate at scale, the
     // explode is linear. Ids+signatures only through the shuffle;
     // shingles join back for verification.
-    val nBlocks = maxHamming + 2
-    require(nBlocks <= 16, s"maxHamming=$maxHamming leaves pair keys under 8 bits")
-    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
-    def blockVal(sim: Column, b: Int): Column = {
-      // value of block b: bits [bounds(b), bounds(b+1)) — static bounds,
-      // so this is a codegen'd shift+mask, no per-row lookup
-      val width = bounds(b + 1) - bounds(b)
-      shiftrightunsigned(sim, bounds(b)).bitwiseAND(lit((1L << width) - 1L))
-    }
-    val combos = for { i <- 0 until nBlocks; j <- i + 1 until nBlocks } yield (i, j)
-    val keyed = base.select(col(idCol), col("_sim"),
-        explode(array(combos.zipWithIndex.map { case ((i, j), c) =>
-          struct(lit(c).as("_comb"),
-            blockVal(col("_sim"), i).as("_v1"),
-            blockVal(col("_sim"), j).as("_v2"))
-        }: _*)).as("_k"))
-      .select(col(idCol), col("_sim"),
-        col("_k._comb").as("_comb"), col("_k._v1").as("_v1"), col("_k._v2").as("_v2"))
+    val keyed = simhashBlockKeys(base.select(col(idCol), col("_sim")),
+      idCol, "_sim", maxHamming)
     val cands = keyed.select(col("_comb"), col("_v1"), col("_v2"),
         col(idCol).as("id_a"), col("_sim").as("_sim_a"))
       .join(keyed.select(col("_comb"), col("_v1"), col("_v2"),
@@ -524,6 +508,169 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "hamming", "jaccard")
+  }
+
+  /** Combined two-block candidate keys (_comb, _v1, _v2) for a 64-bit
+    * SimHash column — the candidate-generation keys of
+    * [[simhashNearDups]], factored out so an index BUILD and a later
+    * batch PROBE key identically. One output row per input row per
+    * C(maxHamming + 2, 2) block pair; static bit bounds, so each key
+    * is a codegen'd shift+mask. See [[simhashNearDups]] for the
+    * pigeonhole completeness argument. */
+  def simhashBlockKeys(df: DataFrame, idCol: String, simCol: String,
+      maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 2
+    require(nBlocks <= 16, s"maxHamming=$maxHamming leaves pair keys under 8 bits")
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    def blockVal(sim: Column, b: Int): Column = {
+      // value of block b: bits [bounds(b), bounds(b+1))
+      val width = bounds(b + 1) - bounds(b)
+      shiftrightunsigned(sim, bounds(b)).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val combos = for { i <- 0 until nBlocks; j <- i + 1 until nBlocks } yield (i, j)
+    df.select(col(idCol), col(simCol),
+        explode(array(combos.zipWithIndex.map { case ((i, j), c) =>
+          struct(lit(c).as("_comb"),
+            blockVal(col(simCol), i).as("_v1"),
+            blockVal(col(simCol), j).as("_v2"))
+        }: _*)).as("_k"))
+      .select(col(idCol), col(simCol),
+        col("_k._comb").as("_comb"), col("_k._v1").as("_v1"), col("_k._v2").as("_v2"))
+  }
+
+  // ---- incremental SimHash near-dup --------------------------------
+
+  /** The persisted halves of an incremental SIMHASH near-dup pipeline
+    * — [[NearDupIndex]]'s counterpart for the hamming-distance family:
+    * `keys` = (_comb, _v1, _v2, id, _sim) combined-block postings a
+    * new batch probes with a plain equi-join (the _sim rides along for
+    * the hamming filter), and `shingles` = (id, _shingles) for
+    * exact-Jaccard verification. The same maxHamming must be used at
+    * build and probe time — the block layout IS the key space — which
+    * is why [[simhashScratchDir]] bakes it into the path. */
+  final case class SimHashIndex(keys: DataFrame, shingles: DataFrame)
+
+  def simhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 4, shingleWords: Int = 3): SimHashIndex =
+    simhashIndexWithSigs(corpus, idCol, textCol, maxHamming, shingleWords)._1
+
+  /** [[simhashIndex]] plus the persisted fused signature frame both
+    * halves derive from — callers that materialize the index elsewhere
+    * use the handle to release the cache (as [[minhashIndexWithSigs]]). */
+  def simhashIndexWithSigs(corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 4, shingleWords: Int = 3): (SimHashIndex, DataFrame) = {
+    val sigs = withShinglesAndSimhash(corpus.select(col(idCol), col(textCol)),
+        idCol, textCol, shingleWords, "_shingles", "_sim")
+      .filter(size(col("_shingles")) > 0)
+      .persist()
+    val keys = simhashBlockKeys(sigs.select(col(idCol), col("_sim")),
+      idCol, "_sim", maxHamming)
+    (SimHashIndex(keys, sigs.select(col(idCol), col("_shingles"))), sigs)
+  }
+
+  /** Persist a [[SimHashIndex]]: key postings PARTITIONED BY `_comb`
+    * (a probe's equi-join prunes to matching combo files) plus the
+    * shingle frame; `shingles/_SUCCESS` is the commit marker, as with
+    * [[saveIndex]]. At 100 TB you'd additionally bucket keys by
+    * (_v1, _v2) and shingles by id for co-located point lookups. */
+  def saveSimhashIndex(index: SimHashIndex, dir: String): Unit = {
+    index.keys.write.mode("overwrite").partitionBy("_comb")
+      .parquet(s"$dir/keys")
+    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  def isSimhashIndexSaved(dir: String): Boolean =
+    new java.io.File(s"$dir/shingles/_SUCCESS").exists()
+
+  def loadSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SimHashIndex =
+    SimHashIndex(spark.read.parquet(s"$dir/keys"),
+      spark.read.parquet(s"$dir/shingles"))
+
+  /** Load the simhash index at `dir` if present, else build from
+    * `corpus` and persist it there — the probe-only operational mode,
+    * mirroring [[loadOrBuildIndex]]. */
+  def loadOrBuildSimhashIndex(corpus: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 4, shingleWords: Int = 3,
+      dir: String): SimHashIndex = {
+    if (!isSimhashIndexSaved(dir)) {
+      val (built, sigs) = simhashIndexWithSigs(corpus, idCol, textCol,
+        maxHamming, shingleWords)
+      saveSimhashIndex(built, dir)
+      sigs.unpersist()
+    }
+    loadSimhashIndex(corpus.sparkSession, dir)
+  }
+
+  /** Canonical content-signature-keyed scratch location for the demo
+    * corpus simhash index (d10) — maxHamming is part of the path
+    * because it determines the block-key layout (see [[SimHashIndex]]). */
+  def simhashScratchDir(dataset: String, maxHamming: Int = 4,
+      table: String = "documents"): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_simhash_h${maxHamming}_${
+      graft.Tables.tableSignature(dataset, table)}"
+
+  /** Incremental SimHash near-dup — [[incrementalMinhash]]'s
+    * counterpart on the hamming-distance candidate family: the
+    * corpus's combined-block key postings are already persisted; only
+    * the NEW batch is tokenized and signed. Emits exact-Jaccard-
+    * verified pairs (id_a, id_b, hamming, jaccard, origin) where id_b
+    * is always a batch doc and origin marks whether id_a came from the
+    * corpus index or earlier in the same batch (id_a < id_b for
+    * batch-internal pairs).
+    *
+    * Cost shape: O(batch) signing, a key equi-join that shuffles only
+    * the batch's C(maxHamming+2, 2) key rows against partition-pruned
+    * corpus postings, and a verification join over candidate ids — the
+    * corpus is never rescanned or re-signed. Unlike the MinHash
+    * variant, candidate generation is pigeonhole-COMPLETE, so the
+    * result equals [[simhashNearDups]] over corpus ∪ batch restricted
+    * to pairs involving a batch doc exactly, not just
+    * with-high-probability (QualitySpec pins the equality). */
+  def incrementalSimhash(newBatch: DataFrame, idCol: String, textCol: String,
+      index: SimHashIndex, maxHamming: Int = 4, shingleWords: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = withShinglesAndSimhash(newBatch.select(col(idCol), col(textCol)),
+        idCol, textCol, shingleWords, "_shingles", "_sim")
+      .filter(size(col("_shingles")) > 0)
+      .persist()
+    val nb = simhashBlockKeys(sigs.select(col(idCol), col("_sim")),
+      idCol, "_sim", maxHamming)
+    // id_a =!= id_b: ids are contract-unique across corpus and batch,
+    // but a REPLAYED batch whose postings already committed would
+    // otherwise self-match every doc (see incrementalMinhash)
+    val vsCorpus = index.keys
+      .select(col("_comb"), col("_v1"), col("_v2"),
+        col(idCol).as("id_a"), col("_sim").as("_sim_a"))
+      .join(nb.select(col("_comb"), col("_v1"), col("_v2"),
+        col(idCol).as("id_b"), col("_sim").as("_sim_b")),
+        Seq("_comb", "_v1", "_v2"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_sim_a"), col("_sim_b"),
+        lit("corpus").as("origin"))
+    val within = nb.select(col("_comb"), col("_v1"), col("_v2"),
+        col(idCol).as("id_a"), col("_sim").as("_sim_a"))
+      .join(nb.select(col("_comb"), col("_v1"), col("_v2"),
+        col(idCol).as("id_b"), col("_sim").as("_sim_b")),
+        Seq("_comb", "_v1", "_v2"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_sim_a"), col("_sim_b"),
+        lit("batch").as("origin"))
+    val cands = vsCorpus.union(within)
+      .filter(hammingDist(col("_sim_a"), col("_sim_b")) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("_sim_a"), col("_sim_b")).as("hamming"), col("origin"))
+      .dropDuplicates("id_a", "id_b", "origin")
+    val shA = index.shingles
+      .select(col(idCol).as("id_a"), col("_shingles").as("_sh_a"))
+      .union(sigs.select(col(idCol).as("id_a"), col("_shingles").as("_sh_a")))
+    cands
+      .join(shA, Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("_shingles").as("_sh_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "hamming", "jaccard", "origin")
   }
 
   // ---- brute-force n-gram Jaccard (ground truth / small corpora) ---

@@ -145,6 +145,28 @@ object Quality {
       .orderBy("id_a", "id_b", "origin")
   }
 
+  /** Incremental SimHash near-dup — d9's counterpart on the
+    * hamming-distance candidate family: the corpus's combined-block
+    * key postings are the persisted state (content-signature-keyed
+    * scratch, built on first use); only the batch is re-signed.
+    * Rows-only for the same reason as d3/d9 (DuckDB can't replay the
+    * xxhash64 signature); QualitySpec pins the result EXACTLY equal to
+    * the full simhashNearDups recomputation on batch pairs —
+    * pigeonhole-complete candidates make that an equality, not a
+    * recall bound. */
+  def d10IncrementalSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val batch = docs.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text"))
+    val index = Dedup.loadOrBuildSimhashIndex(docs, "doc_id", "text",
+      dir = Dedup.simhashScratchDir(d))
+    Dedup.incrementalSimhash(batch, "doc_id", "text", index, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        round(col("jaccard"), 4).as("jacc"), col("origin"))
+      .orderBy("id_a", "id_b", "origin")
+  }
+
   /** DSIR importance weights for the full corpus against the English
     * slice as the target domain: docs whose hashed-bigram distribution
     * is en-like weigh high, other-language docs weigh low — the
@@ -347,6 +369,7 @@ object Quality {
     "d7_dup_spans" -> (d7DupSpans _),
     "d8_incremental" -> (d8Incremental _),
     "d9_incremental_neardup" -> (d9IncrementalNeardup _),
+    "d10_incremental_simhash" -> (d10IncrementalSimhash _),
     "d6_semantic_dedup" -> (d6SemanticDedup _))
 
   def oracles: Map[String, String] = Map(

@@ -70,6 +70,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     val emptyIx = Dedup.minhashIndex(empty, "doc_id", "text")
     assert(Dedup.incrementalMinhash(some, "doc_id", "text", emptyIx,
       threshold = 0.5).collect().forall(_.getString(3) == "batch"))
+    // same tolerances for the simhash variant
+    val six = Dedup.simhashIndex(some, "doc_id", "text")
+    assert(Dedup.incrementalSimhash(empty, "doc_id", "text", six).count() == 0)
+    val emptySix = Dedup.simhashIndex(empty, "doc_id", "text")
+    assert(Dedup.incrementalSimhash(some, "doc_id", "text", emptySix,
+      threshold = 0.5).collect().forall(_.getString(4) == "batch"))
     // empty prev + empty pairs; empty pairs over a real map
     import graft.pipeline.Components
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -381,6 +381,42 @@ class QualitySpec extends AnyFunSuite {
     assert(origins((2001L, 2002L)) == "batch")
   }
 
+  test("incremental simhash EQUALS the full recomputation on batch pairs") {
+    val corpus = corpusLike(60).toDF("doc_id", "text")
+    val rng = new scala.util.Random(99)
+    val batchRows = corpusLike(60).filter(_._1 % 6 == 0)
+      .map { case (id, t) => (id + 1000L, t + " extrawordhere") } ++
+      Seq((2001L, corpusLike(3).head._2 + " twin"),
+        (2002L, corpusLike(3).head._2 + " twin sibling"),
+        (2003L, Seq.fill(25)("zz" + rng.nextInt(1000)).mkString(" ")))
+    val batch = batchRows.toDF("doc_id", "text")
+    val h = 6 // generous radius so the one-appended-token copies qualify
+
+    val index = Dedup.simhashIndex(corpus, "doc_id", "text", maxHamming = h)
+    val inc = Dedup.incrementalSimhash(batch, "doc_id", "text", index,
+        maxHamming = h, threshold = 0.3)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getInt(2), r.getDouble(3))).toSet
+
+    // candidate generation is pigeonhole-complete on both sides, so
+    // this is an exact equality, not a recall bound (unlike minhash
+    // where both sides merely hash identically)
+    val batchIds = batchRows.map(_._1).toSet
+    val full = Dedup.simhashNearDups(corpus.unionAll(batch), "doc_id", "text",
+        maxHamming = h, threshold = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .filter { case (a, b, _, _) => batchIds(a) || batchIds(b) }.toSet
+    assert(inc.nonEmpty, "fixture must produce near-dup pairs")
+    assert(inc == full, s"incremental ${inc.size} vs full ${full.size}")
+    val origins = Dedup.incrementalSimhash(batch, "doc_id", "text", index,
+        maxHamming = h, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(origins.exists(_._2 == "corpus"))
+    assert(origins((2001L, 2002L)) == "batch")
+  }
+
   test("semantic dedup: precision 1 vs exact cosine; recall bounded below") {
     val t = 0.9
     val exact = Similarity.cosineNearDups(semCorpus, "vec_id", "embedding", t)
