@@ -44,6 +44,37 @@ object ProfileD3 {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("d2")) {
+      // minhash near-dup stage decomposition over an arbitrary corpus
+      // path (defaults to the sf documents table)
+      val docs = args.lift(1).map(spark.read.parquet(_))
+        .getOrElse(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), col("text"))
+      for (it <- 1 to 3) {
+        println(s"--- d2 iteration $it ---")
+        val sigs = time("sigs build+persist+count") {
+          val s = Dedup.withMinhash(docs, "doc_id", "text", 3, 32).persist()
+          s.count(); s
+        }
+        val buckets = Dedup.lshBuckets(sigs, 8, 4)
+          .select(col("_band"), col("_bucket"), col("doc_id"))
+        time("bucket rows")(buckets.count())
+        val cands = buckets.select(col("_band"), col("_bucket"), col("doc_id").as("id_a"))
+          .join(buckets.select(col("_band"), col("_bucket"), col("doc_id").as("id_b")),
+            Seq("_band", "_bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        time("raw candidate pairs")(println(s"  raw=${cands.count()}"))
+        val dedup = cands.dropDuplicates("id_a", "id_b")
+        time("distinct candidate pairs")(println(s"  distinct=${dedup.count()}"))
+        time("full d2")(
+          Dedup.minhashNearDups(docs, "doc_id", "text", 3, 32, 8, 0.5).count())
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("pairs")) {
       // ngramJaccardPairs: plain inverted index vs PPJoin prefix filter
       for (_ <- 1 to 3; pf <- Seq(false, true)) {

@@ -47,6 +47,12 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val nCopies = args.headOption.map(_.toInt).getOrElse(10)
+    // optional 2nd arg: run ONLY the named stage — lets a wrapper fork
+    // a fresh JVM per stage, so stage timings don't contaminate each
+    // other the way Bench's in-battery numbers did before it forked
+    // (round-6 verdict; d2 measured 1.8 s alone vs 9.6-61 s after
+    // earlier stages in the same JVM)
+    val only = args.lift(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scale")
@@ -94,6 +100,7 @@ object ScaleCheck {
     val rows = scala.collection.mutable.ArrayBuffer[Row3]()
 
     def stage(name: String)(f: DataFrame => Long): Unit = {
+      if (only.exists(_ != name)) return
       val (c1, cold1, m1) = timed(spark)(f(docs1))
       val (cN, coldN, mN) = timed(spark)(f(docsN))
       rows += Row3(name, c1, m1, cN, mN)
