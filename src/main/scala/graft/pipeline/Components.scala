@@ -293,4 +293,31 @@ object Components {
       .withColumn("is_rep", col(idCol) === col("cluster"))
       .select(col(idCol), col("cluster"), col("is_rep"))
   }
+
+  /** [[dedupClusters]] with the kept representative chosen by RANK
+    * instead of min id: within each cluster the row with the greatest
+    * `rankCol` wins, lowest id breaking ties — what a production
+    * pipeline actually wants (keep the highest-QUALITY member of a
+    * duplicate group, not whichever happened to get the smallest id).
+    * Cluster LABELS stay min-id (stable identity, unchanged from
+    * [[dedupClusters]]); only `is_rep` moves. `docs` must carry
+    * `rankCol` non-null; the argmax is a map-side-combinable
+    * `max_by(id, struct(rank, -id))` on the cluster key — one extra
+    * shuffle at cluster cardinality, nothing corpus-sized.
+    * Same id-castability contract and checkpoint lifetime as
+    * [[dedupClusters]]. */
+  def dedupClustersBy(docs: DataFrame, idCol: String, rankCol: String,
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("node", idCol)
+    val labeled = docs.select(col(idCol), col(rankCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+    val reps = labeled.groupBy("cluster")
+      .agg(max_by(col(idCol),
+        struct(col(rankCol), (-col(idCol)).as("_negid"))).as("_rep"))
+    labeled.join(reps, Seq("cluster"))
+      .withColumn("is_rep", col(idCol) === col("_rep"))
+      .select(col(idCol), col("cluster"), col(rankCol), col("is_rep"))
+  }
 }

@@ -193,6 +193,69 @@ object Pipeline {
       |WHERE l.doc_id = l.cluster
       |ORDER BY l.doc_id""".stripMargin
 
+  /** cc2 with the representative a production pipeline actually keeps:
+    * the highest-QUALITY member of each duplicate cluster (lowest id
+    * breaking ties), not the min-id one — boilerplate-stripped copies
+    * often score better than the original. Same deterministic pair
+    * graph and min-id cluster LABELS as cc1/cc2; only the kept row
+    * moves, via [[graft.pipeline.Components.dedupClustersBy]]'s
+    * map-side-combinable argmax. Fully oracled: the quality formula is
+    * the same one e3's oracle already replays in DuckDB. */
+  def cc4DedupBest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val pairs = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5)
+    val labeled = graft.pipeline.Components
+      .dedupClustersBy(docs, "doc_id", "quality", pairs, "id_a", "id_b")
+    val sizes = labeled.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    labeled.filter(col("is_rep")).join(sizes, Seq("cluster"))
+      .select(col("cluster"), col("doc_id"), col("quality"), col("n_members"))
+      .orderBy("cluster")
+  }
+
+  val cc4Sql: String =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+      |                   for i in range(1, len(wd) - 1)]) AS sh
+      |  FROM w WHERE len(wd) >= 3),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT d.doc_id,
+      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id),
+      |q AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS tok,
+      |    text FROM documents),
+      |qs AS (SELECT doc_id,
+      |  ROUND(0.4 * LEAST(len(tok) / 100.0, 1.0)
+      |    + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text,
+      |        '[^A-Za-z0-9\s]')) * 5.0
+      |        / GREATEST(length(text), 1), 1.0))
+      |    + 0.3 * LEAST(len(list_filter(tok,
+      |        t -> t IN ('the','a','an','and','of','to','in','is','it')))
+      |        * 5.0 / GREATEST(len(tok), 1), 1.0), 6) AS quality
+      |  FROM q),
+      |j AS (SELECT l.doc_id, l.cluster, qs.quality,
+      |        ROW_NUMBER() OVER (PARTITION BY l.cluster
+      |          ORDER BY qs.quality DESC, l.doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY l.cluster) AS n_members
+      |      FROM lbl l JOIN qs ON l.doc_id = qs.doc_id)
+      |SELECT cluster, doc_id, quality,
+      |  CAST(n_members AS BIGINT) AS n_members
+      |FROM j WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   /** The probabilistic path composed end-to-end: MinHash-LSH pair graph
     * → connected components → keep/drop (rows-only: the pair graph is
     * hash-seed-dependent; CC correctness itself is oracled via cc1/cc2
@@ -634,6 +697,7 @@ object Pipeline {
     "d5_embed_neardup" -> (d5EmbedNearDup _),
     "cc1_dedup_clusters" -> (cc1DedupClusters _),
     "cc2_dedup_apply" -> (cc2DedupApply _),
+    "cc4_dedup_best" -> (cc4DedupBest _),
     "cc3_minhash_clusters" -> (cc3MinhashClusters _),
     "e1_corpus_funnel" -> (e1CorpusFunnel _),
     "e2_decontaminate" -> (e2Decontaminate _),
@@ -655,6 +719,7 @@ object Pipeline {
     "d4_ngram_jaccard" -> d4Sql,
     "cc1_dedup_clusters" -> cc1Sql,
     "cc2_dedup_apply" -> cc2Sql,
+    "cc4_dedup_best" -> cc4Sql,
     "e1_corpus_funnel" -> e1Sql,
     "e2_decontaminate" -> e2Sql,
     "s1_cosine_topk" -> s1Sql,

@@ -146,4 +146,27 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got == Set((1L, 1L, true), (2L, 2L, true), (3L, 1L, false), (4L, 4L, true)))
   }
+
+  test("dedupClustersBy keeps the best-ranked member, min id on ties; labels stay min-id") {
+    // cluster {1,3,5}: quality peaks at 3 → rep moves off the min id;
+    // cluster {2,4}: tied quality → min id 2 wins; 6 is a singleton
+    val docs = Seq(
+      (1L, 0.2), (3L, 0.9), (5L, 0.4),
+      (2L, 0.7), (4L, 0.7),
+      (6L, 0.1)).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 3L), (3L, 5L), (2L, 4L)).toDF("id_a", "id_b")
+    val got = Components.dedupClustersBy(docs, "doc_id", "quality",
+        pairs, "id_a", "id_b")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got == Map(
+      1L -> (1L, false), 3L -> (1L, true), 5L -> (1L, false),
+      2L -> (2L, true), 4L -> (2L, false),
+      6L -> (6L, true)))
+    // partitioning-invariant (argmax is a deterministic total order)
+    val again = Components.dedupClustersBy(docs.repartition(7), "doc_id",
+        "quality", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(again == got)
+  }
 }
