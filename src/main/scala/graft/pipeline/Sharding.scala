@@ -212,4 +212,38 @@ object Sharding {
       .when(nib.isin("e", "f"), lit("test"))
       .otherwise(lit("train"))
   }
+
+  /** Hex threshold for [[stratifiedSample]]: a 12-nibble lowercase
+    * string such that `md5prefix < threshold` keeps ~`rate` of uniform
+    * hashes. Lexicographic comparison of equal-length lowercase hex is
+    * order-isomorphic to the numeric value, so both Spark and DuckDB
+    * evaluate the SAME predicate on plain strings — no numeric
+    * conversion to disagree on. rate >= 1 returns "g" (sorts above
+    * every hex digit → keep all); rate <= 0 returns twelve zeros
+    * (nothing sorts strictly below → keep none). */
+  def sampleThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) "000000000000"
+    // rate * 2^48, capped below 2^48 so the string stays 12 nibbles
+    // (a 13-digit "1000000000000" would sort BELOW "f..." and break
+    // the ordering isomorphism for rates within 2^-49 of 1)
+    else f"${math.min(math.round(rate * 281474976710656.0), 281474976710655L)}%012x"
+
+  /** Deterministic per-stratum downsampling — the quality/language
+    * rebalancing step of a corpus pipeline: keep a row iff the first
+    * 12 md5 nibbles of its id fall under its stratum's
+    * [[sampleThreshold]]. Seedless and partition-invariant: the SAME
+    * ids survive on every engine, every run, every cluster size —
+    * reproducible curation, unlike `df.sample` whose output depends on
+    * seed and partitioning. Strata absent from `rates` drop entirely.
+    * A pure scan-stage filter: no shuffle, pushes down to the scan
+    * right after the md5 projection. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val threshold = rates.foldLeft(lit("000000000000")) {
+      case (acc, (k, v)) =>
+        when(col(stratumCol) === k, lit(sampleThreshold(v))).otherwise(acc)
+    }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 12) < threshold)
+  }
 }

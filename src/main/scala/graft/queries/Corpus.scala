@@ -107,6 +107,28 @@ object Corpus {
       |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
       |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  /** Deterministic language rebalancing: halve en, keep zh/es whole,
+    * quarter de, drop fr (absent stratum). Seedless md5-threshold
+    * sampling — the SAME ids survive in any engine at any parallelism,
+    * which is what makes corpus curation reproducible; the oracle
+    * replays the identical lexicographic hex comparison. Emits the
+    * surviving ids (full fidelity, not just counts). */
+  def p6StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sharding.stratifiedSample(documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 1.0, "es" -> 1.0, "de" -> 0.25))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val p6Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) <
+      |  CASE lang WHEN 'en' THEN '800000000000'
+      |            WHEN 'zh' THEN 'g'
+      |            WHEN 'es' THEN 'g'
+      |            WHEN 'de' THEN '400000000000'
+      |            ELSE '000000000000' END
+      |ORDER BY doc_id""".stripMargin
+
   /** Top-5 bigrams per language by exact corpus count (ties broken by
     * gram text, so ranking is deterministic). */
   def t7TopNgrams(s: SparkSession, d: String): DataFrame =
@@ -285,6 +307,7 @@ object Corpus {
     "e4_tokenized_pack" -> (e4TokenizedPack _),
     "p2_shard_pack" -> (p2ShardPack _),
     "p3_hash_split" -> (p3HashSplit _),
+    "p6_stratified_sample" -> (p6StratifiedSample _),
     "p4_pack_sequences" -> (p4PackSequences _),
     "p5_source_mix" -> (p5SourceMix _),
     "t7_top_ngrams" -> (t7TopNgrams _),
@@ -294,6 +317,7 @@ object Corpus {
     "e3_export_manifest" -> e3Sql,
     "p2_shard_pack" -> p2Sql,
     "p3_hash_split" -> p3Sql,
+    "p6_stratified_sample" -> p6Sql,
     "p4_pack_sequences" -> p4Sql,
     "p5_source_mix" -> p5Sql,
     "t7_top_ngrams" -> t7Sql,

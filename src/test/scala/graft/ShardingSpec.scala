@@ -255,4 +255,37 @@ class ShardingSpec extends AnyFunSuite {
     // doc2 starts in shard 0 (cum_before=10); doc3 lands at floor(2010/500)=4
     assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 4L)))
   }
+
+  test("stratifiedSample: deterministic, monotone in rate, absent strata drop") {
+    import graft.pipeline.Sharding
+    // threshold edges
+    assert(Sharding.sampleThreshold(1.0) == "g")
+    assert(Sharding.sampleThreshold(0.0) == "000000000000")
+    assert(Sharding.sampleThreshold(0.5) == "800000000000")
+    assert(Sharding.sampleThreshold(0.25) == "400000000000")
+    // a rate an ulp under 1.0 must stay 12 nibbles (not roll to 2^48)
+    assert(Sharding.sampleThreshold(math.nextDown(1.0)) == "ffffffffffff")
+
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "stratum")
+    def ids(rates: Map[String, Double]): Set[Long] =
+      Sharding.stratifiedSample(docs, "doc_id", "stratum", rates)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = ids(Map("a" -> 0.5, "b" -> 1.0))
+    // rate 1 keeps every member; partition-invariant and rerun-stable
+    assert((1L until 400L by 2).forall(half.contains))
+    assert(ids(Map("a" -> 0.5, "b" -> 1.0)) == half)
+    assert(Sharding.stratifiedSample(docs.repartition(7), "doc_id", "stratum",
+        Map("a" -> 0.5, "b" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet == half)
+    // monotone: the quarter sample is a SUBSET of the half sample
+    val quarter = ids(Map("a" -> 0.25, "b" -> 1.0))
+    assert((quarter -- half).isEmpty)
+    assert(quarter.size < half.size)
+    // stratum missing from the map → dropped entirely
+    assert(ids(Map("a" -> 1.0)).forall(_ % 2 == 0))
+    // roughly the asked-for fraction survives (binomial, wide bound)
+    val aHalf = half.count(_ % 2 == 0)
+    assert(aHalf > 60 && aHalf < 140, s"~100 of 200 expected, got $aHalf")
+  }
 }
