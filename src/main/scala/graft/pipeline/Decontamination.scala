@@ -54,4 +54,27 @@ object Decontamination {
       .agg(countDistinct(col("_sh_g")).as("n_shared_grams"),
         countDistinct(col("eval_doc_id")).as("n_eval_docs"))
   }
+
+  /** NEAR-dup decontamination — the exact-gram pass above misses
+    * paraphrased leakage (reworded eval questions, reformatted
+    * answers); this flags corpus docs whose shingle set near-matches
+    * an eval doc at `threshold` Jaccard. It is the incremental
+    * near-dup probe with the EVAL SET as the batch: the corpus's
+    * persisted band postings (the same index d9-style ingest probes —
+    * built once, never rescanned) are probed by the tiny eval side,
+    * and only corpus-origin pairs survive (eval-internal near-dups
+    * are not contamination). Returns (idCol, eval_doc_id, jaccard).
+    * Ids must be disjoint across corpus and eval (same contract as
+    * [[Dedup.incrementalMinhash]]); exact-Jaccard verification means
+    * precision 1 against the shingle-set definition, recall is the
+    * banding's, bounded in spec. */
+  def fuzzyContamination(index: Dedup.NearDupIndex, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame =
+    Dedup.incrementalMinhash(evalSet, idCol, textCol, index,
+        shingleWords, numHashes, bands, threshold)
+      .filter(col("origin") === "corpus")
+      .select(col("id_a").as(idCol), col("id_b").as("eval_doc_id"),
+        col("jaccard"))
 }

@@ -371,6 +371,28 @@ object Pipeline {
       .orderBy("doc_id", "eval_doc_id")
   }
 
+  /** Fuzzy decontamination: an "external benchmark" (every 25th doc,
+    * id-offset, text VERBATIM — the classic leakage) probed against
+    * the corpus's persisted band postings — the SAME
+    * content-signature-keyed index d9 probes, demonstrating one index
+    * serving both incremental ingest and decontamination. Each eval
+    * doc hits its verbatim twin at jaccard 1 plus the twin's planted
+    * near-dups. Rows-only (MinHash); the probe ≡ full-recompute
+    * equality is pinned by d9's spec, the origin filter by
+    * PipelineSpec's fuzzyContamination test. */
+  def e5FuzzyDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val evalSet = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val index = Dedup.loadOrBuildIndex(docs, "doc_id", "text",
+      dir = Dedup.indexScratchDir(d))
+    graft.pipeline.Decontamination
+      .fuzzyContamination(index, evalSet, "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id"), col("eval_doc_id"),
+        round(col("jaccard"), 4).as("jacc"))
+      .orderBy("doc_id", "eval_doc_id")
+  }
+
   val e2Sql: String =
     """WITH w AS (SELECT doc_id,
       |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
@@ -701,6 +723,7 @@ object Pipeline {
     "cc3_minhash_clusters" -> (cc3MinhashClusters _),
     "e1_corpus_funnel" -> (e1CorpusFunnel _),
     "e2_decontaminate" -> (e2Decontaminate _),
+    "e5_fuzzy_decontaminate" -> (e5FuzzyDecontaminate _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),

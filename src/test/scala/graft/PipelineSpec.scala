@@ -390,6 +390,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 1L, 3L, 2L, 1L, 2L)))
   }
 
+  test("fuzzyContamination flags corpus near-matches of eval docs only") {
+    import graft.pipeline.Decontamination
+    val base = corpus.filter(col("doc_id") < 1000L)
+    val index = Dedup.minhashIndex(base, "doc_id", "text")
+    // eval: a verbatim copy of doc 3 (classic leakage), a paraphrase of
+    // doc 5 (two words changed), a twin PAIR inside the eval set
+    // (eval-internal near-dup, must NOT be reported), and a clean doc
+    val d3txt = corpus.filter(col("doc_id") === 3L).head().getString(1)
+    val d5txt = corpus.filter(col("doc_id") === 5L).head().getString(1)
+    val para = (d5txt.split(" ").dropRight(2) ++ Seq("qqq", "www")).mkString(" ")
+    val evalSet = Seq(
+      (9001L, d3txt), (9002L, para),
+      (9010L, "tw a b c d e f g h i j k l m n o p q r s t"),
+      (9011L, "tw a b c d e f g h i j k l m n o p q r s u"),
+      (9020L, Seq.fill(30)("uniquewordz").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Decontamination.fuzzyContamination(index, evalSet,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verbatim copy found against every corpus member of doc 3's dup
+    // group (3, 100, 101 are identical texts in the fixture)
+    assert(got.contains((3L, 9001L)) && got.contains((100L, 9001L)))
+    assert(got.contains((5L, 9002L)), "paraphrase leakage found")
+    // eval-internal twins and the clean doc produce no corpus pairs
+    assert(!got.exists { case (_, e) => e == 9010L || e == 9011L || e == 9020L })
+    // and no corpus-internal pair leaks through the origin filter
+    assert(got.forall { case (c, e) => c < 1000L && e >= 9000L })
+  }
+
   test("remove_tokens drops listed positions in order; edge inputs behave") {
     import graft.functions.VectorExprs.removeTokens
     def run(words: Seq[String], pos: Seq[Int]): String =
