@@ -34,19 +34,37 @@ object NearDupStream {
 
   /** Segment subdirectories that actually committed (`_SUCCESS`
     * present) — a crash mid-write leaves a marker-less directory,
-    * which a bare glob read would trip over forever. `below` restricts
-    * to segments from batches strictly earlier than the given id: a
-    * RETRY of a batch whose own segment already committed must not see
-    * itself in the index (every doc would match its replayed twin and
-    * the "kept" rewrite would empty the segment). */
-  private def committedSegments(root: String, below: Option[Long]): Seq[String] =
-    Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Nil)
+    * which a bare glob read would trip over forever. Two kinds:
+    * `b<id>` holds batch id's postings; `c<upTo>` is a COMPACTED
+    * segment holding everything from batches strictly below `upTo`
+    * (see [[compactSegments]]). The view keeps only the newest
+    * c-segment and the b-segments it does not cover, so a crash that
+    * leaves both a c-segment and its superseded inputs on disk never
+    * double-counts a posting. `below` restricts to content from
+    * batches strictly earlier than the given id: a RETRY of a batch
+    * whose own segment already committed must not see itself in the
+    * index (every doc would match its replayed twin and the "kept"
+    * rewrite would empty the segment); a c-segment qualifies when
+    * upTo <= below since it only holds strictly-earlier batches. */
+  private def committedSegments(root: String, below: Option[Long]): Seq[String] = {
+    val parsed = Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Nil)
       .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
-      .filter { f =>
-        val id = scala.util.Try(f.getName.drop(1).toLong).toOption
-        below.forall(b => id.forall(_ < b))
+      .flatMap { f =>
+        val n = f.getName
+        scala.util.Try(n.drop(1).toLong).toOption
+          .filter(_ => n.startsWith("b") || n.startsWith("c"))
+          .map(id => (f, n.head, id))
       }
-      .map(_.getAbsolutePath).sorted
+    val within = parsed.filter { case (_, kind, id) =>
+      below.forall(b => if (kind == 'c') id <= b else id < b) }
+    val maxC = within.collect { case (_, 'c', id) => id }
+      .maxOption.getOrElse(Long.MinValue)
+    within.filter { case (_, kind, id) =>
+        if (kind == 'c') id == maxC  // older compactions are subsumed
+        else id >= maxC              // b-segments below maxC are covered
+      }
+      .map(_._1.getAbsolutePath).sorted
+  }
 
   /** Accumulated index across committed segments (strictly before
     * `below` when given); typed-empty (via a zero-row slice of `like`)
@@ -111,6 +129,48 @@ object NearDupStream {
     sigs.unpersist(blocking = false)
     committed
   }
+
+  /** Merge every committed posting segment from batches strictly below
+    * `upTo` into one consolidated segment pair (`buckets/c<upTo>`,
+    * `shingles/c<upTo>`) — the maintenance pass a long-lived stream
+    * needs: per-batch segments otherwise accumulate without bound and
+    * every probe pays a file-listing + many-small-files scan (the
+    * classic small-files problem; at 100 TB the consolidated write
+    * would additionally bucket by (_band, _bucket) / id).
+    *
+    * Crash-safe without a manifest: the consolidated data lands in a
+    * temp dir first, renames into place as `c<upTo>`, and only then
+    * are the superseded inputs deleted. [[committedSegments]] always
+    * prefers the newest c-segment and ignores b-segments it covers, so
+    * every intermediate crash state reads consistently (temp dirs are
+    * not b/c-named and are invisible; leftover inputs are ignored once
+    * the rename lands, and deleted by the next compaction). Call
+    * between batches — e.g. at the top of `foreachBatch` for batch
+    * `upTo`, which by Structured Streaming's monotone batch ids can
+    * never race a segment write or an earlier batch's retry. */
+  def compactSegments(spark: SparkSession, dir: String, upTo: Long,
+      targetPartitions: Int = 8): Unit =
+    Seq("buckets", "shingles").foreach { kind =>
+      val root = s"$dir/$kind"
+      val segs = committedSegments(root, Some(upTo))
+      if (segs.size > 1) {
+        val tmp = new java.io.File(s"$dir/_compact_tmp_$kind")
+        deleteRecursively(tmp)
+        spark.read.parquet(segs: _*).coalesce(targetPartitions)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val dest = new java.io.File(root, s"c$upTo")
+        deleteRecursively(dest)
+        require(tmp.renameTo(dest), s"compaction rename failed: $tmp -> $dest")
+        segs.foreach(p => deleteRecursively(new java.io.File(p)))
+      }
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
 
   /** LIVE duplicate clusters: fold the batch's verified pairs into the
     * versioned (id, cluster) map via [[Components.updateClusters]] —

@@ -577,6 +577,64 @@ class StreamingSpec extends AnyFunSuite {
       Map(20L -> "dup_corpus"), "orphaned segment broke the index read")
   }
 
+  test("segment compaction: decisions unchanged, files collapse, crash residue ignored") {
+    import graft.streaming.NearDupStream
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(25)(s"w${r.nextInt(1000)}").mkString(" ")
+    }
+    val p = NearDupStream.Params(threshold = 0.3)
+    def committedNames(dir: String) =
+      new java.io.File(s"$dir/buckets").listFiles().toSeq
+        .filter(f => new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getName).toSet
+    def run(dir: String, compact: Boolean): Map[Long, String] = {
+      NearDupStream.processBatch(
+        Seq((1L, doc(21)), (2L, doc(22))).toDF("doc_id", "text"),
+        "doc_id", "text", dir, 0L, p)
+      NearDupStream.processBatch(
+        Seq((10L, doc(23)), (11L, doc(24))).toDF("doc_id", "text"),
+        "doc_id", "text", dir, 1L, p)
+      if (compact) NearDupStream.compactSegments(spark, dir, 2L)
+      NearDupStream.processBatch(
+        Seq((20L, doc(21) + " tail"), (21L, doc(24) + " tail"),
+          (22L, doc(29))).toDF("doc_id", "text"),
+        "doc_id", "text", dir, 2L, p)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    }
+    val dirA = Files.createTempDirectory("cmpA").toString + "/ix"
+    val dirB = Files.createTempDirectory("cmpB").toString + "/ix"
+    val base = run(dirA, compact = false)
+    assert(base == Map(20L -> "dup_corpus", 21L -> "dup_corpus", 22L -> "kept"))
+    assert(run(dirB, compact = true) == base,
+      "compaction changed dedup decisions")
+    // the two b-segments collapsed into c2; batch 2 appended its own
+    assert(committedNames(dirA) == Set("b0", "b1", "b2"))
+    assert(committedNames(dirB) == Set("c2", "b2"))
+
+    // crash residue: a superseded input whose delete never ran (copy
+    // dirA's identical b0 back next to dirB's c2) must be invisible —
+    // the effective view double-counts nothing
+    def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+      java.nio.file.Files.walk(src.toPath).forEach { sp =>
+        val dp = dst.toPath.resolve(src.toPath.relativize(sp))
+        if (java.nio.file.Files.isDirectory(sp))
+          java.nio.file.Files.createDirectories(dp)
+        else java.nio.file.Files.copy(sp, dp)
+      }
+    }
+    Seq("buckets", "shingles").foreach { k =>
+      copyRec(new java.io.File(s"$dirA/$k/b0"), new java.io.File(s"$dirB/$k/b0"))
+    }
+    val like = Seq((1L, "x")).toDF("doc_id", "text")
+    val view = NearDupStream.loadIndex(spark, dirB, like, "doc_id", "text", p)
+    assert(view.buckets.groupBy("doc_id", "_band").count()
+      .filter(col("count") > 1).count() == 0L,
+      "resurrected superseded segment double-counted postings")
+    assert(view.shingles.select("doc_id").distinct().count() ==
+      view.shingles.count(), "duplicate shingle rows in effective view")
+  }
+
   test("windowed corpus stats: streamed rollup equals the batch rollup per closed window") {
     import graft.streaming.CorpusIngest
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:30")
