@@ -17,10 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.FastdbOps.queries ++
       graft.queries.Pipeline.queries ++ graft.queries.SqlSurface.queries ++
-      graft.queries.Corpus.queries ++ graft.queries.Quality.queries
+      graft.queries.Corpus.queries ++ graft.queries.Quality.queries ++
+      graft.queries.Search.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.FastdbOps.oracles ++
       graft.queries.Pipeline.oracles ++ graft.queries.SqlSurface.oracles ++
-      graft.queries.Corpus.oracles ++ graft.queries.Quality.oracles
+      graft.queries.Corpus.oracles ++ graft.queries.Quality.oracles ++
+      graft.queries.Search.oracles
 }

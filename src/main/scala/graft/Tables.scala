@@ -55,14 +55,19 @@ object Tables {
     *    matches DuckDB's naive reading of the file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** The ts-normalization half of [[events]], schema-dispatched so it
+    * applies identically to a batch read and a readStream over the
+    * same files (the caller sets the nanosAsLong conf before reading). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
-  }
   /** documents/embeddings arrive as one small parquet file → one input
     * split → every downstream per-row computation (shingling, hashing,
     * dot products) runs on a single core. Spread them across the

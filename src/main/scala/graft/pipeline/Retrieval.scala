@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval + chunking for training-data / RAG pipelines.
+  *
+  * BM25 is the standard lexical ranking function (Robertson/Spärck
+  * Jones; the Lucene-style `ln(1 + (N-df+0.5)/(df+0.5))` idf variant,
+  * which is non-negative for every df). Chunking materializes the
+  * overlapping fixed-token windows an embedding/RAG indexer consumes.
+  *
+  * Scale shape: the query-term table is tiny and broadcast, so the
+  * corpus-side token stream is filtered to query terms BEFORE any
+  * aggregation — the only shuffles are over (doc, term) rows that
+  * matched a query term, never the full token stream. Document length
+  * and corpus statistics ride along as a broadcast one-row frame.
+  * Chunking is a pure per-row codegen projection (tokens → sequence →
+  * explode → slice): no shuffle at all.
+  */
+object Retrieval {
+
+  /** BM25 score per (query, document) over whitespace tokens: one row
+    * for every document sharing ≥1 term with the query (absent pairs
+    * score an implicit 0 — standard sparse-retrieval semantics).
+    *
+    * `queries` is a small (queryIdCol, termCol) table — one row per
+    * query term; duplicate terms within a query are counted once
+    * (distinct applied). idf uses the corpus document count N and
+    * per-term document frequency df; tf normalization uses document
+    * length over mean document length (k1, b as usual).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(queryIdCol), col(termCol).as("_term")).distinct()
+    val qterms = qt.select("_term").distinct()
+
+    // corpus-side: filter the token stream to query terms FIRST (the
+    // broadcast semi join runs in the scan stage), then count tf —
+    // the (doc, term) shuffle carries only matching rows
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("_term"))
+    val tf = tok.join(broadcast(qterms), Seq("_term"))
+      .groupBy(col(idCol), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+
+    // per-doc length + corpus stats (one-row broadcast)
+    val dl = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("_dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n_docs"),
+      avg(TextAnalysis.tokenCount(col(textCol))).as("_avgdl"))
+
+    // df per query term: tf is already distinct per (doc, term)
+    val df = tf.groupBy("_term").agg(count(lit(1)).cast("double").as("_df"))
+
+    val contrib = tf
+      .join(dl, Seq(idCol))
+      .join(broadcast(df), Seq("_term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), Seq("_term"))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n_docs") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_c",
+        col("_idf") * col("_tf") * (k1 + 1.0) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+
+    contrib.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("_c").as("score"))
+  }
+
+  /** Overlapping fixed-size token chunks: windows of `chunkTokens`
+    * whitespace tokens every `stride` tokens, the last chunk clipped
+    * to the document end (and emitted even when shorter). Documents
+    * with no tokens produce no chunks. Output: (idCol, chunk_idx,
+    * n_chunk_tokens, chunk_text).
+    *
+    * Pure scan-stage projection — sequence + explode + slice are all
+    * codegen'd; chunk count per doc is 1 + ceil(max(n−chunkTokens,0) /
+    * stride) computed in exact integer arithmetic.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens and stride must be positive (got $chunkTokens, $stride)")
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .filter(col("_n") > 0)
+      // ceil((n - chunkTokens) / stride) for n > chunkTokens, else 0,
+      // as floor((n - chunkTokens + stride - 1) / stride); the double
+      // division is exact-then-truncated (token counts ≪ 2^53)
+      .withColumn("_last",
+        when(col("_n") > chunkTokens,
+          floor((col("_n") - chunkTokens + (stride - 1)).divide(stride)))
+          .otherwise(lit(0L)))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("_last"))))
+      .withColumn("_ct",
+        slice(col("_toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_ct")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("_ct")).as("chunk_text"))
+  }
+}

@@ -357,6 +357,53 @@ object Pipeline {
       |FROM f GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Leakage-safe train/val/test split: the md5-nibble split (p3's
+    * deterministic assignment) applied to the near-dup CLUSTER label
+    * instead of the document id, so every member of a duplicate
+    * cluster lands in the same split — the assignment that keeps
+    * near-duplicates of a test document out of train. Deterministic
+    * (exact pair graph, min-id labels, seedless hash) → fully oracled
+    * via the recursive-CTE closure + the same nibble mapping. */
+  def e6ClusterSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5)
+    graft.pipeline.Components
+      .dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .withColumn("split", graft.pipeline.Sharding.hashSplit(col("cluster")))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val e6Sql: String =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+      |                   for i in range(1, len(wd) - 1)]) AS sh
+      |  FROM w WHERE len(wd) >= 3),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT d.doc_id,
+      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, cluster,
+      |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
+      |         IN ('c', 'd') THEN 'val'
+      |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
+      |         IN ('e', 'f') THEN 'test'
+      |       ELSE 'train' END AS split
+      |FROM lbl ORDER BY doc_id""".stripMargin
+
   /** Benchmark decontamination: every (corpus doc, eval doc) pair
     * sharing an 8-word-gram, with the shared-gram count — the hygiene
     * pass that drops eval leakage before training. The eval set is the
@@ -724,6 +771,7 @@ object Pipeline {
     "e1_corpus_funnel" -> (e1CorpusFunnel _),
     "e2_decontaminate" -> (e2Decontaminate _),
     "e5_fuzzy_decontaminate" -> (e5FuzzyDecontaminate _),
+    "e6_cluster_split" -> (e6ClusterSplit _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -745,6 +793,7 @@ object Pipeline {
     "cc4_dedup_best" -> cc4Sql,
     "e1_corpus_funnel" -> e1Sql,
     "e2_decontaminate" -> e2Sql,
+    "e6_cluster_split" -> e6Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,

@@ -411,8 +411,60 @@ object Relational {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** ST1: a REAL Structured Streaming execution as a driver-oracled
+    * battery entry — the events table replayed through a file-source
+    * stream into [[graft.streaming.EventWindows.windowedCounts]]
+    * (event-time watermark + 5-minute tumbling windows), collected via
+    * an availableNow trigger into a memory sink. Output mode is
+    * `complete` so every window — including those the watermark has
+    * not yet closed when the finite replay ends — is emitted exactly
+    * once, making the result identical to the batch GROUP BY the
+    * DuckDB oracle runs (production monitoring uses `append` +
+    * watermark-closed windows; that incremental mode is pinned
+    * stream≡batch in StreamingSpec). Window starts are emitted as
+    * integer epoch-microseconds, the battery's timestamp idiom. */
+  def st1StreamWindows(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "st1_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("st1_ckpt").toString
+    // the driver ships events.parquet as a single FILE; for a non-glob
+    // path FileStreamSource force-sets basePath to that file and then
+    // rejects it ("must be a directory"), so select the file via a
+    // glob (leaves our explicit directory basePath in effect)
+    val stream = s.readStream.schema(schema)
+      .option("basePath", d).parquet(s"$d/events.*")
+    val q = graft.streaming.EventWindows
+      .windowedCounts(normalizeEventTs(stream), "ts", "event_type",
+        window_ = "5 minutes", lateness = "10 minutes")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("window_start_us", "event_type")
+      .localCheckpoint(true)  // detach from the sink before the view is dropped
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  val st1Sql: String =
+    """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
+      |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_us, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "st1_stream_windows" -> (st1StreamWindows _),
     "j8_asof_join" -> (j8AsofJoin _),
     "w3_sessionize" -> (w3Sessionize _),
     "p1_filters" -> (p1Filters _),
@@ -431,6 +483,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "st1_stream_windows" -> st1Sql,
     "j8_asof_join" -> j8AsofJoinSql,
     "w3_sessionize" -> w3SessionizeSql,
     "p1_filters" -> p1FiltersSql,

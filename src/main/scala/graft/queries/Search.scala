@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.pipeline.Retrieval
+
+/** Lexical retrieval + chunking battery entries — the search-side
+  * complement of the embedding ANN family (s1–s3): BM25 ranking and
+  * RAG-style overlapping chunk materialization, both deterministic →
+  * DuckDB-oracled.
+  */
+object Search {
+
+  /** Three fixed keyword queries ranked by BM25, top-10 each. Ranking
+    * is on the 4-dp-rounded score with doc_id tiebreak so both engines
+    * order identically despite last-ulp float differences (the s1
+    * idiom). */
+  def r1Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (1L, "vector"), (1L, "hash"), (1L, "join"),
+      (2L, "spark"), (2L, "stream"), (2L, "window"),
+      (3L, "slow"), (3L, "query")).toDF("query_id", "term")
+    val w = Window.partitionBy("query_id").orderBy(desc("score_r"), col("doc_id"))
+    Retrieval.bm25(documents(s, d), "doc_id", "text", qs, "query_id", "term")
+      .withColumn("score_r", round(col("score"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score_r"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val r1Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |    (1, 'vector'), (1, 'hash'), (1, 'join'),
+      |    (2, 'spark'), (2, 'stream'), (2, 'window'),
+      |    (3, 'slow'), (3, 'query')),
+      |tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS dl
+      |  FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |         AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |tf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+      |       FROM tok t WHERE t.term IN (SELECT term FROM q)
+      |       GROUP BY t.doc_id, t.term),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * tf.tf * 2.2
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  JOIN q ON q.term = tf.term, st
+      |  GROUP BY q.query_id, tf.doc_id),
+      |r AS (SELECT query_id, doc_id, ROUND(score, 4) AS score_r,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+      |      FROM sc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_r,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** RAG-style chunking: 40-token windows every 30 tokens (10-token
+    * overlap), last chunk clipped. The chunk text rides as an md5 so
+    * the compared artifact stays narrow while still pinning every
+    * byte of every chunk. */
+  def r2Chunk(s: SparkSession, d: String): DataFrame =
+    Retrieval.chunk(documents(s, d), "doc_id", "text",
+        chunkTokens = 40, stride = 30)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val r2Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |n AS (SELECT doc_id, wd, len(wd) AS n FROM w WHERE len(wd) > 0),
+      |c AS (SELECT doc_id, wd, n,
+      |    unnest(generate_series(0,
+      |      CASE WHEN n > 40 THEN (n - 40 + 29) // 30 ELSE 0 END)) AS ci
+      |  FROM n),
+      |ch AS (SELECT doc_id, ci, wd[ci * 30 + 1 : ci * 30 + 40] AS ct FROM c)
+      |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+      |  CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string(ct, ' ')) AS chunk_md5
+      |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_bm25" -> (r1Bm25 _),
+    "r2_chunk" -> (r2Chunk _))
+
+  def oracles: Map[String, String] = Map(
+    "r1_bm25" -> r1Sql,
+    "r2_chunk" -> r2Sql)
+}

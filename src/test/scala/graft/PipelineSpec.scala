@@ -442,4 +442,29 @@ class PipelineSpec extends AnyFunSuite {
       .collect().head
     assert(nw.isNullAt(0))
   }
+
+  test("cluster-aware split keeps every near-dup cluster inside one split") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5, prefixFilter = false)
+    val labeled = graft.pipeline.Components
+      .dedupClusters(corpus, "doc_id", pairs, "id_a", "id_b")
+      .withColumn("split", graft.pipeline.Sharding.hashSplit(col("cluster")))
+    // all members of a cluster carry the cluster's split (the invariant
+    // the per-doc p3 split does NOT have: doc 3 and its planted copies
+    // 100/101 would hash independently)
+    val perCluster = labeled.groupBy("cluster")
+      .agg(countDistinct("split").as("k")).collect()
+    assert(perCluster.forall(_.getLong(1) == 1L))
+    // the planted exact dups of doc 3 share doc 3's split
+    val bySplit = labeled.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bySplit(100L) == bySplit(3L) && bySplit(101L) == bySplit(3L))
+    // and the split of a cluster is the hash of its min-id label
+    val d3cluster = labeled.filter(col("doc_id") === 3L)
+      .select("cluster").collect().head.getLong(0)
+    val expected = corpus.sparkSession.range(1)
+      .select(graft.pipeline.Sharding.hashSplit(lit(d3cluster)).as("s"))
+      .collect().head.getString(0)
+    assert(bySplit(3L) == expected)
+  }
 }

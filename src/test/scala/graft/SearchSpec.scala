@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Retrieval
+
+/** BM25 retrieval + chunking semantics, pinned against driver-side
+  * reference computations, plus the st1 battery entry's stream≡batch
+  * identity. */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "spark join spark filter"),          // tf(spark)=2, dl=4
+    (2L, "spark merge sort sort sort merge"), // tf(spark)=1, dl=6
+    (3L, "filter scan scan"),                 // no 'spark'
+    (4L, ""),                                 // empty doc
+    (5L, "spark")                             // dl=1
+  ).toDF("doc_id", "text")
+
+  test("bm25 equals a driver-side reference computation") {
+    val qs = Seq((1L, "spark"), (1L, "filter"), (2L, "sort")).toDF("qid", "term")
+    val got = Retrieval.bm25(docs, "doc_id", "text", qs, "qid", "term")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // reference: same formula by hand over the 5-doc corpus
+    val corpus = Map(1L -> "spark join spark filter", 2L -> "spark merge sort sort sort merge",
+      3L -> "filter scan scan", 4L -> "", 5L -> "spark")
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val (k1, b) = (1.2, 0.75)
+    def score(qid: Long, terms: Seq[String]): Map[(Long, Long), Double] =
+      toks.flatMap { case (id, tk) =>
+        val s = terms.distinct.map { term =>
+          val tf = tk.count(_ == term).toDouble
+          val df = toks.values.count(_.contains(term)).toDouble
+          if (tf == 0) 0.0
+          else math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (k1 + 1) /
+            (tf + k1 * (1 - b + b * tk.size / avgdl))
+        }.sum
+        if (s > 0) Some((qid, id) -> s) else None
+      }
+    val want = score(1L, Seq("spark", "filter")) ++ score(2L, Seq("sort"))
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"$k") }
+    // doc 3 has no 'spark'/'sort' but has 'filter' → appears only for q1
+    assert(got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    // empty doc never scores
+    assert(!got.keys.exists(_._2 == 4L))
+  }
+
+  test("bm25 duplicate query terms count once") {
+    val qs = Seq((1L, "spark"), (1L, "spark")).toDF("qid", "term")
+    val once = Retrieval.bm25(docs, "doc_id", "text",
+      Seq((1L, "spark")).toDF("qid", "term"), "qid", "term")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val twice = Retrieval.bm25(docs, "doc_id", "text", qs, "qid", "term")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(once == twice)
+  }
+
+  test("chunk covers every token with the configured overlap and clips the tail") {
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val ch = Retrieval.chunk(d, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_chunk_tokens", "chunk_text").collect()
+    // n=10, size=4, stride=3 → last = ceil((10-4)/3) = 2 → 3 chunks
+    assert(ch.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(ch.map(_.getString(2)).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(ch.map(_.getLong(1)).toSeq == Seq(4L, 4L, 4L))
+    // tail clipping: 11 tokens → 4th chunk holds the 2 leftovers
+    val d11 = Seq((1L, (1 to 11).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val last = Retrieval.chunk(d11, "doc_id", "text", 4, 3)
+      .orderBy(desc("chunk_idx")).limit(1)
+      .select("chunk_text", "n_chunk_tokens").collect().head
+    assert(last.getString(0) == "w10 w11" && last.getLong(1) == 2L)
+  }
+
+  test("chunk edge cases: empty doc, short doc, no-overlap stride reassembles the doc") {
+    val d = Seq((1L, ""), (2L, "only three words")).toDF("doc_id", "text")
+    val ch = Retrieval.chunk(d, "doc_id", "text", 8, 8).collect()
+    // empty → nothing; short → one whole-doc chunk
+    assert(ch.length == 1 && ch.head.getLong(0) == 2L &&
+      ch.head.getString(3) == "only three words")
+    // stride == chunkTokens → concatenating chunks rebuilds the doc
+    val long = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val parts = Retrieval.chunk(long, "doc_id", "text", 6, 6)
+      .orderBy("chunk_idx").select("chunk_text").collect().map(_.getString(0))
+    assert(parts.mkString(" ") == (1 to 20).map(i => s"t$i").mkString(" "))
+  }
+
+  test("st1 streaming battery entry equals the batch group-by") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Relational.st1StreamWindows(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = Tables.events(spark, d)
+      .groupBy((floor(unix_micros(col("ts")) / 300000000L) * 300000000L)
+        .as("window_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == batch)
+  }
+}
