@@ -287,18 +287,19 @@ object Corpus {
     * [[Sharding.assembleSequences]] splices the real token arrays into
     * fixed 256-token training sequences, documents splitting across
     * boundaries. Output is the per-sequence manifest with an
-    * order-aware content signature (xxhash64 of the space-joined
-    * token stream; tokens come from whitespace-split words, so the
-    * separator is unambiguous) — rows-only, since DuckDB cannot replay the
-    * iterative BPE merge resolution; exact reconstruction is pinned in
-    * ShardingSpec. */
+    * order-aware content signature (md5 of the space-joined token
+    * stream; tokens come from whitespace-split words, so the separator
+    * is unambiguous). Fully ORACLED: [[BpeOracle]] replays the greedy
+    * merge training itself as generated chained CTEs, so every token
+    * of every sequence is pinned cross-engine; exact reconstruction is
+    * additionally pinned in ShardingSpec. */
   def e4TokenizedPack(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val merges = graft.pipeline.Bpe.train(docs, "text", numMerges = 64)
     val enc = graft.pipeline.Bpe.encodeCorpus(docs, "doc_id", "text", merges)
     Sharding.assembleSequences(enc, "doc_id", "bpe_tokens", seqLen = 256L)
       .select(col("seq_id"), col("n_docs"), col("n_tokens"),
-        xxhash64(array_join(col("tokens"), " ")).as("seq_sig"))
+        md5(array_join(col("tokens"), " ")).as("seq_sig"))
       .orderBy("seq_id")
   }
 
@@ -315,6 +316,7 @@ object Corpus {
 
   def oracles: Map[String, String] = Map(
     "e3_export_manifest" -> e3Sql,
+    "e4_tokenized_pack" -> BpeOracle.e4Sql(numMerges = 64, seqLen = 256),
     "p2_shard_pack" -> p2Sql,
     "p3_hash_split" -> p3Sql,
     "p6_stratified_sample" -> p6Sql,

@@ -316,9 +316,10 @@ object Quality {
 
   /** BPE tokenizer end-to-end: 64 merges trained on the corpus's
     * word-frequency table (one distributed count + local merge loop),
-    * corpus encoded with the broadcast merge ranks. Rows-only: DuckDB
-    * cannot replay the iterative merge resolution; determinism and
-    * round-trip exactness are pinned in QualitySpec. */
+    * corpus encoded with the broadcast merge ranks. Fully ORACLED:
+    * [[BpeOracle]] replays the greedy training in DuckDB as generated
+    * chained CTEs (determinism and round-trip exactness additionally
+    * pinned in QualitySpec). */
   def t14BpeTokenize(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val merges = graft.pipeline.Bpe.train(docs, "text", numMerges = 64)
@@ -378,5 +379,6 @@ object Quality {
     "t12_html_extract" -> t12Sql,
     "t13_url_dedup" -> t13Sql,
     "d7_dup_spans" -> d7Sql,
-    "d8_incremental" -> d8Sql)
+    "d8_incremental" -> d8Sql,
+    "t14_bpe_tokenize" -> BpeOracle.t14Sql(numMerges = 64))
 }
