@@ -208,6 +208,55 @@ object TextAnalysis {
     * higher-order lambdas on the hot path), the shuffle is the
     * aggregation's own, and skew is bounded per document. Documents
     * with zero tokens produce no row (nothing to measure). */
+  /** PMI-scored adjacent-word collocations over the whole corpus:
+    * pointwise mutual information ln(p(a,b) / (p(a)·p(b))) of each
+    * bigram against its unigram marginals — the classic collocation /
+    * phrase-mining signal (and the association measure word-embedding
+    * matrices factorize). Emits (w1, w2, n_pair, pmi) for bigrams with
+    * `minCount` support.
+    *
+    * Scale shape: ONE corpus scan — every token row contributes a
+    * tagged word term and a tagged bigram term (repetitionStats'
+    * single-pass trick), so the only full shuffle is the
+    * vocabulary-bounded (kind, term) count; marginals and the two
+    * totals are then derived from that counts frame and broadcast
+    * back. Tokens are whitespace-split, so splitting the bigram term
+    * on its single space is unambiguous. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val tok = docs
+      .select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+"))
+        .as(Seq("_pos", "_w")))
+      .filter(col("_w") =!= "")
+    val w = Window.partitionBy(idCol).orderBy("_pos")
+    val terms = tok.withColumn("_nxt", lead("_w", 1).over(w))
+      .select(explode(array(
+        struct(lit("w").as("_k"), col("_w").as("_t")),
+        struct(lit("b").as("_k"),
+          when(col("_nxt").isNotNull,
+            concat_ws(" ", col("_w"), col("_nxt"))).as("_t")))).as("_e"))
+      .select(col("_e._k").as("_k"), col("_e._t").as("_t"))
+      .filter(col("_t").isNotNull)
+    val counts = terms.groupBy("_k", "_t").agg(count(lit(1)).as("_c"))
+    val wc = counts.filter(col("_k") === "w")
+      .select(col("_t").as("_word"), col("_c").as("_cw"))
+    val totals = counts.groupBy()
+      .agg(sum(when(col("_k") === "w", col("_c"))).cast("double").as("_tw"),
+        sum(when(col("_k") === "b", col("_c"))).cast("double").as("_tb"))
+    counts.filter(col("_k") === "b" && col("_c") >= minCount)
+      .select(split(col("_t"), " ").getItem(0).as("w1"),
+        split(col("_t"), " ").getItem(1).as("w2"),
+        col("_c").as("n_pair"))
+      .join(broadcast(wc).withColumnRenamed("_word", "w1")
+        .withColumnRenamed("_cw", "_c1"), Seq("w1"))
+      .join(broadcast(wc).withColumnRenamed("_word", "w2")
+        .withColumnRenamed("_cw", "_c2"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        log((col("n_pair") / col("_tb")) /
+          ((col("_c1") / col("_tw")) * (col("_c2") / col("_tw")))).as("pmi"))
+  }
+
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+"))

@@ -635,6 +635,35 @@ object Pipeline {
       |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
       |ORDER BY wa.doc_id""".stripMargin
 
+  /** PMI-scored collocations with ≥20-bigram support — phrase mining /
+    * embedding-prep association scores. Deterministic (integer counts,
+    * one ln at the end, rounded) → oracled. */
+  def t15Collocations(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.collocations(documents(s, d), "doc_id", "text", minCount = 20L)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(col("pmi"), 4).as("pmi_r"))
+      .orderBy("w1", "w2")
+
+  val t15Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(wd) AS word FROM w),
+      |wc AS (SELECT word, COUNT(*) AS cw FROM t GROUP BY word),
+      |tw AS (SELECT CAST(SUM(cw) AS DOUBLE) AS tw FROM wc),
+      |b AS (SELECT unnest([[wd[i], wd[i+1]] for i in range(1, len(wd))]) AS bg
+      |      FROM w WHERE len(wd) >= 2),
+      |bc AS (SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS n_pair
+      |       FROM b GROUP BY 1, 2),
+      |tb AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS tb FROM bc)
+      |SELECT bc.w1, bc.w2, CAST(bc.n_pair AS BIGINT) AS n_pair,
+      |  ROUND(ln((bc.n_pair / tb.tb)
+      |        / ((c1.cw / tw.tw) * (c2.cw / tw.tw))), 4) AS pmi_r
+      |FROM bc JOIN wc c1 ON bc.w1 = c1.word
+      |JOIN wc c2 ON bc.w2 = c2.word, tw, tb
+      |WHERE bc.n_pair >= 20
+      |ORDER BY w1, w2""".stripMargin
+
   // ---- multimodal --------------------------------------------------
 
   /** Binary-column feature extraction through the typed mapPartitions
@@ -779,6 +808,7 @@ object Pipeline {
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t2_repetition" -> (t2Repetition _),
+    "t15_collocations" -> (t15Collocations _),
     "t5_profile" -> (t5Profile _),
     "m1_multimodal" -> (m1Multimodal _),
     "m2_image_decode" -> (m2ImageDecode _),
@@ -799,6 +829,7 @@ object Pipeline {
     "t3_langid" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
     "t2_repetition" -> t2Sql,
+    "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,
     "m3_frame_decode" -> m3Sql,
     "m4_audio_decode" -> m4Sql)

@@ -462,9 +462,89 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY window_start_us, event_type""".stripMargin
 
+  /** ST2: watermark-driven session finalization, APPEND mode, exactly
+    * oracled — the stricter streaming demonstration: st1's complete
+    * mode re-emits everything, append emits a session exactly once and
+    * only when the event-time watermark proves it closed. A finite
+    * replay would leave the trailing sessions open (append would drop
+    * them and the oracle could never match), so the staged file
+    * sequence appends two far-future sentinel rows as separate
+    * micro-batches: sentinel 1 advances the watermark past every real
+    * session, sentinel 2 triggers the batch in which that watermark
+    * evicts + emits them. Sentinel users are negative ids, filtered
+    * from the result; their own sessions never close, so nothing
+    * synthetic can leak through the filter anyway. The staging copy is
+    * content-signature-keyed and written once per dataset; the real
+    * table rides in ONE file so no real row can arrive behind the
+    * watermark (the checkpoint is fresh per run — replay determinism
+    * is StreamingSpec territory). */
+  def st2StreamSessions(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val ev = events(s, d).select(col("ts"), col("user_id"))
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_st2_${
+      graft.Tables.tableSignature(d, "events")}"
+    val done = Paths.get(s"$stage/_STAGED")
+    if (!Files.exists(done)) {
+      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$stage/b0")
+      val day = 86400000000L
+      Seq(1 -> (maxTs + 10 * day), 2 -> (maxTs + 11 * day)).foreach {
+        case (i, us) =>
+          s.range(1)
+            .select(timestamp_micros(lit(us)).as("ts"),
+              lit(-i.toLong).as("user_id"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$stage/b$i")
+      }
+      Files.createFile(done)
+    }
+    val ckpt = Files.createTempDirectory("st2_ckpt").toString
+    val name = "st2_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventWindows
+      .sessionCounts(
+        s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$stage/*"),
+        "ts", "user_id", gap = "30 minutes", lateness = "10 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("user_id"), col("n"))
+      .orderBy("user_id", "session_start_us")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  /** Session rule mirrors Spark's session_window: a gap of EXACTLY the
+    * duration closes the session (extension is strictly-less-than);
+    * session end = last event + gap. */
+  val st2Sql: String =
+    """WITH o AS (SELECT user_id, ts,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |s AS (SELECT user_id, ts,
+      |    SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      |  FROM o)
+      |SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+      |  CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+      |  user_id, COUNT(*) AS n
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "st1_stream_windows" -> (st1StreamWindows _),
+    "st2_stream_sessions" -> (st2StreamSessions _),
     "j8_asof_join" -> (j8AsofJoin _),
     "w3_sessionize" -> (w3Sessionize _),
     "p1_filters" -> (p1Filters _),
@@ -484,6 +564,7 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "st1_stream_windows" -> st1Sql,
+    "st2_stream_sessions" -> st2Sql,
     "j8_asof_join" -> j8AsofJoinSql,
     "w3_sessionize" -> w3SessionizeSql,
     "p1_filters" -> p1FiltersSql,

@@ -443,6 +443,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(nw.isNullAt(0))
   }
 
+  test("collocation PMI matches the hand formula; doc boundaries break bigrams") {
+    // "a b" appears 3x, tokens: doc1 = a b a b, doc2 = a b c  (no
+    // cross-doc bigram b->a between docs)
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(d, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // unigrams: a=3 b=3 c=1, tw=7; bigrams: ab=3 ba=1 bc=1, tb=5
+    val tw = 7.0; val tb = 5.0
+    def pmi(np: Long, c1: Long, c2: Long): Double =
+      math.log((np / tb) / ((c1 / tw) * (c2 / tw)))
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    assert(got(("a", "b"))._1 == 3L)
+    assert(math.abs(got(("a", "b"))._2 - pmi(3, 3, 3)) < 1e-12)
+    assert(math.abs(got(("b", "a"))._2 - pmi(1, 3, 3)) < 1e-12)
+    assert(math.abs(got(("b", "c"))._2 - pmi(1, 3, 1)) < 1e-12)
+    // minCount filters support
+    val filtered = TextAnalysis.collocations(d, "doc_id", "text", minCount = 2L)
+      .collect()
+    assert(filtered.length == 1 && filtered.head.getString(0) == "a")
+  }
+
   test("cluster-aware split keeps every near-dup cluster inside one split") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
       shingleWords = 3, threshold = 0.5, prefixFilter = false)
