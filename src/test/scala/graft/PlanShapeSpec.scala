@@ -118,12 +118,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin is acceptable only where one side is a
     // broadcast of a bounded frame (the ANN query sets: linear corpus
     // scan x a handful of broadcast query vectors / centroids;
-    // p5: the per-stratum quota table x a broadcast ONE-ROW scalar
-    // total — the distributed alternative to a driver collect that
-    // would re-scan the corpus); a CartesianProduct is never
-    // acceptable.
+    // p5 / r1 / t15: a broadcast ONE-ROW scalar-totals frame — the
+    // distributed alternative to a driver collect that would re-scan
+    // the corpus); a CartesianProduct is never acceptable.
     val boundedNestedLoop =
-      Set("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "p5_source_mix")
+      Set("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "p5_source_mix",
+        "r1_bm25", "t15_collocations")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
       assert(!p.contains("CartesianProduct"),
