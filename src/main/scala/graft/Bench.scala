@@ -71,9 +71,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Heavy dedup / clustering / end-to-end compositions are isolated
     // one-per-JVM; everything else is cheap (<~2.5 s) and runs in
-    // chunks of 8 where residue is negligible.
+    // chunks of 8 where residue is negligible. t9/t10 (the bigram-LM
+    // pair: biggest codegen'd plans outside d*/e*) measured 2-3x their
+    // isolated steady state inside a chunk — JIT warm-up bleeding into
+    // the warm median — so they get solo JVMs too.
+    val soloExtra = Set("t9_lm_score", "t10_dsir_weights")
     val (solo, cheap) = names.partition(n =>
-      n.startsWith("d") || n.startsWith("e") || n.startsWith("cc"))
+      n.startsWith("d") || n.startsWith("e") || n.startsWith("cc") ||
+        soloExtra(n))
     val groups: Seq[Seq[String]] =
       solo.map(Seq(_)) ++ cheap.grouped(8).toSeq
 

@@ -172,25 +172,78 @@ case class RollingHash(child: Expression)
   * monomorphic call per row), which keeps the expression out of the
   * interpreted-lambda trap without inlining a page of Java. */
 object SimHashUtil {
-  import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String
 
+  /** Engine-portable 64-bit base hash: the first 8 bytes of
+    * MD5(UTF-8 bytes), big-endian, as a long bit pattern. Chosen over
+    * xxhash64 so every signature in the MinHash/SimHash family can be
+    * replayed bit-for-bit by any engine with an `md5()` —
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT` in DuckDB — which is
+    * what lets the d2/d3/d9/d10/cc3/e5 battery entries carry full
+    * hash-match oracles instead of rows-only checks. MD5 costs ~5
+    * cycles/byte vs xxhash's ~0.3, but the base hash runs ONCE per
+    * shingle inside the scan stage and the k-wide signature mixes
+    * reuse it, so the delta is invisible next to tokenization. */
+  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  def md5h64(s: UTF8String): Long = {
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** Mersenne prime 2^61 - 1: the modulus of the Carter-Wegman
+    * universal-hash family the MinHash permutations draw from. Chosen
+    * because (a·h + b) mod p is exactly expressible in 128-bit
+    * arithmetic on BOTH sides of the oracle (Math.multiplyHigh here,
+    * HUGEINT in DuckDB), unlike mixes that wrap mod 2^64 — Spark 4's
+    * ANSI mode and DuckDB both refuse silent 64-bit overflow. */
+  val P61: Long = (1L << 61) - 1
+
+  /** (a·h) mod 2^61-1 for 0 <= a, h < 2^61-1, via the 128-bit product
+    * folded with 2^61 ≡ 1 (mod p). Branch-light; inlines into the
+    * codegen'd signature loop. */
+  def mulModP(a: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h) // product < 2^122 so hi < 2^58
+    val lo = a * h
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & P61) // (v >> 61) + (v & p)
+    r = (r & P61) + (r >>> 61)
+    if (r >= P61) r - P61 else r
+  }
+
+  /** Affine constants (a_i in [1, p), b_i in [0, p)) for
+    * [[minhashSig]], drawn identically to Dedup.minhashSignature and
+    * the generated DuckDB oracles (same seed, same draw order: all k
+    * multipliers first, then all k offsets). Cached per k; the map is
+    * tiny (one entry per distinct signature width in the process). */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def perms(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, { kk =>
+      val rng = new scala.util.Random(0x5EEDL)
+      val as = Array.fill(kk)(Math.floorMod(rng.nextLong(), P61 - 1) + 1)
+      val bs = Array.fill(kk)(Math.floorMod(rng.nextLong(), P61))
+      (as, bs)
+    })
+
   /** 64-bit SimHash of a token array: bit b set iff the sum over
-    * tokens of ±1 (sign of bit b of xxhash64(token, seed=42)) is
-    * >= 0. Bit-identical to the explode + 64-conditional-sums
-    * aggregation formulation (Dedup.withSimhash): same per-token hash
-    * (`XXH64.hashUTF8String`, the kernel of Spark's `xxhash64`), same
-    * tie-at-zero convention, and a null token contributes the seed's
-    * bits exactly as `xxhash64(null)` does. */
+    * tokens of ±1 (sign of bit b of [[md5h64]](token)) is >= 0.
+    * Bit-identical to the explode + 64-conditional-sums aggregation
+    * formulation (Dedup.withSimhash): same per-token hash, same
+    * tie-at-zero convention; a null token hashes as the empty string
+    * (pipeline tokenizers never produce one). */
   def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val cnt = new Array[Int](64)
     var k = 0
     while (k < n) {
-      val h =
-        if (arr.isNullAt(k)) 42L
-        else XXH64.hashUTF8String(arr.getUTF8String(k), 42L)
+      val h = md5h64(
+        if (arr.isNullAt(k)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(k))
       var b = 0
       while (b < 64) {
         cnt(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
@@ -207,41 +260,28 @@ object SimHashUtil {
     sim
   }
 
-  /** Rotate-XOR permutation constants for [[minhashSig]], drawn
-    * identically to Dedup.permConsts (same seed, same draw order: all
-    * k rotations first, then all k masks) so the per-row signature is
-    * bit-identical to the closed-form / aggregated formulations.
-    * Cached per k; the map is tiny (one entry per distinct signature
-    * width in the process). */
-  private val permCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Int], Array[Long])]()
-  private def perms(k: Int): (Array[Int], Array[Long]) =
-    permCache.computeIfAbsent(k, { kk =>
-      val rng = new scala.util.Random(0x5EEDL)
-      val rots = Array.fill(kk)(1 + rng.nextInt(63))
-      val masks = Array.fill(kk)(rng.nextLong())
-      (rots, masks)
-    })
-
   /** k-permutation MinHash signature of a shingle array:
-    * sig[i] = min over shingles of rotl(xxhash64(s), rot_i) ^ mask_i.
-    * Empty array → null (callers filter empty shingle sets first,
-    * matching the aggregate formulation, whose explode emits no row
-    * for them). */
+    * sig[i] = min over shingles of (a_i · h61(s) + b_i) mod 2^61-1,
+    * where h61(s) = [[md5h64]](s) interpreted unsigned, mod 2^61-1.
+    * All values live in [0, 2^61), so signed and unsigned min agree —
+    * the DuckDB replay needs no two's-complement gymnastics. Empty
+    * array → null (callers filter empty shingle sets first, matching
+    * the aggregate formulation, whose explode emits no row for
+    * them). */
   def minhashSig(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val (rots, masks) = perms(k)
+    val (as, bs) = perms(k)
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h =
-        if (arr.isNullAt(j)) 42L
-        else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      val h64 = md5h64(
+        if (arr.isNullAt(j)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(j))
+      val h61 = java.lang.Long.remainderUnsigned(h64, P61)
       var i = 0
       while (i < k) {
-        val r = rots(i)
-        val v = ((h << r) | (h >>> (64 - r))) ^ masks(i)
+        var v = mulModP(as(i), h61) + bs(i)
+        if (v >= P61) v -= P61
         if (v < mins(i)) mins(i) = v
         i += 1
       }
@@ -338,8 +378,8 @@ case class RemoveTokens(left: Expression, right: Expression)
   * function of the document alone, so computing it in the scan-stage
   * projection removes the token-row shuffle entirely AND shrinks the
   * compiled plan (the 64 aggregate columns dominated d3's ~20 s cold
-  * codegen time). Null array → null; null elements contribute the
-  * seed like `xxhash64(null)`. */
+  * codegen time). Null array → null; null elements hash as the
+  * empty string. */
 case class SimHash64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -435,6 +475,38 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd engine-portable 64-bit string hash: the first 8 bytes of
+  * MD5(UTF-8 bytes), big-endian, as a long bit pattern (see
+  * [[SimHashUtil.md5h64]]). Used for LSH bucket keys where the key
+  * must be replayable by another engine —
+  * `('0x' || substr(md5(s), 1, 16))::UBIGINT` in DuckDB has the same
+  * 64 bits — while staying an 8-byte shuffle key rather than a hex
+  * string. Null → null. */
+case class Md5Long(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_long needs a string input, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.md5h64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashUtil.md5h64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two numeric array columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -459,4 +531,8 @@ object VectorExprs {
   /** Codegen'd order-preserving token removal by position. */
   def removeTokens(words: Column, positions: Column): Column =
     Bridge.toColumn(RemoveTokens(Bridge.toExpression(words), Bridge.toExpression(positions)))
+
+  /** Codegen'd engine-portable md5-based 64-bit string hash. */
+  def md5Long(s: Column): Column =
+    Bridge.toColumn(Md5Long(Bridge.toExpression(s)))
 }

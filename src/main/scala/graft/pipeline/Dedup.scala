@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * n-gram Jaccard (the small-scale ground truth the probabilistic
   * methods are tested against).
   *
-  * All signature computation is pure codegen'd column expressions
-  * (higher-order array functions + xxhash64) — no UDFs, no driver
-  * loops. The only shuffles are the band-bucket equi-join (MinHash) and
+  * All signature computation is pure codegen'd column expressions —
+  * no UDFs, no driver loops. The MinHash/SimHash family hashes with
+  * the ENGINE-PORTABLE md5-64 base + Mersenne-61 affine mixes
+  * ([[graft.functions.SimHashUtil.md5h64]]), so every signature,
+  * bucket, and verified pair replays bit-for-bit in the DuckDB
+  * oracles ([[graft.queries.PortableHashOracle]]); exact dedup keys
+  * on a 192-bit xxhash64+md5 digest (its OUTPUT is hash-value-
+  * independent, so portability doesn't constrain it). The only shuffles are the band-bucket equi-join (MinHash) and
   * the final pair joins, both on dense integer/hash keys that AQE can
   * re-split on skew — the properties that matter at 100 TB, where
   * candidate generation must stay near-linear and only verified
@@ -166,39 +171,51 @@ object Dedup {
 
   // ---- MinHash + LSH ----------------------------------------------
 
-  /** Seeded rotate-XOR permutation family: perm_i(h) =
-    * rotl(h, r(i)) ⊕ b(i). One string hash per shingle + k cheap bit
-    * ops beats k independent string hashes ~10× in the signature pass;
-    * bit ops (unlike the affine h*A+B family) cannot overflow under
-    * Spark 4's default ANSI arithmetic. Each perm is a bijection of
-    * Z/2^64, which is all the min-wise sketch needs on top of the
-    * well-mixed xxhash64 base. */
-  private def permConsts(k: Int): (Seq[Int], Seq[Long]) = {
-    val rng = new scala.util.Random(0x5EEDL)
-    (Seq.fill(k)(1 + rng.nextInt(63)), Seq.fill(k)(rng.nextLong()))
-  }
+  /** Seeded Carter-Wegman permutation family over the Mersenne field
+    * GF(2^61-1): perm_i(h) = (a_i · h61 + b_i) mod p on the md5-based
+    * base hash (one string hash per shingle + k cheap modular mixes).
+    * ENGINE-PORTABLE by construction: the md5 base and the 128-bit-
+    * staged affine mix replay exactly in DuckDB HUGEINT arithmetic,
+    * which is what lets the whole MinHash battery family (d2, d9, cc3,
+    * e5) carry hash-match oracles — see
+    * [[graft.functions.SimHashUtil.md5h64]] for the hash-choice
+    * rationale and [[graft.queries.PortableHashOracle]] for the
+    * generated replay SQL. Constants come from
+    * [[graft.functions.SimHashUtil.perms]] (one seed, one draw
+    * order), shared by every formulation. */
+  private def p61Consts(k: Int): (Array[Long], Array[Long]) =
+    graft.functions.SimHashUtil.perms(k)
 
-  private def perm(h: Column, rot: Int, mask: Long): Column =
-    shiftleft(h, rot).bitwiseOR(shiftrightunsigned(h, 64 - rot))
-      .bitwiseXOR(lit(mask))
+  private val P61big = BigDecimal(graft.functions.SimHashUtil.P61)
+
+  /** Unsigned md5-64 of a string column, mod 2^61-1, as Decimal(38,0)
+    * — the closed-form (built-ins only) counterpart of the codegen'd
+    * per-row hash; spec-path only. */
+  private def h61Col(s: Column): Column =
+    conv(substring(md5(s), 1, 16), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0)) % lit(P61big)
 
   /** k-permutation MinHash signature of a shingle-array column:
-    * sig[i] = min over shingles of perm_i(xxhash64(shingle)).
-    * Closed-form Column version; [[withMinhash]] computes the identical
-    * signature via explode + codegen'd min aggregates, which is what
+    * sig[i] = min over shingles of (a_i · h61(shingle) + b_i) mod
+    * 2^61-1. Closed-form Column version staged in Decimal(38,0) (the
+    * 122-bit product fits losslessly; Spark 4's ANSI mode would refuse
+    * the long overflow); [[withMinhash]] computes the identical
+    * signature via the codegen'd 128-bit integer path, which is what
     * scales. */
   def minhashSignature(shingles: Column, k: Int): Column = {
-    val (r, b) = permConsts(k)
-    val hashes = transform(shingles, s => xxhash64(s))
+    val (as, bs) = p61Consts(k)
+    val hashes = transform(shingles, s => h61Col(s))
     array((0 until k).map { i =>
-      array_min(transform(hashes, h => perm(h, r(i), b(i))))
+      array_min(transform(hashes, h =>
+        ((lit(BigDecimal(as(i))) * h + lit(BigDecimal(bs(i)))) % lit(P61big))
+          .cast("long")))
     }: _*)
   }
 
   /** Add `_shingles` and `_sig` columns — both pure scan-stage
     * projections ([[withShingles]] + the codegen'd
-    * [[graft.functions.MinHashSig]] expression, whose rotate-XOR
-    * constants replicate [[permConsts]] draw-for-draw, so the
+    * [[graft.functions.MinHashSig]] expression, whose affine
+    * constants replicate [[minhashSignature]]'s draw-for-draw, so the
     * signature is bit-identical to [[minhashSignature]] and to the
     * earlier explode + k-min-aggregate formulation). The signature is
     * a per-document function, so nothing shuffles here: the only
@@ -215,11 +232,17 @@ object Dedup {
 
   /** LSH banding: explode the signature into `bands` buckets of `rows`
     * values each; two docs sharing any (band, hash) bucket become a
-    * candidate pair. Returns (band, bucket, <df columns>). */
+    * candidate pair. Returns (band, bucket, <df columns>). The bucket
+    * key is the portable md5-64 of "band,v1,..,vrows" (decimal
+    * rendering) — an 8-byte shuffle key whose collisions replay
+    * exactly in the DuckDB oracle, which hashes the identical
+    * string. */
   def lshBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame =
     df.withColumn("_band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("_bucket",
-        xxhash64(slice(col("_sig"), col("_band") * rows + 1, lit(rows)), col("_band")))
+      .withColumn("_bucket", graft.functions.VectorExprs.md5Long(
+        concat_ws(",", col("_band").cast("string"),
+          slice(col("_sig"), col("_band") * rows + 1, lit(rows))
+            .cast("array<string>"))))
 
   /** Candidate pairs from shared LSH buckets, verified by exact shingle
     * Jaccard >= `threshold`. Output: (id_a, id_b, jaccard) with
@@ -330,7 +353,7 @@ object Dedup {
     * dataset at the same path gets a fresh index instead of stale
     * postings (same contract as [[IvfAnn.scratchDir]]). */
   def indexScratchDir(dataset: String, table: String = "documents"): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_neardup_${
+    s"${System.getProperty("java.io.tmpdir")}/graft_neardupp_${
       graft.Tables.tableSignature(dataset, table)}"
 
   /** Incremental NEAR-dup — [[incrementalExact]]'s counterpart for
@@ -398,9 +421,11 @@ object Dedup {
   // ---- SimHash -----------------------------------------------------
 
   /** 64-bit SimHash over a token-array column: bit b is set iff the sum
-    * over tokens of ±1 (sign of bit b of the token hash) is >= 0. */
+    * over tokens of ±1 (sign of bit b of the portable md5-64 token
+    * hash) is >= 0. Closed form (spec path); the scan-stage
+    * [[withShinglesAndSimhash]] is what scales. */
   def simhash64(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+    val hashes = transform(tokens, t => graft.functions.VectorExprs.md5Long(t))
     aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
       val bitSum = aggregate(hashes, lit(0L), (s, h) =>
         s + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -423,8 +448,8 @@ object Dedup {
     *
     * Values are identical to [[withShingles]] + [[withSimhash]] modulo
     * shingle element order (set semantics; every consumer is
-    * order-insensitive): same tokenizer, same per-token xxhash64
-    * kernel and sign-sum convention (see [[graft.functions
+    * order-insensitive): same tokenizer, same per-token portable
+    * md5-64 hash and sign-sum convention (see [[graft.functions
     * .SimHashUtil]]), and a null/short document yields an empty
     * shingle set exactly as the legacy left-join + coalesce did. Rows
     * and ids pass through 1:1, so the [[withShingles]] id contract is
@@ -446,7 +471,7 @@ object Dedup {
     * lambdas that dominated the sf0.1 profile. */
   def withSimhash(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
     val ex = df.select(col(idCol), explode(col(tokensCol)).as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
+      .withColumn("_h", graft.functions.VectorExprs.md5Long(col("_t")))
     val aggs = (0 until 64).map { b =>
       sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"_b$b")
@@ -607,7 +632,7 @@ object Dedup {
     * because it determines the block-key layout (see [[SimHashIndex]]). */
   def simhashScratchDir(dataset: String, maxHamming: Int = 4,
       table: String = "documents"): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_simhash_h${maxHamming}_${
+    s"${System.getProperty("java.io.tmpdir")}/graft_simhashp_h${maxHamming}_${
       graft.Tables.tableSignature(dataset, table)}"
 
   /** Incremental SimHash near-dup — [[incrementalMinhash]]'s

@@ -10,11 +10,12 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
   * multimodal) as driver-checked queries on the documents + embeddings
   * tables.
   *
-  * Exact and brute-force operators carry DuckDB oracles; the
-  * probabilistic ones (MinHash-LSH, SimHash, hyperplane-LSH ANN) are
-  * hash-seed-dependent and get rows-only driver checks — their
-  * recall/precision against the exact baselines is asserted in
-  * PipelineSpec/AnnSpec instead.
+  * Exact, brute-force, AND the md5-based MinHash/SimHash operators
+  * carry DuckDB oracles (the latter via the engine-portable hash
+  * family, [[PortableHashOracle]]); only the genuinely seed-dependent
+  * ones (hyperplane-LSH ANN, IVF k-means, sketches) remain rows-only
+  * — their recall/precision against the exact baselines is asserted
+  * in PipelineSpec/AnnSpec instead.
   */
 object Pipeline {
 
@@ -65,15 +66,20 @@ object Pipeline {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash + LSH banding near-dups (rows-only: signature depends on
-    * xxhash64 seeds; recall vs d4 asserted in PipelineSpec). */
+  /** MinHash + LSH banding near-dups — fully ORACLED: the portable
+    * md5-64 + Mersenne-61 signature family replays bit-for-bit in
+    * DuckDB ([[PortableHashOracle.d2Sql]]); recall vs the exact d4
+    * pair set is additionally asserted in PipelineSpec. */
   def d2MinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(documents(s, d), "doc_id", "text",
         shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dups via combined-block candidate join (rows-only).
+  /** SimHash near-dups via combined-block candidate join — fully
+    * ORACLED by a brute-force DuckDB replay (valid because the
+    * combined-block candidate join is pigeonhole-complete; see
+    * [[PortableHashOracle.d3Sql]]).
     *
     * maxHamming = 4, profiled at sf0.1 (5 k docs): verified pairs by
     * hamming are 36/60/49/43/23 at h=0..4 then a long tail (22/12/8/2
@@ -257,9 +263,10 @@ object Pipeline {
       |FROM j WHERE rn = 1 ORDER BY cluster""".stripMargin
 
   /** The probabilistic path composed end-to-end: MinHash-LSH pair graph
-    * → connected components → keep/drop (rows-only: the pair graph is
-    * hash-seed-dependent; CC correctness itself is oracled via cc1/cc2
-    * and differential-tested in ComponentsSpec). */
+    * → connected components → keep/drop — fully ORACLED: the portable
+    * minhash pair graph plus a recursive-CTE transitive closure
+    * ([[PortableHashOracle.cc3Sql]]); CC is additionally
+    * differential-tested in ComponentsSpec. */
   def cc3MinhashClusters(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
@@ -424,7 +431,8 @@ object Pipeline {
     * content-signature-keyed index d9 probes, demonstrating one index
     * serving both incremental ingest and decontamination. Each eval
     * doc hits its verbatim twin at jaccard 1 plus the twin's planted
-    * near-dups. Rows-only (MinHash); the probe ≡ full-recompute
+    * near-dups. Fully ORACLED via the portable-hash replay
+    * ([[PortableHashOracle.e5Sql]]); the probe ≡ full-recompute
     * equality is pinned by d9's spec, the origin filter by
     * PipelineSpec's fuzzyContamination test. */
   def e5FuzzyDecontaminate(s: SparkSession, d: String): DataFrame = {
@@ -832,5 +840,9 @@ object Pipeline {
     "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,
     "m3_frame_decode" -> m3Sql,
-    "m4_audio_decode" -> m4Sql)
+    "m4_audio_decode" -> m4Sql,
+    "d2_minhash_lsh" -> PortableHashOracle.d2Sql,
+    "d3_simhash" -> PortableHashOracle.d3Sql,
+    "cc3_minhash_clusters" -> PortableHashOracle.cc3Sql,
+    "e5_fuzzy_decontaminate" -> PortableHashOracle.e5Sql)
 }

@@ -1,0 +1,219 @@
+package graft.queries
+
+/** Generated DuckDB replay SQL for the MinHash / SimHash battery
+  * entries (d2, d3, d9, d10, cc3, e5).
+  *
+  * The whole family hashes with the engine-portable md5-64 base +
+  * Mersenne-61 affine mixes ([[graft.functions.SimHashUtil.md5h64]]),
+  * so the oracle can recompute every signature, band bucket, and
+  * combined-block candidate bit-for-bit:
+  *
+  *  - base hash:  `('0x' || substr(md5(s), 1, 16))::UBIGINT` — the
+  *    same 64 bits as the Scala side's first-8-md5-bytes long;
+  *  - MinHash perm_i: `((a_i::HUGEINT * h61 + b_i) % (2^61-1))` —
+  *    the 122-bit product fits HUGEINT exactly, mirroring the
+  *    Math.multiplyHigh fold in SimHashUtil.mulModP; the affine
+  *    constants are drawn HERE from the same cached generator the
+  *    Catalyst expression uses, so the two sides cannot drift;
+  *  - band bucket: md5 of the identical "band,v1,..,v4" decimal
+  *    rendering (Spark keeps the first 8 bytes as a long, the oracle
+  *    the first 16 hex chars — same bits, same collisions);
+  *  - SimHash: per-token bit votes summed per document, signature
+  *    assembled from power-of-two literals (DuckDB refuses `1 << 63`
+  *    but a HUGEINT literal sum is exact), pairs brute-forced — valid
+  *    as an oracle because the combined-block candidate join is
+  *    pigeonhole-COMPLETE, so production output == all pairs with
+  *    hamming <= maxHamming (QualitySpec pins the same equality).
+  *
+  * These are oracle-side replays of the operator CONTRACT, not of the
+  * Spark plan: the SQL brute-forces where the engine uses an index
+  * (d3/d10) and re-derives persisted postings from source text
+  * (d9/e5), so a hash-match here checks the distributed program
+  * against an independent sequential evaluation.
+  */
+object PortableHashOracle {
+
+  private val P = graft.functions.SimHashUtil.P61 // 2^61 - 1
+
+  /** The k=32 affine constants, drawn from the ONE shared generator. */
+  private def consts32: (Array[Long], Array[Long]) =
+    graft.functions.SimHashUtil.perms(32)
+
+  // ---- shared CTE fragments ---------------------------------------
+
+  /** Tokenize + 3-gram shingle CTEs for `src`, suffixed `_$sfx`:
+    * w_$sfx (doc_id, wd) and s_$sfx (doc_id, sh). Same fragments as
+    * the long-green d4/cc1 oracles. */
+  private def shingleCtes(sfx: String, src: String): String =
+    s"""w_$sfx AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+       |  FROM $src),
+       |s_$sfx AS (SELECT doc_id, wd,
+       |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+       |                   for i in range(1, len(wd) - 1)]) AS sh
+       |  FROM w_$sfx WHERE len(wd) >= 3)""".stripMargin
+
+  /** MinHash signature + band-bucket CTEs on top of s_$sfx:
+    * g_$sfx (doc_id, sh, sg) and b_$sfx (doc_id, bd, bk).
+    * k = 32 hashes, 8 bands x 4 rows — the battery parameters. */
+  private def minhashCtes(sfx: String): String = {
+    val (as, bs) = consts32
+    val sigs = (0 until 32).map { i =>
+      s"list_min(list_transform(hh, h -> ((${as(i)}::HUGEINT * h + ${bs(i)}) % $P)::BIGINT))"
+    }.mkString(",\n|      ").stripMargin
+    s"""h_$sfx AS (SELECT doc_id, sh,
+       |    list_transform(sh, g -> ('0x' || substr(md5(g), 1, 16))::UBIGINT % $P) AS hh
+       |  FROM s_$sfx),
+       |g_$sfx AS (SELECT doc_id, sh,
+       |    [$sigs] AS sg
+       |  FROM h_$sfx),
+       |b_$sfx AS (SELECT doc_id, bd,
+       |    substr(md5(bd::VARCHAR || ',' ||
+       |               array_to_string(list_slice(sg, 4*bd+1, 4*bd+4), ',')), 1, 16) AS bk
+       |  FROM g_$sfx CROSS JOIN (SELECT unnest(range(8)) AS bd) bands)""".stripMargin
+  }
+
+  /** SimHash signature CTEs on top of w_$sfx (tokens WITH duplicates,
+    * docs with >= 3 words — the same population that survives the
+    * shingle filter): sim_$sfx (doc_id, sg UBIGINT). */
+  private def simhashCtes(sfx: String): String = {
+    val sums = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b"
+    }.mkString(",\n|      ").stripMargin
+    val assemble = (0 until 64).map { b =>
+      val pow = java.math.BigInteger.ONE.shiftLeft(b).toString
+      s"CASE WHEN c$b >= 0 THEN $pow ELSE 0 END"
+    }.mkString(" +\n|      ").stripMargin
+    s"""t_$sfx AS (SELECT doc_id, unnest(wd) AS tk
+       |  FROM w_$sfx WHERE len(wd) >= 3),
+       |hb_$sfx AS (SELECT doc_id,
+       |    ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS h FROM t_$sfx),
+       |cs_$sfx AS (SELECT doc_id,
+       |      $sums
+       |  FROM hb_$sfx GROUP BY doc_id),
+       |sim_$sfx AS (SELECT doc_id,
+       |    ($assemble)::UBIGINT AS sg
+       |  FROM cs_$sfx)""".stripMargin
+  }
+
+  private val jac =
+    "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh)))"
+
+  /** The d9/d10 probe batch: near-copies of every 6th doc, ids offset
+    * into a disjoint space. */
+  private val batch6 =
+    "(SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text FROM documents WHERE doc_id % 6 = 0)"
+
+  /** The e5 eval set: every 25th doc verbatim, ids offset. */
+  private val eval25 =
+    "(SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0)"
+
+  // ---- d2: MinHash + LSH near-dup pairs ---------------------------
+
+  val d2Sql: String =
+    s"""WITH ${shingleCtes("c", "documents")},
+       |${minhashCtes("c")},
+       |cand AS (SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b
+       |  FROM b_c p JOIN b_c q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id < q.doc_id),
+       |j AS (SELECT c.id_a, c.id_b, $jac AS jac
+       |  FROM cand c JOIN s_c x ON x.doc_id = c.id_a
+       |              JOIN s_c y ON y.doc_id = c.id_b)
+       |SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+       |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- cc3: MinHash pairs -> connected-component clusters ---------
+
+  val cc3Sql: String =
+    s"""WITH RECURSIVE ${shingleCtes("c", "documents")},
+       |${minhashCtes("c")},
+       |cand AS (SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b
+       |  FROM b_c p JOIN b_c q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id < q.doc_id),
+       |pairs AS (SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN s_c x ON x.doc_id = c.id_a
+       |              JOIN s_c y ON y.doc_id = c.id_b
+       |  WHERE $jac >= 0.5),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, cluster, cluster = doc_id AS is_rep
+       |FROM lbl ORDER BY doc_id""".stripMargin
+
+  // ---- d9: incremental MinHash probe vs corpus postings -----------
+
+  val d9Sql: String =
+    s"""WITH ${shingleCtes("c", "documents")},
+       |${minhashCtes("c")},
+       |${shingleCtes("n", batch6)},
+       |${minhashCtes("n")},
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b, 'corpus' AS origin
+       |  FROM b_c p JOIN b_n q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id != q.doc_id
+       |  UNION
+       |  SELECT DISTINCT p.doc_id, q.doc_id, 'batch'
+       |  FROM b_n p JOIN b_n q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id < q.doc_id),
+       |sh_all AS (SELECT doc_id, sh FROM s_c UNION ALL SELECT doc_id, sh FROM s_n),
+       |j AS (SELECT c.id_a, c.id_b, c.origin, $jac AS jac
+       |  FROM cand c JOIN sh_all x ON x.doc_id = c.id_a
+       |              JOIN s_n y ON y.doc_id = c.id_b)
+       |SELECT id_a, id_b, ROUND(jac, 4) AS jacc, origin
+       |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b, origin""".stripMargin
+
+  // ---- e5: fuzzy decontamination (eval set probes the same index) --
+
+  val e5Sql: String =
+    s"""WITH ${shingleCtes("c", "documents")},
+       |${minhashCtes("c")},
+       |${shingleCtes("n", eval25)},
+       |${minhashCtes("n")},
+       |cand AS (SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b
+       |  FROM b_c p JOIN b_n q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id != q.doc_id),
+       |j AS (SELECT c.id_a, c.id_b, $jac AS jac
+       |  FROM cand c JOIN s_c x ON x.doc_id = c.id_a
+       |              JOIN s_n y ON y.doc_id = c.id_b)
+       |SELECT id_a AS doc_id, id_b AS eval_doc_id, ROUND(jac, 4) AS jacc
+       |FROM j WHERE jac >= 0.5 ORDER BY doc_id, eval_doc_id""".stripMargin
+
+  // ---- d3: SimHash near-dup pairs (brute-force replay) ------------
+
+  val d3Sql: String =
+    s"""WITH ${shingleCtes("c", "documents")},
+       |${simhashCtes("c")},
+       |cand AS (SELECT p.doc_id AS id_a, q.doc_id AS id_b,
+       |    CAST(bit_count(xor(p.sg, q.sg)) AS INTEGER) AS hamming
+       |  FROM sim_c p JOIN sim_c q ON p.doc_id < q.doc_id
+       |  WHERE bit_count(xor(p.sg, q.sg)) <= 4),
+       |j AS (SELECT c.id_a, c.id_b, c.hamming, $jac AS jac
+       |  FROM cand c JOIN s_c x ON x.doc_id = c.id_a
+       |              JOIN s_c y ON y.doc_id = c.id_b)
+       |SELECT id_a, id_b, hamming, ROUND(jac, 6) AS jaccard
+       |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- d10: incremental SimHash probe (brute-force replay) --------
+
+  val d10Sql: String =
+    s"""WITH ${shingleCtes("c", "documents")},
+       |${simhashCtes("c")},
+       |${shingleCtes("n", batch6)},
+       |${simhashCtes("n")},
+       |cand AS (
+       |  SELECT p.doc_id AS id_a, q.doc_id AS id_b,
+       |      CAST(bit_count(xor(p.sg, q.sg)) AS INTEGER) AS hamming, 'corpus' AS origin
+       |  FROM sim_c p JOIN sim_n q ON p.doc_id != q.doc_id
+       |  WHERE bit_count(xor(p.sg, q.sg)) <= 4
+       |  UNION ALL
+       |  SELECT p.doc_id, q.doc_id,
+       |      CAST(bit_count(xor(p.sg, q.sg)) AS INTEGER), 'batch'
+       |  FROM sim_n p JOIN sim_n q ON p.doc_id < q.doc_id
+       |  WHERE bit_count(xor(p.sg, q.sg)) <= 4),
+       |sh_all AS (SELECT doc_id, sh FROM s_c UNION ALL SELECT doc_id, sh FROM s_n),
+       |j AS (SELECT c.id_a, c.id_b, c.hamming, c.origin, $jac AS jac
+       |  FROM cand c JOIN sh_all x ON x.doc_id = c.id_a
+       |              JOIN s_n y ON y.doc_id = c.id_b)
+       |SELECT id_a, id_b, hamming, ROUND(jac, 4) AS jacc, origin
+       |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b, origin""".stripMargin
+}

@@ -121,10 +121,12 @@ object Quality {
     * persisted state; a new batch (near-copies of a corpus slice plus
     * a batch-internal near-pair) probes them and verifies candidates
     * by exact Jaccard — the paraphrase-level counterpart of d8, and
-    * the operational mode at 100 TB (no corpus rescan). Rows-only:
-    * DuckDB cannot replay 32 rotate-XOR permutations practically;
-    * QualitySpec pins the result equal to the full-batch
-    * minhashNearDups recomputation restricted to batch pairs.
+    * the operational mode at 100 TB (no corpus rescan). Fully
+    * ORACLED: the portable md5-64 + Mersenne-61 signatures replay in
+    * DuckDB, which re-derives the postings from source text
+    * ([[PortableHashOracle.d9Sql]]); QualitySpec additionally pins
+    * the result equal to the full-batch minhashNearDups recomputation
+    * restricted to batch pairs.
     *
     * The corpus band index is loaded from the content-signature-keyed
     * scratch location (built on first use, like s3/d6's shared IVF
@@ -149,11 +151,11 @@ object Quality {
     * hamming-distance candidate family: the corpus's combined-block
     * key postings are the persisted state (content-signature-keyed
     * scratch, built on first use); only the batch is re-signed.
-    * Rows-only for the same reason as d3/d9 (DuckDB can't replay the
-    * xxhash64 signature); QualitySpec pins the result EXACTLY equal to
-    * the full simhashNearDups recomputation on batch pairs —
-    * pigeonhole-complete candidates make that an equality, not a
-    * recall bound. */
+    * Fully ORACLED by a brute-force DuckDB replay of the portable
+    * md5-64 signatures ([[PortableHashOracle.d10Sql]]) — valid
+    * because candidates are pigeonhole-complete; QualitySpec pins the
+    * same equality against the full simhashNearDups recomputation on
+    * batch pairs. */
   def d10IncrementalSimhash(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val batch = docs.filter(col("doc_id") % 6 === 0)
@@ -380,5 +382,7 @@ object Quality {
     "t13_url_dedup" -> t13Sql,
     "d7_dup_spans" -> d7Sql,
     "d8_incremental" -> d8Sql,
-    "t14_bpe_tokenize" -> BpeOracle.t14Sql(numMerges = 64))
+    "t14_bpe_tokenize" -> BpeOracle.t14Sql(numMerges = 64),
+    "d9_incremental_neardup" -> PortableHashOracle.d9Sql,
+    "d10_incremental_simhash" -> PortableHashOracle.d10Sql)
 }
