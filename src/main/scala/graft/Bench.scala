@@ -149,16 +149,27 @@ object Bench {
     res
   }
 
-  /** Child classpath is derived from code-source locations (graft
-    * classes dir + the Spark jars dir), not java.class.path, so this
-    * works however the parent itself was launched. */
+  /** Child classpath: the parent's own java.class.path when it
+    * already carries Spark (an `sbt runMain` parent lists every jar —
+    * including sbt's bg-jobs layout, which COPIES each jar into its
+    * own directory, so a jars-dir glob derived from one class's
+    * code-source would see exactly one jar and the child dies with
+    * NoClassDefFoundError). Fallback for launchers whose class.path
+    * is just a bootstrap jar: code-source locations (graft classes
+    * dir + the Spark jars dir glob). */
   private def forkChild(childArgs: Seq[String], log: File, timeoutMin: Long): Boolean = {
     def loc(c: Class[_]): String =
       new File(c.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
     val graftCp = loc(Bench.getClass)
-    val sparkJars = new File(loc(classOf[SparkSession])).getParent
-    val scalaJar = loc(classOf[scala.Option[_]]) // scala-library (also in sparkJars, kept explicit)
-    val cp = Seq(graftCp, scalaJar, sparkJars + "/*").mkString(File.pathSeparator)
+    val parentCp = System.getProperty("java.class.path", "")
+    val cp =
+      if (parentCp.split(File.pathSeparator).exists(_.contains("spark-core")))
+        Seq(parentCp, graftCp).mkString(File.pathSeparator)
+      else {
+        val sparkJars = new File(loc(classOf[SparkSession])).getParent
+        val scalaJar = loc(classOf[scala.Option[_]]) // scala-library (also in sparkJars, kept explicit)
+        Seq(graftCp, scalaJar, sparkJars + "/*").mkString(File.pathSeparator)
+      }
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(

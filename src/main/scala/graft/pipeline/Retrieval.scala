@@ -103,4 +103,28 @@ object Retrieval {
         size(col("_ct")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("_ct")).as("chunk_text"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
+    * retrieval lists — the standard way to combine lexical (BM25) and
+    * dense (embedding) retrieval without score calibration:
+    * rrf(q, d) = Σ_lists 1 / (kRrf + rank_list(q, d)), where a list
+    * that didn't retrieve the document contributes 0 (full outer
+    * join). Rank-based, so it composes any two retrievers whose score
+    * scales are incomparable; kRrf = 60 is the paper's constant.
+    *
+    * Purely relational — one full-outer join on (query, doc) — and
+    * deterministic given deterministic input ranks, so the fused
+    * ranking is DuckDB-oracle-able end to end. Output: (queryIdCol,
+    * idCol, rrf) one row per (query, doc) retrieved by EITHER list;
+    * callers rank/truncate downstream. */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryIdCol: String, idCol: String,
+      rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
+    val aa = a.select(col(queryIdCol), col(idCol), col(rankCol).as("_ra"))
+    val bb = b.select(col(queryIdCol), col(idCol), col(rankCol).as("_rb"))
+    aa.join(bb, Seq(queryIdCol, idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("_rb")), lit(0.0)))
+      .drop("_ra", "_rb")
+  }
 }

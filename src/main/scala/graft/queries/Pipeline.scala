@@ -533,6 +533,26 @@ object Pipeline {
       .orderBy("q_vec_id", "rank")
   }
 
+  /** IVF-PQ compressed ANN top-5 (rows-only: k-means seeds; recall and
+    * reconstruction quality asserted in PipelineSpec). The corpus is
+    * stored as 8 one-byte PQ codes per vector — 64× smaller than the
+    * raw float64 embeddings, the representation that keeps a 100 TB
+    * embedding corpus probe-able from memory — scanned with a
+    * per-query ADC lookup table and re-ranked exactly on the
+    * shortlist. Index persisted cell-partitioned and
+    * content-signature-keyed like s3's. */
+  def s4AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val dir = graft.pipeline.PqAnn.scratchDir(d, nlist = 16, m = 8, ksub = 64)
+    val index = graft.pipeline.PqAnn.loadOrBuild(emb, "vec_id", "embedding",
+      dim = 64, nlist = 16, m = 8, ksub = 64, dir = dir)
+    graft.pipeline.PqAnn.topK(index, emb, q, k = 5, nprobe = 6, rerankFactor = 8)
+      .select(col("q_vec_id"), col("vec_id"), round(col("sim"), 4).as("sim_r"), col("rank"))
+      .orderBy("q_vec_id", "rank")
+  }
+
   // ---- text analysis -----------------------------------------------
 
   /** Per-language corpus statistics: token counts (whitespace and
@@ -812,6 +832,7 @@ object Pipeline {
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
+    "s4_ann_ivfpq" -> (s4AnnIvfPq _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),

@@ -91,11 +91,114 @@ object Search {
       |  md5(array_to_string(ct, ' ')) AS chunk_md5
       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Hybrid retrieval: the r1 BM25 lexical ranking fused with a dense
+    * cosine ranking by reciprocal-rank fusion
+    * ([[Retrieval.rrfFuse]]) — the standard two-tower RAG retrieval
+    * stack as one relational program. The dense side embeds each query
+    * as the embeddings-table vector sharing its id (a stand-in for a
+    * query encoder; the FUSION is what's under test). Both input
+    * rankings use the 4-dp-rounded-score + id-tiebreak idiom (s1/r1),
+    * so the fused ranking is deterministic and fully DuckDB-oracled —
+    * rank arithmetic 1/(60+r) is exact-identical IEEE on both
+    * engines. */
+  def r3HybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (1L, "vector"), (1L, "hash"), (1L, "join"),
+      (2L, "spark"), (2L, "stream"), (2L, "window"),
+      (3L, "slow"), (3L, "query")).toDF("query_id", "term")
+    val wl = Window.partitionBy("query_id").orderBy(desc("score_r"), col("doc_id"))
+    val lex = Retrieval.bm25(documents(s, d), "doc_id", "text", qs, "query_id", "term")
+      .withColumn("score_r", round(col("score"), 4))
+      .withColumn("rank", row_number().over(wl).cast("long"))
+      .filter(col("rank") <= 20)
+      .select("query_id", "doc_id", "rank")
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wd = Window.partitionBy("query_id").orderBy(desc("sim_r"), col("vec_id"))
+    val dense = graft.pipeline.Similarity
+      .pairSims(emb, q, "vec_id", "query_id", "embedding", "q_embedding")
+      .withColumn("sim_r", round(col("sim"), 4))
+      .withColumn("rank", row_number().over(wd).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val wf = Window.partitionBy("query_id").orderBy(desc("rrf_r"), col("doc_id"))
+    Retrieval.rrfFuse(lex, dense, "query_id", "doc_id")
+      .withColumn("rrf_r", round(col("rrf"), 6))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rrf_r"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val r3Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |    (1, 'vector'), (1, 'hash'), (1, 'join'),
+      |    (2, 'spark'), (2, 'stream'), (2, 'window'),
+      |    (3, 'slow'), (3, 'query')),
+      |tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS dl
+      |  FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |         AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |tf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+      |       FROM tok t WHERE t.term IN (SELECT term FROM q)
+      |       GROUP BY t.doc_id, t.term),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * tf.tf * 2.2
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  JOIN q ON q.term = tf.term, st
+      |  GROUP BY q.query_id, tf.doc_id),
+      |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+      |  FROM sc) WHERE rank <= 20),
+      |e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |qe AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+      |       FROM e WHERE vec_id IN (1, 2, 3)),
+      |sims AS (
+      |  SELECT qe.query_id, e.vec_id AS doc_id,
+      |    ROUND(list_sum(list_transform(range(1, len(qv) + 1),
+      |        k -> CAST(qv[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))
+      |      / (qn * e.nrm), 4) AS sim_r
+      |  FROM qe CROSS JOIN e WHERE e.vec_id != qe.query_id),
+      |dense AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim_r DESC, doc_id) AS rank
+      |  FROM sims) WHERE rank <= 20),
+      |f AS (SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+      |        COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+      |        COALESCE(1.0 / (60 + l.rank), 0.0)
+      |          + COALESCE(1.0 / (60 + dn.rank), 0.0) AS rrf
+      |      FROM lex l FULL OUTER JOIN dense dn
+      |        ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id)
+      |SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf_r,
+      |  CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY ROUND(rrf, 6) DESC, doc_id) AS rank
+      |  FROM f)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_bm25" -> (r1Bm25 _),
-    "r2_chunk" -> (r2Chunk _))
+    "r2_chunk" -> (r2Chunk _),
+    "r3_hybrid_rrf" -> (r3HybridRrf _))
 
   def oracles: Map[String, String] = Map(
     "r1_bm25" -> r1Sql,
-    "r2_chunk" -> r2Sql)
+    "r2_chunk" -> r2Sql,
+    "r3_hybrid_rrf" -> r3Sql)
 }

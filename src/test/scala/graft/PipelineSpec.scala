@@ -202,6 +202,94 @@ class PipelineSpec extends AnyFunSuite {
     assert(topk(viaLoad) == first)
   }
 
+  test("IVF-PQ ANN: recall >= 0.75 vs brute force; codes reconstruct better than cells alone") {
+    import graft.pipeline.PqAnn
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .select("q_vec_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (index, assigned) = PqAnn.buildIndexWithAssigned(
+      emb, "vec_id", "embedding", dim = 64, nlist = 8, m = 8, ksub = 64)
+    val pq = PqAnn.topK(index, emb, q, k = 5, nprobe = 5, rerankFactor = 8)
+      .select("q_vec_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic 0.84 here: synthetic near-uniform embeddings are
+    // PQ's worst case (no cluster structure for the codebooks to
+    // exploit), and nprobe=5/8 caps attainable recall regardless
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.75, s"IVF-PQ recall $recall too low")
+
+    // compression + reconstruction: codes are m bytes, and decoding
+    // cell + codeword must beat the coarse quantizer alone (the PQ
+    // refinement has to buy accuracy, not just bytes)
+    val model = index.model
+    val rows = assigned.join(index.codes.select("vec_id", "_code"), Seq("vec_id"))
+      .select("_ne", "_cell", "_code").collect()
+    assert(rows.nonEmpty)
+    var errPq = 0.0; var errCell = 0.0
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0); val cell = r.getInt(1)
+      val code = r.getAs[Array[Byte]](2)
+      assert(code.length == 8, "one byte per subvector")
+      val cc = model.cells(cell)
+      var j = 0
+      while (j < model.dim) {
+        val w = model.books(j / model.dsub)(code(j / model.dsub) & 0xff)
+        val dPq = v(j) - cc(j) - w(j % model.dsub)
+        val dCe = v(j) - cc(j)
+        errPq += dPq * dPq; errCell += dCe * dCe
+        j += 1
+      }
+    }
+    assert(errPq < errCell * 0.8,
+      s"PQ refinement too weak: pq=$errPq cell-only=$errCell")
+    assigned.unpersist()
+  }
+
+  test("IVF-PQ index persists and reloads to identical top-k") {
+    import graft.pipeline.PqAnn
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_persist").toString
+    assert(!PqAnn.isSaved(dir))
+    val viaBuild = PqAnn.loadOrBuild(emb, "vec_id", "embedding",
+      dim = 64, nlist = 8, m = 8, ksub = 16, dir = dir)
+    assert(PqAnn.isSaved(dir))
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_cell="))
+    assert(cellDirs.length == 8, s"expected 8 cell partitions, got ${cellDirs.length}")
+    def topk(ix: PqAnn.Index) = PqAnn.topK(ix, emb, q, k = 5, nprobe = 5)
+      .select("q_vec_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = topk(viaBuild)
+    assert(first.nonEmpty)
+    // second loadOrBuild must be a pure load (no retrain) with equal output
+    val viaLoad = PqAnn.loadOrBuild(emb, "vec_id", "embedding",
+      dim = 64, nlist = 8, m = 8, ksub = 16, dir = dir)
+    assert(topk(viaLoad) == first)
+  }
+
+  test("reciprocal-rank fusion matches hand computation, incl. one-sided documents") {
+    import graft.pipeline.Retrieval
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", kRrf = 60)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // doc 11 in both lists; 10/12 lexical-only; 13 dense-only
+    assert(math.abs(got(11L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(got(10L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(got(12L) - 1.0 / 63) < 1e-12)
+    assert(math.abs(got(13L) - 1.0 / 62) < 1e-12)
+    assert(got.size == 4)
+    // the shared doc must outrank every one-sided doc here
+    assert(got(11L) > got.removed(11L).values.max)
+  }
+
   test("text analysis functions: tokens, bpe-ish, punctuation, quality, langid, fingerprint") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
