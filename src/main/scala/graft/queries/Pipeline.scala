@@ -97,11 +97,13 @@ object Pipeline {
       .orderBy("id_a", "id_b")
 
   /** Embedding cosine near-dup pairs via hyperplane-LSH blocking +
-    * exact verification (rows-only: bucket recall is seed-dependent;
-    * recall >= 0.95 vs the brute-force ground truth is asserted in
-    * PipelineSpec). The all-pairs crossJoin variant exists only as
-    * that spec's oracle — no battery plan is quadratic by
-    * construction. */
+    * exact verification — fully ORACLED: the hyperplanes are
+    * seeded-deterministic, so the generated oracle embeds them as SQL
+    * literals and replays buckets + verification exactly
+    * ([[LshOracle.d5Sql]]); recall >= 0.95 vs the brute-force ground
+    * truth is additionally asserted in PipelineSpec. The all-pairs
+    * crossJoin variant exists only as that spec's oracle — no battery
+    * plan is quadratic by construction. */
   def d5EmbedNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupsLsh(embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4, dim = 64, numTables = 24, planesPerTable = 4)
@@ -502,9 +504,10 @@ object Pipeline {
       |WHERE rank <= 5
       |ORDER BY q_vec_id, rank""".stripMargin
 
-  /** Hyperplane-LSH bucketed ANN top-5 with 1-bit multiprobe
-    * (rows-only: bucket assignment is seed-dependent; recall vs s1
-    * asserted in AnnSpec). */
+  /** Hyperplane-LSH bucketed ANN top-5 with 1-bit multiprobe — fully
+    * ORACLED via embedded-literal hyperplane replay
+    * ([[LshOracle.s2Sql]]); recall vs s1 additionally asserted in
+    * PipelineSpec. */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
@@ -865,5 +868,7 @@ object Pipeline {
     "d2_minhash_lsh" -> PortableHashOracle.d2Sql,
     "d3_simhash" -> PortableHashOracle.d3Sql,
     "cc3_minhash_clusters" -> PortableHashOracle.cc3Sql,
-    "e5_fuzzy_decontaminate" -> PortableHashOracle.e5Sql)
+    "e5_fuzzy_decontaminate" -> PortableHashOracle.e5Sql,
+    "d5_embed_neardup" -> LshOracle.d5Sql,
+    "s2_ann_lsh" -> LshOracle.s2Sql)
 }
