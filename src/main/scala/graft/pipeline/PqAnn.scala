@@ -266,6 +266,64 @@ object PqAnn {
     load(spark, dir)
   }
 
+  final case class RawRow(id: Long, emb: Seq[Double])
+
+  /** Encode NEW vectors against a FROZEN model — the faiss-`add` shape
+    * that lets a streaming embedding pipeline grow the index in O(batch)
+    * with no retraining and no corpus rescan (the [[Dedup
+    * .incrementalMinhash]] counterpart for the vector family): each
+    * batch row is normalized, assigned its nearest coarse cell (same
+    * first-minimum argmin the trainer's assignment uses), and
+    * residual-encoded with the persisted codebooks. Re-encoding the
+    * index's own corpus reproduces its codes exactly (spec-pinned), so
+    * append-then-probe ≡ index-rebuilt-over-the-union for queries
+    * whose cells the batch lands in. */
+  def encodeNew(model: Model, batch: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    Similarity.normalized(batch.select(col(idCol), col(embCol)), embCol, "_ne")
+      .select(col(idCol).cast("long").as("id"), col("_ne").as("emb"))
+      .as[RawRow]
+      .mapPartitions { it =>
+        val dsub = model.dsub
+        it.map { row =>
+          var cell = 0; var cellD = Double.MaxValue
+          var c0 = 0
+          while (c0 < model.cells.length) {
+            val cc = model.cells(c0)
+            var d = 0.0; var j = 0
+            while (j < model.dim) {
+              val r = row.emb(j) - cc(j); d += r * r; j += 1
+            }
+            if (d < cellD) { cellD = d; cell = c0 }
+            c0 += 1
+          }
+          val cc = model.cells(cell)
+          val code = new Array[Byte](model.m)
+          var mm = 0
+          while (mm < model.m) {
+            val off = mm * dsub
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < model.ksub) {
+              val w = model.books(mm)(c)
+              var d = 0.0; var j = 0
+              while (j < dsub) {
+                val r = row.emb(off + j) - cc(off + j) - w(j)
+                d += r * r; j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            code(mm) = best.toByte
+            mm += 1
+          }
+          CodeRow(row.id, cell, code)
+        }
+      }.toDF()
+  }
+
   final case class CandRow(qid: Long, qne: Seq[Double], cell: Int,
       id: Long, code: Array[Byte])
   final case class ScoredRow(q_vec_id: Long, vec_id: Long, _approx: Double)

@@ -556,6 +556,32 @@ object Pipeline {
       .orderBy("q_vec_id", "rank")
   }
 
+  /** Incremental PQ index growth (rows-only: k-means seeds): a batch
+    * of new embeddings (verbatim twins of every 10th corpus vector,
+    * ids offset) is encoded against the FROZEN persisted codebooks —
+    * O(batch), no retraining, no corpus rescan, the faiss-`add` shape
+    * and the vector-family counterpart of d8/d9/d10 — appended to the
+    * code table, and probed: each query's twin now surfaces through
+    * the compressed scan. Shares s4's persisted index. */
+  def s5IncrementalPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val dir = graft.pipeline.PqAnn.scratchDir(d, nlist = 16, m = 8, ksub = 64)
+    val index = graft.pipeline.PqAnn.loadOrBuild(emb, "vec_id", "embedding",
+      dim = 64, nlist = 16, m = 8, ksub = 64, dir = dir)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val grown = graft.pipeline.PqAnn.Index(index.model,
+      index.codes.unionByName(
+        graft.pipeline.PqAnn.encodeNew(index.model, batch, "vec_id", "embedding")))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    graft.pipeline.PqAnn.topK(grown,
+        emb.select("vec_id", "embedding").unionByName(batch), q,
+        k = 5, nprobe = 6, rerankFactor = 8)
+      .select(col("q_vec_id"), col("vec_id"), round(col("sim"), 4).as("sim_r"), col("rank"))
+      .orderBy("q_vec_id", "rank")
+  }
+
   // ---- text analysis -----------------------------------------------
 
   /** Per-language corpus statistics: token counts (whitespace and
@@ -836,6 +862,7 @@ object Pipeline {
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s4_ann_ivfpq" -> (s4AnnIvfPq _),
+    "s5_incremental_pq" -> (s5IncrementalPq _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),

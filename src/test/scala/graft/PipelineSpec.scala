@@ -272,6 +272,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(topk(viaLoad) == first)
   }
 
+  test("frozen-model PQ encode reproduces the index's own codes; appended twins surface") {
+    import graft.pipeline.PqAnn
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (index, assigned) = PqAnn.buildIndexWithAssigned(
+      emb, "vec_id", "embedding", dim = 64, nlist = 8, m = 8, ksub = 16)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    // re-encoding the corpus against the frozen model must be a no-op
+    val re = PqAnn.encodeNew(index.model, emb, "vec_id", "embedding")
+    assert(codeSet(re) == codeSet(index.codes.select("vec_id", "_cell", "_code")))
+    assigned.unpersist()
+    // verbatim twins (ids offset) appended without retraining: each
+    // query's twin must surface at rank 1 with sim ~ 1
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val grown = PqAnn.Index(index.model,
+      index.codes.unionByName(PqAnn.encodeNew(index.model, batch, "vec_id", "embedding")))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val top1 = PqAnn.topK(grown,
+        emb.select("vec_id", "embedding").unionByName(batch), q,
+        k = 1, nprobe = 3, rerankFactor = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L until 5L).foreach { i =>
+      val (hit, sim) = top1(i)
+      assert(hit == i + 1000000L && sim > 0.9999,
+        s"query $i: expected twin at rank 1, got $hit (sim $sim)")
+    }
+  }
+
   test("reciprocal-rank fusion matches hand computation, incl. one-sided documents") {
     import graft.pipeline.Retrieval
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
