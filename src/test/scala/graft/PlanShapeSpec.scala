@@ -114,6 +114,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "d4 must remain the plain inverted-index exactness baseline")
   }
 
+  test("s4 IVF-PQ probe dynamically prunes the cell-partitioned code scan") {
+    // the probe joins cell-partitioned codes against a broadcast probe
+    // list; dynamic partition pruning must reach the code scan so a
+    // query physically reads only its probed cells' files — the
+    // property that makes the index probe-able at 100 TB
+    val p = plan(graft.queries.Pipeline.s4AnnIvfPq(spark, d))
+    assert(p.contains("dynamicpruning"),
+      "code scan must carry a dynamic partition-pruning subquery on _cell")
+  }
+
   test("no battery plan is corpus-quadratic") {
     // BroadcastNestedLoopJoin is acceptable only where one side is a
     // broadcast of a bounded frame (the ANN query sets: linear corpus

@@ -577,6 +577,62 @@ class StreamingSpec extends AnyFunSuite {
       Map(20L -> "dup_corpus"), "orphaned segment broke the index read")
   }
 
+  test("streamed embeddings grow the PQ index; codes equal batch encode; replay idempotent") {
+    import graft.streaming.VectorIngest
+    import graft.pipeline.PqAnn
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // frozen model trained offline on the existing corpus
+    val (built, assigned) = PqAnn.buildIndexWithAssigned(
+      emb, "vec_id", "embedding", dim = 64, nlist = 8, m = 8, ksub = 16)
+    val model = built.model
+    assigned.unpersist()
+    val inDir = Files.createTempDirectory("vi").toString
+    val ckDir = Files.createTempDirectory("vick").toString
+    val ixDir = Files.createTempDirectory("viix").toString + "/ix"
+    def runWave(): Unit = {
+      val stream = spark.readStream.schema(emb.schema).parquet(s"$inDir/*")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          VectorIngest.processBatch(b, "vec_id", "embedding", model, ixDir, id)
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    // two waves: new ids carrying verbatim copies of corpus vectors
+    val w1 = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val w2 = emb.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+      .select((col("vec_id") + 2000L).as("vec_id"), col("embedding"))
+    w1.write.parquet(s"$inDir/w1"); runWave()
+    w2.write.parquet(s"$inDir/w2"); runWave()
+
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "_cell", "_code").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val streamed = VectorIngest.loadIndex(spark, ixDir, model,
+      emb, "vec_id", "embedding")
+    // accumulated codes == one batch encode over the union of waves
+    val want = codeSet(PqAnn.encodeNew(model, w1.unionByName(w2),
+      "vec_id", "embedding"))
+    assert(codeSet(streamed.codes) == want)
+    assert(want.size == 8)
+    // probe: corpus vector 6's query must surface its streamed twin
+    val q6 = emb.filter(col("vec_id") === 6)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val hit = PqAnn.topK(streamed, emb.unionByName(w1).unionByName(w2), q6,
+        k = 1, nprobe = 3, rerankFactor = 8)
+      .head()
+    assert(hit.getLong(1) == 2006L && hit.getDouble(2) > 0.9999,
+      s"expected streamed twin 2006, got ${hit.getLong(1)}")
+    // at-least-once: replaying wave 1 as its own batch id rewrites its
+    // segment and changes nothing
+    VectorIngest.processBatch(w1, "vec_id", "embedding", model, ixDir, 0L)
+    val replayed = VectorIngest.loadIndex(spark, ixDir, model,
+      emb, "vec_id", "embedding")
+    assert(codeSet(replayed.codes) == want)
+  }
+
   test("segment compaction: decisions unchanged, files collapse, crash residue ignored") {
     import graft.streaming.NearDupStream
     def doc(seed: Int) = {
