@@ -100,6 +100,39 @@ object Sharding {
       .select((sc ++ Seq(col(idCol), col("n_tokens"), col("cum_tokens"))): _*)
   }
 
+  /** Seeded deterministic GLOBAL shuffle — the order-randomization a
+    * training export needs (corpora arrive source- and time-clustered;
+    * a trainer reading them in storage order sees non-i.i.d. batches):
+    * every row gets `shuffle_pos`, its 0-based rank under the
+    * engine-portable key md5("seed:id"). Seedless determinism rules:
+    * the SAME permutation on any engine at any parallelism, a new seed
+    * is a fresh independent permutation, and re-exports are
+    * reproducible byte-for-byte.
+    *
+    * Scale shape: the sort key is uniform by construction, so the
+    * range exchange is perfectly balanced — the best case for a global
+    * sort — and positions come from the [[packByTokenBudget]]
+    * two-phase scheme (partition-local row_number + a
+    * one-row-per-partition offset window), never a single-task global
+    * window. Same materialization rationale as [[prefixSum]]: the
+    * range boundaries are pinned once. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    val t = df.withColumn("_shufkey", key)
+      .repartitionByRange(col("_shufkey"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy("_pid").orderBy("_shufkey", idCol)
+    val withLocal = t.withColumn("_rl", row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("_pid").agg(count(lit(1)).as("_pn"))
+      .withColumn("_off", coalesce(sum("_pn").over(wOff), lit(0L)))
+      .select("_pid", "_off")
+    withLocal.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("shuffle_pos", col("_off") + col("_rl") - 1)
+      .drop("_pid", "_rl", "_off", "_shufkey")
+  }
+
   /** Fixed-context-length sequence packing — the layout a trainer
     * actually consumes: tokens laid end-to-end in `idCol` order and
     * cut every `seqLen`, documents SPLITTING across cuts (no padding,

@@ -129,6 +129,23 @@ object Corpus {
       |            ELSE '000000000000' END
       |ORDER BY doc_id""".stripMargin
 
+  /** Seeded deterministic global shuffle of the corpus — the
+    * order-randomization step of a training export, oracle-replayed
+    * exactly (the md5 rank key is engine-portable; see
+    * [[graft.pipeline.Sharding.deterministicShuffle]] for the
+    * two-phase position scheme that avoids a single-task window). */
+  def p7GlobalShuffle(s: SparkSession, d: String): DataFrame =
+    Sharding.deterministicShuffle(documents(s, d), "doc_id", seed = 42L)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy("doc_id")
+
+  val p7Sql: String =
+    """SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (
+      |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |    AS BIGINT) AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Top-5 bigrams per language by exact corpus count (ties broken by
     * gram text, so ranking is deterministic). */
   def t7TopNgrams(s: SparkSession, d: String): DataFrame =
@@ -309,6 +326,7 @@ object Corpus {
     "p2_shard_pack" -> (p2ShardPack _),
     "p3_hash_split" -> (p3HashSplit _),
     "p6_stratified_sample" -> (p6StratifiedSample _),
+    "p7_global_shuffle" -> (p7GlobalShuffle _),
     "p4_pack_sequences" -> (p4PackSequences _),
     "p5_source_mix" -> (p5SourceMix _),
     "t7_top_ngrams" -> (t7TopNgrams _),
@@ -320,6 +338,7 @@ object Corpus {
     "p2_shard_pack" -> p2Sql,
     "p3_hash_split" -> p3Sql,
     "p6_stratified_sample" -> p6Sql,
+    "p7_global_shuffle" -> p7Sql,
     "p4_pack_sequences" -> p4Sql,
     "p5_source_mix" -> p5Sql,
     "t7_top_ngrams" -> t7Sql,

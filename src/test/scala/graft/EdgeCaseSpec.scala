@@ -95,6 +95,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Sharding.assembleSequences(emptyToks, "doc_id", "toks", 5L).count() == 0)
   }
 
+  test("IVF-PQ tolerates a corpus smaller than the codebook width") {
+    import graft.pipeline.PqAnn
+    // 10 vectors, ksub = 16: codebook init can only seed 10 codewords
+    // per subspace; the rest stay at the zero vector and must neither
+    // crash training nor encoding nor the probe
+    val rng = new scala.util.Random(3)
+    val tiny = (0L until 10L)
+      .map(i => (i, Array.fill(8)(rng.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val (index, assigned) = PqAnn.buildIndexWithAssigned(
+      tiny, "vec_id", "embedding", dim = 8, nlist = 2, m = 4, ksub = 16)
+    assert(index.codes.count() == 10)
+    val q = tiny.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val top = PqAnn.topK(index, tiny, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(top.length == 3 && top.forall(_._1 != 0L))
+    // frozen re-encode of the same corpus is still a no-op
+    val re = PqAnn.encodeNew(index.model, tiny, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val orig = index.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(re == orig)
+    assigned.unpersist()
+  }
+
   test("tableSignature: stable on unchanged data, changes on regeneration") {
     val d = java.nio.file.Files.createTempDirectory("sig").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$d/lineitem.parquet")

@@ -92,6 +92,30 @@ class ShardingSpec extends AnyFunSuite {
     assert(frac("test") > 0.08 && frac("test") < 0.17)
   }
 
+  test("deterministic shuffle: exact md5-rank permutation, partition-invariant, seed-independent") {
+    import graft.pipeline.Sharding
+    def positions(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sharding.deterministicShuffle(df, "doc_id", seed)
+        .select("doc_id", "shuffle_pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = positions(docs, 42L)
+    val n = docs.count()
+    // a permutation of 0..n-1
+    assert(got.values.toSeq.sorted == (0L until n))
+    // equals the naive single-window rank under the same key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = {
+      md.reset()
+      md.digest(s"42:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val want = got.keys.toSeq.sortBy(id => (key(id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == want)
+    // invariant under input partitioning; a new seed permutes differently
+    assert(positions(docs.repartition(13), 42L) == got)
+    assert(positions(docs, 43L) != got)
+  }
+
   test("topNgrams ranks by exact count with deterministic tie order") {
     val tiny = Seq(
       (1L, "en", "a b a b c"),                   // "a b"×2, "b a"×1, "b c"×1
