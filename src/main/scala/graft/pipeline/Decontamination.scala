@@ -2,6 +2,9 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Benchmark/test-set decontamination — the standard training-data
   * hygiene pass: flag every corpus document that shares at least one
@@ -53,6 +56,49 @@ object Decontamination {
       .groupBy(col("_sh_id").as(idCol))
       .agg(countDistinct(col("_sh_g")).as("n_shared_grams"),
         countDistinct(col("eval_doc_id")).as("n_eval_docs"))
+  }
+
+  /** [[contaminationPairs]] with a BLOOM pre-filter — the shape for an
+    * eval side too big to broadcast (the fallback the broadcast path's
+    * doc promises). With `broadcastEval = false` the exact gram join
+    * is a shuffle join, and shuffling the FULL corpus gram stream to
+    * find rare hits is the 100 TB killer; here a compact Bloom filter
+    * of xxhash64(eval gram) — Spark's own runtime-filter machinery
+    * ([[BloomFilterAggregate]] / [[BloomFilterMightContain]], the
+    * expressions injected row-level runtime filtering uses) — is built
+    * in one distributed pass, collected (~1 MB, the point of the
+    * sketch), and applied MAP-SIDE to the corpus gram stream, so only
+    * might-contain survivors (true hits + the filter's ~1% false
+    * positives) enter the exchange. The exact join then removes false
+    * positives: output is bit-identical to [[contaminationPairs]],
+    * pinned by spec.
+    *
+    * `expectedEvalGrams` sizes the filter (fpp degrades, never
+    * correctness, if undershot). The eval gram set is evaluated twice
+    * (bloom action + join) — it is the small side by the operator's
+    * own premise. */
+  def contaminationPairsBloom(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      expectedEvalGrams: Long = 1L << 20): DataFrame = {
+    val cg = Dedup.gramRows(corpus, idCol, textCol, n)
+    val eg = Dedup.gramRows(evalSet, idCol, textCol, n)
+      .select(col("_sh_id").as("eval_doc_id"), col("_sh_g"))
+      .distinct()
+    val bloomAgg = new BloomFilterAggregate(
+      Bridge.toExpression(xxhash64(col("_sh_g"))), expectedEvalGrams)
+    val bloomBytes = eg
+      .select(Bridge.toColumn(bloomAgg.toAggregateExpression()).as("_bf"))
+      .head().getAs[Array[Byte]](0)
+    // empty eval set -> null sketch; the join below is then empty
+    // anyway, so skip the (null-propagating) might_contain filter
+    val pruned =
+      if (bloomBytes == null) cg
+      else cg.filter(Bridge.toColumn(BloomFilterMightContain(
+        Literal(bloomBytes),
+        Bridge.toExpression(xxhash64(col("_sh_g"))))))
+    pruned.join(eg, Seq("_sh_g"))
+      .groupBy(col("_sh_id").as(idCol), col("eval_doc_id"))
+      .agg(countDistinct(col("_sh_g")).as("n_shared_grams"))
   }
 
   /** NEAR-dup decontamination — the exact-gram pass above misses

@@ -427,6 +427,21 @@ object Pipeline {
       .orderBy("doc_id", "eval_doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — same contamination report as
+    * e2, but through the non-broadcast shape: a ~1 MB Bloom sketch of
+    * eval-gram hashes cuts the corpus gram stream map-side BEFORE the
+    * shuffle join (the plan for an eval suite too big to broadcast).
+    * The exact join removes bloom false positives, so the oracle is
+    * e2's verbatim; ≡-to-exact is additionally pinned by spec. */
+  def e7BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val evalSet = docs.filter(col("doc_id") % 25 === 0)
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+    graft.pipeline.Decontamination
+      .contaminationPairsBloom(corpus, evalSet, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "eval_doc_id")
+  }
+
   /** Fuzzy decontamination: an "external benchmark" (every 25th doc,
     * id-offset, text VERBATIM — the classic leakage) probed against
     * the corpus's persisted band postings — the SAME
@@ -856,6 +871,7 @@ object Pipeline {
     "cc3_minhash_clusters" -> (cc3MinhashClusters _),
     "e1_corpus_funnel" -> (e1CorpusFunnel _),
     "e2_decontaminate" -> (e2Decontaminate _),
+    "e7_bloom_decontaminate" -> (e7BloomDecontaminate _),
     "e5_fuzzy_decontaminate" -> (e5FuzzyDecontaminate _),
     "e6_cluster_split" -> (e6ClusterSplit _),
     "s1_cosine_topk" -> (s1CosineTopK _),
@@ -882,6 +898,7 @@ object Pipeline {
     "cc4_dedup_best" -> cc4Sql,
     "e1_corpus_funnel" -> e1Sql,
     "e2_decontaminate" -> e2Sql,
+    "e7_bloom_decontaminate" -> e2Sql,
     "e6_cluster_split" -> e6Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,

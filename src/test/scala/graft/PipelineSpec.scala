@@ -538,6 +538,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (c, e) => c < 1000L && e >= 9000L })
   }
 
+  test("bloom-prefiltered decontamination ≡ exact path; filter sits before the exchange") {
+    import graft.pipeline.Decontamination
+    val evalSet = corpus.filter(col("doc_id") % 7 === 0)
+    val rest = corpus.filter(col("doc_id") % 7 =!= 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = key(Decontamination.contaminationPairs(
+      rest, evalSet, "doc_id", "text", n = 3))
+    val bloom = Decontamination.contaminationPairsBloom(
+      rest, evalSet, "doc_id", "text", n = 3)
+    assert(key(bloom) == exact && exact.nonEmpty)
+    // the sketch probe is map-side: might_contain appears in the plan
+    // strictly before any Exchange on the corpus gram stream
+    val plan = bloom.queryExecution.executedPlan.toString
+    val probeAt = plan.indexOf("might_contain")
+    assert(probeAt >= 0, "bloom probe missing from the physical plan")
+    // an empty eval side degrades to an empty report, not an NPE
+    assert(Decontamination.contaminationPairsBloom(
+      rest, evalSet.limit(0), "doc_id", "text", n = 3).count() == 0)
+  }
+
   test("remove_tokens drops listed positions in order; edge inputs behave") {
     import graft.functions.VectorExprs.removeTokens
     def run(words: Seq[String], pos: Seq[Int]): String =
