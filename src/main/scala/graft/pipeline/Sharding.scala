@@ -279,4 +279,64 @@ object Sharding {
     }
     df.filter(substring(md5(col(idCol).cast("string")), 1, 12) < threshold)
   }
+
+  /** EXACT-k per-stratum sampling — "give me exactly min(k, n) docs
+    * per language/source, the same ones every run": keeps each
+    * stratum's k smallest rows under the engine-portable rank key
+    * md5("seed:id") (id tiebreak), adding `sample_rank` (1-based).
+    * Deterministic, partition-invariant, and a different seed is an
+    * independent draw — [[stratifiedSample]]'s guarantees, but with an
+    * exact count instead of an expected rate. Null strata are
+    * excluded (a sample quota for "unknown stratum" is a caller
+    * decision, not a default).
+    *
+    * Scale shape: the naive plan — `row_number() OVER (PARTITION BY
+    * stratum ...)` on the full corpus — sends EVERY row of a stratum
+    * to one task; a billion-row language kills it. Instead: (1) one
+    * count pass sizes each stratum (collect bounded by the stratum
+    * count, like the procver dims); (2) a scan-stage hex-threshold
+    * pre-cut at rate (margin·k+24)/n keeps each stratum's smallest
+    * keys — strictly: every kept key sorts below every dropped key's
+    * prefix — so the window runs over ~margin·k rows per stratum, not
+    * n; (3) the result is checked against min(k, n) per stratum and
+    * any short stratum (Chernoff-bound ~e^{-(margin−1)²k/…}: never at
+    * sane margins, but "never" is not "exact") reruns unfiltered, so
+    * the output is EXACT regardless. Costs two corpus scans (count +
+    * cut) — the price of an exact quota without a single-task window. */
+  def stratifiedExactK(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, seed: Long, margin: Double = 3.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyed = df.filter(col(stratumCol).isNotNull).withColumn("_xkey",
+      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+    // one row per stratum — the same bounded-collect contract as the
+    // procver dims; strata are languages/sources, not documents
+    val counts = keyed.groupBy(stratumCol).agg(count(lit(1)).as("_xn"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, (margin * k + 24.0) / n) }
+    val thr = rates.foldLeft(lit("000000000000")) { case (acc, (s, v)) =>
+      when(col(stratumCol).cast("string") === s,
+        lit(sampleThreshold(v))).otherwise(acc)
+    }
+    val w = Window.partitionBy(stratumCol).orderBy(col("_xkey"), col(idCol))
+    def rank(in: DataFrame): DataFrame =
+      in.withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= k)
+    // localCheckpoint: the exactness audit below is an extra action on
+    // this (≤ k-per-stratum) frame — materialize once so it does not
+    // rescan the corpus, and cut lineage so the scan frees with it
+    val ranked = rank(keyed.filter(substring(col("_xkey"), 1, 12) < thr))
+      .localCheckpoint(true)
+    val got = ranked.groupBy(stratumCol).agg(count(lit(1)).as("_xg"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val short = counts.collect {
+      case (s, n) if got.getOrElse(s, 0L) < math.min(k.toLong, n) => s
+    }.toSeq
+    val all =
+      if (short.isEmpty) ranked
+      else ranked.filter(!col(stratumCol).cast("string").isin(short: _*))
+        .unionByName(rank(
+          keyed.filter(col(stratumCol).cast("string").isin(short: _*))))
+    all.drop("_xkey")
+  }
 }

@@ -146,6 +146,27 @@ object Corpus {
       |    AS BIGINT) AS shuffle_pos
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Exact-k stratified sample: exactly 7 docs per language, the 7
+    * smallest md5("11:"+id) rank keys — the deterministic per-stratum
+    * quota draw of a corpus export. The oracle replays the rank key
+    * directly; the two-phase pre-cut + fallback plan that avoids a
+    * full-corpus single-stratum window is pinned in ShardingSpec. */
+  def p8ExactSample(s: SparkSession, d: String): DataFrame =
+    Sharding.stratifiedExactK(documents(s, d), "lang", "doc_id",
+        k = 7, seed = 11L)
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .orderBy("lang", "doc_id")
+
+  val p8Sql: String =
+    """SELECT lang, doc_id, sample_rank FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('11:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS INTEGER) AS sample_rank
+      |  FROM documents WHERE lang IS NOT NULL)
+      |WHERE sample_rank <= 7
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** Top-5 bigrams per language by exact corpus count (ties broken by
     * gram text, so ranking is deterministic). */
   def t7TopNgrams(s: SparkSession, d: String): DataFrame =
@@ -327,6 +348,7 @@ object Corpus {
     "p3_hash_split" -> (p3HashSplit _),
     "p6_stratified_sample" -> (p6StratifiedSample _),
     "p7_global_shuffle" -> (p7GlobalShuffle _),
+    "p8_exact_sample" -> (p8ExactSample _),
     "p4_pack_sequences" -> (p4PackSequences _),
     "p5_source_mix" -> (p5SourceMix _),
     "t7_top_ngrams" -> (t7TopNgrams _),
@@ -339,6 +361,7 @@ object Corpus {
     "p3_hash_split" -> p3Sql,
     "p6_stratified_sample" -> p6Sql,
     "p7_global_shuffle" -> p7Sql,
+    "p8_exact_sample" -> p8Sql,
     "p4_pack_sequences" -> p4Sql,
     "p5_source_mix" -> p5Sql,
     "t7_top_ngrams" -> t7Sql,

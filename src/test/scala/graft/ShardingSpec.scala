@@ -116,6 +116,48 @@ class ShardingSpec extends AnyFunSuite {
     assert(positions(docs, 43L) != got)
   }
 
+  test("exact-k stratified sample: naive-window equality, fallback path, edges") {
+    import graft.pipeline.Sharding
+    // three strata of very different sizes (one smaller than k for the
+    // min(k, n) edge) plus null-stratum rows that must be excluded
+    val strat = (0L until 730L).map { i =>
+      val lang = if (i < 500) "en" else if (i < 725) "de" else "tiny"
+      (i * 13 % 9973, lang)
+    }.toDF("doc_id", "lang")
+      .union(Seq((999983L, null: String)).toDF("doc_id", "lang"))
+      .repartition(7)
+    def naive(k: Int, seed: Long): Set[(String, Long, Int)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def key(id: Long) = {
+        md.reset()
+        md.digest(s"$seed:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      strat.filter(col("lang").isNotNull).collect()
+        .map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy { case (_, id) => (key(id), id) }.take(k)
+            .zipWithIndex.map { case ((l, id), i) => (l, id, i + 1) }
+        }.toSet
+    }
+    def got(df: org.apache.spark.sql.DataFrame) = df
+      .select("lang", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val k7 = got(Sharding.stratifiedExactK(strat, "lang", "doc_id", 7, 11L))
+    assert(k7 == naive(7, 11L))
+    assert(!k7.exists(_._1 == null), "null stratum excluded")
+    // margin 0 starves the pre-cut below k (rate 24/n on the 500-row
+    // stratum keeps ~24 < 40): the exactness audit must trigger the
+    // unfiltered rerun and STILL produce the exact answer
+    val starved = got(Sharding.stratifiedExactK(
+      strat, "lang", "doc_id", 40, 11L, margin = 0.0))
+    assert(starved == naive(40, 11L))
+    // partition invariance; k beyond every stratum keeps everything
+    assert(got(Sharding.stratifiedExactK(
+      strat.repartition(13), "lang", "doc_id", 7, 11L)) == k7)
+    val all = Sharding.stratifiedExactK(strat, "lang", "doc_id", 100000, 1L)
+    assert(all.count() == strat.count() - 1) // all but the null-lang row
+  }
+
   test("topNgrams ranks by exact count with deterministic tie order") {
     val tiny = Seq(
       (1L, "en", "a b a b c"),                   // "a b"×2, "b a"×1, "b c"×1
