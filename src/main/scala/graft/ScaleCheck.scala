@@ -127,6 +127,27 @@ object ScaleCheck {
     stage("cc1_clusters")(d => Components.dedupClusters(d, "doc_id",
       Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5, prefixFilter = false),
       "id_a", "id_b").count())
+    // global sort: the riskiest shape in the export family — n is the
+    // permutation size (max pos + 1), time should track the balanced
+    // range exchange ~linearly
+    stage("p7_global_shuffle")(d => graft.pipeline.Sharding
+      .deterministicShuffle(d, "doc_id", 42L)
+      .agg(max(col("shuffle_pos"))).head().getLong(0) + 1)
+    // exact-k quota: count pass + pre-cut scale with the corpus, the
+    // per-stratum window stays ~margin·k regardless of n
+    stage("p8_exact_sample")(d => graft.pipeline.Sharding
+      .stratifiedExactK(d, "lang", "doc_id", k = 1000, seed = 11L).count())
+    // bloom decontamination vs a FIXED eval set (the production shape:
+    // the corpus grows, the benchmark suite doesn't): report rows stay
+    // constant by construction (only copy 0 shares grams with eval),
+    // so wall time is the metric — scan-bound ~linear, the shuffle
+    // carries only bloom survivors
+    stage("e7_bloom_decontam")(d => {
+      val evalSet = base.filter(col("doc_id") % 25 === 0)
+      val corpus = d.join(evalSet.select("doc_id"), Seq("doc_id"), "left_anti")
+      graft.pipeline.Decontamination.contaminationPairsBloom(
+        corpus, evalSet, "doc_id", "text", n = 8).count()
+    })
     stage("e1_funnel")(d => {
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5,
         prefixFilter = false)

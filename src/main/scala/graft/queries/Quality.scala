@@ -44,6 +44,66 @@ object Quality {
       |  ROUND(AVG(lp), 6) AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style perplexity stratification: per-LANGUAGE tercile
+    * boundaries over the t9 bigram-LM scores split the corpus into
+    * head (most fluent third), middle, tail — the split CCNet feeds to
+    * downstream sampling (head kept, tail dropped or downweighted).
+    *
+    * Scale shape: boundaries are a per-language AGGREGATE (two exact
+    * percentiles of the 6-dp-rounded score) broadcast back, and bucket
+    * assignment is a scan-stage comparison — never the per-language
+    * `ntile` window that would funnel a billion-row language through
+    * one task. (Exact percentile buffers per-group values; at real
+    * scale swap `percentile_approx` — assignment shape is unchanged.)
+    * Boundaries are rounded to 4 dp in BOTH engines before comparison
+    * so a last-ulp interpolation difference cannot flip a boundary
+    * doc; scores at exactly a rounded boundary go to the lower bucket
+    * (`>` strict) in both. */
+  def t16PplBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = LangModel
+      .bigramScores(docs, "doc_id", "text", docs, "text", addK = 0.5)
+      .select(col("doc_id"), round(col("avg_logp"), 6).as("avg_logp"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    LangModel.scoreBuckets(scored, "lang", "avg_logp")
+      .select(col("doc_id"), col("lang"), col("avg_logp"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** The t9 score CTE + per-lang `quantile_cont` terciles; DuckDB's
+    * continuous quantile is the same (n−1)·p linear interpolation as
+    * Spark's `percentile`, and both sides round boundaries to 4 dp
+    * before the strict `>` comparison. Docs with no bigrams have no
+    * score and are absent, exactly as in the Spark frame. */
+  val t16Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |b AS (SELECT doc_id, wd[i] AS w1, wd[i+1] AS w2
+      |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd))) AS i
+      |        FROM w WHERE len(wd) >= 2)),
+      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |cx AS (SELECT w1, COUNT(*) AS cx FROM b GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT u) AS v
+      |      FROM (SELECT unnest(wd) AS u FROM w)),
+      |sc AS (SELECT b.doc_id,
+      |         LN((cb.c + 0.5) / (cx.cx + 0.5 * v.v)) AS lp
+      |       FROM b JOIN cb USING (w1, w2) JOIN cx USING (w1), v),
+      |doc AS (SELECT sc.doc_id, ROUND(AVG(lp), 6) AS avg_logp
+      |        FROM sc GROUP BY sc.doc_id),
+      |lg AS (SELECT doc.doc_id, d.lang, doc.avg_logp
+      |       FROM doc JOIN documents d ON doc.doc_id = d.doc_id),
+      |q AS (SELECT lang,
+      |        ROUND(quantile_cont(avg_logp, 1.0/3), 4) AS q1,
+      |        ROUND(quantile_cont(avg_logp, 2.0/3), 4) AS q2
+      |      FROM lg GROUP BY lang)
+      |SELECT lg.doc_id, lg.lang, lg.avg_logp,
+      |  CASE WHEN lg.avg_logp > q.q2 THEN 'head'
+      |       WHEN lg.avg_logp > q.q1 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM lg JOIN q USING (lang)
+      |ORDER BY lg.doc_id""".stripMargin
+
   /** Duplicated 8-token spans removed corpus-wide (first occurrence
     * kept); per-doc token accounting + md5 of the cleaned text. */
   def d7DupSpans(s: SparkSession, d: String): DataFrame =
@@ -365,6 +425,7 @@ object Quality {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_quality_classifier" -> (t11QualityClassifier _),
     "t9_lm_score" -> (t9LmScore _),
+    "t16_ppl_buckets" -> (t16PplBuckets _),
     "t10_dsir_weights" -> (t10DsirWeights _),
     "t12_html_extract" -> (t12HtmlExtract _),
     "t13_url_dedup" -> (t13UrlDedup _),
@@ -377,6 +438,7 @@ object Quality {
 
   def oracles: Map[String, String] = Map(
     "t9_lm_score" -> t9Sql,
+    "t16_ppl_buckets" -> t16Sql,
     "t10_dsir_weights" -> t10Sql,
     "t12_html_extract" -> t12Sql,
     "t13_url_dedup" -> t13Sql,

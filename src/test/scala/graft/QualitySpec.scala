@@ -41,6 +41,30 @@ class QualitySpec extends AnyFunSuite {
     assert(got.values.forall(_ < 0.0), "log-probs are negative")
   }
 
+  test("score buckets: ordered per group, ties share a bucket, thirds-sized") {
+    val rng = new scala.util.Random(5)
+    // two groups; group "b" plants a 6-way tie straddling a boundary
+    val rows = (0 until 90).map(i => ("a", i.toLong, rng.nextDouble() * 10 - 5)) ++
+      (0 until 30).map(i => ("b", 100L + i,
+        if (i >= 12 && i < 18) 1.5 else rng.nextDouble() + (if (i < 12) -3.0 else 3.0)))
+    val got = LangModel.scoreBuckets(
+        rows.toDF("lang", "doc_id", "score"), "lang", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      val by = rs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(by.keySet == Set("head", "middle", "tail"), s"group $g buckets")
+      // strict ordering between buckets — equal scores can never split
+      assert(by("tail").max < by("middle").min, s"group $g tail<middle")
+      assert(by("middle").max < by("head").min, s"group $g middle<head")
+      // ~thirds (ties may shift counts, never past the tie block size)
+      val n = rs.size
+      by.values.foreach(b => assert(b.size >= n / 3 - 6 && b.size <= n / 3 + 6))
+    }
+    // the planted 6-way tie landed whole in exactly one bucket
+    val tie = got.filter(r => r._1 == "b" && r._3 == 1.5).map(_._4).toSet
+    assert(tie.size == 1)
+  }
+
   test("DSIR: target-like docs outweigh off-domain docs; ratio signs correct") {
     // target domain speaks "cat mat"; off-domain speaks "zz qq"
     val raw = ((0L until 10L).map(i => (i, "the cat sat on the mat again")) ++
