@@ -104,6 +104,31 @@ object Retrieval {
         concat_ws(" ", col("_ct")).as("chunk_text"))
   }
 
+  /** Ranking-quality evaluation — the rollup every retrieval pipeline
+    * reports: per query, `n_gold`, `n_hits` (gold docs retrieved at
+    * rank ≤ k), `recall_at_k`, and `mrr_at_k` (1 / rank of the first
+    * relevant result, 0 when none lands in the top k). Queries with an
+    * empty gold set have no denominator and emit no row.
+    *
+    * Purely relational — two (query, doc) equi-joins and a per-query
+    * aggregate; `gold` (an eval set) is tiny and broadcast. Rank
+    * reciprocals are exact IEEE on every engine, so the metric table
+    * is oracle-able end to end. */
+  def evalMetrics(ranked: DataFrame, gold: DataFrame, queryIdCol: String,
+      idCol: String, rankCol: String = "rank", k: Int = 10): DataFrame = {
+    val g = gold.select(col(queryIdCol), col(idCol)).distinct()
+    val nGold = g.groupBy(queryIdCol).agg(count(lit(1)).as("n_gold"))
+    val hits = ranked.filter(col(rankCol) <= k)
+      .join(broadcast(g), Seq(queryIdCol, idCol))
+      .groupBy(queryIdCol)
+      .agg(count(lit(1)).as("_h"), min(col(rankCol)).as("_first"))
+    nGold.join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("n_gold"),
+        coalesce(col("_h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("_h"), lit(0L)) / col("n_gold"), 4).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 4).as("mrr_at_k"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
     * retrieval lists — the standard way to combine lexical (BM25) and
     * dense (embedding) retrieval without score calibration:

@@ -192,13 +192,89 @@ object Search {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Retrieval evaluation over the r1 ranking: gold(q) = docs
+    * containing ALL the query's terms (conjunctive match — exact and
+    * engine-replayable, the stand-in for human relevance labels), then
+    * [[Retrieval.evalMetrics]] reports per-query recall@10 / MRR@10.
+    * The whole metric table is deterministic → fully oracled. */
+  def r4EvalMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (1L, "vector"), (1L, "hash"), (1L, "join"),
+      (2L, "spark"), (2L, "stream"), (2L, "window"),
+      (3L, "slow"), (3L, "query")).toDF("query_id", "term")
+    val tok = documents(s, d).select(col("doc_id"),
+      explode(array_distinct(graft.pipeline.TextAnalysis.tokens(col("text"))))
+        .as("term"))
+    val nq = qs.groupBy("query_id").agg(countDistinct(col("term")).as("_nt"))
+    val gold = qs.join(tok, Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("term")).as("_m"))
+      .join(nq, Seq("query_id"))
+      .filter(col("_m") === col("_nt"))
+      .select("query_id", "doc_id")
+    Retrieval.evalMetrics(r1Bm25(s, d), gold, "query_id", "doc_id", k = 10)
+      .orderBy("query_id")
+  }
+
+  val r4Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |    (1, 'vector'), (1, 'hash'), (1, 'join'),
+      |    (2, 'spark'), (2, 'stream'), (2, 'window'),
+      |    (3, 'slow'), (3, 'query')),
+      |tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |dtok AS (SELECT DISTINCT doc_id, term FROM tok),
+      |nq AS (SELECT query_id, COUNT(DISTINCT term) AS nt FROM q GROUP BY 1),
+      |gold AS (SELECT q.query_id, t.doc_id
+      |  FROM q JOIN dtok t USING (term) JOIN nq USING (query_id)
+      |  GROUP BY q.query_id, t.doc_id, nq.nt
+      |  HAVING COUNT(DISTINCT q.term) = nq.nt),
+      |dl AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS dl
+      |  FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |         AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |tf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+      |       FROM tok t WHERE t.term IN (SELECT term FROM q)
+      |       GROUP BY t.doc_id, t.term),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * tf.tf * 2.2
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  JOIN q ON q.term = tf.term, st
+      |  GROUP BY q.query_id, tf.doc_id),
+      |r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+      |  FROM sc) WHERE rank <= 10),
+      |h AS (SELECT r.query_id, COUNT(*) AS n_hits, MIN(r.rank) AS frst
+      |      FROM r JOIN gold
+      |        ON r.query_id = gold.query_id AND r.doc_id = gold.doc_id
+      |      GROUP BY r.query_id),
+      |ng AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+      |         COUNT(*) AS n_gold FROM gold GROUP BY 1)
+      |SELECT ng.query_id, ng.n_gold,
+      |  COALESCE(h.n_hits, 0) AS n_hits,
+      |  ROUND(COALESCE(h.n_hits, 0) / CAST(ng.n_gold AS DOUBLE), 4)
+      |    AS recall_at_k,
+      |  ROUND(COALESCE(1.0 / h.frst, 0.0), 4) AS mrr_at_k
+      |FROM ng LEFT JOIN h USING (query_id)
+      |ORDER BY ng.query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_bm25" -> (r1Bm25 _),
     "r2_chunk" -> (r2Chunk _),
-    "r3_hybrid_rrf" -> (r3HybridRrf _))
+    "r3_hybrid_rrf" -> (r3HybridRrf _),
+    "r4_eval_metrics" -> (r4EvalMetrics _))
 
   def oracles: Map[String, String] = Map(
     "r1_bm25" -> r1Sql,
     "r2_chunk" -> r2Sql,
-    "r3_hybrid_rrf" -> r3Sql)
+    "r3_hybrid_rrf" -> r3Sql,
+    "r4_eval_metrics" -> r4Sql)
 }

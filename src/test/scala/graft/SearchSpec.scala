@@ -93,6 +93,30 @@ class SearchSpec extends AnyFunSuite {
     assert(parts.mkString(" ") == (1 to 20).map(i => s"t$i").mkString(" "))
   }
 
+  test("evalMetrics: hand-computed recall/MRR, miss and empty-gold edges") {
+    // ranked lists: q1 hits gold at ranks 2 and 5 of 3 gold docs;
+    // q2 retrieves nothing relevant; q3 has no gold at all
+    val ranked = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 5L),
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L)
+    ).toDF("query_id", "doc_id", "rank")
+    val gold = Seq(
+      (1L, 11L), (1L, 13L), (1L, 99L),  // 99 never retrieved
+      (2L, 77L)
+    ).toDF("query_id", "doc_id")
+    val got = Retrieval.evalMetrics(ranked, gold, "query_id", "doc_id", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((3L, 2L, 0.6667, 0.5)))   // first hit at rank 2
+    assert(got(2L) == ((1L, 0L, 0.0, 0.0)))
+    assert(!got.contains(3L), "no gold → no denominator → no row")
+    // k cutoff: at k=1 q1's rank-2 hit no longer counts
+    val k1 = Retrieval.evalMetrics(ranked, gold, "query_id", "doc_id", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(k1(1L) == ((0L, 0.0)))
+  }
+
   test("st1 streaming battery entry equals the batch group-by") {
     val d = "/root/testdata/sf0.001"
     val streamed = graft.queries.Relational.st1StreamWindows(spark, d)
