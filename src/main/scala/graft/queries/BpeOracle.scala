@@ -73,6 +73,26 @@ object BpeOracle {
        |LEFT JOIN w$numMerges w ON dw.word = w.word
        |GROUP BY d0.doc_id ORDER BY d0.doc_id""".stripMargin
 
+  /** t17: tokenizer fertility per language — the tokenizer-diagnostics
+    * rollup (BPE tokens per whitespace word). Same per-doc encode as
+    * t14, joined to `lang` and aggregated. */
+  def t17Sql(numMerges: Int): String =
+    trainingCtes(numMerges) + s""",
+       |dw AS (SELECT doc_id, wd[pos] AS word
+       |  FROM (SELECT doc_id, wd, unnest(generate_series(1, len(wd))) AS pos
+       |        FROM d0)),
+       |per AS (SELECT d0.doc_id, len(d0.wd) AS nw,
+       |    CAST(COALESCE(SUM(len(w.syms)), 0) AS BIGINT) AS nb
+       |  FROM d0 LEFT JOIN dw ON d0.doc_id = dw.doc_id
+       |  LEFT JOIN w$numMerges w ON dw.word = w.word
+       |  GROUP BY d0.doc_id, len(d0.wd))
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(per.nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(per.nb) AS BIGINT) AS n_bpe_tokens,
+       |  ROUND(SUM(per.nb) / CAST(SUM(per.nw) AS DOUBLE), 4) AS fertility
+       |FROM per JOIN documents d ON per.doc_id = d.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** e4: token streams packed into `seqLen`-token training sequences —
     * per-sequence doc/token counts + md5 signature of the exact
     * space-joined token stream (the p4 prefix-sum layout with real

@@ -390,6 +390,29 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language (BPE tokens / whitespace word) —
+    * the tokenizer-diagnostics table a training pipeline reports
+    * before committing to a vocabulary: high-fertility languages are
+    * under-served by the merges and blow up sequence lengths. Same
+    * distributed encode as t14 (broadcast-ranks, partition-invariant),
+    * then a per-language rollup; oracled by replaying the merge
+    * training in generated SQL ([[BpeOracle.t17Sql]]). */
+  def t17TokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val merges = graft.pipeline.Bpe.train(docs, "text", numMerges = 64)
+    val enc = graft.pipeline.Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("_nb"))
+    docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("_nw"))
+      .join(enc, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nw")).as("n_words"),
+        sum(col("_nb")).as("n_bpe_tokens"),
+        round(sum(col("_nb")) / sum(col("_nw")), 4).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** SemDeDup over the embeddings table: per-vector semantic cluster +
     * kept representative (rows-only: labels depend on the seeded
     * k-means quantizer; recall vs exact all-pairs in QualitySpec).
@@ -430,6 +453,7 @@ object Quality {
     "t12_html_extract" -> (t12HtmlExtract _),
     "t13_url_dedup" -> (t13UrlDedup _),
     "t14_bpe_tokenize" -> (t14BpeTokenize _),
+    "t17_tokenizer_fertility" -> (t17TokenizerFertility _),
     "d7_dup_spans" -> (d7DupSpans _),
     "d8_incremental" -> (d8Incremental _),
     "d9_incremental_neardup" -> (d9IncrementalNeardup _),
@@ -445,6 +469,7 @@ object Quality {
     "d7_dup_spans" -> d7Sql,
     "d8_incremental" -> d8Sql,
     "t14_bpe_tokenize" -> BpeOracle.t14Sql(numMerges = 64),
+    "t17_tokenizer_fertility" -> BpeOracle.t17Sql(numMerges = 64),
     "d9_incremental_neardup" -> PortableHashOracle.d9Sql,
     "d10_incremental_simhash" -> PortableHashOracle.d10Sql)
 }
