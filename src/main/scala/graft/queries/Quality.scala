@@ -177,6 +177,43 @@ object Quality {
       |  WHEN doc_id > mn THEN 'dup_batch' ELSE 'kept' END AS decision
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Snapshot diff vs a simulated re-crawl: every 9th doc vanished
+    * (removed), every remaining 7th was edited (changed), every 11th
+    * spawned a brand-new page (added), the rest untouched — the
+    * crawl-to-crawl audit that decides which downstream artifacts need
+    * refreshing. One digest projection per side + one full-outer
+    * id-join; exact and seedless → fully oracled. The per-source churn
+    * rollup over the same diff is spec-pinned
+    * ([[graft.pipeline.SnapshotDiff.churnReport]]). */
+  def d11SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = documents(s, d)
+    val v2 = v1.filter(col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+    graft.pipeline.SnapshotDiff.diff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val d11Sql: String =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 9 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 7000000, text FROM documents WHERE doc_id % 11 = 0),
+      |a AS (SELECT doc_id, md5(text) AS d1 FROM documents),
+      |b AS (SELECT doc_id, md5(text) AS d2 FROM v2)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN a.d1 = b.d2 THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Incremental NEAR-dup: the corpus's MinHash band postings are the
     * persisted state; a new batch (near-copies of a corpus slice plus
     * a batch-internal near-pair) probes them and verifies candidates
@@ -456,6 +493,7 @@ object Quality {
     "t17_tokenizer_fertility" -> (t17TokenizerFertility _),
     "d7_dup_spans" -> (d7DupSpans _),
     "d8_incremental" -> (d8Incremental _),
+    "d11_snapshot_diff" -> (d11SnapshotDiff _),
     "d9_incremental_neardup" -> (d9IncrementalNeardup _),
     "d10_incremental_simhash" -> (d10IncrementalSimhash _),
     "d6_semantic_dedup" -> (d6SemanticDedup _))
@@ -468,6 +506,7 @@ object Quality {
     "t13_url_dedup" -> t13Sql,
     "d7_dup_spans" -> d7Sql,
     "d8_incremental" -> d8Sql,
+    "d11_snapshot_diff" -> d11Sql,
     "t14_bpe_tokenize" -> BpeOracle.t14Sql(numMerges = 64),
     "t17_tokenizer_fertility" -> BpeOracle.t17Sql(numMerges = 64),
     "d9_incremental_neardup" -> PortableHashOracle.d9Sql,

@@ -538,6 +538,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (c, e) => c < 1000L && e >= 9000L })
   }
 
+  test("snapshot diff + churn report: hand-computed classification per source") {
+    import graft.pipeline.SnapshotDiff
+    val v1 = Seq(
+      (1L, "aa", "web"), (2L, "bb", "web"), (3L, "cc", "web"),
+      (4L, "dd", "books"), (5L, "ee", "books")
+    ).toDF("doc_id", "text", "source")
+    val v2 = Seq(
+      (1L, "aa", "web"),        // unchanged
+      (2L, "bb2", "web"),       // changed
+      // 3 removed
+      (4L, "dd", "books"),      // unchanged
+      (5L, "ee2", "books"),     // changed
+      (6L, "ff", "web"),        // added
+      (7L, "gg", "news")        // added, NEW source
+    ).toDF("doc_id", "text", "source")
+    val d = SnapshotDiff.diff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added", 7L -> "added"))
+    val c = SnapshotDiff.churnReport(v1, v2, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(c("web") == ((1L, 1L, 1L, 1L, Some(0.6667))))   // (rm+ch)/3 old
+    assert(c("books") == ((0L, 0L, 1L, 1L, Some(0.5))))
+    assert(c("news") == ((1L, 0L, 0L, 0L, None)), "new source: null churn")
+  }
+
   test("bloom-prefiltered decontamination ≡ exact path; filter sits before the exchange") {
     import graft.pipeline.Decontamination
     val evalSet = corpus.filter(col("doc_id") % 7 === 0)
