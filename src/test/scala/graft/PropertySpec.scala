@@ -160,4 +160,58 @@ class PropertySpec extends AnyFunSuite {
       assert(got(lid) == want, s"left $lid (key $k)")
     }
   }
+
+  test("exact-k sampling equals naive on random strata/k/margin combinations") {
+    import graft.pipeline.Sharding
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(seed: Long, id: Long) = {
+      md.reset()
+      md.digest(s"$seed:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val rng = new scala.util.Random(17)
+    // random stratum sizes incl. singletons; sparse non-contiguous ids
+    (0 until 3).foreach { round =>
+      val strata = (0 until 2 + rng.nextInt(4)).map(i => s"s$i" ->
+        (1 + rng.nextInt(80)))
+      var next = rng.nextInt(1000).toLong
+      val rows = strata.flatMap { case (s, n) =>
+        (0 until n).map { _ => next += 1 + rng.nextInt(7); (next, s) }
+      }
+      val df = rows.toDF("doc_id", "lang").repartition(1 + rng.nextInt(9))
+      val k = 1 + rng.nextInt(30)
+      val seed = rng.nextLong()
+      val margin = Seq(0.0, 1.0, 3.0)(rng.nextInt(3)) // incl. fallback-forcing
+      val got = Sharding.stratifiedExactK(df, "lang", "doc_id", k, seed, margin)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (s, rs) =>
+        rs.map(_._1).sortBy(id => (key(seed, id), id)).take(k)
+          .zipWithIndex.map { case (id, i) => (s, id, i + 1) }
+      }.toSet
+      assert(got == want, s"round $round (k=$k margin=$margin)")
+    }
+  }
+
+  test("deterministic shuffle is the exact md5 permutation on random sparse ids") {
+    import graft.pipeline.Sharding
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(seed: Long, id: Long) = {
+      md.reset()
+      md.digest(s"$seed:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val rng = new scala.util.Random(23)
+    (0 until 3).foreach { round =>
+      var next = -500L // negative ids too
+      val ids = (0 until 1 + rng.nextInt(400)).map { _ =>
+        next += 1 + rng.nextInt(1000); next }
+      val seed = rng.nextLong()
+      val df = ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartition(1 + rng.nextInt(9))
+      val got = Sharding.deterministicShuffle(df, "doc_id", seed)
+        .select("doc_id", "shuffle_pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ids.sortBy(id => (key(seed, id), id)).zipWithIndex
+        .map { case (id, i) => id -> i.toLong }.toMap
+      assert(got == want, s"round $round")
+    }
+  }
 }
