@@ -95,6 +95,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Sharding.assembleSequences(emptyToks, "doc_id", "toks", 5L).count() == 0)
   }
 
+  test("export/eval operators degrade to empty results on empty inputs") {
+    import graft.pipeline.{LangModel, Retrieval, Sharding, SnapshotDiff}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noStrata = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Sharding.deterministicShuffle(noDocs, "doc_id", 1L).count() == 0)
+    assert(Sharding.stratifiedExactK(noStrata, "lang", "doc_id", 5, 1L).count() == 0)
+    assert(LangModel.scoreBuckets(
+      Seq.empty[(String, Double)].toDF("lang", "score"), "lang", "score")
+      .count() == 0)
+    // diff against an empty old snapshot: everything is 'added'
+    val v2 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val d = SnapshotDiff.diff(noDocs, v2, "doc_id", "text")
+      .collect().map(r => r.getString(1)).toSet
+    assert(d == Set("added"))
+    assert(SnapshotDiff.diff(noDocs, noDocs, "doc_id", "text").count() == 0)
+    // metrics with empty ranked lists: zero rows hit, gold still counted
+    val gold = Seq((1L, 5L)).toDF("query_id", "doc_id")
+    val noRank = Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "rank")
+    val m = Retrieval.evalMetrics(noRank, gold, "query_id", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(m.toSeq == Seq((1L, 0L, 0.0, 0.0)))
+  }
+
   test("IVF-PQ tolerates a corpus smaller than the codebook width") {
     import graft.pipeline.PqAnn
     // 10 vectors, ksub = 16: codebook init can only seed 10 codewords
