@@ -786,6 +786,50 @@ object Pipeline {
       |FROM px GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** Media curation rollup — the table an image-pipeline operator
+    * reads before training: per source, how many payloads decode at
+    * all (every 13th doc carries a corrupt payload, exercising the
+    * in-scan `imageStats → None` failure path), dimension averages of
+    * the decodables, and how many fall under the min-width cut. The
+    * synthetic PNGs are a closed form of doc_id, so the whole rollup —
+    * including the decode-failure accounting — replays in DuckDB. */
+  def m5MediaQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val bytes =
+            if (id % 13 == 0) Array[Byte](1, 2, 3)  // corrupt payload
+            else Multimodal.syntheticPng(id)
+          val st = Multimodal.imageStats(bytes)
+          (src, st.isDefined,
+            st.map(_.width).getOrElse(0), st.map(_.height).getOrElse(0))
+        }
+      }
+      .toDF("source", "_ok", "_w", "_h")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_images"),
+        sum(when(col("_ok"), 1L).otherwise(0L)).as("n_decodable"),
+        round(avg(when(col("_ok"), col("_w"))), 4).as("avg_width"),
+        round(avg(when(col("_ok"), col("_h"))), 4).as("avg_height"),
+        sum(when(col("_ok") && col("_w") < 10, 1L).otherwise(0L))
+          .as("n_too_small"))
+      .orderBy("source")
+  }
+
+  val m5Sql: String =
+    """WITH p AS (SELECT doc_id, source, doc_id % 13 != 0 AS ok,
+      |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_images,
+      |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decodable,
+      |  ROUND(AVG(CASE WHEN ok THEN w END), 4) AS avg_width,
+      |  ROUND(AVG(CASE WHEN ok THEN h END), 4) AS avg_height,
+      |  CAST(SUM(CASE WHEN ok AND w < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_too_small
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   /** Sketch-profiled corpus statistics per source (rows-only: the
     * sketch outputs are deterministic but engine-specific; error
     * bounds vs exact are asserted in PipelineSpec). */
@@ -887,6 +931,7 @@ object Pipeline {
     "t5_profile" -> (t5Profile _),
     "m1_multimodal" -> (m1Multimodal _),
     "m2_image_decode" -> (m2ImageDecode _),
+    "m5_media_quality" -> (m5MediaQuality _),
     "m3_frame_decode" -> (m3FrameDecode _),
     "m4_audio_decode" -> (m4AudioDecode _))
 
@@ -907,6 +952,7 @@ object Pipeline {
     "t2_repetition" -> t2Sql,
     "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,
+    "m5_media_quality" -> m5Sql,
     "m3_frame_decode" -> m3Sql,
     "m4_audio_decode" -> m4Sql,
     "d2_minhash_lsh" -> PortableHashOracle.d2Sql,
