@@ -125,6 +125,51 @@ object Brokers {
     }
   }
 
+  /** The PRODUCTION reader: the real `format("kafka")` source wired to
+    * this broker's consumer options, subscription, and start offsets.
+    * This compiles and constructs against stock Spark — the kafka
+    * provider is resolved BY NAME at `load()` — so the deploy-time
+    * difference between this environment and production is exactly one
+    * connector jar on the classpath, nothing in this code. In a
+    * jar-less environment `load()` throws Spark's standard
+    * "Failed to find data source: kafka" (pinned by spec as the only
+    * missing piece). Downstream of `load()` the column contract is the
+    * fixed Kafka envelope (key/value binary, topic, partition, offset,
+    * timestamp), which [[kafkaAlerts]] feeds through the same framing
+    * decode + wrangle path the file source exercises.
+    *
+    * Dated-topic brokers (`dynamicTopics`) subscribe by PATTERN — the
+    * source re-matches topics at runtime, the streaming analogue of
+    * [[alerceTopics]]'s periodic rediscovery; static brokers get a
+    * plain `subscribe` list. Not for Pitt-Google (pub/sub, not
+    * kafka — guarded). */
+  def kafkaSource(spark: SparkSession, cfg: BrokerConfig,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    require(!cfg.servers.startsWith("pubsub:"),
+      s"${cfg.brokername} is a pub/sub broker, not kafka")
+    var r = spark.readStream.format("kafka")
+      .options(cfg.consumerOptions)
+      .option("kafka.group.id", cfg.groupId)
+      .option("startingOffsets", startingOffsets)
+    r = if (cfg.dynamicTopics)
+          r.option("subscribePattern", cfg.topics.mkString("|"))
+        else r.option("subscribe", cfg.topics.mkString(","))
+    maxOffsetsPerTrigger.foreach(n =>
+      r = r.option("maxOffsetsPerTrigger", n.toString))
+    r.load()
+  }
+
+  /** Decoded alert stream from the production source: envelope →
+    * framing decode → the alert schema; feed the result to
+    * [[wrangle]]/[[AlertStream]] exactly like the file stream. */
+  def kafkaAlerts(spark: SparkSession, cfg: BrokerConfig,
+      startingOffsets: String = "earliest"): DataFrame =
+    decode(spark,
+      kafkaSource(spark, cfg, startingOffsets)
+        .select(col("topic"), col("value")),
+      "value", cfg.framing)
+
   /** Decode a binary alert column under the broker's framing. */
   def decode(spark: SparkSession, df: DataFrame, valueCol: String,
       framing: Framing): DataFrame = framing match {

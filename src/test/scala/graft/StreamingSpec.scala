@@ -783,6 +783,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(Brokers.alerce("u", "p", "g").dynamicTopics)
   }
 
+  test("production kafka source: real code path; only the connector jar is absent here") {
+    import graft.streaming.Brokers
+    // format("kafka") resolves the provider BY NAME at load(), so the
+    // builder + options + subscription construct against stock Spark;
+    // in this jar-less environment load() must fail with the standard
+    // missing-provider error — proving the deploy-time delta is one
+    // classpath entry, not code
+    val e = intercept[Exception] {
+      Brokers.kafkaSource(spark, Brokers.fink("g1"))
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"unexpected failure: ${e.getMessage}")
+    // pub/sub brokers are guarded out of the kafka path
+    intercept[IllegalArgumentException] {
+      Brokers.kafkaSource(spark, Brokers.pittGoogle("t", "p"))
+    }
+  }
+
   test("avro alert decode round-trips through the bundled avro runtime") {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
