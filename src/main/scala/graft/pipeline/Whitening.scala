@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** PCA whitening for embedding columns — the OPQ-style preconditioner
+  * a vector pipeline runs before product quantization: rotate into the
+  * eigenbasis of the corpus covariance and rescale each component to
+  * unit variance, so the PQ subspaces see decorrelated, equal-energy
+  * coordinates instead of whatever axes the encoder happened to emit
+  * (correlated axes are the main source of PQ distortion — Jégou et
+  * al. 2011 §V, and the standard faiss `PCAMatrix` preprocessing).
+  *
+  * Spark shape: the sufficient statistics (n, Σx, ΣxxT) are ONE
+  * per-partition fold — each task accumulates a local dim×dim Gram
+  * matrix and emits a single row, the classic MLlib RowMatrix
+  * covariance recipe — so the driver combines #partitions·dim² doubles
+  * (a few MB at dim 64) and eigendecomposes a dim×dim matrix locally.
+  * The transform is a per-row matrix multiply in `mapPartitions` with
+  * the (dim² + dim)-double model in the task closure: no shuffle on
+  * either side. Floating-point sums depend on partition grouping, so
+  * whitened values are reproducible to ulps, not bits — every
+  * guarantee is therefore stated with tolerances (spec), and the
+  * battery surfaces the stable spectrum summary rather than raw
+  * coordinates.
+  */
+object Whitening {
+
+  /** mean + principal axes (descending eigenvalue) + per-component
+    * whitening scales 1/√(λ+eps). */
+  final case class Model(dim: Int, mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double],
+      scales: Array[Double])
+
+  final case class VecRow(id: Long, emb: Seq[Double])
+
+  /** Fit on the embedding column (optionally a sampled frame — the
+    * covariance of a large uniform sample is the standard estimator at
+    * scale). One pass; driver work is O(#partitions·dim² + dim³). */
+  def fit(df: DataFrame, idCol: String, embCol: String, dim: Int,
+      eps: Double = 1e-9): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .as[VecRow]
+      .mapPartitions { it =>
+        val sum = new Array[Double](dim)
+        val gram = new Array[Double](dim * dim) // row-major upper used
+        var n = 0L
+        it.foreach { r =>
+          val x = r.emb
+          require(x.length == dim, s"vector ${r.id} has dim ${x.length}, expected $dim")
+          var i = 0
+          while (i < dim) {
+            val xi = x(i)
+            sum(i) += xi
+            var j = i
+            while (j < dim) { gram(i * dim + j) += xi * x(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((n, sum.toSeq, gram.toSeq))
+      }
+      .collect() // one row per non-empty partition
+    val n = stats.map(_._1).sum
+    require(n >= 2, s"whitening needs >= 2 vectors, got $n")
+    val sum = new Array[Double](dim)
+    val gram = new Array[Double](dim * dim)
+    stats.foreach { case (_, s, g) =>
+      var i = 0
+      while (i < dim) { sum(i) += s(i); i += 1 }
+      var k = 0
+      while (k < dim * dim) { gram(k) += g(k); k += 1 }
+    }
+    val mean = sum.map(_ / n)
+    // covariance (population): E[xxT] − mean·meanT, symmetrized
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = gram(i * dim + j) / n - mean(i) * mean(j)
+        cov(i, j) = v; cov(j, i) = v
+        j += 1
+      }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // breeze returns ascending eigenvalues; flip to descending
+    val order = (0 until dim).sortBy(k => -es.eigenvalues(k))
+    val eigenvalues = order.map(k => math.max(es.eigenvalues(k), 0.0)).toArray
+    val components = order.map(k =>
+      Array.tabulate(dim)(r => es.eigenvectors(r, k))).toArray
+    Model(dim, mean, components, eigenvalues,
+      eigenvalues.map(l => 1.0 / math.sqrt(l + eps)))
+  }
+
+  /** Whiten: out_k = scale_k · ⟨x − mean, component_k⟩. Per-row
+    * matrix multiply where the rows live; model in the closure. */
+  def transform(df: DataFrame, idCol: String, embCol: String,
+      model: Model, outCol: String = "whitened"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .as[VecRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val x = r.emb
+          val out = new Array[Double](model.dim)
+          var k = 0
+          while (k < model.dim) {
+            val w = model.components(k)
+            var s = 0.0
+            var i = 0
+            while (i < model.dim) { s += (x(i) - model.mean(i)) * w(i); i += 1 }
+            out(k) = s * model.scales(k)
+            k += 1
+          }
+          (r.id, out.toSeq)
+        }
+      }
+      .toDF("id", outCol)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Stable spectrum summary for reporting: per component, the
+    * eigenvalue (corpus variance along that axis) and the cumulative
+    * explained-variance fraction. */
+  def spectrum(model: Model): Seq[(Int, Double, Double)] = {
+    val total = model.eigenvalues.sum
+    var cum = 0.0
+    model.eigenvalues.toSeq.zipWithIndex.map { case (l, k) =>
+      cum += l
+      (k, l, if (total > 0) cum / total else 0.0)
+    }
+  }
+}

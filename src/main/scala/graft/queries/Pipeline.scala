@@ -786,6 +786,23 @@ object Pipeline {
       |FROM px GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** PCA-whitening spectrum of the embeddings table — the
+    * preconditioning report a vector pipeline reads before choosing PQ
+    * parameters (how many components carry the energy; whether the
+    * encoder's axes are correlated enough for OPQ-style rotation to
+    * matter). Rows-only: no engine replays an eigendecomposition; the
+    * identity-covariance / partition-invariance guarantees are
+    * spec-pinned with tolerances ([[graft.pipeline.Whitening]]). */
+  def s6Whiten(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val model = graft.pipeline.Whitening.fit(
+      embeddings(s, d), "vec_id", "embedding", dim = 64)
+    graft.pipeline.Whitening.spectrum(model)
+      .map { case (k, l, cum) =>
+        (k, math.round(l * 1e6) / 1e6, math.round(cum * 1e4) / 1e4) }
+      .toDF("component", "eigenvalue", "cum_explained")
+  }
+
   /** Media curation rollup — the table an image-pipeline operator
     * reads before training: per source, how many payloads decode at
     * all (every 13th doc carries a corrupt payload, exercising the
@@ -923,6 +940,7 @@ object Pipeline {
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s4_ann_ivfpq" -> (s4AnnIvfPq _),
     "s5_incremental_pq" -> (s5IncrementalPq _),
+    "s6_whiten" -> (s6Whiten _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),

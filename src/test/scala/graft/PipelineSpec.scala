@@ -538,6 +538,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (c, e) => c < 1000L && e >= 9000L })
   }
 
+  test("PCA whitening: identity covariance, zero mean, partition-invariant, sane spectrum") {
+    import graft.pipeline.Whitening
+    val dim = 8
+    val rng = new scala.util.Random(13)
+    // strongly anisotropic + correlated: x = A z with a skewed mixing
+    // matrix, exactly the shape whitening exists to fix
+    val a = Array.tabulate(dim, dim)((i, j) =>
+      (if (i == j) 3.0 / (i + 1) else 0.4 * rng.nextGaussian()))
+    val vecs = (0L until 600L).map { id =>
+      val z = Array.fill(dim)(rng.nextGaussian())
+      (id, Array.tabulate(dim)(i =>
+        (0 until dim).map(j => a(i)(j) * z(j)).sum + 0.7 * i).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val model = Whitening.fit(df, "vec_id", "embedding", dim)
+    val w = Whitening.transform(df, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val n = w.size.toDouble
+    val mean = Array.tabulate(dim)(i => w.values.map(_(i)).sum / n)
+    mean.foreach(m => assert(math.abs(m) < 1e-9, s"whitened mean $m"))
+    // population covariance of the whitened data ≈ identity
+    (0 until dim).foreach { i =>
+      (i until dim).foreach { j =>
+        val c = w.values.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+        val want = if (i == j) 1.0 else 0.0
+        assert(math.abs(c - want) < 1e-6, s"cov($i,$j)=$c")
+      }
+    }
+    // partition layout changes float sum order, not the answer
+    val m13 = Whitening.fit(df.repartition(13), "vec_id", "embedding", dim)
+    model.mean.zip(m13.mean).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9) }
+    model.eigenvalues.zip(m13.eigenvalues).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-8) }
+    // spectrum: descending, cumulative fraction reaches 1
+    val sp = Whitening.spectrum(model)
+    sp.sliding(2).foreach { case Seq((_, l1, _), (_, l2, _)) => assert(l1 >= l2) }
+    assert(math.abs(sp.last._3 - 1.0) < 1e-12)
+    // degenerate guard: fewer than 2 vectors refuses loudly
+    intercept[IllegalArgumentException] {
+      Whitening.fit(df.limit(1), "vec_id", "embedding", dim)
+    }
+  }
+
   test("snapshot diff + churn report: hand-computed classification per source") {
     import graft.pipeline.SnapshotDiff
     val v1 = Seq(
