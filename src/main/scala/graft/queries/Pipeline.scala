@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sharding, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text /
   * multimodal) as driver-checked queries on the documents + embeddings
@@ -786,6 +786,60 @@ object Pipeline {
       |FROM px GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** The EXPORT TRAIN end to end — the session-3 operators composed
+    * the way a real training export runs them: exact dedup apply →
+    * exact-k per-language cap (p8) → deterministic global shuffle
+    * (p7) → token-budget shard packing in shuffle order (p2) → a
+    * per-shard manifest (doc/token counts + an md5 over the exact
+    * doc-id sequence, pinning order byte-for-byte). Every stage is
+    * seedless-deterministic, so the WHOLE train replays in DuckDB —
+    * the e3 counterpart for the export family. */
+  def e8TrainingExport(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id", "lang", "text")
+    val capped = Sharding.stratifiedExactK(kept, "lang", "doc_id",
+        k = 50, seed = 11L)
+      .select("doc_id", "text")
+    val shuffled = Sharding.deterministicShuffle(capped, "doc_id", 42L)
+    val packed = Sharding.packByTokenBudget(shuffled, "shuffle_pos",
+      TextAnalysis.tokenCount(col("text")), budget = 4000L)
+    packed.join(shuffled.select("shuffle_pos", "doc_id"), Seq("shuffle_pos"))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("shuffle_pos"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",")).as("ids_md5"))
+      .orderBy("shard")
+  }
+
+  val e8Sql: String =
+    """WITH dd AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+      |d AS (SELECT doc.doc_id, doc.lang, doc.text
+      |      FROM documents doc JOIN dd ON doc.doc_id = dd.doc_id),
+      |k AS (SELECT doc_id, text FROM (
+      |  SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('11:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM d WHERE lang IS NOT NULL) WHERE rk <= 50),
+      |sh AS (SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+      |  FROM k),
+      |t AS (SELECT doc_id, pos,
+      |    len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS nt
+      |  FROM sh),
+      |c AS (SELECT doc_id, pos, nt,
+      |    COALESCE(SUM(nt) OVER (ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM t)
+      |SELECT CAST(cum // 4000 AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+      |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** PCA-whitening spectrum of the embeddings table — the
     * preconditioning report a vector pipeline reads before choosing PQ
     * parameters (how many components carry the energy; whether the
@@ -935,6 +989,7 @@ object Pipeline {
     "e7_bloom_decontaminate" -> (e7BloomDecontaminate _),
     "e5_fuzzy_decontaminate" -> (e5FuzzyDecontaminate _),
     "e6_cluster_split" -> (e6ClusterSplit _),
+    "e8_training_export" -> (e8TrainingExport _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -963,6 +1018,7 @@ object Pipeline {
     "e2_decontaminate" -> e2Sql,
     "e7_bloom_decontaminate" -> e2Sql,
     "e6_cluster_split" -> e6Sql,
+    "e8_training_export" -> e8Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,
