@@ -786,6 +786,50 @@ object Pipeline {
       |FROM px GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus datasheet — the "data card" a dataset release ships
+    * (Datasheets for Datasets): per source, document/token volumes,
+    * the exact-duplicate fraction, mean heuristic quality, and the
+    * median document length. One pass over the corpus plus the
+    * text-group dup sizes; medians via the same exact-percentile
+    * aggregate t16 proved engine-portable. */
+  def t18Datasheet(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = docs.select(col("doc_id"), col("source"), col("text"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("_nt"),
+      TextAnalysis.qualityScore(col("text")).as("_q"))
+    val dupSizes = docs.groupBy("text").agg(count(lit(1)).as("_gs"))
+    scored.join(dupSizes, Seq("text"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        round(avg(when(col("_gs") > 1, 1.0).otherwise(0.0)), 4).as("dup_frac"),
+        round(avg(col("_q")), 4).as("avg_quality"),
+        round(percentile(col("_nt"), lit(0.5)), 1).as("median_tokens"))
+      .orderBy("source")
+  }
+
+  val t18Sql: String =
+    """WITH q AS (SELECT doc_id, source, text,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS tok
+      |  FROM documents),
+      |qs AS (SELECT doc_id, source, text, len(tok) AS nt,
+      |  ROUND(0.4 * LEAST(len(tok) / 100.0, 1.0)
+      |    + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text,
+      |        '[^A-Za-z0-9\s]')) * 5.0
+      |        / GREATEST(length(text), 1), 1.0))
+      |    + 0.3 * LEAST(len(list_filter(tok,
+      |        t -> t IN ('the','a','an','and','of','to','in','is','it')))
+      |        * 5.0 / GREATEST(len(tok), 1), 1.0), 6) AS quality
+      |  FROM q),
+      |g AS (SELECT text, COUNT(*) AS gs FROM documents GROUP BY text)
+      |SELECT qs.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(qs.nt) AS BIGINT) AS n_tokens,
+      |  ROUND(AVG(CASE WHEN g.gs > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_frac,
+      |  ROUND(AVG(qs.quality), 4) AS avg_quality,
+      |  ROUND(quantile_cont(qs.nt, 0.5), 1) AS median_tokens
+      |FROM qs JOIN g ON qs.text = g.text
+      |GROUP BY qs.source ORDER BY qs.source""".stripMargin
+
   /** The EXPORT TRAIN end to end — the session-3 operators composed
     * the way a real training export runs them: exact dedup apply →
     * exact-k per-language cap (p8) → deterministic global shuffle
@@ -990,6 +1034,7 @@ object Pipeline {
     "e5_fuzzy_decontaminate" -> (e5FuzzyDecontaminate _),
     "e6_cluster_split" -> (e6ClusterSplit _),
     "e8_training_export" -> (e8TrainingExport _),
+    "t18_datasheet" -> (t18Datasheet _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -1019,6 +1064,7 @@ object Pipeline {
     "e7_bloom_decontaminate" -> e2Sql,
     "e6_cluster_split" -> e6Sql,
     "e8_training_export" -> e8Sql,
+    "t18_datasheet" -> t18Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,
