@@ -36,12 +36,17 @@ object Whitening {
 
   /** Fit on the embedding column (optionally a sampled frame — the
     * covariance of a large uniform sample is the standard estimator at
-    * scale). One pass; driver work is O(#partitions·dim² + dim³). */
+    * scale). One corpus pass; the per-partition (n, Σx, ΣxxT) rows are
+    * combined DISTRIBUTIVELY (element index → sum), so the driver
+    * receives exactly dim + dim² doubles no matter how many partitions
+    * the corpus has — collecting one Gram row per partition would be
+    * gigabytes at 100 TB partition counts. Driver work is O(dim³) for
+    * the eigendecomposition. */
   def fit(df: DataFrame, idCol: String, embCol: String, dim: Int,
       eps: Double = 1e-9): Model = {
     val spark = df.sparkSession
     import spark.implicits._
-    val stats = df
+    val parts = df
       .select(col(idCol).cast("long").as("id"),
         col(embCol).cast("array<double>").as("emb"))
       .as[VecRow]
@@ -65,17 +70,24 @@ object Whitening {
         if (n == 0) Iterator.empty
         else Iterator.single((n, sum.toSeq, gram.toSeq))
       }
-      .collect() // one row per non-empty partition
-    val n = stats.map(_._1).sum
-    require(n >= 2, s"whitening needs >= 2 vectors, got $n")
-    val sum = new Array[Double](dim)
-    val gram = new Array[Double](dim * dim)
-    stats.foreach { case (_, s, g) =>
-      var i = 0
-      while (i < dim) { sum(i) += s(i); i += 1 }
-      var k = 0
-      while (k < dim * dim) { gram(k) += g(k); k += 1 }
+      .toDF("_n", "_sum", "_gram")
+      .persist() // #partitions tiny rows, read by the three folds below
+    val n = {
+      val r = parts.agg(org.apache.spark.sql.functions.sum(col("_n"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+    require(n >= 2, s"whitening needs >= 2 vectors, got $n")
+    def combine(c: String, len: Int): Array[Double] = {
+      val out = new Array[Double](len)
+      parts.select(posexplode(col(c)))
+        .groupBy("pos").agg(org.apache.spark.sql.functions.sum(col("col")).as("v"))
+        .collect()
+        .foreach(r => out(r.getInt(0)) = r.getDouble(1))
+      out
+    }
+    val sum = combine("_sum", dim)
+    val gram = combine("_gram", dim * dim)
+    parts.unpersist(blocking = false)
     val mean = sum.map(_ / n)
     // covariance (population): E[xxT] − mean·meanT, symmetrized
     val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
