@@ -68,4 +68,57 @@ class SpatialSpec extends AnyFunSuite {
       col("ra2"), col("dec2")) * 3600).as("s")).head().getDouble(0)
     assert(math.abs(got - sepArcsec(42.0, 13.0, 42.0, 13.0036)) < 1e-9)
   }
+
+  test("z-order key interleaves bits exactly as the reference Morton code") {
+    import graft.spatial.ZOrder
+    def morton(qx: Long, qy: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((qx >> i) & 1L) << (2 * i)) | (((qy >> i) & 1L) << (2 * i + 1))).sum
+    val bits = 8
+    val cells = 1 << bits
+    // sample of coordinates incl. domain corners and out-of-range clamps
+    val rng = new scala.util.Random(31)
+    val coords = Seq((0.0, -90.0), (359.999, 89.999), (-5.0, 95.0),
+      (180.0, 0.0)) ++ Seq.fill(200)((rng.nextDouble() * 360, rng.nextDouble() * 180 - 90))
+    val got = coords.zipWithIndex
+      .map { case ((ra, dec), i) => (i.toLong, ra, dec) }
+      .toDF("id", "ra", "dec")
+      .withColumn("z", ZOrder.skyKey(col("ra"), col("dec"), bits))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    coords.zipWithIndex.foreach { case ((ra, dec), i) =>
+      def q(v: Double, lo: Double, hi: Double) =
+        math.min(math.max(math.floor((v - lo) / (hi - lo) * cells), 0), cells - 1).toLong
+      assert(got(i.toLong) == morton(q(ra, 0, 360), q(dec, -90, 90), bits),
+        s"coord ($ra, $dec)")
+    }
+  }
+
+  test("z-order layout gives files tight boxes; a box query touches few files") {
+    import graft.spatial.ZOrder
+    val rng = new scala.util.Random(7)
+    val pts = (0L until 20000L)
+      .map(i => (i, rng.nextDouble() * 360, rng.nextDouble() * 180 - 90))
+      .toDF("id", "ra", "dec")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    ZOrder.layout(pts, "ra", "dec", numFiles = 16)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    pts.repartition(16, col("id")) // the layout you get without thinking
+      .write.mode("overwrite").parquet(s"$dir/naive")
+    def boxes(p: String) = ZOrder.fileBoxes(spark, p, "ra", "dec").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val z = boxes(s"$dir/z")
+    val naive = boxes(s"$dir/naive")
+    // z-order: mean fractional box area near 1/numFiles; naive: ~full sky
+    val zArea = z.map(_._5).sum / z.length
+    val nArea = naive.map(_._5).sum / naive.length
+    assert(zArea < 0.2, s"z-order mean box area $zArea")
+    assert(nArea > 0.8, s"naive layout should span the domain, got $nArea")
+    // a 20°x20° box query: count files whose box intersects
+    def touches(bs: Array[(Double, Double, Double, Double, Double)]) =
+      bs.count { case (rmin, rmax, dmin, dmax, _) =>
+        rmax >= 100 && rmin <= 120 && dmax >= 10 && dmin <= 30 }
+    assert(touches(z) <= z.length / 2, s"z touches ${touches(z)} of ${z.length}")
+    assert(touches(naive) == naive.length, "naive touches every file")
+  }
 }
