@@ -280,6 +280,62 @@ object Multimodal {
   }
 
   /** A media row: opaque payload + typed metadata. */
+  /** Perceptual average-hash of an image — the image-side counterpart
+    * of the text SimHash: near-identical images (small brightness
+    * shifts, re-encodes) land at small Hamming distance, so the
+    * SimHash-style block-index join machinery (d3/d10) does image
+    * near-dup at corpus scale on 64-bit keys instead of pixels.
+    *
+    * Definition is EXACT-INTEGER so the hash replays on any engine
+    * from pixel values alone (no float summation-order hazards):
+    * pixels fold into an 8×8 grid by bin(i) = ⌊x·8/w⌋; per bin,
+    * s = Σ(channel-sum), c = pixel count, t = ⌊s·64/c⌋; bit k set iff
+    * 64·t_k > Σ_j t_j (strict — a bin exactly at the mean is 0).
+    * Returned as a 64-char '0'/'1' string, bit index bi·8+bj, so no
+    * sign-bit overflow and direct substring diffing. None for
+    * undecodable payloads; bins that receive no pixels (image narrower
+    * than 8) contribute t = 0. */
+  def aHashBits(content: Array[Byte]): Option[String] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val nch = raster.getNumBands
+        val s = new Array[Long](64)
+        val c = new Array[Long](64)
+        val rowBuf = new Array[Int](w)
+        var ch = 0
+        while (ch < nch) {
+          var y = 0
+          while (y < h) {
+            val bj = y * 8 / h
+            raster.getSamples(0, y, w, 1, ch, rowBuf)
+            var x = 0
+            while (x < w) {
+              val k = (x * 8 / w) * 8 + bj
+              s(k) += rowBuf(x)
+              if (ch == 0) c(k) += 1
+              x += 1
+            }
+            y += 1
+          }
+          ch += 1
+        }
+        val t = Array.tabulate(64)(k => if (c(k) == 0) 0L else s(k) * 64L / c(k))
+        val total = t.sum
+        val sb = new java.lang.StringBuilder(64)
+        var k = 0
+        while (k < 64) {
+          sb.append(if (64L * t(k) > total) '1' else '0')
+          k += 1
+        }
+        Some(sb.toString)
+      }
+    } catch { case _: Exception => None }
+
   case class MediaRecord(
       media_id: Long,
       media_type: String,            // "image" | "audio" | "video"

@@ -945,6 +945,46 @@ object Pipeline {
       |    AS n_too_small
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  /** Perceptual image hashes for the corpus's synthetic PNGs — the
+    * image-side near-dup key (the multimodal counterpart of d3's
+    * SimHash; hamming-near hashes feed the same block-index join).
+    * The hash definition is exact-integer ([[Multimodal.aHashBits]]),
+    * so the REAL ImageIO decode on the Spark side and the closed-form
+    * pixel replay in DuckDB produce identical 64-bit strings. */
+  def m6ImageAhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bits = Multimodal.aHashBits(Multimodal.syntheticPng(id))
+          .getOrElse(throw new IllegalStateException(
+            s"ImageIO failed to decode the synthesized PNG for doc $id"))
+        (id, bits)
+      })
+      .toDF("doc_id", "ahash")
+      .orderBy("doc_id")
+  }
+
+  val m6Sql: String =
+    """WITH p AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(8 + doc_id % 7 AS INT) AS h
+      |           FROM documents),
+      |px AS (SELECT p.doc_id, p.w, p.h, x.range AS x, y.range AS y,
+      |    ((x.range + 2*y.range + p.doc_id) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 5) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 10) % 256) AS lum
+      |  FROM p, range(16) x, range(14) y
+      |  WHERE x.range < p.w AND y.range < p.h),
+      |b AS (SELECT doc_id, ((x*8)//w)*8 + (y*8)//h AS k,
+      |        SUM(lum) AS s, COUNT(*) AS c
+      |      FROM px GROUP BY doc_id, ((x*8)//w)*8 + (y*8)//h),
+      |t AS (SELECT doc_id, k, (s * 64) // c AS t FROM b),
+      |tot AS (SELECT doc_id, SUM(t) AS total FROM t GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  string_agg(CASE WHEN 64 * t.t > tot.total THEN '1' ELSE '0' END,
+      |             '' ORDER BY t.k) AS ahash
+      |FROM t JOIN tot ON t.doc_id = tot.doc_id
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** Sketch-profiled corpus statistics per source (rows-only: the
     * sketch outputs are deterministic but engine-specific; error
     * bounds vs exact are asserted in PipelineSpec). */
@@ -1050,6 +1090,7 @@ object Pipeline {
     "m1_multimodal" -> (m1Multimodal _),
     "m2_image_decode" -> (m2ImageDecode _),
     "m5_media_quality" -> (m5MediaQuality _),
+    "m6_image_ahash" -> (m6ImageAhash _),
     "m3_frame_decode" -> (m3FrameDecode _),
     "m4_audio_decode" -> (m4AudioDecode _))
 
@@ -1073,6 +1114,7 @@ object Pipeline {
     "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,
     "m5_media_quality" -> m5Sql,
+    "m6_image_ahash" -> m6Sql,
     "m3_frame_decode" -> m3Sql,
     "m4_audio_decode" -> m4Sql,
     "d2_minhash_lsh" -> PortableHashOracle.d2Sql,

@@ -538,6 +538,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (c, e) => c < 1000L && e >= 9000L })
   }
 
+  test("image aHash: flat/half-split/brightness-shift semantics; garbage → None") {
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach { y =>
+        val v = f(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // flat image: every bin AT the mean → strict '>' makes all bits 0
+    assert(Multimodal.aHashBits(png(16, 16)((_, _) => 128)).get == "0" * 64)
+    // bright left half, dark right: bit index is bi*8+bj (x-major), so
+    // the first 32 bits are the left half → all 1s, rest 0s
+    val half = Multimodal.aHashBits(png(16, 16)((x, _) => if (x < 8) 250 else 10)).get
+    assert(half == "1" * 32 + "0" * 32)
+    // a global brightness shift without clipping preserves the hash —
+    // the near-dup property that makes hamming distance meaningful
+    val base = Multimodal.aHashBits(png(15, 13)((x, y) => 60 + (x * 7 + y * 11) % 120))
+    val shifted = Multimodal.aHashBits(png(15, 13)((x, y) => 80 + (x * 7 + y * 11) % 120))
+    assert(base == shifted)
+    // undecodable payload
+    assert(Multimodal.aHashBits(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
   test("PCA whitening: identity covariance, zero mean, partition-invariant, sane spectrum") {
     import graft.pipeline.Whitening
     val dim = 8
