@@ -535,6 +535,30 @@ object Dedup {
       .select("id_a", "id_b", "hamming", "jaccard")
   }
 
+  /** All pairs at Hamming distance ≤ `maxHamming` between 64-bit
+    * signatures — [[simhashNearDups]]'s candidate machinery without
+    * the text-specific shingle verification, for signature columns
+    * that are NOT text SimHashes (e.g. perceptual image hashes, any
+    * 64-bit sketch). The combined-block index is pigeonhole-COMPLETE,
+    * so the output EQUALS the all-pairs brute force while the plan
+    * stays banding-bounded. Returns (id_a, id_b, hamming),
+    * id_a < id_b. */
+  def signaturePairs(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    val keyed = simhashBlockKeys(df.select(col(idCol), col(sigCol)),
+      idCol, sigCol, maxHamming)
+    keyed.select(col("_comb"), col("_v1"), col("_v2"),
+        col(idCol).as("id_a"), col(sigCol).as("_sig_a"))
+      .join(keyed.select(col("_comb"), col("_v1"), col("_v2"),
+        col(idCol).as("id_b"), col(sigCol).as("_sig_b")),
+        Seq("_comb", "_v1", "_v2"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(hammingDist(col("_sig_a"), col("_sig_b")) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("_sig_a"), col("_sig_b")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Combined two-block candidate keys (_comb, _v1, _v2) for a 64-bit
     * SimHash column — the candidate-generation keys of
     * [[simhashNearDups]], factored out so an index BUILD and a later

@@ -985,6 +985,46 @@ object Pipeline {
       |FROM t JOIN tot ON t.doc_id = tot.doc_id
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Perceptual image-dup groups: images sharing an identical aHash
+    * are perceptual duplicates (the synthetic corpus is heavily
+    * clustered — dims repeat every 63 ids and brightness shifts are
+    * hash-invariant); the group table is the image-side d1. Near-dup
+    * at hamming ≤ h uses [[Dedup.signaturePairs]] on the same hashes —
+    * pigeonhole-complete, spec-pinned ≡ brute force. */
+  def m7ImageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.aHashBits(Multimodal.syntheticPng(id)).get)
+      })
+      .toDF("doc_id", "ahash")
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
+      .orderBy("ahash")
+  }
+
+  val m7Sql: String =
+    """WITH p AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(8 + doc_id % 7 AS INT) AS h
+      |           FROM documents),
+      |px AS (SELECT p.doc_id, p.w, p.h, x.range AS x, y.range AS y,
+      |    ((x.range + 2*y.range + p.doc_id) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 5) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 10) % 256) AS lum
+      |  FROM p, range(16) x, range(14) y
+      |  WHERE x.range < p.w AND y.range < p.h),
+      |b AS (SELECT doc_id, ((x*8)//w)*8 + (y*8)//h AS k,
+      |        SUM(lum) AS s, COUNT(*) AS c
+      |      FROM px GROUP BY doc_id, ((x*8)//w)*8 + (y*8)//h),
+      |t AS (SELECT doc_id, k, (s * 64) // c AS t FROM b),
+      |tot AS (SELECT doc_id, SUM(t) AS total FROM t GROUP BY doc_id),
+      |hsh AS (SELECT t.doc_id,
+      |  string_agg(CASE WHEN 64 * t.t > tot.total THEN '1' ELSE '0' END,
+      |             '' ORDER BY t.k) AS ahash
+      |  FROM t JOIN tot ON t.doc_id = tot.doc_id GROUP BY t.doc_id)
+      |SELECT ahash, COUNT(*) AS n_images, MIN(doc_id) AS min_doc
+      |FROM hsh GROUP BY ahash ORDER BY ahash""".stripMargin
+
   /** Sketch-profiled corpus statistics per source (rows-only: the
     * sketch outputs are deterministic but engine-specific; error
     * bounds vs exact are asserted in PipelineSpec). */
@@ -1091,6 +1131,7 @@ object Pipeline {
     "m2_image_decode" -> (m2ImageDecode _),
     "m5_media_quality" -> (m5MediaQuality _),
     "m6_image_ahash" -> (m6ImageAhash _),
+    "m7_image_dedup" -> (m7ImageDedup _),
     "m3_frame_decode" -> (m3FrameDecode _),
     "m4_audio_decode" -> (m4AudioDecode _))
 
@@ -1115,6 +1156,7 @@ object Pipeline {
     "m2_image_decode" -> m2Sql,
     "m5_media_quality" -> m5Sql,
     "m6_image_ahash" -> m6Sql,
+    "m7_image_dedup" -> m7Sql,
     "m3_frame_decode" -> m3Sql,
     "m4_audio_decode" -> m4Sql,
     "d2_minhash_lsh" -> PortableHashOracle.d2Sql,

@@ -538,6 +538,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (c, e) => c < 1000L && e >= 9000L })
   }
 
+  test("signaturePairs equals brute force at every radius (pigeonhole completeness)") {
+    val rng = new scala.util.Random(41)
+    // random signatures + planted near pairs at controlled distances
+    val base = (0L until 150L).map(i => i -> rng.nextLong())
+    val planted = (0 until 40).map { j =>
+      val (src, sig) = base(rng.nextInt(base.size))
+      val flips = rng.nextInt(9) // 0..8 bit flips
+      var s = sig
+      (0 until flips).foreach(_ => s ^= 1L << rng.nextInt(64))
+      (1000L + j, s)
+    }
+    val all = base ++ planted
+    val df = all.toDF("id", "sig").repartition(7)
+    def brute(h: Int) = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= h
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    Seq(0, 3, 8).foreach { h =>
+      val got = Dedup.signaturePairs(df, "id", "sig", h)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.get(2).asInstanceOf[Number].longValue())).toSet
+      assert(got == brute(h), s"maxHamming $h")
+    }
+  }
+
   test("image aHash: flat/half-split/brightness-shift semantics; garbage → None") {
     def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
