@@ -229,6 +229,71 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Perceptual audio fingerprint — the audio counterpart of
+    * [[aHashBits]]: the PCM stream folds into 64 time bins by
+    * bin(i) = ⌊i·64/n⌋; per bin, e = Σ(channel-sum)², c = frame count,
+    * t = ⌊e·64/c⌋; bit j set iff 64·t_j > Σt (strict). Exact-integer
+    * throughout, so the 64-char fingerprint replays from sample values
+    * on any engine; loudness structure (where the energy sits in time)
+    * is what it keys on. Buffers one Long per frame (a minute of 48 kHz
+    * is ~23 MB transient per row — repartition by size upstream for
+    * long files, as [[extractFeatures]] documents). None for payloads
+    * the PCM reader rejects. */
+  def audioFingerprint(content: Array[Byte]): Option[String] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val ch = fmt.getChannels
+        val bigEndian = fmt.isBigEndian
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val buf = new Array[Byte](4096 * ch * 2)
+        var read = ais.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 2 * ch <= read) {
+            var c = 0
+            var v = 0L
+            while (c < ch) {
+              val lo = buf(i + 2 * c + (if (bigEndian) 1 else 0)) & 0xFF
+              val hi = buf(i + 2 * c + (if (bigEndian) 0 else 1))
+              v += (hi << 8) | lo
+              c += 1
+            }
+            frames += v
+            i += 2 * ch
+          }
+          read = ais.read(buf)
+        }
+        val n = frames.length
+        if (n == 0) None
+        else {
+          val e = new Array[Long](64)
+          val c = new Array[Long](64)
+          var i = 0
+          while (i < n) {
+            val j = (i.toLong * 64 / n).toInt
+            val v = frames(i)
+            e(j) += v * v
+            c(j) += 1
+            i += 1
+          }
+          val t = Array.tabulate(64)(j => if (c(j) == 0) 0L else e(j) * 64L / c(j))
+          val total = t.sum
+          val sb = new java.lang.StringBuilder(64)
+          var j = 0
+          while (j < 64) {
+            sb.append(if (64L * t(j) > total) '1' else '0')
+            j += 1
+          }
+          Some(sb.toString)
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** Audio feature vector from a real decode:
     * `[channels, sampleRate, nFrames, mean_c…, std_c…]` truncated or
     * zero-padded to `dim`. */

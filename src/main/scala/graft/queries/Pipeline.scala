@@ -1025,6 +1025,42 @@ object Pipeline {
       |SELECT ahash, COUNT(*) AS n_images, MIN(doc_id) AS min_doc
       |FROM hsh GROUP BY ahash ORDER BY ahash""".stripMargin
 
+  /** Perceptual audio fingerprints for the corpus's synthetic WAVs —
+    * the audio-side near-dup key ([[Multimodal.audioFingerprint]]):
+    * REAL javax.sound PCM decode on the Spark side, closed-form sample
+    * replay in DuckDB, identical 64-bit strings by the exact-integer
+    * definition. Feeds [[Dedup.signaturePairs]] like m7's image
+    * hashes. */
+  def m8AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bits = Multimodal.audioFingerprint(Multimodal.syntheticWav(id))
+          .getOrElse(throw new IllegalStateException(
+            s"PCM decode failed for the synthesized WAV for doc $id"))
+        (id, bits)
+      })
+      .toDF("doc_id", "afp")
+      .orderBy("doc_id")
+  }
+
+  val m8Sql: String =
+    """WITH p AS (SELECT doc_id, 200 + doc_id % 100 AS n, doc_id % 251 + 3 AS k
+      |           FROM documents),
+      |s AS (SELECT p.doc_id, p.n, i.range AS i,
+      |        ((i.range * p.k) % 65536) - 32768 AS v
+      |      FROM p, range(300) i WHERE i.range < p.n),
+      |b AS (SELECT doc_id, (i * 64) // n AS j,
+      |        SUM(v * v) AS e, COUNT(*) AS c
+      |      FROM s GROUP BY doc_id, (i * 64) // n),
+      |t AS (SELECT doc_id, j, (e * 64) // c AS t FROM b),
+      |tot AS (SELECT doc_id, SUM(t) AS total FROM t GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  string_agg(CASE WHEN 64 * t.t > tot.total THEN '1' ELSE '0' END,
+      |             '' ORDER BY t.j) AS afp
+      |FROM t JOIN tot ON t.doc_id = tot.doc_id
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** Sketch-profiled corpus statistics per source (rows-only: the
     * sketch outputs are deterministic but engine-specific; error
     * bounds vs exact are asserted in PipelineSpec). */
@@ -1132,6 +1168,7 @@ object Pipeline {
     "m5_media_quality" -> (m5MediaQuality _),
     "m6_image_ahash" -> (m6ImageAhash _),
     "m7_image_dedup" -> (m7ImageDedup _),
+    "m8_audio_fingerprint" -> (m8AudioFingerprint _),
     "m3_frame_decode" -> (m3FrameDecode _),
     "m4_audio_decode" -> (m4AudioDecode _))
 
@@ -1157,6 +1194,7 @@ object Pipeline {
     "m5_media_quality" -> m5Sql,
     "m6_image_ahash" -> m6Sql,
     "m7_image_dedup" -> m7Sql,
+    "m8_audio_fingerprint" -> m8Sql,
     "m3_frame_decode" -> m3Sql,
     "m4_audio_decode" -> m4Sql,
     "d2_minhash_lsh" -> PortableHashOracle.d2Sql,

@@ -590,6 +590,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.aHashBits(Array[Byte](9, 9, 9)).isEmpty)
   }
 
+  test("audio fingerprint: silence/half-loud/garbage semantics") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // silence: zero energy everywhere, strict '>' leaves every bit 0
+    assert(Multimodal.audioFingerprint(
+      wav(Array.fill[Short](256)(0))).get == "0" * 64)
+    // loud first half, silent second: bins are time-ordered, so the
+    // first 32 bits are the loud half
+    val half = Multimodal.audioFingerprint(
+      wav(Array.tabulate[Short](256)(i => if (i < 128) 20000 else 0))).get
+    assert(half == "1" * 32 + "0" * 32)
+    // undecodable payload and empty stream
+    assert(Multimodal.audioFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.audioFingerprint(wav(Array.empty[Short])).isEmpty)
+  }
+
   test("PCA whitening: identity covariance, zero mean, partition-invariant, sane spectrum") {
     import graft.pipeline.Whitening
     val dim = 8
