@@ -1102,6 +1102,50 @@ object Pipeline {
       |FROM px GROUP BY doc_id, f, w, h
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Per-frame perceptual hashes through the REAL video path: the
+    * 3-frame PNG container is demuxed by the actual frame splitter
+    * ([[Multimodal.splitPngFrames]]) and every frame ImageIO-decoded
+    * into its aHash — the key a video near-dup pipeline blocks on
+    * (shot-level matching = [[Dedup.signaturePairs]] over frame
+    * hashes). Exact-integer definition → the whole demux+decode+hash
+    * chain replays from the pixel closed form. */
+  def m9VideoFramehash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        Multimodal.splitPngFrames(Multimodal.syntheticVideo(id, 3))
+          .zipWithIndex.map { case (png, f) =>
+            val bits = Multimodal.aHashBits(png).getOrElse(
+              throw new IllegalStateException(
+                s"frame $f of doc $id failed to decode"))
+            (id, f, bits)
+          }
+      }
+      .toDF("doc_id", "frame_idx", "ahash")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val m9Sql: String =
+    """WITH p AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(8 + doc_id % 7 AS INT) AS h
+      |           FROM documents),
+      |px AS (SELECT p.doc_id, p.w, p.h, f.range AS f, x.range AS x, y.range AS y,
+      |    ((x.range + 2*y.range + p.doc_id + 7*f.range) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 7*f.range + 5) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 7*f.range + 10) % 256) AS lum
+      |  FROM p, range(3) f, range(16) x, range(14) y
+      |  WHERE x.range < p.w AND y.range < p.h),
+      |b AS (SELECT doc_id, f, ((x*8)//w)*8 + (y*8)//h AS k,
+      |        SUM(lum) AS s, COUNT(*) AS c
+      |      FROM px GROUP BY doc_id, f, ((x*8)//w)*8 + (y*8)//h),
+      |t AS (SELECT doc_id, f, k, (s * 64) // c AS t FROM b),
+      |tot AS (SELECT doc_id, f, SUM(t) AS total FROM t GROUP BY doc_id, f)
+      |SELECT t.doc_id, CAST(t.f AS INT) AS frame_idx,
+      |  string_agg(CASE WHEN 64 * t.t > tot.total THEN '1' ELSE '0' END,
+      |             '' ORDER BY t.k) AS ahash
+      |FROM t JOIN tot ON t.doc_id = tot.doc_id AND t.f = tot.f
+      |GROUP BY t.doc_id, t.f ORDER BY t.doc_id, frame_idx""".stripMargin
+
   /** REAL audio decode: a 16-bit PCM WAV is synthesized per doc and
     * decoded back through the JRE's javax.sound.sampled (RIFF header
     * parsed by the real reader); format fields + exact integer sample
@@ -1169,6 +1213,7 @@ object Pipeline {
     "m6_image_ahash" -> (m6ImageAhash _),
     "m7_image_dedup" -> (m7ImageDedup _),
     "m8_audio_fingerprint" -> (m8AudioFingerprint _),
+    "m9_video_framehash" -> (m9VideoFramehash _),
     "m3_frame_decode" -> (m3FrameDecode _),
     "m4_audio_decode" -> (m4AudioDecode _))
 
@@ -1195,6 +1240,7 @@ object Pipeline {
     "m6_image_ahash" -> m6Sql,
     "m7_image_dedup" -> m7Sql,
     "m8_audio_fingerprint" -> m8Sql,
+    "m9_video_framehash" -> m9Sql,
     "m3_frame_decode" -> m3Sql,
     "m4_audio_decode" -> m4Sql,
     "d2_minhash_lsh" -> PortableHashOracle.d2Sql,
