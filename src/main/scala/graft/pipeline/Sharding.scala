@@ -339,4 +339,45 @@ object Sharding {
           keyed.filter(col(stratumCol).cast("string").isin(short: _*))))
     all.drop("_xkey")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * IPL 2006): draw `k` rows with inclusion probability proportional
+    * to `weight` by keeping the k smallest exponential keys
+    * −ln(u)/w, u uniform per row. Weighting by token count makes the
+    * draw uniform over TOKENS — the sample a corpus-level audit or
+    * mixture builder actually wants; weighting by a quality score
+    * tilts an export toward its best documents.
+    *
+    * Determinism/portability: u is derived from the first 12 md5
+    * nibbles of "seed:id" — (v + 0.5) / 2^48 is EXACT in binary64
+    * (power-of-two divisor), so the only engine-sensitive step is
+    * ln(), correct to 1 ulp everywhere; the key rounds to 6 dp with id
+    * tiebreak (the s1/r1 idiom), putting ~10 orders of magnitude
+    * between the rounding boundary and a 1-ulp ln() disagreement.
+    * Same guarantees as [[stratifiedExactK]]: partition-invariant,
+    * engine-portable, a new seed is an independent draw.
+    *
+    * Scale shape: keys are a scan-stage projection; a partition-local
+    * rank prunes to ≤ k rows per shuffle partition before the global
+    * rank window (a global top-k row is a top-k row of its partition),
+    * so the serial step sees partitions × k rows, never the corpus.
+    * Rows with weight <= 0 or null cannot be drawn (A-ES is undefined
+    * there) and are filtered out. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = conv(substring(md5(concat_ws(":", lit(seed.toString),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / 281474976710656.0 // exact: v < 2^48
+    val keyed = df.filter(weight.isNotNull && weight > 0)
+      .withColumn("draw_key", round(-log(u) / weight.cast("double"), 6))
+      .withColumn("_pid", spark_partition_id())
+    val wLoc = Window.partitionBy("_pid").orderBy(col("draw_key"), col(idCol))
+    val wGlob = Window.orderBy(col("draw_key"), col(idCol))
+    keyed.withColumn("_lrk", row_number().over(wLoc))
+      .filter(col("_lrk") <= k)
+      .withColumn("sample_rank", row_number().over(wGlob).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("_pid", "_lrk")
+  }
 }

@@ -257,6 +257,64 @@ object TextAnalysis {
           ((col("_c1") / col("_tw")) * (col("_c2") / col("_tw")))).as("pmi"))
   }
 
+  /** All three stopword lists combined — the language-agnostic
+    * "contains function words at all" signal the filter bank cuts on
+    * (a per-language bank would gate on its own list). */
+  val AllStopwords: Seq[String] = EnStopwords ++ EsStopwords ++ DeStopwords
+
+  /** Gopher/C4-style heuristic FILTER BANK — the decision step that
+    * turns quality signals into a keep/drop verdict, one boolean rule
+    * column per heuristic plus the conjunction. Rules follow the
+    * published recipes (Rae et al. 2021 "Gopher" §A1.1; Raffel et al.
+    * 2020 "C4") with thresholds adapted to this corpus' word-stream
+    * documents:
+    *
+    *   - `r_len`:       minTokens <= n_tokens <= maxTokens
+    *   - `r_word_len`:  2 <= mean word length <= 5 (as the integer
+    *                    cross-products 2·n ≤ Σchars ≤ 5·n)
+    *   - `r_stop`:      >= 2 function-word hits (any language)
+    *   - `r_top_word`:  most frequent word covers <= 1/5 of tokens
+    *   - `r_top_2gram`: most frequent 2-gram covers <= 1/5 of 2-grams
+    *   - `r_distinct`:  distinct words >= 1/3 of tokens
+    *   - `r_symbol`:    punctuation chars <= 1/10 of tokens
+    *
+    * Every rule is an INTEGER comparison (ratio thresholds are cleared
+    * to cross-multiplications), so flags are exact on any engine — no
+    * float boundary for a document to sit on. Flags emit as 0/1 longs:
+    * engines disagree on boolean renderings, never on integers.
+    *
+    * Scale shape: one [[repetitionStats]] pass (the only shuffle,
+    * keyed per document) joined to a scan-stage scalar projection of
+    * the same table — both sides are document-cardinality. Documents
+    * with zero tokens have no stats row and are dropped (nothing to
+    * keep). */
+  def filterBank(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 30L, maxTokens: Long = 100000L): DataFrame = {
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    val scalars = docs.select(col(idCol),
+      // total chars across tokens = the text with all whitespace removed
+      length(regexp_replace(col(textCol), "\\s", "")).cast("long").as("_sumch"),
+      stopwordCount(col(textCol), AllStopwords).cast("long").as("_nstop"),
+      punctCount(col(textCol)).cast("long").as("_npunct"))
+    repetitionStats(docs, idCol, textCol)
+      .join(scalars, Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        flag(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .as("r_len"),
+        flag(col("_sumch") >= lit(2L) * col("n_tokens") &&
+          col("_sumch") <= lit(5L) * col("n_tokens")).as("r_word_len"),
+        flag(col("_nstop") >= 2L).as("r_stop"),
+        flag(col("top_word_count") * 5L <= col("n_tokens")).as("r_top_word"),
+        flag(col("top_2gram_count") * 5L <= greatest(col("n_2grams"), lit(1L)))
+          .as("r_top_2gram"),
+        flag(col("n_distinct_words") * 3L >= col("n_tokens")).as("r_distinct"),
+        flag(col("_npunct") * 10L <= col("n_tokens")).as("r_symbol"))
+      .withColumn("keep",
+        flag(Seq("r_len", "r_word_len", "r_stop", "r_top_word",
+          "r_top_2gram", "r_distinct", "r_symbol")
+          .map(col(_) === 1L).reduce(_ && _)))
+  }
+
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+"))

@@ -167,6 +167,34 @@ object Corpus {
       |WHERE sample_rank <= 7
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** Token-weighted sample without replacement: 50 docs drawn with
+    * probability ∝ token count (A-ES exponential keys) — a corpus
+    * audit sample that is uniform over TOKENS, not documents. The
+    * oracle replays the md5-derived uniform and the key formula; the
+    * only engine-sensitive step (ln, 1 ulp) sits 10 orders of
+    * magnitude under the 6-dp key rounding. */
+  def p9WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    Sharding.weightedSample(docs, "doc_id", col("n_tokens"), k = 50, seed = 7L)
+      .select(col("doc_id"), col("n_tokens"), col("draw_key"), col("sample_rank"))
+      .orderBy("sample_rank")
+  }
+
+  val p9Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(trim(text), ' '), t -> t != ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |k AS (SELECT doc_id, n_tokens,
+      |    ROUND(-ln((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+      |        + 0.5) / 281474976710656.0) / n_tokens, 6) AS draw_key
+      |  FROM w WHERE n_tokens > 0)
+      |SELECT doc_id, n_tokens, draw_key,
+      |  CAST(rk AS BIGINT) AS sample_rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY draw_key, doc_id) AS rk FROM k)
+      |WHERE rk <= 50 ORDER BY rk""".stripMargin
+
   /** Top-5 bigrams per language by exact corpus count (ties broken by
     * gram text, so ranking is deterministic). */
   def t7TopNgrams(s: SparkSession, d: String): DataFrame =
@@ -349,6 +377,7 @@ object Corpus {
     "p6_stratified_sample" -> (p6StratifiedSample _),
     "p7_global_shuffle" -> (p7GlobalShuffle _),
     "p8_exact_sample" -> (p8ExactSample _),
+    "p9_weighted_sample" -> (p9WeightedSample _),
     "p4_pack_sequences" -> (p4PackSequences _),
     "p5_source_mix" -> (p5SourceMix _),
     "t7_top_ngrams" -> (t7TopNgrams _),
@@ -362,6 +391,7 @@ object Corpus {
     "p6_stratified_sample" -> p6Sql,
     "p7_global_shuffle" -> p7Sql,
     "p8_exact_sample" -> p8Sql,
+    "p9_weighted_sample" -> p9Sql,
     "p4_pack_sequences" -> p4Sql,
     "p5_source_mix" -> p5Sql,
     "t7_top_ngrams" -> t7Sql,

@@ -707,6 +707,67 @@ object Pipeline {
       |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
       |ORDER BY wa.doc_id""".stripMargin
 
+  /** Gopher/C4-style heuristic filter bank: per-document 0/1 rule
+    * flags + the keep verdict ([[TextAnalysis.filterBank]]). Every
+    * rule is an integer comparison → fully oracled. */
+  def t19FilterBank(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.filterBank(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val t19Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(wd) AS word FROM w),
+      |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM t GROUP BY doc_id, word),
+      |wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |         CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+      |         CAST(MAX(c) AS BIGINT) AS top_word_count
+      |       FROM wc GROUP BY doc_id),
+      |b AS (SELECT doc_id,
+      |        unnest([wd[i] || ' ' || wd[i+1] for i in range(1, len(wd))]) AS bg
+      |      FROM w WHERE len(wd) >= 2),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+      |ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+      |         CAST(MAX(c) AS BIGINT) AS top_2gram_count
+      |       FROM bc GROUP BY doc_id),
+      |sca AS (SELECT doc_id,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS sumch,
+      |    len(list_filter(list_filter(string_split(trim(text), ' '), t -> t != ''),
+      |        t -> t IN ('the','a','an','and','of','to','in','is','it',
+      |                   'el','la','los','las','de','y','en','es','un',
+      |                   'der','die','das','und','von','zu','ist','ein'))) AS nstop,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct
+      |  FROM documents),
+      |j AS (SELECT wa.doc_id, wa.n_tokens, wa.n_distinct_words,
+      |        wa.top_word_count,
+      |        COALESCE(ba.n_2grams, 0) AS n_2grams,
+      |        COALESCE(ba.top_2gram_count, 0) AS top_2gram_count,
+      |        sca.sumch, sca.nstop, sca.npunct
+      |      FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+      |      JOIN sca ON wa.doc_id = sca.doc_id),
+      |r AS (SELECT doc_id, n_tokens,
+      |  CASE WHEN n_tokens >= 30 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS r_len,
+      |  CASE WHEN sumch >= 2 * n_tokens AND sumch <= 5 * n_tokens THEN 1 ELSE 0 END AS r_word_len,
+      |  CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS r_stop,
+      |  CASE WHEN top_word_count * 5 <= n_tokens THEN 1 ELSE 0 END AS r_top_word,
+      |  CASE WHEN top_2gram_count * 5 <= GREATEST(n_2grams, 1) THEN 1 ELSE 0 END AS r_top_2gram,
+      |  CASE WHEN n_distinct_words * 3 >= n_tokens THEN 1 ELSE 0 END AS r_distinct,
+      |  CASE WHEN npunct * 10 <= n_tokens THEN 1 ELSE 0 END AS r_symbol
+      |  FROM j)
+      |SELECT doc_id, n_tokens,
+      |  CAST(r_len AS BIGINT) AS r_len,
+      |  CAST(r_word_len AS BIGINT) AS r_word_len,
+      |  CAST(r_stop AS BIGINT) AS r_stop,
+      |  CAST(r_top_word AS BIGINT) AS r_top_word,
+      |  CAST(r_top_2gram AS BIGINT) AS r_top_2gram,
+      |  CAST(r_distinct AS BIGINT) AS r_distinct,
+      |  CAST(r_symbol AS BIGINT) AS r_symbol,
+      |  CAST(CASE WHEN r_len + r_word_len + r_stop + r_top_word
+      |         + r_top_2gram + r_distinct + r_symbol = 7
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** PMI-scored collocations with ≥20-bigram support — phrase mining /
     * embedding-prep association scores. Deterministic (integer counts,
     * one ln at the end, rounded) → oracled. */
@@ -1205,6 +1266,7 @@ object Pipeline {
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t2_repetition" -> (t2Repetition _),
+    "t19_filter_bank" -> (t19FilterBank _),
     "t15_collocations" -> (t15Collocations _),
     "t5_profile" -> (t5Profile _),
     "m1_multimodal" -> (m1Multimodal _),
@@ -1234,6 +1296,7 @@ object Pipeline {
     "t3_langid" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
     "t2_repetition" -> t2Sql,
+    "t19_filter_bank" -> t19Sql,
     "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,
     "m5_media_quality" -> m5Sql,

@@ -224,6 +224,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     val noDocs = Seq.empty[Long].toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Components.dedupClusters(noDocs, "doc_id", noPairs, "id_a", "id_b").count() == 0)
+    // filter bank on empty / whitespace-only corpora: no rows, no throw
+    assert(TextAnalysis.filterBank(empty, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.filterBank(blank, "doc_id", "text").count() == 0)
+    // weighted sample of an empty / all-undrawable corpus: empty
+    import graft.pipeline.Sharding
+    assert(Sharding.weightedSample(empty, "doc_id", lit(1L), 5, 1L).count() == 0)
+    assert(Sharding.weightedSample(
+      Seq((1L, 0L), (2L, -1L)).toDF("doc_id", "w"), "doc_id", col("w"),
+      5, 1L).count() == 0)
   }
 
   test("search with cone + predicates composes; empty stats yields empty search") {

@@ -509,6 +509,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 1L, 3L, 2L, 1L, 2L)))
   }
 
+  test("filter bank: each rule trips on its engineered violator, keep is the conjunction") {
+    val good = (Seq("the", "of", "and") ++
+      (1 to 47).map(i => s"w$i")).mkString(" ")      // 50 tok, all rules pass
+    val docs = Seq(
+      (1L, good),
+      (2L, "the of " + (1 to 10).map(i => s"w$i").mkString(" ")),  // 12 tok < 30
+      (3L, ("the of " + (1 to 48).map(_ => "outlandishlylongtokens").mkString(" "))), // mean word len > 5
+      (4L, (1 to 50).map(i => s"word$i").mkString(" ")),           // no stopwords
+      (5L, ("the of " + Seq.fill(20)("spam").mkString(" ") +
+        " " + (1 to 28).map(i => s"w$i").mkString(" "))),          // top word 20/50 > 1/5
+      (6L, ("the of " + Seq.fill(24)("ab cd").mkString(" ") +
+        " " + (1 to 10).map(i => s"neverseen$i x$i").mkString(" "))), // top 2gram heavy
+      (7L, ("the of " + Seq.fill(48)("dup").mkString(" "))),       // low distinct ratio
+      (8L, ("the of " + (1 to 48).map(i => s"w$i!!!!!!!!").mkString(" ")))  // punct-heavy
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.filterBank(docs, "doc_id", "text")
+      .collect().map { r =>
+        r.getLong(0) -> Seq("r_len", "r_word_len", "r_stop", "r_top_word",
+          "r_top_2gram", "r_distinct", "r_symbol", "keep")
+          .map(c => r.getLong(r.fieldIndex(c))) }.toMap
+    assert(got(1L) == Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L), s"good doc: ${got(1L)}")
+    assert(got(2L).head == 0L, "short doc fails r_len")
+    assert(got(3L)(1) == 0L, "long-word doc fails r_word_len")
+    assert(got(4L)(2) == 0L, "stopword-free doc fails r_stop")
+    assert(got(5L)(3) == 0L, "top-word-heavy doc fails r_top_word")
+    assert(got(6L)(4) == 0L, "top-2gram-heavy doc fails r_top_2gram")
+    assert(got(7L)(5) == 0L, "low-distinct doc fails r_distinct")
+    assert(got(8L)(6) == 0L, "punct-heavy doc fails r_symbol")
+    // keep is exactly the conjunction of the seven rules
+    got.values.foreach { v =>
+      assert(v.last == (if (v.init.forall(_ == 1L)) 1L else 0L))
+    }
+    assert(got.filter(_._1 != 1L).values.forall(_.last == 0L))
+  }
+
   test("fuzzyContamination flags corpus near-matches of eval docs only") {
     import graft.pipeline.Decontamination
     val base = corpus.filter(col("doc_id") < 1000L)

@@ -158,6 +158,52 @@ class ShardingSpec extends AnyFunSuite {
     assert(all.count() == strat.count() - 1) // all but the null-lang row
   }
 
+  test("weightedSample: A-ES reference equality, partition invariance, weight guards") {
+    val weighted = docs
+      .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+    // brute-force A-ES reference: same md5-prefix uniform, same key
+    // formula, evaluated sequentially on the driver
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = weighted.select("doc_id", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val v = java.lang.Long.parseLong(md5hex(s"9:$id").take(12), 16)
+        val u = (v.toDouble + 0.5) / 281474976710656.0
+        val key = BigDecimal(-math.log(u) / w)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (key, id)
+      }.sorted.take(20).zipWithIndex
+      .map { case ((key, id), i) => (id, key, i + 1L) }.toSeq
+    val got = Sharding.weightedSample(weighted, "doc_id", col("w"), k = 20, seed = 9L)
+      .select("doc_id", "draw_key", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      .sortBy(_._3)
+    assert(got == want)
+    // partition invariance: a different physical layout draws the
+    // identical sample in the identical order
+    val re = Sharding.weightedSample(weighted.repartition(13), "doc_id",
+        col("w"), k = 20, seed = 9L)
+      .select("doc_id", "draw_key", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      .sortBy(_._3)
+    assert(re == got)
+    // zero/negative/null weights can never be drawn; k >= n returns
+    // every drawable row
+    val guarded = weighted.withColumn("w",
+      when(col("doc_id") % 5 === 0, lit(0L))
+        .when(col("doc_id") % 5 === 1, lit(-3L))
+        .when(col("doc_id") % 5 === 2, lit(null: java.lang.Long))
+        .otherwise(col("w")))
+    val drawable = guarded.filter(col("w").isNotNull && col("w") > 0).count()
+    val all = Sharding.weightedSample(guarded, "doc_id", col("w"),
+      k = 100000, seed = 9L)
+    assert(all.count() == drawable)
+    assert(all.filter(col("w").isNull || col("w") <= 0).count() == 0)
+  }
+
   test("topNgrams ranks by exact count with deterministic tie order") {
     val tiny = Seq(
       (1L, "en", "a b a b c"),                   // "a b"×2, "b a"×1, "b c"×1
