@@ -152,4 +152,75 @@ object Retrieval {
           coalesce(lit(1.0) / (lit(kRrf) + col("_rb")), lit(0.0)))
       .drop("_ra", "_rb")
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the standard diversity pass after retrieval: pick
+    * greedily, each step taking the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), so near-duplicates
+    * of already-selected results are pushed down. The RAG answer to
+    * "my top-10 is ten copies of the same page".
+    *
+    * `cands` holds each query's shortlist (queryIdCol, idCol, relCol)
+    * — relevance ROUNDED by the caller (the s1/r1 idiom) so the greedy
+    * argmax is deterministic with the id tiebreak. `pairSims` must
+    * hold sim for EVERY ordered candidate pair of each query
+    * (queryIdCol, "id_a", "id_b", "sim"), also pre-rounded; with m
+    * candidates per query that is m² small rows per query. Greedy
+    * selection is inherently sequential in k, so the plan is k
+    * bounded rounds — but each round is one distributed join+window
+    * over ALL queries at once: the scale axis (query count) stays
+    * parallel, and per-query state is O(m). Selection and scores are
+    * deterministic → DuckDB-replayable with a recursive CTE.
+    *
+    * Output: (queryIdCol, idCol, mmr, rank) for rank 1..k; mmr at
+    * rank 1 carries no diversity penalty (empty selected set). */
+  def mmrRerank(cands: DataFrame, pairSims: DataFrame, queryIdCol: String,
+      idCol: String, relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val c = cands.select(col(queryIdCol).as("_q"), col(idCol).as("_d"),
+      col(relCol).cast("double").as("_rel"))
+    val ps = pairSims.select(col(queryIdCol).as("_q"), col("id_a").as("_da"),
+      col("id_b").as("_db"), col("sim").cast("double").as("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_q").orderBy(desc("_mmr"), col("_d"))
+
+    // rank 1: pure relevance argmax (ties → smaller id). Each pick
+    // frame is one row per query — localCheckpoint pins it so later
+    // rounds don't recompute the whole prefix of the greedy chain.
+    var picks = c.withColumn("_mmr", round(lit(lambda) * col("_rel"), 6))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("_q"), col("_d"), col("_mmr"), lit(1L).as("rank"))
+      .localCheckpoint()
+    var selected = picks
+    var remaining = c.join(picks.select("_q", "_d"), Seq("_q", "_d"), "left_anti")
+    // running max-sim-to-selected per remaining candidate, seeded from
+    // the rank-1 pick and folded with greatest() each round — O(Q·m)
+    // state, never a growing set scan
+    def simTo(p: DataFrame): DataFrame =
+      ps.join(p.select(col("_q"), col("_d").as("_db")), Seq("_q", "_db"))
+        .select(col("_q"), col("_da").as("_d"), col("_s"))
+    var ms = remaining.select(col("_q"), col("_d"))
+      .join(simTo(picks), Seq("_q", "_d"))
+      .withColumnRenamed("_s", "_ms_cur")
+    for (t <- 2 to k) {
+      val pick = remaining.join(ms, Seq("_q", "_d"))
+        .withColumn("_mmr", round(lit(lambda) * col("_rel") -
+          lit(1.0 - lambda) * col("_ms_cur"), 6))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("_q"), col("_d"), col("_mmr"), lit(t.toLong).as("rank"))
+        .localCheckpoint()
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(pick.select("_q", "_d"), Seq("_q", "_d"), "left_anti")
+      ms = ms.join(simTo(pick).withColumnRenamed("_s", "_s_new"),
+          Seq("_q", "_d"), "left")
+        .select(col("_q"), col("_d"),
+          greatest(col("_ms_cur"), coalesce(col("_s_new"), col("_ms_cur")))
+            .as("_ms_cur"))
+    }
+    selected.select(col("_q").as(queryIdCol), col("_d").as(idCol),
+      col("_mmr").as("mmr"), col("rank"))
+  }
 }

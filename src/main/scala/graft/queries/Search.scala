@@ -192,6 +192,94 @@ object Search {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** MMR diversity re-rank of the dense top-12 shortlist (λ = 0.7,
+    * k = 5): greedy λ·rel − (1−λ)·max-sim-to-selected over the r3
+    * dense ranking's candidates ([[Retrieval.mmrRerank]]). Relevance
+    * and candidate-pair cosines use the 4-dp-round + id-tiebreak
+    * idiom, the greedy argmax rounds to 6 dp, so selection is
+    * deterministic and the oracle replays it with a recursive CTE —
+    * greedy MMR is exactly a 5-step recursion carrying the picked
+    * set as a list. */
+  def r5Mmr(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wd = Window.partitionBy("query_id").orderBy(desc("sim_r"), col("vec_id"))
+    val cand = graft.pipeline.Similarity
+      .pairSims(emb, q, "vec_id", "query_id", "embedding", "q_embedding")
+      .withColumn("sim_r", round(col("sim"), 4))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= 12)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("sim_r"))
+    val cv = cand.select("query_id", "doc_id")
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val ps = cv.select(col("query_id"), col("doc_id").as("id_a"),
+        col("embedding").as("_va"))
+      .join(cv.select(col("query_id"), col("doc_id").as("id_b"),
+        col("embedding").as("_vb")), Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        round(graft.pipeline.Similarity.cosine(col("_va"), col("_vb")), 4)
+          .as("sim"))
+    Retrieval.mmrRerank(cand, ps, "query_id", "doc_id", "sim_r",
+        k = 5, lambda = 0.7)
+      .select(col("query_id"), col("doc_id"), col("mmr").as("mmr_r"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val r5Sql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |qe AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+      |       FROM e WHERE vec_id IN (1, 2, 3)),
+      |sims AS (
+      |  SELECT qe.query_id, e.vec_id AS doc_id,
+      |    ROUND(list_sum(list_transform(range(1, len(qv) + 1),
+      |        k -> CAST(qv[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))
+      |      / (qn * e.nrm), 4) AS sim_r
+      |  FROM qe CROSS JOIN e WHERE e.vec_id != qe.query_id),
+      |cand AS (SELECT query_id, doc_id, sim_r FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY sim_r DESC, doc_id) AS rn FROM sims) WHERE rn <= 12),
+      |cv AS (SELECT c.query_id, c.doc_id, c.sim_r, e.embedding AS v, e.nrm
+      |       FROM cand c JOIN e ON c.doc_id = e.vec_id),
+      |ps AS (
+      |  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+      |    ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+      |        k -> CAST(a.v[k] AS DOUBLE) * CAST(b.v[k] AS DOUBLE)))
+      |      / (a.nrm * b.nrm), 4) AS s
+      |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.doc_id != b.doc_id),
+      |sel AS (
+      |  SELECT query_id, doc_id, 1 AS rank, [doc_id] AS picked,
+      |         ROUND(0.7 * sim_r, 6) AS mmr
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY sim_r DESC, doc_id) AS rn FROM cand) WHERE rn = 1
+      |  UNION ALL
+      |  SELECT query_id, pick.d AS doc_id, rank + 1, list_append(picked, pick.d),
+      |         -pick.ns AS mmr
+      |  FROM (
+      |    SELECT query_id, rank, picked,
+      |           MIN({'ns': -score, 'd': doc_id}) AS pick
+      |    FROM (
+      |      SELECT s.query_id, s.rank, s.picked, c.doc_id,
+      |             ROUND(0.7 * c.sim_r - 0.3 * MAX(p.s), 6) AS score
+      |      FROM sel s
+      |      JOIN cand c ON c.query_id = s.query_id
+      |        AND NOT list_contains(s.picked, c.doc_id)
+      |      JOIN ps p ON p.query_id = s.query_id AND p.da = c.doc_id
+      |        AND list_contains(s.picked, p.db)
+      |      WHERE s.rank < 5
+      |      GROUP BY s.query_id, s.rank, s.picked, c.doc_id, c.sim_r
+      |    )
+      |    GROUP BY query_id, rank, picked
+      |  )
+      |)
+      |SELECT query_id, doc_id, mmr AS mmr_r, CAST(rank AS BIGINT) AS rank
+      |FROM sel ORDER BY query_id, rank""".stripMargin
+
   /** Retrieval evaluation over the r1 ranking: gold(q) = docs
     * containing ALL the query's terms (conjunctive match — exact and
     * engine-replayable, the stand-in for human relevance labels), then
@@ -270,11 +358,13 @@ object Search {
     "r1_bm25" -> (r1Bm25 _),
     "r2_chunk" -> (r2Chunk _),
     "r3_hybrid_rrf" -> (r3HybridRrf _),
-    "r4_eval_metrics" -> (r4EvalMetrics _))
+    "r4_eval_metrics" -> (r4EvalMetrics _),
+    "r5_mmr_rerank" -> (r5Mmr _))
 
   def oracles: Map[String, String] = Map(
     "r1_bm25" -> r1Sql,
     "r2_chunk" -> r2Sql,
     "r3_hybrid_rrf" -> r3Sql,
-    "r4_eval_metrics" -> r4Sql)
+    "r4_eval_metrics" -> r4Sql,
+    "r5_mmr_rerank" -> r5Sql)
 }

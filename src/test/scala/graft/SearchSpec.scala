@@ -117,6 +117,42 @@ class SearchSpec extends AnyFunSuite {
     assert(k1(1L) == ((0L, 0.0)))
   }
 
+  test("mmrRerank: diversity flips a redundant runner-up, hand-computed") {
+    import spark.implicits._
+    // query 1: doc 11 is most relevant; doc 12 is nearly its duplicate
+    // (sim 0.95) while doc 13 is dissimilar (sim 0.10) — pure relevance
+    // would rank 12 second, MMR must pick 13:
+    //   rank2(12) = 0.7*0.80 - 0.3*0.95 = 0.275
+    //   rank2(13) = 0.7*0.70 - 0.3*0.10 = 0.460 → 13 wins
+    //   rank3(12) = 0.7*0.80 - 0.3*max(0.95, 0.20) = 0.275
+    val cands = Seq(
+      (1L, 11L, 0.90), (1L, 12L, 0.80), (1L, 13L, 0.70),
+      (2L, 21L, 0.50), (2L, 22L, 0.50)  // rel tie → smaller id first
+    ).toDF("query_id", "doc_id", "rel")
+    val sims = Seq(
+      (1L, 11L, 12L, 0.95), (1L, 12L, 11L, 0.95),
+      (1L, 11L, 13L, 0.10), (1L, 13L, 11L, 0.10),
+      (1L, 12L, 13L, 0.20), (1L, 13L, 12L, 0.20),
+      (2L, 21L, 22L, 0.00), (2L, 22L, 21L, 0.00)
+    ).toDF("query_id", "id_a", "id_b", "sim")
+    val got = Retrieval.mmrRerank(cands, sims, "query_id", "doc_id", "rel",
+        k = 3, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got((1L, 1L)) == ((11L, 0.63)))
+    assert(got((1L, 2L)) == ((13L, 0.46)), "diversity must promote the dissimilar doc")
+    assert(got((1L, 3L)) == ((12L, 0.275)))
+    // relevance tie at rank 1 breaks to the smaller id; a query with
+    // fewer candidates than k just stops early
+    assert(got((2L, 1L))._1 == 21L)
+    assert(got((2L, 2L))._1 == 22L)
+    assert(!got.contains((2L, 3L)))
+    // every doc selected at most once per query
+    val perQuery = got.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._1)).toMap
+    perQuery.values.foreach(ds => assert(ds.distinct.size == ds.size))
+  }
+
   test("st1 streaming battery entry equals the batch group-by") {
     val d = "/root/testdata/sf0.001"
     val streamed = graft.queries.Relational.st1StreamWindows(spark, d)
