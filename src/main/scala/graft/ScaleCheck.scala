@@ -148,6 +148,18 @@ object ScaleCheck {
       graft.pipeline.Decontamination.contaminationPairsBloom(
         corpus, evalSet, "doc_id", "text", n = 8).count()
     })
+    // filter bank: one repetitionStats pass + a scan-stage scalar join,
+    // both document-cardinality — wall should track the corpus ~linearly
+    stage("t19_filter_bank")(d =>
+      TextAnalysis.filterBank(d, "doc_id", "text")
+        .agg(sum(col("keep"))).head().getLong(0))
+    // weighted sample: scan-stage keys + per-partition top-k prune; a
+    // fixed k means the serial window is partitions×k at ANY corpus
+    // size, so wall should be ~flat-to-linear (scan-bound)
+    stage("p9_weighted_sample")(d => graft.pipeline.Sharding
+      .weightedSample(d.withColumn("_w",
+          TextAnalysis.tokenCount(col("text")).cast("long")),
+        "doc_id", col("_w"), k = 1000, seed = 7L).count())
     stage("e1_funnel")(d => {
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5,
         prefixFilter = false)
