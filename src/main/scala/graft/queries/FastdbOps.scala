@@ -192,6 +192,59 @@ object FastdbOps {
        |JOIN (SELECT * FROM ranked WHERE rn_max = 1) mx USING (rootid, band)
        |ORDER BY rootid, band""".stripMargin
 
+  // ---- A13 (beyond ref): light-curve feature extraction -------------
+
+  /** Per-(root, band) classifier features over a photometry projection
+    * whose TIME axis is independent of flux (liSources maps flux =
+    * mjd/10 exactly, which would degenerate every slope to 0.1): mjd
+    * rides on l_partkey, flux on l_extendedprice. Centered two-pass
+    * moments replay bit-stably → fully oracled at 4 dp. */
+  private def a13Sources(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      (col("l_orderkey") % 300).cast("string").as("rootid"),
+      col("l_returnflag").as("band"),
+      (lit(60000.0) + (col("l_partkey") % 1000) * 0.1).as("midpointmjdtai"),
+      (col("l_extendedprice") / 10).as("psfflux"),
+      col("l_quantity").cast("double").as("psffluxerr"))
+
+  private val a13SourcesSql =
+    """SELECT CAST(l_orderkey % 300 AS VARCHAR) AS rootid,
+      |  l_returnflag AS band,
+      |  60000.0 + (l_partkey % 1000) * 0.1 AS midpointmjdtai,
+      |  l_extendedprice / 10 AS psfflux,
+      |  CAST(l_quantity AS DOUBLE) AS psffluxerr
+      |FROM lineitem""".stripMargin
+
+  def a13LtcvFeatures(s: SparkSession, d: String): DataFrame =
+    Ltcv.lightcurveFeatures(a13Sources(s, d))
+      .orderBy("rootid", "band")
+
+  val a13Sql: String =
+    s"""WITH src AS ($a13SourcesSql),
+       |m AS (
+       |  SELECT rootid, band, COUNT(*) AS ndets,
+       |    AVG(midpointmjdtai) AS tbar, AVG(psfflux) AS fbar,
+       |    SUM(psfflux) AS fsum,
+       |    MAX(psfflux) AS fmax, MIN(psfflux) AS fmin,
+       |    MAX(midpointmjdtai) AS tmax, MIN(midpointmjdtai) AS tmin
+       |  FROM src GROUP BY rootid, band),
+       |cen AS (
+       |  SELECT s.rootid, s.band,
+       |    SUM((s.midpointmjdtai - m.tbar) * (s.psfflux - m.fbar)) AS stf,
+       |    SUM((s.midpointmjdtai - m.tbar) * (s.midpointmjdtai - m.tbar)) AS stt,
+       |    SUM((s.psfflux - m.fbar) * (s.psfflux - m.fbar)) AS sff
+       |  FROM src s JOIN m USING (rootid, band)
+       |  GROUP BY s.rootid, s.band)
+       |SELECT m.rootid, m.band, m.ndets,
+       |  ROUND(m.fmax - m.fmin, 4) AS amplitude,
+       |  ROUND(m.tmax - m.tmin, 4) AS mjd_span,
+       |  ROUND(m.fsum, 3) AS flux_sum,
+       |  ROUND(sqrt(cen.sff / m.ndets), 4) AS flux_std,
+       |  ROUND(CASE WHEN cen.stt > 0 THEN cen.stf / cen.stt ELSE 0.0 END, 4)
+       |    AS trend_slope
+       |FROM m JOIN cen USING (rootid, band)
+       |ORDER BY m.rootid, m.band""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -714,6 +767,7 @@ object FastdbOps {
     "a1_priority_dedup" -> (a1PriorityDedup _),
     "j2_patch_join" -> (j2PatchJoin _),
     "a2_objstats" -> (a2ObjStats _),
+    "a13_ltcv_features" -> (a13LtcvFeatures _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -732,6 +786,7 @@ object FastdbOps {
     "a1_priority_dedup" -> a1Sql,
     "j2_patch_join" -> j2Sql,
     "a2_objstats" -> a2Sql,
+    "a13_ltcv_features" -> a13Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

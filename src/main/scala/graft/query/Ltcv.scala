@@ -290,6 +290,54 @@ object Ltcv {
       col("ra") - lit(360.0) * floor(col("ra") / 360.0))
   }
 
+  /** A13 (beyond ref) — per-(root, band) light-curve FEATURE
+    * extraction: the summary statistics an alert-broker classifier
+    * consumes (amplitude, time span, mean/spread, linear trend).
+    * The trend is the closed-form least-squares slope of flux vs mjd
+    * computed on CENTERED values — two aggregation passes over the
+    * same grouped keys instead of the one-pass nΣtf−ΣtΣf form, whose
+    * catastrophic cancellation at mjd ~ 6e4 would leave the rounded
+    * output at the mercy of each engine's summation order. Spread is
+    * the population standard deviation from the same centered pass
+    * (NOT stddev_samp: its Welford accumulation is engine-specific;
+    * a centered Σ(f−f̄)² replays identically anywhere).
+    *
+    * Scale shape: two partial-aggregated groupBys on (rootid, band)
+    * and a same-key join — per-group state is O(1), no window, no
+    * per-lightcurve collect. Output rounds to 4 dp (the a7 idiom);
+    * single-detection or zero-time-variance groups emit slope 0. */
+  def lightcurveFeatures(dedupedSources: DataFrame): DataFrame = {
+    val m = dedupedSources.groupBy("rootid", "band").agg(
+      count(lit(1)).as("ndets"),
+      avg(col("midpointmjdtai")).as("_tbar"),
+      avg(col("psfflux")).as("_fbar"),
+      sum(col("psfflux")).as("_fsum"),
+      max(col("psfflux")).as("_fmax"), min(col("psfflux")).as("_fmin"),
+      max(col("midpointmjdtai")).as("_tmax"),
+      min(col("midpointmjdtai")).as("_tmin"))
+    val cen = dedupedSources
+      .join(m.select("rootid", "band", "_tbar", "_fbar"), Seq("rootid", "band"))
+      .groupBy("rootid", "band").agg(
+        sum((col("midpointmjdtai") - col("_tbar")) *
+          (col("psfflux") - col("_fbar"))).as("_stf"),
+        sum(pow(col("midpointmjdtai") - col("_tbar"), 2)).as("_stt"),
+        sum(pow(col("psfflux") - col("_fbar"), 2)).as("_sff"))
+    m.join(cen, Seq("rootid", "band")).select(
+      col("rootid"), col("band"), col("ndets"),
+      round(col("_fmax") - col("_fmin"), 4).as("amplitude"),
+      round(col("_tmax") - col("_tmin"), 4).as("mjd_span"),
+      // flux SUM, not mean: the inputs are exact finite decimals, so a
+      // mean (sum/n) lands exactly on .5 at the rounding digit whenever
+      // n divides the decimal tail — the one case where Spark HALF_UP
+      // and banker's rounding disagree. The sum keeps the inputs' own
+      // decimal precision → no representable half-tie at 3 dp; the
+      // mean is one division away for the consumer.
+      round(col("_fsum"), 3).as("flux_sum"),
+      round(sqrt(col("_sff") / col("ndets")), 4).as("flux_std"),
+      round(when(col("_stt") > 0, col("_stf") / col("_stt"))
+        .otherwise(lit(0.0)), 4).as("trend_slope"))
+  }
+
   /** T6 — hot transients: lightcurves of objects with a detection in
     * [mjdNow - lastdays, mjdNow] (src/ltcv.py:1290-1518; default window
     * 30 d). Photometry is cut at mjdNow (P3). */

@@ -151,6 +151,39 @@ class LtcvSpec extends AnyFunSuite {
     assert(comb == perBand)
   }
 
+  test("A13 light-curve features: hand-computed slope/std, degenerate groups") {
+    import spark.implicits._
+    // r1/g: flux = 2*mjd - 119990 exactly → slope 2, residuals 0
+    // r2/g: constant mjd → zero time variance → slope pinned to 0
+    // r3/g: single detection → std 0, amplitude 0, span 0
+    val dets = Seq(
+      ("r1", "g", 60000.0, 10.0, 1.0),
+      ("r1", "g", 60001.0, 12.0, 1.0),
+      ("r1", "g", 60002.0, 14.0, 1.0),
+      ("r2", "g", 60005.0, 3.0, 1.0),
+      ("r2", "g", 60005.0, 9.0, 1.0),
+      ("r3", "g", 60007.0, 5.0, 1.0)
+    ).toDF("rootid", "band", "midpointmjdtai", "psfflux", "psffluxerr")
+    val got = Ltcv.lightcurveFeatures(dets).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val r1 = got("r1")
+    assert(r1.getAs[Long]("ndets") == 3L)
+    assert(r1.getAs[Double]("amplitude") == 4.0)
+    assert(r1.getAs[Double]("mjd_span") == 2.0)
+    assert(r1.getAs[Double]("flux_sum") == 36.0)
+    // std of {10,12,14} (population) = sqrt(8/3) ≈ 1.633
+    assert(math.abs(r1.getAs[Double]("flux_std") - 1.633) < 1e-9)
+    assert(r1.getAs[Double]("trend_slope") == 2.0)
+    val r2 = got("r2")
+    assert(r2.getAs[Double]("trend_slope") == 0.0, "zero time variance → slope 0")
+    assert(r2.getAs[Double]("flux_std") == 3.0)     // {3,9}: std = 3
+    val r3 = got("r3")
+    assert(r3.getAs[Double]("amplitude") == 0.0 &&
+      r3.getAs[Double]("mjd_span") == 0.0 &&
+      r3.getAs[Double]("flux_std") == 0.0 &&
+      r3.getAs[Double]("trend_slope") == 0.0)
+  }
+
   test("A7 wrapRa: meridian-straddling object averages near 0, not 180") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
