@@ -44,6 +44,41 @@ object Quality {
       |  ROUND(AVG(lp), 6) AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Interpolated Kneser-Ney self-scoring ([[LangModel.knBigramScores]],
+    * D = 0.75) — the KenLM-style smoothing next to t9's add-k. Fully
+    * deterministic counts + arithmetic → oracled. */
+  def t20KnScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    LangModel.knBigramScores(docs, "doc_id", "text", docs, "text",
+        discount = 0.75)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_logp"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val t20Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |b AS (SELECT doc_id, wd[i] AS w1, wd[i+1] AS w2
+      |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd))) AS i
+      |        FROM w WHERE len(wd) >= 2)),
+      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |cx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cx,
+      |         COUNT(*) AS n1c FROM cb GROUP BY 1),
+      |ce AS (SELECT w2, COUNT(*) AS n1e FROM cb GROUP BY 1),
+      |tt AS (SELECT COUNT(*) AS t FROM cb),
+      |v AS (SELECT COUNT(DISTINCT u) AS v
+      |      FROM (SELECT unnest(wd) AS u FROM w)),
+      |sc AS (SELECT b.doc_id,
+      |         LN((GREATEST(cb.c - 0.75, 0.0) + 0.75 * cx.n1c *
+      |             ((ce.n1e + 0.5) / (tt.t + 0.5 * (v.v + 1)))) / cx.cx) AS lp
+      |       FROM b JOIN cb USING (w1, w2) JOIN cx USING (w1)
+      |       JOIN ce USING (w2), tt, v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(AVG(lp), 6) AS avg_logp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** CCNet-style perplexity stratification: per-LANGUAGE tercile
     * boundaries over the t9 bigram-LM scores split the corpus into
     * head (most fluent third), middle, tail — the split CCNet feeds to
@@ -485,6 +520,7 @@ object Quality {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_quality_classifier" -> (t11QualityClassifier _),
     "t9_lm_score" -> (t9LmScore _),
+    "t20_kn_score" -> (t20KnScore _),
     "t16_ppl_buckets" -> (t16PplBuckets _),
     "t10_dsir_weights" -> (t10DsirWeights _),
     "t12_html_extract" -> (t12HtmlExtract _),
@@ -500,6 +536,7 @@ object Quality {
 
   def oracles: Map[String, String] = Map(
     "t9_lm_score" -> t9Sql,
+    "t20_kn_score" -> t20Sql,
     "t16_ppl_buckets" -> t16Sql,
     "t10_dsir_weights" -> t10Sql,
     "t12_html_extract" -> t12Sql,

@@ -31,6 +31,31 @@ class QualitySpec extends AnyFunSuite {
     assert(!got.contains(3L), "single-token doc has no bigram evidence")
   }
 
+  test("Kneser-Ney LM: hand-computed smoothing incl. OOV word and OOV context") {
+    // train: "a b a c" + "b a" → cb {(a,b):1,(b,a):2,(a,c):1}, T=3,
+    // cx {a:2(n1c 2), b:2(n1c 1)}, n1e {a:1,b:1,c:1}, V=3
+    // Pc(seen)=1.5/5=0.3, Pc(OOV)=0.5/5=0.1
+    val train = Seq((1L, "a b a c"), (2L, "b a")).toDF("doc_id", "text")
+    val eval = Seq((10L, "a b z a")).toDF("doc_id", "text")
+    val got = graft.pipeline.LangModel
+      .knBigramScores(eval, "doc_id", "text", train, "text", discount = 0.75)
+      .head()
+    assert(got.getAs[Long]("n_bigrams") == 3L)
+    // (a,b): (max(1-.75,0) + .75*2*0.3)/2 = 0.35
+    // (b,z): OOV word, seen context: (.75*1*0.1)/2 = 0.0375
+    // (z,a): OOV context → backoff Pc(a) = 0.3
+    val want = (math.log(0.35) + math.log(0.0375) + math.log(0.3)) / 3
+    assert(math.abs(got.getAs[Double]("avg_logp") - want) < 1e-12)
+    // P(·|a) is a PROPER distribution: seen continuations + one OOV
+    // outcome sum to exactly 1 (the interpolation mass balances)
+    val probes = Seq((20L, "a a"), (21L, "a b"), (22L, "a c"), (23L, "a z"))
+      .toDF("doc_id", "text")
+    val ps = graft.pipeline.LangModel
+      .knBigramScores(probes, "doc_id", "text", train, "text", discount = 0.75)
+      .collect().map(r => math.exp(r.getAs[Double]("avg_logp"))).sum
+    assert(math.abs(ps - 1.0) < 1e-12, s"P(.|a) must sum to 1, got $ps")
+  }
+
   test("bigram LM: repetitive text scores higher than unseen-word text") {
     val docs = (0L until 20L).map(i => (i, "the cat sat on the mat")) :+
       (99L, "zz qq vv ww xx yy")
