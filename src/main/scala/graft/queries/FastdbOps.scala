@@ -245,6 +245,37 @@ object FastdbOps {
        |FROM m JOIN cen USING (rootid, band)
        |ORDER BY m.rootid, m.band""".stripMargin
 
+  // ---- W5 (beyond ref): binned light curves --------------------------
+
+  /** Time-binned light-curve resampling — the downsampled curve a
+    * plotting/feature API serves instead of raw epochs: per (root,
+    * band, time-bin) detection count, flux sum, and peak. The bin is
+    * an exact integer floor of mjd/width; bin boundaries fall on exact
+    * decimal mjds, whose doubles divide to exact integers on any
+    * engine, so assignment never straddles a 1-ulp disagreement. Flux
+    * emits as SUM at the inputs' own decimal precision (the a13
+    * rounding-tie rule: means of finite decimals tie at the rounding
+    * digit; sums cannot). One partial-aggregated groupBy — no window,
+    * no per-curve collect. */
+  def w5BinnedLtcv(s: SparkSession, d: String): DataFrame =
+    liSources(s, d)
+      .withColumn("bin", floor(col("midpointmjdtai") / 1000.0).cast("long"))
+      .groupBy("rootid", "band", "bin")
+      .agg(count(lit(1)).as("ndets"),
+        round(sum(col("psfflux")), 3).as("flux_sum"),
+        round(max(col("psfflux")), 4).as("peak_flux"))
+      .orderBy("rootid", "band", "bin")
+
+  val w5Sql: String =
+    s"""WITH src AS ($liSourcesSql)
+       |SELECT rootid, band,
+       |  CAST(FLOOR(midpointmjdtai / 1000.0) AS BIGINT) AS bin,
+       |  COUNT(*) AS ndets,
+       |  ROUND(SUM(psfflux), 3) AS flux_sum,
+       |  ROUND(MAX(psfflux), 4) AS peak_flux
+       |FROM src GROUP BY rootid, band, bin
+       |ORDER BY rootid, band, bin""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -768,6 +799,7 @@ object FastdbOps {
     "j2_patch_join" -> (j2PatchJoin _),
     "a2_objstats" -> (a2ObjStats _),
     "a13_ltcv_features" -> (a13LtcvFeatures _),
+    "w5_binned_ltcv" -> (w5BinnedLtcv _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -787,6 +819,7 @@ object FastdbOps {
     "j2_patch_join" -> j2Sql,
     "a2_objstats" -> a2Sql,
     "a13_ltcv_features" -> a13Sql,
+    "w5_binned_ltcv" -> w5Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

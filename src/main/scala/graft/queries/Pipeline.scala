@@ -962,6 +962,36 @@ object Pipeline {
       .toDF("component", "eigenvalue", "cum_explained")
   }
 
+  /** Per-label embedding centroids — the domain/cluster drift monitor
+    * an embedding pipeline reports (centroid movement between corpus
+    * versions flags encoder or distribution drift): one row per
+    * (label, dimension) with the mean component, plus per-label
+    * counts. Scale shape: posexplode to (label, dim, x) rows —
+    * label-cardinality × dim after the partial agg, corpus-sized only
+    * in the scan stage — one groupBy, no window. Means of float
+    * components round at 4 dp (binary floats have no finite-decimal
+    * half-tie; summation-order noise is ~1e-14). */
+  def s7Centroids(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "_x")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("_x").cast("double")), 4).as("mean_r"))
+      .withColumn("dim", col("dim").cast("long"))
+      .orderBy("label", "dim")
+
+  def s7EmbedCentroids(s: SparkSession, d: String): DataFrame =
+    s7Centroids(embeddings(s, d))
+
+  val s7Sql: String =
+    """SELECT label, CAST(k - 1 AS BIGINT) AS dim,
+      |  COUNT(*) AS n_vecs,
+      |  ROUND(AVG(CAST(embedding[k] AS DOUBLE)), 4) AS mean_r
+      |FROM (SELECT label, embedding,
+      |        unnest(range(1, len(embedding) + 1)) AS k
+      |      FROM embeddings)
+      |GROUP BY label, k ORDER BY label, dim""".stripMargin
+
   /** Media curation rollup — the table an image-pipeline operator
     * reads before training: per source, how many payloads decode at
     * all (every 13th doc carries a corrupt payload, exercising the
@@ -1262,6 +1292,7 @@ object Pipeline {
     "s4_ann_ivfpq" -> (s4AnnIvfPq _),
     "s5_incremental_pq" -> (s5IncrementalPq _),
     "s6_whiten" -> (s6Whiten _),
+    "s7_embed_centroids" -> (s7EmbedCentroids _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
@@ -1291,6 +1322,7 @@ object Pipeline {
     "e6_cluster_split" -> e6Sql,
     "e8_training_export" -> e8Sql,
     "t18_datasheet" -> t18Sql,
+    "s7_embed_centroids" -> s7Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,

@@ -184,6 +184,25 @@ class LtcvSpec extends AnyFunSuite {
       r3.getAs[Double]("trend_slope") == 0.0)
   }
 
+  test("W5 binned curves: bins partition detections, peak is the bin max") {
+    val sf = "/root/testdata/sf0.001"
+    val binned = graft.queries.FastdbOps.queries("w5_binned_ltcv")(spark, sf)
+    // bins partition the raw detections exactly (one source per lineitem)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(binned.agg(sum("ndets")).head().getLong(0) == li.count())
+    // per (rootid, band): the max over bin peaks is the raw curve max
+    val fromBins = binned.groupBy("rootid", "band")
+      .agg(max("peak_flux").as("p")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val want = li
+      .select((col("l_orderkey") % 1000).cast("string").as("rootid"),
+        col("l_returnflag").as("band"),
+        (col("l_extendedprice") / 10).as("f"))
+      .groupBy("rootid", "band").agg(round(max("f"), 4).as("p")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(fromBins == want)
+  }
+
   test("A7 wrapRa: meridian-straddling object averages near 0, not 180") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -544,6 +544,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.filter(_._1 != 1L).values.forall(_.last == 0L))
   }
 
+  test("embedding centroids equal driver-computed per-label means") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), 0),
+      (2L, Seq(3.0f, 2.0f, 1.0f), 0),
+      (3L, Seq(10.0f, 0.0f, -2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.queries.Pipeline.s7Centroids(vecs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got((0, 0L)) == ((2L, 2.0)) && got((0, 1L)) == ((2L, 2.0)) &&
+      got((0, 2L)) == ((2L, 2.0)))
+    assert(got((1, 0L)) == ((1L, 10.0)) && got((1, 2L)) == ((1L, -2.0)))
+    assert(got.size == 6)
+  }
+
   test("fuzzyContamination flags corpus near-matches of eval docs only") {
     import graft.pipeline.Decontamination
     val base = corpus.filter(col("doc_id") < 1000L)
