@@ -465,6 +465,44 @@ object Pipeline {
       .orderBy("doc_id", "eval_doc_id")
   }
 
+  /** Contamination DATASHEET — the report a release review reads
+    * before publishing eval numbers: one row per eval-suite document
+    * with how many corpus docs share a verbatim 8-gram (e2's exact
+    * definition), how many sit at fuzzy Jaccard ≥ 0.5 through the
+    * persisted band index (e5's), and the combined flag. Zero-hit
+    * eval docs KEEP their row (a datasheet that silently drops the
+    * clean majority misreads as 100% contamination). Fully oracled:
+    * the exact side replays relationally, the fuzzy side through
+    * [[PortableHashOracle]]'s signature replay. */
+  def e9ContaminationReport(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val evalSet = docs.filter(col("doc_id") % 25 === 0)
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+    val verb = graft.pipeline.Decontamination
+      .contaminationPairs(corpus, evalSet, "doc_id", "text", n = 8)
+      .groupBy("eval_doc_id")
+      .agg(countDistinct(col("doc_id")).as("_nv"))
+    val evalOff = evalSet.select((col("doc_id") + 5000000L).as("doc_id"),
+      col("text"))
+    val index = Dedup.loadOrBuildIndex(docs, "doc_id", "text",
+      dir = Dedup.indexScratchDir(d))
+    val fuzzy = graft.pipeline.Decontamination
+      .fuzzyContamination(index, evalOff, "doc_id", "text", threshold = 0.5)
+      .select((col("eval_doc_id") - 5000000L).as("eval_doc_id"), col("doc_id"))
+      .groupBy("eval_doc_id")
+      .agg(countDistinct(col("doc_id")).as("_nf"))
+    evalSet.select(col("doc_id").as("eval_doc_id"))
+      .join(verb, Seq("eval_doc_id"), "left")
+      .join(fuzzy, Seq("eval_doc_id"), "left")
+      .select(col("eval_doc_id"),
+        coalesce(col("_nv"), lit(0L)).as("n_verbatim_docs"),
+        coalesce(col("_nf"), lit(0L)).as("n_fuzzy_docs"))
+      .withColumn("flagged",
+        when(col("n_verbatim_docs") > 0 || col("n_fuzzy_docs") > 0, 1L)
+          .otherwise(0L))
+      .orderBy("eval_doc_id")
+  }
+
   val e2Sql: String =
     """WITH w AS (SELECT doc_id,
       |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
@@ -1283,6 +1321,7 @@ object Pipeline {
     "e2_decontaminate" -> (e2Decontaminate _),
     "e7_bloom_decontaminate" -> (e7BloomDecontaminate _),
     "e5_fuzzy_decontaminate" -> (e5FuzzyDecontaminate _),
+    "e9_contamination_report" -> (e9ContaminationReport _),
     "e6_cluster_split" -> (e6ClusterSplit _),
     "e8_training_export" -> (e8TrainingExport _),
     "t18_datasheet" -> (t18Datasheet _),
@@ -1342,6 +1381,7 @@ object Pipeline {
     "d3_simhash" -> PortableHashOracle.d3Sql,
     "cc3_minhash_clusters" -> PortableHashOracle.cc3Sql,
     "e5_fuzzy_decontaminate" -> PortableHashOracle.e5Sql,
+    "e9_contamination_report" -> PortableHashOracle.e9Sql,
     "d5_embed_neardup" -> LshOracle.d5Sql,
     "s2_ann_lsh" -> LshOracle.s2Sql)
 }

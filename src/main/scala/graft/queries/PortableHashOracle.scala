@@ -178,6 +178,45 @@ object PortableHashOracle {
        |SELECT id_a AS doc_id, id_b AS eval_doc_id, ROUND(jac, 4) AS jacc
        |FROM j WHERE jac >= 0.5 ORDER BY doc_id, eval_doc_id""".stripMargin
 
+  // ---- e9: contamination report (exact + fuzzy rollup) ------------
+
+  /** Per-eval-doc contamination datasheet: distinct corpus docs
+    * sharing any verbatim 8-gram (e2's definition) and distinct
+    * corpus docs at MinHash-candidate Jaccard ≥ 0.5 (e5's), with
+    * zero-hit eval docs kept via the base left joins. */
+  val e9Sql: String =
+    s"""WITH ${shingleCtes("c", "documents")},
+       |${minhashCtes("c")},
+       |${shingleCtes("n", eval25)},
+       |${minhashCtes("n")},
+       |cand AS (SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b
+       |  FROM b_c p JOIN b_n q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id != q.doc_id),
+       |fj AS (SELECT c.id_a, c.id_b, $jac AS jac
+       |  FROM cand c JOIN s_c x ON x.doc_id = c.id_a
+       |              JOIN s_n y ON y.doc_id = c.id_b),
+       |fz AS (SELECT id_b - 5000000 AS eval_doc_id,
+       |         CAST(COUNT(DISTINCT id_a) AS BIGINT) AS nf
+       |       FROM fj WHERE jac >= 0.5 GROUP BY 1),
+       |w8 AS (SELECT doc_id,
+       |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+       |  FROM documents),
+       |s8 AS (SELECT doc_id,
+       |    [array_to_string(wd[i:i+7], ' ') for i in range(1, len(wd) - 6)] AS sh8
+       |  FROM w8 WHERE len(wd) >= 8),
+       |eg AS (SELECT DISTINCT doc_id AS eval_doc_id, unnest(sh8) AS gram
+       |       FROM s8 WHERE doc_id % 25 = 0),
+       |cg AS (SELECT doc_id, unnest(sh8) AS gram FROM s8 WHERE doc_id % 25 != 0),
+       |vb AS (SELECT eg.eval_doc_id, CAST(COUNT(DISTINCT cg.doc_id) AS BIGINT) AS nv
+       |       FROM cg JOIN eg USING (gram) GROUP BY 1),
+       |base AS (SELECT doc_id AS eval_doc_id FROM documents WHERE doc_id % 25 = 0)
+       |SELECT base.eval_doc_id,
+       |  CAST(COALESCE(vb.nv, 0) AS BIGINT) AS n_verbatim_docs,
+       |  CAST(COALESCE(fz.nf, 0) AS BIGINT) AS n_fuzzy_docs,
+       |  CAST(CASE WHEN COALESCE(vb.nv, 0) > 0 OR COALESCE(fz.nf, 0) > 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM base LEFT JOIN vb USING (eval_doc_id) LEFT JOIN fz USING (eval_doc_id)
+       |ORDER BY eval_doc_id""".stripMargin
+
   // ---- d3: SimHash near-dup pairs (brute-force replay) ------------
 
   val d3Sql: String =

@@ -544,6 +544,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.filter(_._1 != 1L).values.forall(_.last == 0L))
   }
 
+  test("contamination report keeps zero-hit eval docs and flags consistently") {
+    val sf = "/root/testdata/sf0.001"
+    val rep = graft.queries.Pipeline.queries("e9_contamination_report")(spark, sf)
+      .collect()
+    val nEval = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 25 === 0).count()
+    assert(rep.length == nEval, "one row per eval doc, clean docs included")
+    rep.foreach { r =>
+      val (nv, nf, fl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(fl == (if (nv > 0 || nf > 0) 1L else 0L))
+    }
+    // the fixture's verbatim self-leak guarantees at least one flagged
+    // row AND the fuzzy side must see at least the verbatim copies
+    assert(rep.exists(_.getLong(3) == 1L))
+    rep.filter(_.getLong(1) > 0).foreach { r =>
+      assert(r.getLong(2) >= 1L,
+        s"eval ${r.getLong(0)} verbatim-contaminated but fuzzy missed the copy")
+    }
+  }
+
   test("embedding centroids equal driver-computed per-label means") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f), 0),
