@@ -162,15 +162,22 @@ object Retrieval {
     *
     * `cands` holds each query's shortlist (queryIdCol, idCol, relCol)
     * — relevance ROUNDED by the caller (the s1/r1 idiom) so the greedy
-    * argmax is deterministic with the id tiebreak. `pairSims` must
-    * hold sim for EVERY ordered candidate pair of each query
-    * (queryIdCol, "id_a", "id_b", "sim"), also pre-rounded; with m
-    * candidates per query that is m² small rows per query. Greedy
+    * argmax is deterministic with the id tiebreak. `pairSims` carries
+    * (queryIdCol, "id_a", "id_b", "sim"), pre-rounded; an ABSENT pair
+    * row counts as sim 0 (sparse-retrieval semantics — a thresholded
+    * similarity table works, its pruned near-zero pairs contribute no
+    * penalty), so candidates are never silently dropped. Greedy
     * selection is inherently sequential in k, so the plan is k
     * bounded rounds — but each round is one distributed join+window
     * over ALL queries at once: the scale axis (query count) stays
-    * parallel, and per-query state is O(m). Selection and scores are
-    * deterministic → DuckDB-replayable with a recursive CTE.
+    * parallel, and per-query state is O(m). The shortlist, pair-sim,
+    * running-max, and remaining frames are pinned with localCheckpoint
+    * as the rounds go, so round t reuses round t−1's materialization
+    * instead of re-deriving the whole prefix (the shortlist is often a
+    * window over an expensive similarity join — without pinning it
+    * would re-run ~k times and the max-sim chain would cost O(k²)
+    * joins). Selection and scores are deterministic →
+    * DuckDB-replayable with a recursive CTE.
     *
     * Output: (queryIdCol, idCol, mmr, rank) for rank 1..k; mmr at
     * rank 1 carries no diversity penalty (empty selected set). */
@@ -180,8 +187,10 @@ object Retrieval {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     val c = cands.select(col(queryIdCol).as("_q"), col(idCol).as("_d"),
       col(relCol).cast("double").as("_rel"))
+      .localCheckpoint()
     val ps = pairSims.select(col(queryIdCol).as("_q"), col("id_a").as("_da"),
       col("id_b").as("_db"), col("sim").cast("double").as("_s"))
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_q").orderBy(desc("_mmr"), col("_d"))
 
@@ -195,15 +204,18 @@ object Retrieval {
       .localCheckpoint()
     var selected = picks
     var remaining = c.join(picks.select("_q", "_d"), Seq("_q", "_d"), "left_anti")
+      .localCheckpoint()
     // running max-sim-to-selected per remaining candidate, seeded from
     // the rank-1 pick and folded with greatest() each round — O(Q·m)
-    // state, never a growing set scan
+    // state, never a growing set scan. Absent pair rows are sim 0.
     def simTo(p: DataFrame): DataFrame =
       ps.join(p.select(col("_q"), col("_d").as("_db")), Seq("_q", "_db"))
         .select(col("_q"), col("_da").as("_d"), col("_s"))
     var ms = remaining.select(col("_q"), col("_d"))
-      .join(simTo(picks), Seq("_q", "_d"))
-      .withColumnRenamed("_s", "_ms_cur")
+      .join(simTo(picks), Seq("_q", "_d"), "left")
+      .select(col("_q"), col("_d"),
+        coalesce(col("_s"), lit(0.0)).as("_ms_cur"))
+      .localCheckpoint()
     for (t <- 2 to k) {
       val pick = remaining.join(ms, Seq("_q", "_d"))
         .withColumn("_mmr", round(lit(lambda) * col("_rel") -
@@ -213,12 +225,15 @@ object Retrieval {
         .select(col("_q"), col("_d"), col("_mmr"), lit(t.toLong).as("rank"))
         .localCheckpoint()
       selected = selected.unionByName(pick)
-      remaining = remaining.join(pick.select("_q", "_d"), Seq("_q", "_d"), "left_anti")
+      remaining = remaining
+        .join(pick.select("_q", "_d"), Seq("_q", "_d"), "left_anti")
+        .localCheckpoint()
       ms = ms.join(simTo(pick).withColumnRenamed("_s", "_s_new"),
           Seq("_q", "_d"), "left")
         .select(col("_q"), col("_d"),
           greatest(col("_ms_cur"), coalesce(col("_s_new"), col("_ms_cur")))
             .as("_ms_cur"))
+        .localCheckpoint()
     }
     selected.select(col("_q").as(queryIdCol), col("_d").as(idCol),
       col("_mmr").as("mmr"), col("rank"))

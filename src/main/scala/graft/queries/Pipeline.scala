@@ -468,10 +468,12 @@ object Pipeline {
   /** Contamination DATASHEET — the report a release review reads
     * before publishing eval numbers: one row per eval-suite document
     * with how many corpus docs share a verbatim 8-gram (e2's exact
-    * definition), how many sit at fuzzy Jaccard ≥ 0.5 through the
-    * persisted band index (e5's), and the combined flag. Zero-hit
-    * eval docs KEEP their row (a datasheet that silently drops the
-    * clean majority misreads as 100% contamination). Fully oracled:
+    * definition), how many sit at fuzzy Jaccard ≥ 0.5 through a
+    * corpus-only persisted band index, and the combined flag.
+    * Zero-hit eval docs KEEP their row (a datasheet that silently
+    * drops the clean majority misreads as 100% contamination), and
+    * both columns share ONE corpus universe — excluding the eval
+    * docs' own rows — so a clean suite reports clean. Fully oracled:
     * the exact side replays relationally, the fuzzy side through
     * [[PortableHashOracle]]'s signature replay. */
   def e9ContaminationReport(s: SparkSession, d: String): DataFrame = {
@@ -484,8 +486,13 @@ object Pipeline {
       .agg(countDistinct(col("doc_id")).as("_nv"))
     val evalOff = evalSet.select((col("doc_id") + 5000000L).as("doc_id"),
       col("text"))
-    val index = Dedup.loadOrBuildIndex(docs, "doc_id", "text",
-      dir = Dedup.indexScratchDir(d))
+    // BOTH columns of the datasheet must use the same corpus universe:
+    // probing the full-corpus index (e5's mode) would match every eval
+    // doc's own verbatim origin at Jaccard 1.0 and flag 100% of the
+    // suite — so the fuzzy side gets its own corpus-only persisted
+    // index (still content-signature-keyed; "_e9c" suffixes the subset)
+    val index = Dedup.loadOrBuildIndex(corpus, "doc_id", "text",
+      dir = Dedup.indexScratchDir(d) + "_e9c")
     val fuzzy = graft.pipeline.Decontamination
       .fuzzyContamination(index, evalOff, "doc_id", "text", threshold = 0.5)
       .select((col("eval_doc_id") - 5000000L).as("eval_doc_id"), col("doc_id"))

@@ -190,7 +190,8 @@ object PortableHashOracle {
        |${shingleCtes("n", eval25)},
        |${minhashCtes("n")},
        |cand AS (SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b
-       |  FROM b_c p JOIN b_n q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id != q.doc_id),
+       |  FROM b_c p JOIN b_n q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id != q.doc_id
+       |  WHERE p.doc_id % 25 != 0),
        |fj AS (SELECT c.id_a, c.id_b, $jac AS jac
        |  FROM cand c JOIN s_c x ON x.doc_id = c.id_a
        |              JOIN s_n y ON y.doc_id = c.id_b),

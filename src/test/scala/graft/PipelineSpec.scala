@@ -555,13 +555,13 @@ class PipelineSpec extends AnyFunSuite {
       val (nv, nf, fl) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(fl == (if (nv > 0 || nf > 0) 1L else 0L))
     }
-    // the fixture's verbatim self-leak guarantees at least one flagged
-    // row AND the fuzzy side must see at least the verbatim copies
-    assert(rep.exists(_.getLong(3) == 1L))
-    rep.filter(_.getLong(1) > 0).foreach { r =>
-      assert(r.getLong(2) >= 1L,
-        s"eval ${r.getLong(0)} verbatim-contaminated but fuzzy missed the copy")
-    }
+    // the fixture has genuine duplicate groups crossing the eval cut
+    // (e.g. 100 ≡ 3 ≡ 101), so some rows flag — but an eval doc's OWN
+    // corpus copy must NOT count (the self-match would flag 100% of
+    // any suite), so clean rows must exist too
+    assert(rep.exists(_.getLong(3) == 1L), "real cross-cut dup must flag")
+    assert(rep.exists(_.getLong(3) == 0L),
+      "self-matches must not flag the whole suite")
   }
 
   test("embedding centroids equal driver-computed per-label means") {
