@@ -1197,6 +1197,51 @@ object Pipeline {
       |FROM t JOIN tot ON t.doc_id = tot.doc_id
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Perceptual audio-dup groups — m7's image-side dedup completed
+    * for the audio modality: clips sharing an identical energy-sign
+    * fingerprint ([[Multimodal.audioFingerprint]] over the REAL
+    * javax.sound decode) group as perceptual duplicates. The fixture
+    * synthesizes audio from 40 recycled seeds (the m-family's
+    * planted-signal idiom), which collapse to 13 distinct sign
+    * patterns — the coarse-hash collisions are themselves the
+    * point of a perceptual key; near-dup at hamming ≤ h reuses
+    * [[graft.pipeline.Dedup.signaturePairs]] as with m7.
+    * Exact-integer hash → oracled via sample closed form. */
+  def m10AudioDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bits = Multimodal.audioFingerprint(
+          Multimodal.syntheticWav(id % 40 * 617))
+          .getOrElse(throw new IllegalStateException(
+            s"PCM decode failed for the synthesized WAV for doc $id"))
+        (id, bits)
+      })
+      .toDF("doc_id", "afp")
+      .groupBy("afp")
+      .agg(count(lit(1)).as("n_clips"), min(col("doc_id")).as("min_doc"))
+      .orderBy("afp")
+  }
+
+  val m10Sql: String =
+    """WITH p AS (SELECT doc_id, 200 + ((doc_id % 40) * 617) % 100 AS n,
+      |                  ((doc_id % 40) * 617) % 251 + 3 AS k
+      |           FROM documents),
+      |s AS (SELECT p.doc_id, p.n, i.range AS i,
+      |        ((i.range * p.k) % 65536) - 32768 AS v
+      |      FROM p, range(300) i WHERE i.range < p.n),
+      |b AS (SELECT doc_id, (i * 64) // n AS j,
+      |        SUM(v * v) AS e, COUNT(*) AS c
+      |      FROM s GROUP BY doc_id, (i * 64) // n),
+      |t AS (SELECT doc_id, j, (e * 64) // c AS t FROM b),
+      |tot AS (SELECT doc_id, SUM(t) AS total FROM t GROUP BY doc_id),
+      |hsh AS (SELECT t.doc_id,
+      |  string_agg(CASE WHEN 64 * t.t > tot.total THEN '1' ELSE '0' END,
+      |             '' ORDER BY t.j) AS afp
+      |  FROM t JOIN tot ON t.doc_id = tot.doc_id GROUP BY t.doc_id)
+      |SELECT afp, COUNT(*) AS n_clips, MIN(doc_id) AS min_doc
+      |FROM hsh GROUP BY afp ORDER BY afp""".stripMargin
+
   /** Sketch-profiled corpus statistics per source (rows-only: the
     * sketch outputs are deterministic but engine-specific; error
     * bounds vs exact are asserted in PipelineSpec). */
@@ -1352,6 +1397,7 @@ object Pipeline {
     "m6_image_ahash" -> (m6ImageAhash _),
     "m7_image_dedup" -> (m7ImageDedup _),
     "m8_audio_fingerprint" -> (m8AudioFingerprint _),
+    "m10_audio_dedup" -> (m10AudioDedup _),
     "m9_video_framehash" -> (m9VideoFramehash _),
     "m3_frame_decode" -> (m3FrameDecode _),
     "m4_audio_decode" -> (m4AudioDecode _))
@@ -1381,6 +1427,7 @@ object Pipeline {
     "m6_image_ahash" -> m6Sql,
     "m7_image_dedup" -> m7Sql,
     "m8_audio_fingerprint" -> m8Sql,
+    "m10_audio_dedup" -> m10Sql,
     "m9_video_framehash" -> m9Sql,
     "m3_frame_decode" -> m3Sql,
     "m4_audio_decode" -> m4Sql,
