@@ -758,6 +758,43 @@ object Dedup {
     ngramJaccardPairs(df, idCol, textCol, shingleWords, threshold,
       prefixFilter = usePrefixFilter(df.count()))
 
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) over
+    * n-gram shingle sets — the asymmetric measure that catches a doc
+    * being a near-SUBSET of a larger one (a quoted article inside a
+    * page, a README pasted into a bundle), which symmetric Jaccard
+    * dilutes below any usable threshold as the container grows
+    * (J = |A|/|B| → 0 while C stays 1). The standard companion to
+    * Jaccard in web-scale dedup (Broder's containment from the
+    * original shingling paper).
+    *
+    * Same plain inverted-index candidate shape as
+    * [[ngramJaccardPairs]]: co-occurrence join on shingles, the
+    * per-pair row count IS the intersection, so one shuffle produces
+    * scored pairs. (The PPJoin prefix bound does NOT apply here —
+    * it's derived for Jaccard's symmetric denominator — so the
+    * inverted index is the candidate generator at every size; at
+    * 100 TB the shingle-df skew guard is dropping ultra-common
+    * shingles before the join, the standard stopword-gram cut.)
+    * Exact counting + one double division → fully DuckDB-replayable. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = withShingles(df.select(col(idCol).as("_id"), col(textCol)),
+        "_id", textCol, shingleWords, "_sh")
+      .select(col("_id"), size(col("_sh")).as("_sz"), explode(col("_sh")).as("_s"))
+    val a = sh.select(col("_id").as("id_a"), col("_sz").as("_sz_a"), col("_s"))
+    val b = sh.select(col("_id").as("id_b"), col("_sz").as("_sz_b"), col("_s"))
+    a.join(b, Seq("_s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("_inter"),
+        first(col("_sz_a")).as("_sa"), first(col("_sz_b")).as("_sb"))
+      .withColumn("containment",
+        col("_inter").cast("double") / least(col("_sa"), col("_sb")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("_inter").as("n_common"),
+        col("containment"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.5,
       prefixFilter: Boolean = true): DataFrame = {

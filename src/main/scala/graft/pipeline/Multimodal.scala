@@ -401,6 +401,60 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Difference hash (dHash): the gradient companion to [[aHashBits]]
+    * — a 9×8 grid of block luminance means, bit k = 1 iff the mean
+    * INCREASES from column bx to bx+1 in row by (k = by·8 + bx).
+    * Robust to global brightness/contrast shifts that move every
+    * block mean together (aHash's failure mode). Exact-integer: the
+    * mean comparison s₁/c₁ < s₂/c₂ is evaluated as s₁·c₂ < s₂·c₁
+    * (counts positive), so no division, no rounding — the DuckDB
+    * pixel replay produces the identical 64-bit string. An empty
+    * 9th column (w < 9) compares as zero on both sides. */
+  def dHashBits(content: Array[Byte]): Option[String] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val nch = raster.getNumBands
+        val s = new Array[Long](72)   // 9 cols × 8 rows, idx = bx*8 + by
+        val c = new Array[Long](72)
+        val rowBuf = new Array[Int](w)
+        var ch = 0
+        while (ch < nch) {
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            raster.getSamples(0, y, w, 1, ch, rowBuf)
+            var x = 0
+            while (x < w) {
+              val k = (x * 9 / w) * 8 + by
+              s(k) += rowBuf(x)
+              if (ch == 0) c(k) += 1
+              x += 1
+            }
+            y += 1
+          }
+          ch += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val l = bx * 8 + by
+            val r = (bx + 1) * 8 + by
+            sb.append(if (s(l) * c(r) < s(r) * c(l)) '1' else '0')
+            bx += 1
+          }
+          by += 1
+        }
+        Some(sb.toString)
+      }
+    } catch { case _: Exception => None }
+
   case class MediaRecord(
       media_id: Long,
       media_type: String,            // "image" | "audio" | "video"

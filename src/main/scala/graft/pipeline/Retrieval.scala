@@ -114,6 +114,45 @@ object Retrieval {
     * aggregate; `gold` (an eval set) is tiny and broadcast. Rank
     * reciprocals are exact IEEE on every engine, so the metric table
     * is oracle-able end to end. */
+  /** NDCG@k with graded relevance — the ranking-quality metric that
+    * credits partially-relevant results where [[evalMetrics]]' binary
+    * recall/MRR cannot. `graded` carries (query, doc, rel ≥ 0);
+    * DCG@k = Σ_{i≤k} rel_i / (ln(i+1)/ln 2) over the ranking (missing
+    * docs count rel 0), IDCG@k the same sum over the k best graded
+    * rows (rel desc, id asc tiebreak), NDCG their ratio. The log2
+    * discount is spelled ln(i+1)/ln(2) in BOTH engines (the BM25 ln
+    * precedent — identical libm doubles), sums have ≤ k terms, and
+    * all three emit at 4 dp, so the metric table replays exactly.
+    *
+    * Scale shape: two small per-query aggregates over broadcast-sized
+    * metric inputs (rankings are already top-k per query); the graded
+    * table broadcasts into the ranking join. */
+  def ndcg(ranked: DataFrame, graded: DataFrame, queryIdCol: String,
+      idCol: String, relCol: String, rankCol: String = "rank",
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ln2 = math.log(2.0)
+    val dcg = ranked.filter(col(rankCol) <= k)
+      .join(broadcast(graded.select(col(queryIdCol), col(idCol), col(relCol))),
+        Seq(queryIdCol, idCol), "left")
+      .groupBy(queryIdCol)
+      .agg(sum(coalesce(col(relCol), lit(0L)).cast("double") /
+        (log(col(rankCol) + 1.0) / ln2)).as("_dcg"))
+    val wi = Window.partitionBy(queryIdCol)
+      .orderBy(desc(relCol), col(idCol))
+    val idcg = graded
+      .withColumn("_ir", row_number().over(wi).cast("long"))
+      .filter(col("_ir") <= k)
+      .groupBy(queryIdCol)
+      .agg(sum(col(relCol).cast("double") /
+        (log(col("_ir") + 1.0) / ln2)).as("_idcg"))
+    idcg.join(dcg, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        round(coalesce(col("_dcg"), lit(0.0)), 4).as("dcg_at_k"),
+        round(col("_idcg"), 4).as("idcg_at_k"),
+        round(coalesce(col("_dcg"), lit(0.0)) / col("_idcg"), 4).as("ndcg_at_k"))
+  }
+
   def evalMetrics(ranked: DataFrame, gold: DataFrame, queryIdCol: String,
       idCol: String, rankCol: String = "rank", k: Int = 10): DataFrame = {
     val g = gold.select(col(queryIdCol), col(idCol)).distinct()

@@ -146,6 +146,39 @@ object Corpus {
       |    AS BIGINT) AS shuffle_pos
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Epoch-replicated source mixing — the LLaMA/Pile-style upsampling
+    * manifest: each source gets an integer epoch count (here
+    * 1 + srcN % 3, replayable from the source name), every doc is
+    * replicated once per epoch, and the replicated stream gets a
+    * seeded deterministic global shuffle position keyed on
+    * (doc, epoch) — so upsampled copies land spread across the
+    * training order, not adjacent. Distinct job from p5's temperature
+    * QUOTAS (which sample a subset): epoch mixing REPEATS data.
+    * Same two-phase position scheme as p7 (no single-task window);
+    * md5 rank key is engine-portable → fully oracled. */
+  def p10EpochMix(s: SparkSession, d: String): DataFrame = {
+    val rep = documents(s, d)
+      .withColumn("_ep", expr("CAST(substring(source, 4) AS INT) % 3 + 1"))
+      .withColumn("epoch", explode(sequence(lit(1), col("_ep"))))
+      .withColumn("_rid", concat_ws(":",
+        col("doc_id").cast("string"), col("epoch").cast("string")))
+    Sharding.deterministicShuffle(rep, "_rid", seed = 7L)
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"),
+        col("shuffle_pos"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  val p10Sql: String =
+    """WITH rep AS (SELECT doc_id,
+      |    unnest(range(1, CAST(substr(source, 4) AS INT) % 3 + 2)) AS epoch
+      |  FROM documents)
+      |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY
+      |      md5('7:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
+      |      CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) - 1
+      |    AS BIGINT) AS shuffle_pos
+      |FROM rep ORDER BY doc_id, epoch""".stripMargin
+
   /** Exact-k stratified sample: exactly 7 docs per language, the 7
     * smallest md5("11:"+id) rank keys — the deterministic per-stratum
     * quota draw of a corpus export. The oracle replays the rank key
@@ -377,6 +410,7 @@ object Corpus {
     "p6_stratified_sample" -> (p6StratifiedSample _),
     "p7_global_shuffle" -> (p7GlobalShuffle _),
     "p8_exact_sample" -> (p8ExactSample _),
+    "p10_epoch_mix" -> (p10EpochMix _),
     "p9_weighted_sample" -> (p9WeightedSample _),
     "p4_pack_sequences" -> (p4PackSequences _),
     "p5_source_mix" -> (p5SourceMix _),
@@ -391,6 +425,7 @@ object Corpus {
     "p6_stratified_sample" -> p6Sql,
     "p7_global_shuffle" -> p7Sql,
     "p8_exact_sample" -> p8Sql,
+    "p10_epoch_mix" -> p10Sql,
     "p9_weighted_sample" -> p9Sql,
     "p4_pack_sequences" -> p4Sql,
     "p5_source_mix" -> p5Sql,

@@ -276,6 +276,51 @@ object FastdbOps {
        |FROM src GROUP BY rootid, band, bin
        |ORDER BY rootid, band, bin""".stripMargin
 
+  // ---- W6 (beyond ref): trailing-range rolling statistics ------------
+
+  /** Trailing rolling-window statistics per light curve — the
+    * "activity in the last N days" view an alert-triage API serves
+    * (recent detection count, recent flux sum, recent peak): a RANGE
+    * window of 500 mjd trailing each detection within its (root,
+    * band) curve. The order key is integer centi-mjd — the 2-dp mjd
+    * scaled by 100 through `floor(x·100 + ½)`, identical doubles →
+    * identical integers on both engines — because a value-based RANGE
+    * frame needs an integer axis to mean the same thing everywhere
+    * (and Spark requires the boundary literal to match the order-key
+    * type). Count/max are order-free; the flux sum emits at the
+    * inputs' own decimal precision (the a13/w5 rule — sums of finite
+    * decimals cannot tie at the rounding digit).
+    *
+    * Scale shape: one window over (rootid, band) partitions — millions
+    * of small curves, no global sort, no skew; RANGE frames include
+    * order-key peers by definition in both engines, so duplicate-mjd
+    * detections agree. */
+  def w6RollingLtcv(s: SparkSession, d: String): DataFrame = {
+    val src = liSources(s, d)
+      .withColumn("mjd_c", floor(col("midpointmjdtai") * 100 + 0.5).cast("long"))
+    Ltcv.rollingTrailing(src, Seq("rootid", "band"), "mjd_c", "psfflux",
+        trail = 50000L)
+      .select(col("rootid"), col("band"), col("mjd_c"), col("diasourceid"),
+        col("n_trail"),
+        round(col("flux_trail_raw"), 3).as("flux_trail"),
+        round(col("peak_trail_raw"), 4).as("peak_trail"))
+      .orderBy("rootid", "band", "mjd_c", "diasourceid")
+  }
+
+  val w6Sql: String =
+    s"""WITH src AS ($liSourcesSql),
+       |s2 AS (SELECT *,
+       |         CAST(FLOOR(midpointmjdtai * 100 + 0.5) AS BIGINT) AS mjd_c
+       |       FROM src)
+       |SELECT rootid, band, mjd_c, diasourceid,
+       |  COUNT(*) OVER w AS n_trail,
+       |  ROUND(SUM(psfflux) OVER w, 3) AS flux_trail,
+       |  ROUND(MAX(psfflux) OVER w, 4) AS peak_trail
+       |FROM s2
+       |WINDOW w AS (PARTITION BY rootid, band ORDER BY mjd_c
+       |             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+       |ORDER BY rootid, band, mjd_c, diasourceid""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -800,6 +845,7 @@ object FastdbOps {
     "a2_objstats" -> (a2ObjStats _),
     "a13_ltcv_features" -> (a13LtcvFeatures _),
     "w5_binned_ltcv" -> (w5BinnedLtcv _),
+    "w6_rolling_ltcv" -> (w6RollingLtcv _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -820,6 +866,7 @@ object FastdbOps {
     "a2_objstats" -> a2Sql,
     "a13_ltcv_features" -> a13Sql,
     "w5_binned_ltcv" -> w5Sql,
+    "w6_rolling_ltcv" -> w6Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
-import graft.pipeline.{Dedup, Multimodal, Sharding, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, ScalarQuant, Sharding, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text /
   * multimodal) as driver-checked queries on the documents + embeddings
@@ -49,6 +49,37 @@ object Pipeline {
         shingleWords = 3, threshold = 0.5, prefixFilter = false)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
+
+  /** Containment near-dup pairs ([[Dedup.containmentPairs]]): the
+    * asymmetric |A∩B|/min(|A|,|B|) measure that catches near-subset
+    * duplication (quote/embed/prefix dups) Jaccard dilutes away.
+    * Exact counts + one double division → fully oracled; threshold
+    * 0.6 so partially-overlapping synthetic docs appear, not only
+    * the verbatim copies. */
+  def d12Containment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        shingleWords = 3, threshold = 0.6)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("id_a", "id_b")
+
+  val d12Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+      |                   for i in range(1, len(wd) - 1)]) AS sh
+      |  FROM w WHERE len(wd) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / LEAST(len(a.sh), len(b.sh)), 6) AS containment
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / LEAST(len(a.sh), len(b.sh)) >= 0.6
+      |  AND len(list_intersect(a.sh, b.sh)) > 0
+      |ORDER BY id_a, id_b""".stripMargin
 
   val d4Sql: String =
     """WITH w AS (SELECT doc_id,
@@ -508,6 +539,27 @@ object Pipeline {
         when(col("n_verbatim_docs") > 0 || col("n_fuzzy_docs") > 0, 1L)
           .otherwise(0L))
       .orderBy("eval_doc_id")
+  }
+
+  /** Per-SUITE contamination rollup — the one-line-per-benchmark
+    * summary a release note publishes, aggregated from e9's per-doc
+    * datasheet with the doc's `source` standing in for the suite name:
+    * suite size, flagged counts (any / verbatim / fuzzy), and the
+    * contamination rate. Same oracle substrate as e9 (exact relational
+    * + portable-hash replay), one more exact aggregate on top. */
+  def e10SuiteRollup(s: SparkSession, d: String): DataFrame = {
+    val per = e9ContaminationReport(s, d)
+    val src = documents(s, d)
+      .select(col("doc_id").as("eval_doc_id"), col("source"))
+    per.join(src, Seq("eval_doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_eval_docs"),
+        sum(col("flagged")).as("n_flagged"),
+        sum(when(col("n_verbatim_docs") > 0, 1L).otherwise(0L)).as("n_verbatim"),
+        sum(when(col("n_fuzzy_docs") > 0, 1L).otherwise(0L)).as("n_fuzzy"),
+        round(sum(col("flagged")).cast("double") / count(lit(1)), 4)
+          .as("contamination_rate"))
+      .orderBy("source")
   }
 
   val e2Sql: String =
@@ -1037,6 +1089,39 @@ object Pipeline {
       |      FROM embeddings)
       |GROUP BY label, k ORDER BY label, dim""".stripMargin
 
+  /** Int8 scalar quantization of the embedding table
+    * ([[ScalarQuant.quantize]]): per-dim min/max bounds, one byte per
+    * component, plus the per-vector squared reconstruction error
+    * (sequential left-fold, so order-deterministic). Codes are exact
+    * integers and the error is deterministic IEEE arithmetic → fully
+    * oracled; error rounds at 8 dp (values ~1e-4, summation-order
+    * noise ~1e-18). */
+  def s8SqQuantize(s: SparkSession, d: String): DataFrame =
+    ScalarQuant.quantize(embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("codes"),
+        round(col("sq_err"), 8).as("sq_err"))
+      .orderBy("vec_id")
+
+  val s8Sql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |ex AS (SELECT vec_id, k, CAST(embedding[k] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS k FROM e)),
+      |st AS (SELECT k, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY k),
+      |cd AS (SELECT vec_id, k, x, mn, mx,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+      |    END AS code
+      |  FROM ex JOIN st USING (k)),
+      |rc AS (SELECT vec_id, k, code,
+      |    x - (CASE WHEN mx = mn THEN mn
+      |              ELSE mn + CAST(code AS DOUBLE) / 255.0 * (mx - mn)
+      |         END) AS diff
+      |  FROM cd)
+      |SELECT vec_id, list(code ORDER BY k) AS codes,
+      |  ROUND(SUM(diff * diff ORDER BY k), 8) AS sq_err
+      |FROM rc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Media curation rollup — the table an image-pipeline operator
     * reads before training: per source, how many payloads decode at
     * all (every 13th doc carries a corrupt payload, exercising the
@@ -1120,6 +1205,48 @@ object Pipeline {
       |             '' ORDER BY t.k) AS ahash
       |FROM t JOIN tot ON t.doc_id = tot.doc_id
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** Difference-hash (dHash) fingerprints for the same synthetic PNGs
+    * — the GRADIENT perceptual hash next to m6's mean-based aHash
+    * ([[Multimodal.dHashBits]]): bit = does block luminance increase
+    * left→right in a 9×8 grid. Survives the global brightness shifts
+    * that flip aHash bits. The mean comparison is cross-multiplied
+    * (s₁·c₂ < s₂·c₁), so the definition is exact-integer and the
+    * DuckDB pixel replay produces identical 64-bit strings. */
+  def m11ImageDhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bits = Multimodal.dHashBits(Multimodal.syntheticPng(id))
+          .getOrElse(throw new IllegalStateException(
+            s"ImageIO failed to decode the synthesized PNG for doc $id"))
+        (id, bits)
+      })
+      .toDF("doc_id", "dhash")
+      .orderBy("doc_id")
+  }
+
+  val m11Sql: String =
+    """WITH p AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(8 + doc_id % 7 AS INT) AS h
+      |           FROM documents),
+      |px AS (SELECT p.doc_id, p.w, p.h, x.range AS x, y.range AS y,
+      |    ((x.range + 2*y.range + p.doc_id) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 5) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 10) % 256) AS lum
+      |  FROM p, range(16) x, range(14) y
+      |  WHERE x.range < p.w AND y.range < p.h),
+      |b AS (SELECT doc_id, (x*9)//w AS bx, (y*8)//h AS by,
+      |        SUM(lum) AS s, COUNT(*) AS c
+      |      FROM px GROUP BY doc_id, (x*9)//w, (y*8)//h),
+      |g AS (SELECT l.doc_id, l.by, l.bx,
+      |        CASE WHEN l.s * COALESCE(r.c, 0) < COALESCE(r.s, 0) * l.c
+      |             THEN '1' ELSE '0' END AS bit
+      |      FROM b l LEFT JOIN b r
+      |        ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
+      |      WHERE l.bx < 8)
+      |SELECT doc_id, string_agg(bit, '' ORDER BY by*8 + bx) AS dhash
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Perceptual image-dup groups: images sharing an identical aHash
     * are perceptual duplicates (the synthetic corpus is heavily
@@ -1364,6 +1491,7 @@ object Pipeline {
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d12_containment" -> (d12Containment _),
     "d5_embed_neardup" -> (d5EmbedNearDup _),
     "cc1_dedup_clusters" -> (cc1DedupClusters _),
     "cc2_dedup_apply" -> (cc2DedupApply _),
@@ -1374,6 +1502,7 @@ object Pipeline {
     "e7_bloom_decontaminate" -> (e7BloomDecontaminate _),
     "e5_fuzzy_decontaminate" -> (e5FuzzyDecontaminate _),
     "e9_contamination_report" -> (e9ContaminationReport _),
+    "e10_suite_rollup" -> (e10SuiteRollup _),
     "e6_cluster_split" -> (e6ClusterSplit _),
     "e8_training_export" -> (e8TrainingExport _),
     "t18_datasheet" -> (t18Datasheet _),
@@ -1384,6 +1513,7 @@ object Pipeline {
     "s5_incremental_pq" -> (s5IncrementalPq _),
     "s6_whiten" -> (s6Whiten _),
     "s7_embed_centroids" -> (s7EmbedCentroids _),
+    "s8_sq_quantize" -> (s8SqQuantize _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
@@ -1395,6 +1525,7 @@ object Pipeline {
     "m2_image_decode" -> (m2ImageDecode _),
     "m5_media_quality" -> (m5MediaQuality _),
     "m6_image_ahash" -> (m6ImageAhash _),
+    "m11_image_dhash" -> (m11ImageDhash _),
     "m7_image_dedup" -> (m7ImageDedup _),
     "m8_audio_fingerprint" -> (m8AudioFingerprint _),
     "m10_audio_dedup" -> (m10AudioDedup _),
@@ -1405,6 +1536,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d4_ngram_jaccard" -> d4Sql,
+    "d12_containment" -> d12Sql,
     "cc1_dedup_clusters" -> cc1Sql,
     "cc2_dedup_apply" -> cc2Sql,
     "cc4_dedup_best" -> cc4Sql,
@@ -1415,6 +1547,7 @@ object Pipeline {
     "e8_training_export" -> e8Sql,
     "t18_datasheet" -> t18Sql,
     "s7_embed_centroids" -> s7Sql,
+    "s8_sq_quantize" -> s8Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,
@@ -1425,6 +1558,7 @@ object Pipeline {
     "m2_image_decode" -> m2Sql,
     "m5_media_quality" -> m5Sql,
     "m6_image_ahash" -> m6Sql,
+    "m11_image_dhash" -> m11Sql,
     "m7_image_dedup" -> m7Sql,
     "m8_audio_fingerprint" -> m8Sql,
     "m10_audio_dedup" -> m10Sql,
@@ -1436,6 +1570,7 @@ object Pipeline {
     "cc3_minhash_clusters" -> PortableHashOracle.cc3Sql,
     "e5_fuzzy_decontaminate" -> PortableHashOracle.e5Sql,
     "e9_contamination_report" -> PortableHashOracle.e9Sql,
+    "e10_suite_rollup" -> PortableHashOracle.e10Sql,
     "d5_embed_neardup" -> LshOracle.d5Sql,
     "s2_ann_lsh" -> LshOracle.s2Sql)
 }

@@ -218,6 +218,25 @@ object PortableHashOracle {
        |FROM base LEFT JOIN vb USING (eval_doc_id) LEFT JOIN fz USING (eval_doc_id)
        |ORDER BY eval_doc_id""".stripMargin
 
+  // ---- e10: per-suite contamination rollup over e9 ----------------
+
+  /** e9's datasheet grouped by the eval doc's `source` (the suite
+    * stand-in): exact integer rollup + one 4-dp rate. */
+  val e10Sql: String =
+    s"""SELECT ds.source,
+       |  COUNT(*) AS n_eval_docs,
+       |  CAST(SUM(per.flagged) AS BIGINT) AS n_flagged,
+       |  CAST(SUM(CASE WHEN per.n_verbatim_docs > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_verbatim,
+       |  CAST(SUM(CASE WHEN per.n_fuzzy_docs > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_fuzzy,
+       |  ROUND(CAST(SUM(per.flagged) AS DOUBLE) / COUNT(*), 4)
+       |    AS contamination_rate
+       |FROM ($e9Sql) per
+       |JOIN (SELECT doc_id AS eval_doc_id, source FROM documents) ds
+       |  USING (eval_doc_id)
+       |GROUP BY ds.source ORDER BY ds.source""".stripMargin
+
   // ---- d3: SimHash near-dup pairs (brute-force replay) ------------
 
   val d3Sql: String =

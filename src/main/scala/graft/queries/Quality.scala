@@ -79,6 +79,49 @@ object Quality {
       |  ROUND(AVG(lp), 6) AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Interpolated Kneser-Ney TRIGRAM self-scoring
+    * ([[LangModel.knTrigramScores]], D = 0.75) — the order-3 member of
+    * the t9/t20 LM family, with textbook recursive continuation counts
+    * (each lower-order table derives from the order above). Exact
+    * counts + deterministic arithmetic → fully oracled. */
+  def t21Trigram(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    LangModel.knTrigramScores(docs, "doc_id", "text", docs, "text",
+        discount = 0.75)
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("avg_logp"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val t21Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |tg AS (SELECT doc_id, wd[i] AS w1, wd[i+1] AS w2, wd[i+2] AS w3
+      |  FROM (SELECT doc_id, wd, unnest(range(1, len(wd) - 1)) AS i
+      |        FROM w WHERE len(wd) >= 3)),
+      |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tg GROUP BY 1, 2, 3),
+      |cx AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12,
+      |         COUNT(*) AS n1c3 FROM c3 GROUP BY 1, 2),
+      |cm AS (SELECT w2, w3, COUNT(*) AS nm FROM c3 GROUP BY 1, 2),
+      |md AS (SELECT w2, CAST(SUM(nm) AS BIGINT) AS mden,
+      |         COUNT(*) AS mtypes FROM cm GROUP BY 1),
+      |un AS (SELECT w3, COUNT(*) AS ne FROM cm GROUP BY 1),
+      |tt AS (SELECT COUNT(*) AS t FROM cm),
+      |v AS (SELECT COUNT(DISTINCT u) AS v
+      |      FROM (SELECT unnest(wd) AS u FROM w)),
+      |sc AS (SELECT tg.doc_id,
+      |         LN((GREATEST(c3.c - 0.75, 0.0) + 0.75 * cx.n1c3 *
+      |             ((GREATEST(cm.nm - 0.75, 0.0) + 0.75 * md.mtypes *
+      |               ((un.ne + 0.5) / (tt.t + 0.5 * (v.v + 1)))) / md.mden))
+      |            / cx.c12) AS lp
+      |       FROM tg JOIN c3 USING (w1, w2, w3) JOIN cx USING (w1, w2)
+      |       JOIN cm USING (w2, w3) JOIN md USING (w2)
+      |       JOIN un USING (w3), tt, v)
+      |SELECT doc_id, COUNT(*) AS n_trigrams,
+      |  ROUND(AVG(lp), 6) AS avg_logp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** CCNet-style perplexity stratification: per-LANGUAGE tercile
     * boundaries over the t9 bigram-LM scores split the corpus into
     * head (most fluent third), middle, tail — the split CCNet feeds to
@@ -521,6 +564,7 @@ object Quality {
     "t11_quality_classifier" -> (t11QualityClassifier _),
     "t9_lm_score" -> (t9LmScore _),
     "t20_kn_score" -> (t20KnScore _),
+    "t21_trigram_kn" -> (t21Trigram _),
     "t16_ppl_buckets" -> (t16PplBuckets _),
     "t10_dsir_weights" -> (t10DsirWeights _),
     "t12_html_extract" -> (t12HtmlExtract _),
@@ -537,6 +581,7 @@ object Quality {
   def oracles: Map[String, String] = Map(
     "t9_lm_score" -> t9Sql,
     "t20_kn_score" -> t20Sql,
+    "t21_trigram_kn" -> t21Sql,
     "t16_ppl_buckets" -> t16Sql,
     "t10_dsir_weights" -> t10Sql,
     "t12_html_extract" -> t12Sql,

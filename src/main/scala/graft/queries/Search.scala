@@ -354,17 +354,93 @@ object Search {
       |FROM ng LEFT JOIN h USING (query_id)
       |ORDER BY ng.query_id""".stripMargin
 
+  /** NDCG@10 over the r1 BM25 ranking with GRADED relevance — rel(q,
+    * doc) = how many of the query's terms the doc contains (1..3), the
+    * graded companion to r4's binary recall/MRR ([[Retrieval.ndcg]]).
+    * Log2 discounts are spelled ln(i+1)/ln 2 in both engines and all
+    * metric columns emit at 4 dp → fully oracled. */
+  def r6Ndcg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (1L, "vector"), (1L, "hash"), (1L, "join"),
+      (2L, "spark"), (2L, "stream"), (2L, "window"),
+      (3L, "slow"), (3L, "query")).toDF("query_id", "term")
+    val tok = documents(s, d).select(col("doc_id"),
+      explode(array_distinct(graft.pipeline.TextAnalysis.tokens(col("text"))))
+        .as("term"))
+    val graded = qs.join(tok, Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("term")).as("rel"))
+    Retrieval.ndcg(r1Bm25(s, d), graded, "query_id", "doc_id", "rel", k = 10)
+      .orderBy("query_id")
+  }
+
+  val r6Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |    (1, 'vector'), (1, 'hash'), (1, 'join'),
+      |    (2, 'spark'), (2, 'stream'), (2, 'window'),
+      |    (3, 'slow'), (3, 'query')),
+      |tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |dtok AS (SELECT DISTINCT doc_id, term FROM tok),
+      |gr AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, t.doc_id,
+      |         COUNT(DISTINCT q.term) AS rel
+      |       FROM q JOIN dtok t USING (term) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS dl
+      |  FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |         AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |tf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+      |       FROM tok t WHERE t.term IN (SELECT term FROM q)
+      |       GROUP BY t.doc_id, t.term),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * tf.tf * 2.2
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  JOIN q ON q.term = tf.term, st
+      |  GROUP BY q.query_id, tf.doc_id),
+      |r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+      |  FROM sc) WHERE rank <= 10),
+      |dc AS (SELECT r.query_id,
+      |         SUM(CAST(COALESCE(gr.rel, 0) AS DOUBLE)
+      |             / (LN(r.rank + 1.0) / LN(2.0))) AS dcg
+      |       FROM r LEFT JOIN gr
+      |         ON r.query_id = gr.query_id AND r.doc_id = gr.doc_id
+      |       GROUP BY r.query_id),
+      |ic AS (SELECT query_id,
+      |         SUM(CAST(rel AS DOUBLE) / (LN(ir + 1.0) / LN(2.0))) AS idcg
+      |       FROM (SELECT query_id, doc_id, rel,
+      |               ROW_NUMBER() OVER (PARTITION BY query_id
+      |                 ORDER BY rel DESC, doc_id) AS ir
+      |             FROM gr)
+      |       WHERE ir <= 10 GROUP BY query_id)
+      |SELECT ic.query_id,
+      |  ROUND(COALESCE(dc.dcg, 0.0), 4) AS dcg_at_k,
+      |  ROUND(ic.idcg, 4) AS idcg_at_k,
+      |  ROUND(COALESCE(dc.dcg, 0.0) / ic.idcg, 4) AS ndcg_at_k
+      |FROM ic LEFT JOIN dc USING (query_id)
+      |ORDER BY ic.query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_bm25" -> (r1Bm25 _),
     "r2_chunk" -> (r2Chunk _),
     "r3_hybrid_rrf" -> (r3HybridRrf _),
     "r4_eval_metrics" -> (r4EvalMetrics _),
-    "r5_mmr_rerank" -> (r5Mmr _))
+    "r5_mmr_rerank" -> (r5Mmr _),
+    "r6_ndcg" -> (r6Ndcg _))
 
   def oracles: Map[String, String] = Map(
     "r1_bm25" -> r1Sql,
     "r2_chunk" -> r2Sql,
     "r3_hybrid_rrf" -> r3Sql,
     "r4_eval_metrics" -> r4Sql,
-    "r5_mmr_rerank" -> r5Sql)
+    "r5_mmr_rerank" -> r5Sql,
+    "r6_ndcg" -> r6Sql)
 }

@@ -338,6 +338,27 @@ object Ltcv {
         .otherwise(lit(0.0)), 4).as("trend_slope"))
   }
 
+  /** W6 (beyond ref) — trailing rolling-window statistics per curve:
+    * for every detection, the count / flux sum / peak over the
+    * trailing `trail` units of the integer `timeCol` axis (a RANGE
+    * frame, so same-time peers are always included — value-based, not
+    * row-based). The time axis must be integral: a value-based frame
+    * on floats means different things to different engines, so
+    * callers scale their mjd to integer units first (w6 uses
+    * centi-mjd). Adds `n_trail` / `flux_trail_raw` / `peak_trail_raw`.
+    *
+    * Scale shape: one window over the per-curve partitions — millions
+    * of small curves, no global sort, no skew. */
+  def rollingTrailing(src: DataFrame, keys: Seq[String], timeCol: String,
+      fluxCol: String, trail: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(timeCol)
+      .rangeBetween(-trail, 0L)
+    src.withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("flux_trail_raw", sum(col(fluxCol)).over(w))
+      .withColumn("peak_trail_raw", max(col(fluxCol)).over(w))
+  }
+
   /** T6 — hot transients: lightcurves of objects with a detection in
     * [mjdNow - lastdays, mjdNow] (src/ltcv.py:1290-1518; default window
     * 30 d). Photometry is cut at mjdNow (P3). */

@@ -1,0 +1,237 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, LangModel, Multimodal, ScalarQuant}
+import graft.query.Ltcv
+
+/** Specs for the round-9 operator additions: containment dedup (d12),
+  * trigram Kneser-Ney scoring (t21), int8 scalar quantization (s8),
+  * trailing rolling-window curves (w6), graded NDCG (r6), contamination
+  * suite rollup (e10), image dHash (m11), epoch-mix replication (p10).
+  */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- d12: containment pairs --------------------------------------
+
+  test("containment catches a near-subset pair that Jaccard dilutes away") {
+    val big = (1 to 100).map(i => s"w$i").mkString(" ")
+    val small = (1 to 20).map(i => s"w$i").mkString(" ")   // strict prefix of big
+    val other = (200 to 240).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1L -> big, 2L -> small, 3L -> other).toDF("doc_id", "text")
+    // small has 18 shingles, all inside big's 98 → containment 1.0,
+    // Jaccard 18/98 ≈ 0.18
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleWords = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleWords = 3, threshold = 0.5, prefixFilter = false)
+    assert(jac.count() == 0)
+  }
+
+  test("containment pairs equal the brute-force shingle-set computation") {
+    val rng = new scala.util.Random(13)
+    val vocab = (0 until 25).map(i => s"v$i")
+    val base = (0L until 30L).map { i =>
+      i -> Seq.fill(30)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    // plant: a doc whose first half is doc 4's text (a containment dup)
+    val planted = Seq(
+      100L -> (base(4)._2.split(" ").take(15) ++ Seq("q1", "q2", "q3")).mkString(" "))
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = (base ++ planted).map { case (id, t) => id -> shingleSet(t) }.toMap
+    val expect = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa intersect sb).size
+      c = inter.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.4
+    } yield (a, b, inter.toLong, c)).toSet
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleWords = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expect)
+    assert(got.exists { case (a, b, _, _) => a == 4L && b == 100L })
+  }
+
+  // ---- t21: trigram Kneser-Ney -------------------------------------
+
+  test("trigram KN hand-computed score on a tiny corpus") {
+    val train = Seq(0L -> "a b c a b d").toDF("doc_id", "text")
+    val doc = Seq(1L -> "a b c").toDF("doc_id", "text")
+    val got = LangModel.knTrigramScores(doc, "doc_id", "text", train, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    // trigrams of train: (a,b,c) (b,c,a) (c,a,b) (a,b,d); V = 4
+    // c3(a,b,c)=1; c12(a,b)=2, n1c3(a,b)=2
+    // cm: (b,c)=1 (c,a)=1 (a,b)=1 (b,d)=1 → mden(b)=2, mtypes(b)=2
+    // un(c)=1; T=4
+    val pc = (1 + 0.5) / (4 + 0.5 * 5)
+    val pmid = (math.max(1 - 0.75, 0.0) + 0.75 * 2 * pc) / 2
+    val p = (math.max(1 - 0.75, 0.0) + 0.75 * 2 * pmid) / 2
+    assert(got._1 == 1L && got._2 == 1L)
+    assert(math.abs(got._3 - math.log(p)) < 1e-12)
+  }
+
+  test("trigram KN distribution sums to one over vocab + OOV; backoff is finite") {
+    val train = Seq(0L -> "a b c a b d b c a c a b a a b").toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "c", "d")
+    // P(w3 | a, b) for every vocab word plus one OOV word must sum to 1
+    val probes = (vocab :+ "zzz").zipWithIndex
+      .map { case (w, i) => (i.toLong, s"a b $w") }
+    val scored = LangModel.knTrigramScores(probes.toDF("doc_id", "text"),
+        "doc_id", "text", train, "text")
+      .collect().map(r => r.getLong(0) -> math.exp(r.getDouble(2))).toMap
+    val total = scored.values.sum
+    assert(math.abs(total - 1.0) < 1e-9, s"sum was $total")
+    // unseen context (z1 z2) backs off to the continuation floor: finite
+    val oov = LangModel.knTrigramScores(
+        Seq(9L -> "z1 z2 z3").toDF("doc_id", "text"), "doc_id", "text",
+        train, "text")
+      .collect().head.getDouble(2)
+    assert(!oov.isNaN && !oov.isInfinite && oov < 0)
+  }
+
+  // ---- s8: scalar quantization -------------------------------------
+
+  test("SQ codes hit the endpoints, bound the error, and ignore partitioning") {
+    val vecs = Seq(
+      (1L, Array(0.0f, -1.0f, 5.0f)),
+      (2L, Array(1.0f, 3.0f, 5.0f)),
+      (3L, Array(0.25f, 1.0f, 5.0f)),
+      (4L, Array(0.75f, -0.5f, 5.0f))).toDF("vec_id", "embedding")
+    val got = ScalarQuant.quantize(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      .sortBy(_._1)
+    // dim 0 range [0,1]: 0→0, 1→255, 0.25→floor(64.25)=64, 0.75→floor(191.75)=191
+    assert(got.map(_._2.head).toSeq == Seq(0L, 255L, 64L, 191L))
+    // dim 2 is degenerate (constant 5): code 0, zero error contribution
+    assert(got.forall(_._2(2) == 0L))
+    // per-vector squared error ≤ dims · (range/255/2)² with slack
+    val maxErr = 2 * math.pow(4.0 / 255 / 2, 2) * 1.0001 + 1e-12
+    assert(got.forall(_._3 <= maxErr))
+    // codes in range, and invariant under repartitioning
+    assert(got.forall(_._2.forall(c => c >= 0 && c <= 255)))
+    val re = ScalarQuant.quantize(vecs.repartition(7), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(re.map(_._2).toSeq == got.map(_._2).toSeq)
+  }
+
+  // ---- w6: trailing rolling window ---------------------------------
+
+  test("rolling trailing window: hand-computed frames incl. same-time peers") {
+    val src = Seq(
+      ("r1", "g", 100L, 1.0), ("r1", "g", 300L, 2.0),
+      ("r1", "g", 700L, 3.0), ("r1", "g", 1000L, 4.0),
+      // same-time peers: RANGE frame must include both
+      ("r2", "g", 50L, 10.0), ("r2", "g", 50L, 20.0),
+      // other partition unaffected
+      ("r1", "r", 100L, 9.0)).toDF("rootid", "band", "t", "flux")
+    val got = Ltcv.rollingTrailing(src, Seq("rootid", "band"), "t", "flux",
+        trail = 500L)
+      .select("rootid", "band", "t", "n_trail", "flux_trail_raw", "peak_trail_raw")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == Set(
+      ("r1", "g", 100L, 1L, 1.0, 1.0),
+      ("r1", "g", 300L, 2L, 3.0, 2.0),
+      ("r1", "g", 700L, 2L, 5.0, 3.0),     // [200,700] → {300,700}
+      ("r1", "g", 1000L, 2L, 7.0, 4.0),    // [500,1000] → {700,1000}
+      ("r2", "g", 50L, 2L, 30.0, 20.0),    // both peers in both frames
+      ("r2", "g", 50L, 2L, 30.0, 20.0),
+      ("r1", "r", 100L, 1L, 9.0, 9.0)))
+  }
+
+  // ---- r6: graded NDCG ---------------------------------------------
+
+  test("NDCG hand-computed; a perfectly-ordered ranking scores 1") {
+    val ranked = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val graded = Seq((1L, 10L, 3L), (1L, 30L, 1L), (1L, 90L, 2L))
+      .toDF("query_id", "doc_id", "rel")
+    val r = graft.pipeline.Retrieval
+      .ndcg(ranked, graded, "query_id", "doc_id", "rel", k = 10)
+      .collect().head
+    val ln2 = math.log(2.0)
+    val dcg = 3.0 / (math.log(2.0) / ln2) + 1.0 / (math.log(4.0) / ln2)
+    val idcg = 3.0 / (math.log(2.0) / ln2) + 2.0 / (math.log(3.0) / ln2) +
+      1.0 / (math.log(4.0) / ln2)
+    assert(r.getDouble(1) == math.rint(dcg * 1e4) / 1e4)
+    assert(math.abs(r.getDouble(3) - dcg / idcg) < 1e-4)
+    // ideal ordering → ndcg exactly 1
+    val ideal = Seq((2L, 10L, 1L), (2L, 90L, 2L), (2L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val graded2 = Seq((2L, 10L, 3L), (2L, 90L, 2L), (2L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val r2 = graft.pipeline.Retrieval
+      .ndcg(ideal, graded2, "query_id", "doc_id", "rel", k = 10)
+      .collect().head
+    assert(r2.getDouble(3) == 1.0)
+  }
+
+  // ---- e10: suite rollup consistency -------------------------------
+
+  test("suite rollup totals reconcile with the per-doc datasheet") {
+    val d = "/root/testdata/sf0.001"
+    val per = graft.queries.Pipeline.e9ContaminationReport(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val roll = graft.queries.Pipeline.e10SuiteRollup(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(roll.map(_._2).sum == per.size)           // every eval doc in a suite
+    assert(roll.map(_._3).sum == per.values.sum)     // flags add up
+    assert(roll.nonEmpty && roll.forall(_._2 > 0))
+    spark.catalog.clearCache()
+  }
+
+  // ---- m11: image dHash --------------------------------------------
+
+  test("dHash: flat → zeros, gradients → ones, brightness+contrast invariance") {
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach { y =>
+        val v = f(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // flat: no column-to-column increase anywhere
+    assert(Multimodal.dHashBits(png(18, 16)((_, _) => 77)).get == "0" * 64)
+    // strict left-to-right gradient: every adjacent block increases
+    assert(Multimodal.dHashBits(png(18, 16)((x, _) => x * 10)).get == "1" * 64)
+    // brightness shift AND mild contrast scale preserve the gradient sign
+    val base = Multimodal.dHashBits(png(18, 16)((x, y) => 30 + (x * 9 + y * 5) % 150))
+    val moved = Multimodal.dHashBits(png(18, 16)((x, y) => 60 + (x * 9 + y * 5) % 150))
+    assert(base == moved)
+    // garbage payload
+    assert(Multimodal.dHashBits(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  // ---- p10: epoch mix ----------------------------------------------
+
+  test("epoch mix: per-source replication counts and a true permutation") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.Corpus.p10EpochMix(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.documents(spark, d)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc appears exactly 1 + srcN % 3 times, epochs 1..k
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val k = docs(id).stripPrefix("src").toInt % 3 + 1
+      assert(rows.map(_._2).sorted.toSeq == (1 to k).map(_.toLong))
+    }
+    // shuffle_pos is a permutation of 0..n-1
+    assert(out.map(_._3).sorted.toSeq == out.indices.map(_.toLong))
+    spark.catalog.clearCache()
+  }
+}

@@ -16,6 +16,13 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 def norm(df):
     df = df[sorted(df.columns)]
+    # list/array cells (e.g. token or code arrays) aren't hashable —
+    # convert to tuples so sorting and equality work cell-exactly
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: hasattr(v, "__len__") and not isinstance(v, (str, bytes))).any():
+            df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__len__")
+                              and not isinstance(v, (str, bytes)) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
