@@ -75,7 +75,8 @@ object Bench {
     // pair: biggest codegen'd plans outside d*/e*) measured 2-3x their
     // isolated steady state inside a chunk — JIT warm-up bleeding into
     // the warm median — so they get solo JVMs too.
-    val soloExtra = Set("t9_lm_score", "t10_dsir_weights")
+    val soloExtra = Set("t9_lm_score", "t10_dsir_weights", "t20_kn_score",
+      "t21_trigram_kn")
     val (solo, cheap) = names.partition(n =>
       n.startsWith("d") || n.startsWith("e") || n.startsWith("cc") ||
         soloExtra(n))

@@ -507,6 +507,122 @@ case class Md5Long(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row loop bodies for int8 scalar quantization ([[SqCodes]] /
+  * [[SqError]]) — called from both the interpreted and generated
+  * paths, like [[SimHashUtil]]. Arithmetic replicates the HOF
+  * formulation op-for-op (floor((x−mn)/(mx−mn)·255 + ½); recon =
+  * mn + c/255·(mx−mn); sequential left-fold error sum), so results
+  * stay bit-identical to the DuckDB oracle replay. */
+object SqUtil {
+  def codes(arr: ArrayData, isFloat: Boolean,
+      mins: Array[Double], maxs: Array[Double]): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val mn = mins(i); val mx = maxs(i)
+      out(i) =
+        if (mx == mn) 0L
+        else math.floor((x - mn) / (mx - mn) * 255 + 0.5).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  def sqError(arr: ArrayData, isFloat: Boolean,
+      mins: Array[Double], maxs: Array[Double]): Double = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val mn = mins(i); val mx = maxs(i)
+      val recon =
+        if (mx == mn) mn
+        else mn + math.floor((x - mn) / (mx - mn) * 255 + 0.5) / 255.0 * (mx - mn)
+      val d = x - recon
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+/** Codegen'd int8 scalar-quantization codes of a float/double array
+  * against per-dimension (mn, mx) bounds — the scan-stage encode of
+  * [[graft.pipeline.ScalarQuant]]. The HOF formulation (transform +
+  * element_at over literal bound arrays) runs interpreted at
+  * ~30 µs/element; this is the same arithmetic as a primitive loop in
+  * whole-stage codegen. A vector longer than the bounds arrays throws
+  * (dimension drift must fail loudly, not truncate). Null → null. */
+case class SqCodes(child: Expression,
+    mins: Array[Double], maxs: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq_codes needs array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SqUtil.codes(input.asInstanceOf[ArrayData], isFloat, mins, maxs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("sqMins", mins, "double[]")
+    val mxRef = ctx.addReferenceObj("sqMaxs", maxs, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SqUtil.codes($c, $isFloat, $mnRef, $mxRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqCodes =
+    copy(child = newChild)
+}
+
+/** Codegen'd squared reconstruction error of [[SqCodes]]' quantization
+  * — a sequential left fold, so the value is order-deterministic and
+  * bit-identical to the interpreted HOF formulation. Null → null. */
+case class SqError(child: Expression,
+    mins: Array[Double], maxs: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq_error needs array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SqUtil.sqError(input.asInstanceOf[ArrayData], isFloat, mins, maxs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("sqMins", mins, "double[]")
+    val mxRef = ctx.addReferenceObj("sqMaxs", maxs, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SqUtil.sqError($c, $isFloat, $mnRef, $mxRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqError =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two numeric array columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -535,4 +651,12 @@ object VectorExprs {
   /** Codegen'd engine-portable md5-based 64-bit string hash. */
   def md5Long(s: Column): Column =
     Bridge.toColumn(Md5Long(Bridge.toExpression(s)))
+
+  /** Codegen'd int8 scalar-quantization codes against per-dim bounds. */
+  def sqCodes(vec: Column, mins: Array[Double], maxs: Array[Double]): Column =
+    Bridge.toColumn(SqCodes(Bridge.toExpression(vec), mins, maxs))
+
+  /** Codegen'd squared reconstruction error of the SQ codes. */
+  def sqError(vec: Column, mins: Array[Double], maxs: Array[Double]): Column =
+    Bridge.toColumn(SqError(Bridge.toExpression(vec), mins, maxs))
 }
