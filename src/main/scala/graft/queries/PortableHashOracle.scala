@@ -163,6 +163,51 @@ object PortableHashOracle {
        |SELECT id_a, id_b, ROUND(jac, 4) AS jacc, origin
        |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b, origin""".stripMargin
 
+  // ---- st3: streamed near-dup ingestion (4-batch replay) ----------
+
+  /** Replays [[graft.streaming.NearDupStream.processBatch]] over the
+    * deterministic 4-way batch split (batch k = doc_id % 4): the pair
+    * graph is d2's exact LSH-candidate + Jaccard-verify set, and the
+    * kept set EVOLVES — a doc is `dup_corpus` if it matches a doc KEPT
+    * in an earlier batch (novel docs are the only ones indexed),
+    * `dup_batch` if it matches a smaller-id doc of its own batch
+    * (regardless of that doc's own fate), else `kept` and indexed.
+    * The batch recursion unrolls into one chained CTE per batch —
+    * an independent sequential evaluation of the streaming state
+    * machine. */
+  def st3Sql(nBatches: Int = 4): String = {
+    val base =
+      s"""WITH ${shingleCtes("c", "documents")},
+         |${minhashCtes("c")},
+         |cand AS (SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b
+         |  FROM b_c p JOIN b_c q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id < q.doc_id),
+         |pr AS (SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN s_c x ON x.doc_id = c.id_a
+         |              JOIN s_c y ON y.doc_id = c.id_b
+         |  WHERE $jac >= 0.5),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pr
+         |        UNION ALL SELECT id_b AS a, id_a AS b FROM pr)""".stripMargin
+    val chain = (0 until nBatches).map { k =>
+      val keptPrev =
+        if (k == 0) "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE"
+        else (0 until k).map(i => s"SELECT doc_id FROM kept$i")
+          .mkString(" UNION ALL ")
+      s"""lbl$k AS (SELECT d.doc_id,
+         |  CASE WHEN EXISTS (SELECT 1 FROM sym s JOIN ($keptPrev) kp
+         |                    ON s.a = kp.doc_id WHERE s.b = d.doc_id)
+         |         THEN 'dup_corpus'
+         |       WHEN EXISTS (SELECT 1 FROM pr p
+         |                    WHERE p.id_b = d.doc_id AND p.id_a % $nBatches = $k)
+         |         THEN 'dup_batch'
+         |       ELSE 'kept' END AS decision
+         |  FROM documents d WHERE d.doc_id % $nBatches = $k),
+         |kept$k AS (SELECT doc_id FROM lbl$k WHERE decision = 'kept')""".stripMargin
+    }.mkString(",\n")
+    val all = (0 until nBatches).map(k => s"SELECT * FROM lbl$k")
+      .mkString(" UNION ALL ")
+    s"$base,\n$chain\nSELECT doc_id, decision FROM ($all) ORDER BY doc_id"
+  }
+
   // ---- e5: fuzzy decontamination (eval set probes the same index) --
 
   val e5Sql: String =

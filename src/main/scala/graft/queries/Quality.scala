@@ -122,6 +122,28 @@ object Quality {
       |  ROUND(AVG(lp), 6) AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Streamed near-dup ingestion, end-to-end under the oracle gate:
+    * the corpus arrives as four deterministic micro-batches
+    * (batch k = doc_id % 4) through
+    * [[graft.streaming.NearDupStream.processBatch]] — the real
+    * foreachBatch body: each batch probes the accumulated band-posting
+    * index, labels its docs dup_corpus / dup_batch / kept, and appends
+    * only the novel docs' postings as a new segment. The oracle
+    * unrolls the same state machine as chained CTEs
+    * ([[PortableHashOracle.st3Sql]]), so the evolving kept-set
+    * semantics — not just the final pair graph — are hash-checked.
+    * Fresh scratch per run: the index IS the stream's state. */
+  def st3StreamNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("st3nd").toString
+    val parts = (0 until 4).map { k =>
+      graft.streaming.NearDupStream.processBatch(
+        docs.filter(col("doc_id") % 4 === k), "doc_id", "text", dir,
+        batchId = k.toLong)
+    }
+    parts.reduce(_ unionByName _).orderBy("doc_id")
+  }
+
   /** CCNet-style perplexity stratification: per-LANGUAGE tercile
     * boundaries over the t9 bigram-LM scores split the corpus into
     * head (most fluent third), middle, tail — the split CCNet feeds to
@@ -565,6 +587,7 @@ object Quality {
     "t9_lm_score" -> (t9LmScore _),
     "t20_kn_score" -> (t20KnScore _),
     "t21_trigram_kn" -> (t21Trigram _),
+    "st3_stream_neardup" -> (st3StreamNeardup _),
     "t16_ppl_buckets" -> (t16PplBuckets _),
     "t10_dsir_weights" -> (t10DsirWeights _),
     "t12_html_extract" -> (t12HtmlExtract _),
@@ -592,5 +615,6 @@ object Quality {
     "t14_bpe_tokenize" -> BpeOracle.t14Sql(numMerges = 64),
     "t17_tokenizer_fertility" -> BpeOracle.t17Sql(numMerges = 64),
     "d9_incremental_neardup" -> PortableHashOracle.d9Sql,
-    "d10_incremental_simhash" -> PortableHashOracle.d10Sql)
+    "d10_incremental_simhash" -> PortableHashOracle.d10Sql,
+    "st3_stream_neardup" -> PortableHashOracle.st3Sql())
 }

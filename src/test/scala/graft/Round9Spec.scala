@@ -215,6 +215,35 @@ class Round9Spec extends AnyFunSuite {
     assert(Multimodal.dHashBits(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  // ---- st3: streamed near-dup state machine ------------------------
+
+  test("streamed near-dup labels evolve against the kept index (st3 semantics)") {
+    val rng = new scala.util.Random(23)
+    val vocab = (0 until 30).map(i => s"n$i")
+    val base = (0L until 20L).map { i =>
+      i -> Seq.fill(30)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val planted = Seq(
+      20L -> base(1)._2,   // even → batch 0; twin 1 is odd → batch 1
+      21L -> base(2)._2,   // odd → batch 1; twin 2 kept in batch 0
+      22L -> base(1)._2)   // even → batch 0, same batch as 20 (smaller id)
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("st3spec").toString
+    val out = (0 until 2).map { k =>
+      graft.streaming.NearDupStream.processBatch(
+        docs.filter(col("doc_id") % 2 === k), "doc_id", "text", dir,
+        batchId = k.toLong)
+    }.reduce(_ unionByName _)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 23)
+    assert(out(20L) == "kept")         // first copy of 1 to arrive: novel
+    assert(out(22L) == "dup_batch")    // matches 20 inside its own batch
+    assert(out(1L) == "dup_corpus")    // its text was indexed by kept 20
+    assert(out(21L) == "dup_corpus")   // twin 2 was kept in batch 0
+    assert(out(2L) == "kept")
+    assert((0L until 20L).filter(_ != 1L).forall(out(_) == "kept"))
+  }
+
   // ---- p10: epoch mix ----------------------------------------------
 
   test("epoch mix: per-source replication counts and a true permutation") {
