@@ -321,6 +321,52 @@ object FastdbOps {
        |             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
        |ORDER BY rootid, band, mjd_c, diasourceid""".stripMargin
 
+  // ---- A14 (beyond ref): phase-folded dispersion ----------------------
+
+  /** Phase-dispersion summary at a fixed trial period — the PDM-style
+    * statistic a periodicity search evaluates per (curve, period):
+    * fold every detection to phase = mjd mod P (P = 25), bin the phase
+    * into 10 equal cells, and report occupied-bin count plus the sum
+    * of per-bin flux spreads (max − min; a periodic signal folded at
+    * the right period concentrates flux per phase cell → small
+    * dispersion). mod/floor arithmetic on identical doubles is
+    * engine-deterministic, spreads are order-free, and the spread sum
+    * emits at the inputs' own decimal precision (the w5 sum rule) →
+    * fully oracled. One two-level partial-aggregated groupBy — no
+    * window, no per-curve collect; a real search runs this shape once
+    * per trial period. */
+  def a14PhaseFold(s: SparkSession, d: String): DataFrame = {
+    val p = 25.0
+    liSources(s, d)
+      .withColumn("phase",
+        col("midpointmjdtai") - floor(col("midpointmjdtai") / p) * p)
+      .withColumn("pbin", floor(col("phase") / 2.5).cast("long"))
+      .groupBy("rootid", "band", "pbin")
+      .agg(count(lit(1)).as("_n"),
+        (max(col("psfflux")) - min(col("psfflux"))).as("_spread"))
+      .groupBy("rootid", "band")
+      .agg(count(lit(1)).as("n_occupied_bins"),
+        sum(col("_n")).as("ndets"),
+        round(sum(col("_spread")), 3).as("dispersion"))
+      .orderBy("rootid", "band")
+  }
+
+  val a14Sql: String =
+    s"""WITH src AS ($liSourcesSql),
+       |ph AS (SELECT rootid, band, psfflux,
+       |         midpointmjdtai - FLOOR(midpointmjdtai / 25.0) * 25.0 AS phase
+       |       FROM src),
+       |pb AS (SELECT rootid, band,
+       |         CAST(FLOOR(phase / 2.5) AS BIGINT) AS pbin, psfflux FROM ph),
+       |agg AS (SELECT rootid, band, pbin, COUNT(*) AS n,
+       |          MAX(psfflux) - MIN(psfflux) AS spread
+       |        FROM pb GROUP BY 1, 2, 3)
+       |SELECT rootid, band, COUNT(*) AS n_occupied_bins,
+       |  CAST(SUM(n) AS BIGINT) AS ndets,
+       |  ROUND(SUM(spread), 3) AS dispersion
+       |FROM agg GROUP BY rootid, band
+       |ORDER BY rootid, band""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -846,6 +892,7 @@ object FastdbOps {
     "a13_ltcv_features" -> (a13LtcvFeatures _),
     "w5_binned_ltcv" -> (w5BinnedLtcv _),
     "w6_rolling_ltcv" -> (w6RollingLtcv _),
+    "a14_phase_fold" -> (a14PhaseFold _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -867,6 +914,7 @@ object FastdbOps {
     "a13_ltcv_features" -> a13Sql,
     "w5_binned_ltcv" -> w5Sql,
     "w6_rolling_ltcv" -> w6Sql,
+    "a14_phase_fold" -> a14Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

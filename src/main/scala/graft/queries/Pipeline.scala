@@ -1454,6 +1454,57 @@ object Pipeline {
       |FROM t JOIN tot ON t.doc_id = tot.doc_id AND t.f = tot.f
       |GROUP BY t.doc_id, t.f ORDER BY t.doc_id, frame_idx""".stripMargin
 
+  /** Perceptual video-dup groups — the video-side m7/m10: two videos
+    * are perceptual duplicates when their ORDERED frame-hash sequences
+    * match (the whole demux → per-frame decode → aHash chain, joined
+    * with '|'). Completes identical-signature dedup across all three
+    * modalities; near-dup at frame granularity uses
+    * [[Dedup.signaturePairs]] on m9's per-frame hashes. Exact-integer
+    * hash definition → the sequence key replays from the pixel closed
+    * form. */
+  def m12VideoDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sig = Multimodal.splitPngFrames(Multimodal.syntheticVideo(id, 3))
+          .zipWithIndex.map { case (png, f) =>
+            Multimodal.aHashBits(png).getOrElse(
+              throw new IllegalStateException(
+                s"frame $f of doc $id failed to decode"))
+          }.mkString("|")
+        (id, sig)
+      })
+      .toDF("doc_id", "vhash")
+      .groupBy("vhash")
+      .agg(count(lit(1)).as("n_videos"), min(col("doc_id")).as("min_doc"))
+      .orderBy("vhash")
+  }
+
+  val m12Sql: String =
+    """WITH p AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(8 + doc_id % 7 AS INT) AS h
+      |           FROM documents),
+      |px AS (SELECT p.doc_id, p.w, p.h, f.range AS f, x.range AS x, y.range AS y,
+      |    ((x.range + 2*y.range + p.doc_id + 7*f.range) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 7*f.range + 5) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 7*f.range + 10) % 256) AS lum
+      |  FROM p, range(3) f, range(16) x, range(14) y
+      |  WHERE x.range < p.w AND y.range < p.h),
+      |b AS (SELECT doc_id, f, ((x*8)//w)*8 + (y*8)//h AS k,
+      |        SUM(lum) AS s, COUNT(*) AS c
+      |      FROM px GROUP BY doc_id, f, ((x*8)//w)*8 + (y*8)//h),
+      |t AS (SELECT doc_id, f, k, (s * 64) // c AS t FROM b),
+      |tot AS (SELECT doc_id, f, SUM(t) AS total FROM t GROUP BY doc_id, f),
+      |fh AS (SELECT t.doc_id, t.f,
+      |  string_agg(CASE WHEN 64 * t.t > tot.total THEN '1' ELSE '0' END,
+      |             '' ORDER BY t.k) AS ahash
+      |  FROM t JOIN tot ON t.doc_id = tot.doc_id AND t.f = tot.f
+      |  GROUP BY t.doc_id, t.f),
+      |vh AS (SELECT doc_id, string_agg(ahash, '|' ORDER BY f) AS vhash
+      |       FROM fh GROUP BY doc_id)
+      |SELECT vhash, COUNT(*) AS n_videos, MIN(doc_id) AS min_doc
+      |FROM vh GROUP BY vhash ORDER BY vhash""".stripMargin
+
   /** REAL audio decode: a 16-bit PCM WAV is synthesized per doc and
     * decoded back through the JRE's javax.sound.sampled (RIFF header
     * parsed by the real reader); format fields + exact integer sample
@@ -1530,6 +1581,7 @@ object Pipeline {
     "m8_audio_fingerprint" -> (m8AudioFingerprint _),
     "m10_audio_dedup" -> (m10AudioDedup _),
     "m9_video_framehash" -> (m9VideoFramehash _),
+    "m12_video_dedup" -> (m12VideoDedup _),
     "m3_frame_decode" -> (m3FrameDecode _),
     "m4_audio_decode" -> (m4AudioDecode _))
 
@@ -1563,6 +1615,7 @@ object Pipeline {
     "m8_audio_fingerprint" -> m8Sql,
     "m10_audio_dedup" -> m10Sql,
     "m9_video_framehash" -> m9Sql,
+    "m12_video_dedup" -> m12Sql,
     "m3_frame_decode" -> m3Sql,
     "m4_audio_decode" -> m4Sql,
     "d2_minhash_lsh" -> PortableHashOracle.d2Sql,

@@ -215,6 +215,58 @@ class Round9Spec extends AnyFunSuite {
     assert(Multimodal.dHashBits(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  // ---- a14: phase-folded dispersion --------------------------------
+
+  test("phase fold concentrates a periodic signal at its true period") {
+    // a curve sampled at mjd = k·25 + small jitter, flux high only at
+    // phase ≈ 0: folding at P = 25 puts all high flux in one bin
+    import org.apache.spark.sql.DataFrame
+    def fold(src: DataFrame, p: Double): Map[(String, String), (Long, Double)] = {
+      src.withColumn("phase",
+          col("midpointmjdtai") - floor(col("midpointmjdtai") / p) * p)
+        .withColumn("pbin", floor(col("phase") / (p / 10)).cast("long"))
+        .groupBy("rootid", "band", "pbin")
+        .agg((max(col("psfflux")) - min(col("psfflux"))).as("_spread"))
+        .groupBy("rootid", "band")
+        .agg(count(lit(1)).as("nb"), sum(col("_spread")).as("disp"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    }
+    val rows = (0 until 40).map { k =>
+      val mjd = k * 25.0 + (k % 5) * 4.0          // phases 0, 4, 8, 12, 16
+      val flux = if (k % 5 == 0) 100.0 else 1.0   // bursts only at phase 0
+      ("obj1", "g", mjd, flux)
+    }
+    val src = rows.toDF("rootid", "band", "midpointmjdtai", "psfflux")
+    val atTrue = fold(src, 25.0)(("obj1", "g"))
+    val atWrong = fold(src, 17.0)(("obj1", "g"))
+    // true period: every occupied bin is single-valued → zero spread
+    assert(atTrue._2 == 0.0)
+    // wrong period mixes burst and quiescent flux inside bins
+    assert(atWrong._2 > 90.0)
+  }
+
+  // ---- m12: video perceptual dedup ---------------------------------
+
+  test("video dedup groups identical frame sequences only") {
+    // synthetic videos repeat their pixel pattern with doc_id as seed:
+    // ids congruent mod lcm(9,7,256-ish) share all frames. Check the
+    // grouping logic directly on constructed signatures instead.
+    val sigs = Seq(
+      (1L, "A|B|C"), (2L, "A|B|C"), (3L, "A|B|D"), (4L, "X|Y|Z"))
+      .toDF("doc_id", "vhash")
+    val got = sigs.groupBy("vhash")
+      .agg(count(lit(1)).as("n_videos"), min(col("doc_id")).as("min_doc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("A|B|C", 2L, 1L), ("A|B|D", 1L, 3L), ("X|Y|Z", 1L, 4L)))
+    // and the real chain produces one 64·3+2-char signature per video
+    val one = graft.pipeline.Multimodal
+      .splitPngFrames(graft.pipeline.Multimodal.syntheticVideo(5L, 3))
+      .map(f => graft.pipeline.Multimodal.aHashBits(f).get).mkString("|")
+    assert(one.length == 64 * 3 + 2 && one.count(_ == '|') == 2)
+  }
+
   // ---- st3: streamed near-dup state machine ------------------------
 
   test("streamed near-dup labels evolve against the kept index (st3 semantics)") {
