@@ -109,6 +109,35 @@ object ScaleCheck {
         f"n-ratio ${cN.toDouble / math.max(c1, 1)}%5.2f  t-ratio ${mN / math.max(m1, 1e-9)}%5.2f")
     }
 
+    // ---- N× embeddings (for the vector-family stages) --------------
+    val bigEmbPath = s"$scratch/embeddings_${nCopies}x.parquet"
+    lazy val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    if (only.forall(_ == "s8_sq_quantize") &&
+        !new java.io.File(bigEmbPath).exists()) {
+      (0 until nCopies).map { k =>
+        embBase.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt).write.mode("overwrite").parquet(bigEmbPath)
+    }
+    def emb1 = embBase.repartition(cpus.toInt)
+    def embN = spark.read.parquet(bigEmbPath).repartition(cpus.toInt)
+
+    // SQ encode: bounds aggregate + scan-stage codegen encode, both
+    // corpus-linear; copies repeat the same vectors so bounds are
+    // identical at both scales
+    if (only.forall(_ == "s8_sq_quantize")) {
+      val name = "s8_sq_quantize"
+      def f(e: DataFrame): Long =
+        graft.pipeline.ScalarQuant.quantize(e, "vec_id", "embedding").count()
+      val (c1, cold1, m1) = timed(spark)(f(emb1))
+      val (cN, coldN, mN) = timed(spark)(f(embN))
+      rows += Row3(name, c1, m1, cN, mN)
+      println(f"[scale] $name%-28s 1x: n=$c1%-9d ${m1}%6.2f s (cold ${cold1}%5.1f)   " +
+        f"${nCopies}x: n=$cN%-9d ${mN}%6.2f s (cold ${coldN}%5.1f)   " +
+        f"n-ratio ${cN.toDouble / math.max(c1, 1)}%5.2f  t-ratio ${mN / math.max(m1, 1e-9)}%5.2f")
+    }
+
     stage("candidate_volume")(d => candidateVolume(d))
     stage("d1_exact_dedup")(d => Dedup.exactDedup(d, "doc_id", "text").count())
     stage("d2_minhash_lsh")(d => Dedup.minhashNearDups(d, "doc_id", "text",
@@ -160,6 +189,17 @@ object ScaleCheck {
       .weightedSample(d.withColumn("_w",
           TextAnalysis.tokenCount(col("text")).cast("long")),
         "doc_id", col("_w"), k = 1000, seed = 7L).count())
+    // containment pairs: same inverted-index candidate bound as
+    // d4_pairs_plain (Σ df²); copies are shingle-disjoint so true
+    // pairs grow exactly ×N
+    stage("d12_containment")(d => Dedup.containmentPairs(d, "doc_id", "text",
+      shingleWords = 3, threshold = 0.6).count())
+    // trigram KN: every count table (trigram, both continuation
+    // levels) grows ×N because copies are vocabulary-disjoint; the
+    // score joins are table-×N vs corpus-×N — the stage flags any
+    // superlinear join behavior in the LM family's biggest member
+    stage("t21_trigram_kn")(d => graft.pipeline.LangModel
+      .knTrigramScores(d, "doc_id", "text", d, "text").count())
     stage("e1_funnel")(d => {
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5,
         prefixFilter = false)
