@@ -367,6 +367,46 @@ object FastdbOps {
        |FROM agg GROUP BY rootid, band
        |ORDER BY rootid, band""".stripMargin
 
+  // ---- A15 (beyond ref): cadence statistics ---------------------------
+
+  /** Observing-cadence summary per light curve: inter-detection gaps
+    * on the integer centi-mjd axis (lag window ordered by (mjd_c,
+    * sourceid) — ties gap to 0 deterministically since the lagged
+    * value is the order key itself), rolled up to max/min gap and the
+    * summed span. The survey-planning/alert-triage companion to a2's
+    * flux stats: a curve with a 90-day max gap needs different
+    * detrending than a nightly one. Single-detection curves report
+    * null gaps (no evidence), as both engines agree aggregates over
+    * empty sets do. */
+  def a15Cadence(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = liSources(s, d)
+      .withColumn("mjd_c", floor(col("midpointmjdtai") * 100 + 0.5).cast("long"))
+    val w = Window.partitionBy("rootid", "band").orderBy("mjd_c", "diasourceid")
+    src.withColumn("gap", col("mjd_c") - lag("mjd_c", 1).over(w))
+      .groupBy("rootid", "band")
+      .agg(count(lit(1)).as("ndets"),
+        max(col("gap")).as("max_gap_c"),
+        min(col("gap")).as("min_gap_c"),
+        sum(col("gap")).as("span_c"))
+      .orderBy("rootid", "band")
+  }
+
+  val a15Sql: String =
+    s"""WITH src AS ($liSourcesSql),
+       |s2 AS (SELECT *,
+       |         CAST(FLOOR(midpointmjdtai * 100 + 0.5) AS BIGINT) AS mjd_c
+       |       FROM src),
+       |g AS (SELECT rootid, band,
+       |        mjd_c - LAG(mjd_c) OVER (PARTITION BY rootid, band
+       |          ORDER BY mjd_c, diasourceid) AS gap
+       |      FROM s2)
+       |SELECT rootid, band, COUNT(*) AS ndets,
+       |  MAX(gap) AS max_gap_c, MIN(gap) AS min_gap_c,
+       |  CAST(SUM(gap) AS BIGINT) AS span_c
+       |FROM g GROUP BY rootid, band
+       |ORDER BY rootid, band""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -893,6 +933,7 @@ object FastdbOps {
     "w5_binned_ltcv" -> (w5BinnedLtcv _),
     "w6_rolling_ltcv" -> (w6RollingLtcv _),
     "a14_phase_fold" -> (a14PhaseFold _),
+    "a15_cadence" -> (a15Cadence _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -915,6 +956,7 @@ object FastdbOps {
     "w5_binned_ltcv" -> w5Sql,
     "w6_rolling_ltcv" -> w6Sql,
     "a14_phase_fold" -> a14Sql,
+    "a15_cadence" -> a15Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

@@ -175,9 +175,11 @@ object PortableHashOracle {
     * The batch recursion unrolls into one chained CTE per batch —
     * an independent sequential evaluation of the streaming state
     * machine. */
-  def st3Sql(nBatches: Int = 4): String = {
+  /** The shared CTE text for the streamed-ingestion replays: d2's pair
+    * graph (pr / sym) plus the per-batch label + kept chain. */
+  private def streamChainCtes(nBatches: Int): String = {
     val base =
-      s"""WITH ${shingleCtes("c", "documents")},
+      s"""${shingleCtes("c", "documents")},
          |${minhashCtes("c")},
          |cand AS (SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b
          |  FROM b_c p JOIN b_c q ON p.bd = q.bd AND p.bk = q.bk AND p.doc_id < q.doc_id),
@@ -203,9 +205,39 @@ object PortableHashOracle {
          |  FROM documents d WHERE d.doc_id % $nBatches = $k),
          |kept$k AS (SELECT doc_id FROM lbl$k WHERE decision = 'kept')""".stripMargin
     }.mkString(",\n")
+    s"$base,\n$chain"
+  }
+
+  def st3Sql(nBatches: Int = 4): String = {
     val all = (0 until nBatches).map(k => s"SELECT * FROM lbl$k")
       .mkString(" UNION ALL ")
-    s"$base,\n$chain\nSELECT doc_id, decision FROM ($all) ORDER BY doc_id"
+    s"WITH ${streamChainCtes(nBatches)}\n" +
+      s"SELECT doc_id, decision FROM ($all) ORDER BY doc_id"
+  }
+
+  /** Replays the LIVE duplicate-cluster map after the st3 ingestion:
+    * the emitted pair stream is (kept-earlier doc, batch doc) sym
+    * edges plus within-batch pr edges; the incremental fold's final
+    * map must equal the transitive closure over exactly that stream
+    * (min-id labels; only pair endpoints appear). */
+  def cc5Sql(nBatches: Int = 4): String = {
+    val keptAll = (0 until nBatches).map(i => s"SELECT doc_id FROM kept$i")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${streamChainCtes(nBatches)},
+       |keptall AS ($keptAll),
+       |cp AS (SELECT s.a AS x, s.b AS y FROM sym s
+       |       JOIN keptall ka ON ka.doc_id = s.a
+       |       WHERE s.a % $nBatches < s.b % $nBatches),
+       |bp AS (SELECT id_a AS x, id_b AS y FROM pr
+       |       WHERE id_a % $nBatches = id_b % $nBatches),
+       |ed AS (SELECT x AS a, y AS b FROM cp UNION SELECT y, x FROM cp
+       |       UNION SELECT x, y FROM bp UNION SELECT y, x FROM bp),
+       |reach(a, b) AS (SELECT a, b FROM ed
+       |  UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+       |nodes AS (SELECT DISTINCT a AS doc_id FROM ed)
+       |SELECT n.doc_id, LEAST(n.doc_id, MIN(r.b)) AS cluster
+       |FROM nodes n JOIN reach r ON r.a = n.doc_id
+       |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
   }
 
   // ---- e5: fuzzy decontamination (eval set probes the same index) --

@@ -144,6 +144,28 @@ object Quality {
     parts.reduce(_ unionByName _).orderBy("doc_id")
   }
 
+  /** LIVE duplicate clusters after the st3 ingestion — the incremental
+    * connected-components fold ([[graft.pipeline.Components
+    * .updateClusters]] via `liveClusters = true`) driven over the same
+    * four micro-batches, serving the final versioned (doc, cluster)
+    * map. The oracle computes the transitive closure over exactly the
+    * pair stream the batches emit ([[PortableHashOracle.cc5Sql]]), so
+    * the touched-clusters-only fold is hash-checked against a full
+    * recomputation — the driver-gated version of what ComponentsSpec
+    * pins on random streams. */
+  def cc5LiveClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("cc5nd").toString
+    (0 until 4).foreach { k =>
+      graft.streaming.NearDupStream.processBatch(
+        docs.filter(col("doc_id") % 4 === k), "doc_id", "text", dir,
+        batchId = k.toLong, liveClusters = true)
+    }
+    graft.streaming.NearDupStream.latestClusters(s, dir).get
+      .select(col("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style perplexity stratification: per-LANGUAGE tercile
     * boundaries over the t9 bigram-LM scores split the corpus into
     * head (most fluent third), middle, tail — the split CCNet feeds to
@@ -588,6 +610,7 @@ object Quality {
     "t20_kn_score" -> (t20KnScore _),
     "t21_trigram_kn" -> (t21Trigram _),
     "st3_stream_neardup" -> (st3StreamNeardup _),
+    "cc5_live_clusters" -> (cc5LiveClusters _),
     "t16_ppl_buckets" -> (t16PplBuckets _),
     "t10_dsir_weights" -> (t10DsirWeights _),
     "t12_html_extract" -> (t12HtmlExtract _),
@@ -616,5 +639,6 @@ object Quality {
     "t17_tokenizer_fertility" -> BpeOracle.t17Sql(numMerges = 64),
     "d9_incremental_neardup" -> PortableHashOracle.d9Sql,
     "d10_incremental_simhash" -> PortableHashOracle.d10Sql,
-    "st3_stream_neardup" -> PortableHashOracle.st3Sql())
+    "st3_stream_neardup" -> PortableHashOracle.st3Sql(),
+    "cc5_live_clusters" -> PortableHashOracle.cc5Sql())
 }

@@ -267,6 +267,54 @@ class Round9Spec extends AnyFunSuite {
     assert(one.length == 64 * 3 + 2 && one.count(_ == '|') == 2)
   }
 
+  // ---- a15: cadence statistics --------------------------------------
+
+  test("cadence gaps: hand-computed, ties gap to zero, singletons null") {
+    import org.apache.spark.sql.expressions.Window
+    val src = Seq(
+      ("r1", "g", 100L, 1L), ("r1", "g", 130L, 2L),
+      ("r1", "g", 130L, 3L),                      // tie on time → gap 0
+      ("r1", "g", 200L, 4L),
+      ("r2", "g", 77L, 5L))                       // singleton curve
+      .toDF("rootid", "band", "mjd_c", "diasourceid")
+    val w = Window.partitionBy("rootid", "band").orderBy("mjd_c", "diasourceid")
+    val got = src.withColumn("gap", col("mjd_c") - lag("mjd_c", 1).over(w))
+      .groupBy("rootid", "band")
+      .agg(count(lit(1)).as("ndets"), max(col("gap")).as("mx"),
+        min(col("gap")).as("mn"), sum(col("gap")).as("span"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got("r1") == (4L, Some(70L), Some(0L), Some(100L)))
+    assert(got("r2") == (1L, None, None, None))
+  }
+
+  // ---- cc5: live duplicate clusters ---------------------------------
+
+  test("live cluster fold over batches equals closure of the emitted pairs") {
+    val rng = new scala.util.Random(31)
+    val vocab = (0 until 30).map(i => s"c$i")
+    val base = (0L until 16L).map { i =>
+      i -> Seq.fill(30)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    // a 3-doc cluster spanning batches: 16 (b0) and 17 (b1) copy doc 0
+    // (b0); plus an intra-batch pair 18/20 (both b0)
+    val planted = Seq(16L -> base(0)._2, 17L -> base(0)._2,
+      18L -> base(5)._2.reverse, 20L -> base(5)._2.reverse)
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cc5spec").toString
+    (0 until 2).foreach { k =>
+      graft.streaming.NearDupStream.processBatch(
+        docs.filter(col("doc_id") % 2 === k), "doc_id", "text", dir,
+        batchId = k.toLong, liveClusters = true)
+    }
+    val got = graft.streaming.NearDupStream.latestClusters(spark, dir).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pairs emitted: (0,16) corpus? 0 and 16 both batch 0 → (0,16)
+    // batch pair; (0,17)/(16,17) corpus pairs into batch 1; (18,20)
+    // batch pair. Closure: {0,16,17} → 0; {18,20} → 18.
+    assert(got == Map(0L -> 0L, 16L -> 0L, 17L -> 0L, 18L -> 18L, 20L -> 18L))
+  }
+
   // ---- st3: streamed near-dup state machine ------------------------
 
   test("streamed near-dup labels evolve against the kept index (st3 semantics)") {
