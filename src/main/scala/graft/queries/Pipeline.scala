@@ -1059,6 +1059,33 @@ object Pipeline {
       .toDF("component", "eigenvalue", "cum_explained")
   }
 
+  /** Brute-force max-inner-product top-5 for the first 10 vectors
+    * ([[Similarity.mipsTopK]]) — the recommender-side scoring mode
+    * next to s1's cosine; magnitude carries signal cosine normalizes
+    * away. Same 4-dp-round + id-tiebreak ranking idiom → fully
+    * oracled. */
+  def s10MipsTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    Similarity.mipsTopK(emb, q, k = 5)
+      .orderBy("q_vec_id", "rank")
+  }
+
+  val s10Sql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |qe AS (SELECT vec_id AS q_vec_id, embedding AS qv
+      |       FROM e WHERE vec_id < 10),
+      |ips AS (SELECT qe.q_vec_id, e.vec_id,
+      |    ROUND(list_sum(list_transform(range(1, len(qv) + 1),
+      |        k -> CAST(qv[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE))),
+      |      4) AS ip_r
+      |  FROM qe CROSS JOIN e WHERE e.vec_id != qe.q_vec_id)
+      |SELECT q_vec_id, vec_id, ip_r, CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+      |    ORDER BY ip_r DESC, vec_id) AS rank FROM ips)
+      |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin
+
   /** Per-label embedding centroids — the domain/cluster drift monitor
     * an embedding pipeline reports (centroid movement between corpus
     * versions flags encoder or distribution drift): one row per
@@ -1565,6 +1592,7 @@ object Pipeline {
     "s6_whiten" -> (s6Whiten _),
     "s7_embed_centroids" -> (s7EmbedCentroids _),
     "s8_sq_quantize" -> (s8SqQuantize _),
+    "s10_mips_topk" -> (s10MipsTopK _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
@@ -1600,6 +1628,7 @@ object Pipeline {
     "t18_datasheet" -> t18Sql,
     "s7_embed_centroids" -> s7Sql,
     "s8_sq_quantize" -> s8Sql,
+    "s10_mips_topk" -> s10Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,

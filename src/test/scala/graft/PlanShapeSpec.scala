@@ -133,8 +133,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // the corpus); a CartesianProduct is never acceptable.
     val boundedNestedLoop =
       Set("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_ivfpq",
-        "s5_incremental_pq", "p5_source_mix", "r1_bm25", "r3_hybrid_rrf",
-        "r4_eval_metrics", "r6_ndcg", "t15_collocations")
+        "s5_incremental_pq", "s10_mips_topk", "p5_source_mix", "r1_bm25",
+        "r3_hybrid_rrf", "r4_eval_metrics", "r6_ndcg", "t15_collocations")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
       assert(!p.contains("CartesianProduct"),

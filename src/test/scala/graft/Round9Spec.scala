@@ -267,6 +267,23 @@ class Round9Spec extends AnyFunSuite {
     assert(one.length == 64 * 3 + 2 && one.count(_ == '|') == 2)
   }
 
+  // ---- s10: max-inner-product top-k ----------------------------------
+
+  test("MIPS ranks magnitude where cosine ranks direction") {
+    val corpus = Seq(
+      (1L, Array(10.0f, 10.0f)),   // big but diagonal
+      (2L, Array(0.9f, 0.1f)))     // small but aligned with the query
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.0f)))
+      .toDF("q_vec_id", "q_embedding")
+    val mips = graft.pipeline.Similarity.mipsTopK(corpus, q, k = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(mips == Map(1L -> 1L, 2L -> 2L))          // 10.0 beats 0.9
+    val cos = graft.pipeline.Similarity.bruteForceTopK(corpus, q, k = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(cos == Map(2L -> 1L, 1L -> 2L))           // 0.99 beats 0.71
+  }
+
   // ---- a15: cadence statistics --------------------------------------
 
   test("cadence gaps: hand-computed, ties gap to zero, singletons null") {
