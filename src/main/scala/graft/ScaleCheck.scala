@@ -99,20 +99,27 @@ object ScaleCheck {
     case class Row3(name: String, n1: Long, w1: Double, nN: Long, wN: Double)
     val rows = scala.collection.mutable.ArrayBuffer[Row3]()
 
-    def stage(name: String)(f: DataFrame => Long): Unit = {
+    /** One measured stage over an arbitrary (1×, N×) input pair —
+      * the documents corpus by default ([[stage]]), the replicated
+      * embeddings table for the vector-family stages. */
+    def stageOn(name: String, in1: => DataFrame, inN: => DataFrame)
+        (f: DataFrame => Long): Unit = {
       if (only.exists(_ != name)) return
-      val (c1, cold1, m1) = timed(spark)(f(docs1))
-      val (cN, coldN, mN) = timed(spark)(f(docsN))
+      val (c1, cold1, m1) = timed(spark)(f(in1))
+      val (cN, coldN, mN) = timed(spark)(f(inN))
       rows += Row3(name, c1, m1, cN, mN)
       println(f"[scale] $name%-28s 1x: n=$c1%-9d ${m1}%6.2f s (cold ${cold1}%5.1f)   " +
         f"${nCopies}x: n=$cN%-9d ${mN}%6.2f s (cold ${coldN}%5.1f)   " +
         f"n-ratio ${cN.toDouble / math.max(c1, 1)}%5.2f  t-ratio ${mN / math.max(m1, 1e-9)}%5.2f")
     }
+    def stage(name: String)(f: DataFrame => Long): Unit =
+      stageOn(name, docs1, docsN)(f)
 
     // ---- N× embeddings (for the vector-family stages) --------------
+    val vectorStages = Set("s8_sq_quantize")
     val bigEmbPath = s"$scratch/embeddings_${nCopies}x.parquet"
     lazy val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    if (only.forall(_ == "s8_sq_quantize") &&
+    if (only.forall(vectorStages.contains) &&
         !new java.io.File(bigEmbPath).exists()) {
       (0 until nCopies).map { k =>
         embBase.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
@@ -126,17 +133,8 @@ object ScaleCheck {
     // SQ encode: bounds aggregate + scan-stage codegen encode, both
     // corpus-linear; copies repeat the same vectors so bounds are
     // identical at both scales
-    if (only.forall(_ == "s8_sq_quantize")) {
-      val name = "s8_sq_quantize"
-      def f(e: DataFrame): Long =
-        graft.pipeline.ScalarQuant.quantize(e, "vec_id", "embedding").count()
-      val (c1, cold1, m1) = timed(spark)(f(emb1))
-      val (cN, coldN, mN) = timed(spark)(f(embN))
-      rows += Row3(name, c1, m1, cN, mN)
-      println(f"[scale] $name%-28s 1x: n=$c1%-9d ${m1}%6.2f s (cold ${cold1}%5.1f)   " +
-        f"${nCopies}x: n=$cN%-9d ${mN}%6.2f s (cold ${coldN}%5.1f)   " +
-        f"n-ratio ${cN.toDouble / math.max(c1, 1)}%5.2f  t-ratio ${mN / math.max(m1, 1e-9)}%5.2f")
-    }
+    stageOn("s8_sq_quantize", emb1, embN)(e =>
+      graft.pipeline.ScalarQuant.quantize(e, "vec_id", "embedding").count())
 
     stage("candidate_volume")(d => candidateVolume(d))
     stage("d1_exact_dedup")(d => Dedup.exactDedup(d, "doc_id", "text").count())

@@ -514,12 +514,22 @@ case class Md5Long(child: Expression)
   * mn + c/255·(mx−mn); sequential left-fold error sum), so results
   * stay bit-identical to the DuckDB oracle replay. */
 object SqUtil {
+  /** Null elements fail loudly rather than silently reading as 0.0
+    * (ArrayData's primitive accessors return zeros for null slots):
+    * a null component is dimension corruption, the same class of
+    * drift as a wrong-length vector. */
+  private def checkNotNull(arr: ArrayData, i: Int): Unit =
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"scalar quantization: null element at dimension $i")
+
   def codes(arr: ArrayData, isFloat: Boolean,
       mins: Array[Double], maxs: Array[Double]): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      checkNotNull(arr, i)
       val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       val mn = mins(i); val mx = maxs(i)
       out(i) =
@@ -536,6 +546,7 @@ object SqUtil {
     var s = 0.0
     var i = 0
     while (i < n) {
+      checkNotNull(arr, i)
       val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       val mn = mins(i); val mx = maxs(i)
       val recon =

@@ -104,16 +104,6 @@ object Retrieval {
         concat_ws(" ", col("_ct")).as("chunk_text"))
   }
 
-  /** Ranking-quality evaluation — the rollup every retrieval pipeline
-    * reports: per query, `n_gold`, `n_hits` (gold docs retrieved at
-    * rank ≤ k), `recall_at_k`, and `mrr_at_k` (1 / rank of the first
-    * relevant result, 0 when none lands in the top k). Queries with an
-    * empty gold set have no denominator and emit no row.
-    *
-    * Purely relational — two (query, doc) equi-joins and a per-query
-    * aggregate; `gold` (an eval set) is tiny and broadcast. Rank
-    * reciprocals are exact IEEE on every engine, so the metric table
-    * is oracle-able end to end. */
   /** NDCG@k with graded relevance — the ranking-quality metric that
     * credits partially-relevant results where [[evalMetrics]]' binary
     * recall/MRR cannot. `graded` carries (query, doc, rel ≥ 0);
@@ -123,6 +113,13 @@ object Retrieval {
     * discount is spelled ln(i+1)/ln(2) in BOTH engines (the BM25 ln
     * precedent — identical libm doubles), sums have ≤ k terms, and
     * all three emit at 4 dp, so the metric table replays exactly.
+    *
+    * Conventions (mirroring [[evalMetrics]]' gold-driven base): the
+    * metric table has one row per query PRESENT IN `graded` — a query
+    * with no judgments has no ideal ordering, so NDCG is undefined and
+    * the query emits no row. A judged query whose relevances are all
+    * zero has IDCG 0; its NDCG reports 0 (not NaN) — nothing relevant
+    * existed to rank.
     *
     * Scale shape: two small per-query aggregates over broadcast-sized
     * metric inputs (rankings are already top-k per query); the graded
@@ -150,9 +147,21 @@ object Retrieval {
       .select(col(queryIdCol),
         round(coalesce(col("_dcg"), lit(0.0)), 4).as("dcg_at_k"),
         round(col("_idcg"), 4).as("idcg_at_k"),
-        round(coalesce(col("_dcg"), lit(0.0)) / col("_idcg"), 4).as("ndcg_at_k"))
+        round(when(col("_idcg") > 0.0,
+            coalesce(col("_dcg"), lit(0.0)) / col("_idcg"))
+          .otherwise(lit(0.0)), 4).as("ndcg_at_k"))
   }
 
+  /** Ranking-quality evaluation — the rollup every retrieval pipeline
+    * reports: per query, `n_gold`, `n_hits` (gold docs retrieved at
+    * rank ≤ k), `recall_at_k`, and `mrr_at_k` (1 / rank of the first
+    * relevant result, 0 when none lands in the top k). Queries with an
+    * empty gold set have no denominator and emit no row.
+    *
+    * Purely relational — two (query, doc) equi-joins and a per-query
+    * aggregate; `gold` (an eval set) is tiny and broadcast. Rank
+    * reciprocals are exact IEEE on every engine, so the metric table
+    * is oracle-able end to end. */
   def evalMetrics(ranked: DataFrame, gold: DataFrame, queryIdCol: String,
       idCol: String, rankCol: String = "rank", k: Int = 10): DataFrame = {
     val g = gold.select(col(queryIdCol), col(idCol)).distinct()

@@ -53,31 +53,38 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
   }
 
-  /** Unit-normalize an embedding column (norm computed once per row).
-    * A zero vector stays a zero vector (0/0 would propagate NaN into
-    * every downstream dot product, ranking, and k-means fit). */
   /** Exact brute-force MAXIMUM-INNER-PRODUCT top-k — the scoring mode
     * of recommender / two-tower retrieval, where magnitude carries
     * signal (popularity, confidence) that cosine normalizes away.
     * Ranking is on the 4-dp-rounded product with id tiebreak (the s1
-    * idiom), so both engines rank identically. At scale MIPS reduces
-    * to cosine ANN via the norm-augmentation transform (Bachrach et
-    * al., RecSys 2014): append sqrt(M² − ‖x‖²) to each corpus vector
-    * and 0 to queries, then any cosine index ([[cosineNearDupsLsh]],
-    * [[IvfAnn]], [[PqAnn]]) serves MIPS — this brute force is the
-    * exactness baseline those paths verify against. */
+    * idiom), so both engines rank identically. `excludeSelfId` drops
+    * corpus rows whose id equals the query id — ONLY for the
+    * self-corpus case (queries drawn from the corpus itself, as in
+    * s10); leave it false when query and corpus ids live in different
+    * id spaces (users × items), where a numeric collision would
+    * silently punch a hole in that query's candidate set. At scale
+    * MIPS reduces to cosine ANN via the norm-augmentation transform
+    * (Bachrach et al., RecSys 2014): append sqrt(M² − ‖x‖²) to each
+    * corpus vector and 0 to queries, then any cosine index
+    * ([[cosineNearDupsLsh]], [[IvfAnn]], [[PqAnn]]) serves MIPS —
+    * this brute force is the exactness baseline those paths verify
+    * against. */
   def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", qIdCol: String = "q_vec_id",
-      embCol: String = "embedding", qEmbCol: String = "q_embedding"): DataFrame = {
+      embCol: String = "embedding", qEmbCol: String = "q_embedding",
+      excludeSelfId: Boolean = false): DataFrame = {
     val w = Window.partitionBy(qIdCol).orderBy(desc("ip_r"), col(idCol))
-    corpus.crossJoin(broadcast(queries))
-      .filter(col(qIdCol) =!= col(idCol))
+    val paired = corpus.crossJoin(broadcast(queries))
+    (if (excludeSelfId) paired.filter(col(qIdCol) =!= col(idCol)) else paired)
       .withColumn("ip_r", round(dot(col(qEmbCol), col(embCol)), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(qIdCol), col(idCol), col("ip_r"), col("rank"))
   }
 
+  /** Unit-normalize an embedding column (norm computed once per row).
+    * A zero vector stays a zero vector (0/0 would propagate NaN into
+    * every downstream dot product, ranking, and k-means fit). */
   def normalized(df: DataFrame, embCol: String, outCol: String): DataFrame =
     df.withColumn("_nrm", norm(col(embCol)))
       .withColumn(outCol, when(col("_nrm") > 0,

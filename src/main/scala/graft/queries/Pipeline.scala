@@ -1068,7 +1068,7 @@ object Pipeline {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    Similarity.mipsTopK(emb, q, k = 5)
+    Similarity.mipsTopK(emb, q, k = 5, excludeSelfId = true)
       .orderBy("q_vec_id", "rank")
   }
 

@@ -133,16 +133,31 @@ object Quality {
     * ([[PortableHashOracle.st3Sql]]), so the evolving kept-set
     * semantics — not just the final pair graph — are hash-checked.
     * Fresh scratch per run: the index IS the stream's state. */
-  def st3StreamNeardup(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("st3nd").toString
-    val parts = (0 until 4).map { k =>
-      graft.streaming.NearDupStream.processBatch(
-        docs.filter(col("doc_id") % 4 === k), "doc_id", "text", dir,
-        batchId = k.toLong)
+  /** Per-run scratch for the streamed-ingestion entries: the index IS
+    * the stream's state, so each run gets a fresh directory — and the
+    * result is eagerly materialized (localCheckpoint) so the
+    * multi-segment parquet tree can be deleted before returning
+    * instead of accumulating under /tmp across bench repetitions. */
+  private def withStreamScratch(f: String => DataFrame): DataFrame = {
+    def deleteRec(file: java.io.File): Unit = {
+      Option(file.listFiles()).foreach(_.foreach(deleteRec))
+      file.delete(): Unit
     }
-    parts.reduce(_ unionByName _).orderBy("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    try f(dir).localCheckpoint(true)
+    finally deleteRec(new java.io.File(dir))
   }
+
+  def st3StreamNeardup(s: SparkSession, d: String): DataFrame =
+    withStreamScratch { dir =>
+      val docs = documents(s, d)
+      val parts = (0 until 4).map { k =>
+        graft.streaming.NearDupStream.processBatch(
+          docs.filter(col("doc_id") % 4 === k), "doc_id", "text", dir,
+          batchId = k.toLong)
+      }
+      parts.reduce(_ unionByName _).orderBy("doc_id")
+    }
 
   /** LIVE duplicate clusters after the st3 ingestion — the incremental
     * connected-components fold ([[graft.pipeline.Components
@@ -153,18 +168,18 @@ object Quality {
     * the touched-clusters-only fold is hash-checked against a full
     * recomputation — the driver-gated version of what ComponentsSpec
     * pins on random streams. */
-  def cc5LiveClusters(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("cc5nd").toString
-    (0 until 4).foreach { k =>
-      graft.streaming.NearDupStream.processBatch(
-        docs.filter(col("doc_id") % 4 === k), "doc_id", "text", dir,
-        batchId = k.toLong, liveClusters = true)
+  def cc5LiveClusters(s: SparkSession, d: String): DataFrame =
+    withStreamScratch { dir =>
+      val docs = documents(s, d)
+      (0 until 4).foreach { k =>
+        graft.streaming.NearDupStream.processBatch(
+          docs.filter(col("doc_id") % 4 === k), "doc_id", "text", dir,
+          batchId = k.toLong, liveClusters = true)
+      }
+      graft.streaming.NearDupStream.latestClusters(s, dir).get
+        .select(col("doc_id"), col("cluster"))
+        .orderBy("doc_id")
     }
-    graft.streaming.NearDupStream.latestClusters(s, dir).get
-      .select(col("doc_id"), col("cluster"))
-      .orderBy("doc_id")
-  }
 
   /** CCNet-style perplexity stratification: per-LANGUAGE tercile
     * boundaries over the t9 bigram-LM scores split the corpus into

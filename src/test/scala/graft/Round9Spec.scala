@@ -173,6 +173,14 @@ class Round9Spec extends AnyFunSuite {
       .ndcg(ideal, graded2, "query_id", "doc_id", "rel", k = 10)
       .collect().head
     assert(r2.getDouble(3) == 1.0)
+    // all judgments zero → IDCG 0 → NDCG reports 0, never NaN
+    val gradedZero = Seq((3L, 10L, 0L), (3L, 20L, 0L))
+      .toDF("query_id", "doc_id", "rel")
+    val rankedZ = Seq((3L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val rz = graft.pipeline.Retrieval
+      .ndcg(rankedZ, gradedZero, "query_id", "doc_id", "rel", k = 10)
+      .collect().head
+    assert(rz.getDouble(3) == 0.0 && !rz.getDouble(3).isNaN)
   }
 
   // ---- e10: suite rollup consistency -------------------------------
