@@ -152,6 +152,48 @@ object Retrieval {
           .otherwise(lit(0.0)), 4).as("ndcg_at_k"))
   }
 
+  /** Pseudo-relevance-feedback retrieval (Rocchio/RM-style PRF): BM25
+    * round 1 with the original terms, the top `feedbackDocs` results
+    * per query are presumed relevant, their `expandTerms` most
+    * frequent terms (total tf across the feedback docs, original terms
+    * excluded, term-string tiebreak) join the query, and round 2
+    * re-ranks with the expanded set. Output: (query, doc, score_r,
+    * rank ≤ k) from round 2. Exact counting + the 4-dp-round ranking
+    * idiom at every decision point → engine-replayable end to end.
+    *
+    * Scale shape: round 1 is [[bm25]] (already top-k'd per query), the
+    * feedback token join touches feedbackDocs·queries docs, round 2 is
+    * [[bm25]] with a slightly larger broadcast term set — no shuffle
+    * class beyond BM25 itself. */
+  def prfSearch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      feedbackDocs: Int = 3, expandTerms: Int = 2, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(queryIdCol).orderBy(desc("score_r"), col(idCol))
+    val top = bm25(docs, idCol, textCol, queries, queryIdCol, termCol)
+      .withColumn("score_r", round(col("score"), 4))
+      .withColumn("rank", row_number().over(w1))
+      .filter(col("rank") <= feedbackDocs)
+      .select(queryIdCol, idCol)
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as(termCol))
+    val wExp = Window.partitionBy(queryIdCol).orderBy(desc("_tf"), col(termCol))
+    val expansion = top.join(tok, Seq(idCol))
+      .join(queries, Seq(queryIdCol, termCol), "left_anti")
+      .groupBy(queryIdCol, termCol).agg(count(lit(1)).as("_tf"))
+      .withColumn("_rn", row_number().over(wExp))
+      .filter(col("_rn") <= expandTerms)
+      .select(queryIdCol, termCol)
+    val expanded = queries.select(col(queryIdCol), col(termCol))
+      .unionByName(expansion)
+    val w2 = Window.partitionBy(queryIdCol).orderBy(desc("score_r"), col(idCol))
+    bm25(docs, idCol, textCol, expanded, queryIdCol, termCol)
+      .withColumn("score_r", round(col("score"), 4))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score_r"), col("rank"))
+  }
+
   /** Ranking-quality evaluation — the rollup every retrieval pipeline
     * reports: per query, `n_gold`, `n_hits` (gold docs retrieved at
     * rank ≤ k), `recall_at_k`, and `mrr_at_k` (1 / rank of the first

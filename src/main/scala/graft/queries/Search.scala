@@ -428,13 +428,99 @@ object Search {
       |FROM ic LEFT JOIN dc USING (query_id)
       |ORDER BY ic.query_id""".stripMargin
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM-style PRF,
+    * the classic two-round retrieval): round 1 ranks with the original
+    * terms (r1's BM25), the top-3 docs per query are PRESUMED relevant,
+    * their 2 most frequent terms (total tf across the feedback docs,
+    * excluding the query's own terms; term-string tiebreak) expand the
+    * query, and round 2 re-ranks with the expanded term set. Both
+    * rounds are the same exact-count BM25 program; expansion selection
+    * is integer counting with a lexicographic tiebreak → the whole
+    * two-round pipeline replays in DuckDB.
+    *
+    * Scale shape: round-1 ranking is already top-k per query, the
+    * feedback-doc token join touches 3 docs per query, and round 2 is
+    * BM25 with a slightly larger broadcast term set — no new shuffle
+    * class beyond r1 itself. */
+  def r7PrfExpand(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (1L, "vector"), (1L, "hash"), (1L, "join"),
+      (2L, "spark"), (2L, "stream"), (2L, "window"),
+      (3L, "slow"), (3L, "query")).toDF("query_id", "term")
+    Retrieval.prfSearch(documents(s, d), "doc_id", "text", qs,
+        "query_id", "term", feedbackDocs = 3, expandTerms = 2, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val r7Sql: String =
+    """WITH q0(query_id, term) AS (VALUES
+      |    (1, 'vector'), (1, 'hash'), (1, 'join'),
+      |    (2, 'spark'), (2, 'stream'), (2, 'window'),
+      |    (3, 'slow'), (3, 'query')),
+      |tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS dl
+      |  FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |         AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |tf1 AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+      |       FROM tok t WHERE t.term IN (SELECT term FROM q0)
+      |       GROUP BY t.doc_id, t.term),
+      |df1 AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf1 GROUP BY term),
+      |sc1 AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * tf.tf * 2.2
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+      |  FROM tf1 tf JOIN df1 df USING (term) JOIN dl USING (doc_id)
+      |  JOIN q0 q ON q.term = tf.term, st
+      |  GROUP BY q.query_id, tf.doc_id),
+      |top3 AS (SELECT query_id, doc_id FROM (
+      |  SELECT query_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(score, 4) DESC, doc_id) AS rn
+      |  FROM sc1) WHERE rn <= 3),
+      |expn AS (SELECT query_id, term FROM (
+      |  SELECT t3.query_id, tk.term,
+      |    ROW_NUMBER() OVER (PARTITION BY t3.query_id
+      |      ORDER BY COUNT(*) DESC, tk.term) AS rn
+      |  FROM top3 t3 JOIN tok tk ON tk.doc_id = t3.doc_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM q0
+      |    WHERE q0.query_id = t3.query_id AND q0.term = tk.term)
+      |  GROUP BY t3.query_id, tk.term) WHERE rn <= 2),
+      |q2 AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM q0
+      |       UNION ALL
+      |       SELECT CAST(query_id AS BIGINT) AS query_id, term FROM expn),
+      |tf2 AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+      |       FROM tok t WHERE t.term IN (SELECT term FROM q2)
+      |       GROUP BY t.doc_id, t.term),
+      |df2 AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf2 GROUP BY term),
+      |sc2 AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * tf.tf * 2.2
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+      |  FROM tf2 tf JOIN df2 df USING (term) JOIN dl USING (doc_id)
+      |  JOIN q2 q ON q.term = tf.term, st
+      |  GROUP BY q.query_id, tf.doc_id)
+      |SELECT query_id, doc_id, ROUND(score, 4) AS score_r,
+      |  CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT query_id, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+      |  FROM sc2)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_bm25" -> (r1Bm25 _),
     "r2_chunk" -> (r2Chunk _),
     "r3_hybrid_rrf" -> (r3HybridRrf _),
     "r4_eval_metrics" -> (r4EvalMetrics _),
     "r5_mmr_rerank" -> (r5Mmr _),
-    "r6_ndcg" -> (r6Ndcg _))
+    "r6_ndcg" -> (r6Ndcg _),
+    "r7_prf_expand" -> (r7PrfExpand _))
 
   def oracles: Map[String, String] = Map(
     "r1_bm25" -> r1Sql,
@@ -442,5 +528,6 @@ object Search {
     "r3_hybrid_rrf" -> r3Sql,
     "r4_eval_metrics" -> r4Sql,
     "r5_mmr_rerank" -> r5Sql,
-    "r6_ndcg" -> r6Sql)
+    "r6_ndcg" -> r6Sql,
+    "r7_prf_expand" -> r7Sql)
 }

@@ -275,6 +275,28 @@ class Round9Spec extends AnyFunSuite {
     assert(one.length == 64 * 3 + 2 && one.count(_ == '|') == 2)
   }
 
+  // ---- r7: pseudo-relevance-feedback expansion -----------------------
+
+  test("PRF expansion surfaces a doc that matches only the expanded vocabulary") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),      // matches the query, rich in beta
+      (2L, "beta beta beta delta"),       // no alpha — invisible to round 1
+      (3L, "epsilon zeta eta theta"))     // noise
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "alpha")).toDF("query_id", "term")
+    val round1 = graft.pipeline.Retrieval
+      .bm25(docs, "doc_id", "text", qs, "query_id", "term")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(round1 == Set(1L))              // only the alpha doc scores
+    val prf = graft.pipeline.Retrieval
+      .prfSearch(docs, "doc_id", "text", qs, "query_id", "term",
+        feedbackDocs = 1, expandTerms = 1, k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // doc 1's top non-query term is beta → doc 2 (3× beta) now retrieved
+    assert(prf.contains(2L))
+    assert(!prf.contains(3L))              // noise stays invisible
+  }
+
   // ---- s10: max-inner-product top-k ----------------------------------
 
   test("MIPS ranks magnitude where cosine ranks direction") {
