@@ -411,6 +411,64 @@ object Relational {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** EV1 (beyond ref): ordered-step event funnel view → click →
+    * purchase ([[graft.query.Temporal.funnel]]) — first qualifying
+    * event per step, strictly increasing timestamps, per-user state
+    * one timestamp per step. Exact integer semantics → fully
+    * oracled. */
+  def ev1EventFunnel(s: SparkSession, d: String): DataFrame =
+    graft.query.Temporal.funnel(
+        events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "event_type", "ts_us",
+        steps = Seq("view", "click", "purchase"))
+      .orderBy("step")
+
+  val ev1Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      |            FROM events),
+      |s1 AS (SELECT user_id, MIN(ts_us) AS t FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+      |       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts_us > s1.t
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+      |       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+      |       GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      |    COUNT(*) AS n_users FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'click', COUNT(*) FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', COUNT(*) FROM s3)
+      |ORDER BY step""".stripMargin
+
+  /** EV2 (beyond ref): weekly cohort retention matrix
+    * ([[graft.query.Temporal.retention]]) — users cohorted by
+    * first-activity week (exact integer division of the microsecond
+    * epoch), per-(cohort, offset) active counts and 4-dp rates. */
+  def ev2Retention(s: SparkSession, d: String): DataFrame =
+    graft.query.Temporal.retention(
+        events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us")
+      .orderBy("cohort_week", "week_offset")
+
+  val ev2Sql: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 604800000000 AS wk FROM events),
+      |coh AS (SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY 1),
+      |sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM coh GROUP BY 1)
+      |SELECT a.cohort_week, a.week_offset, a.n_active, sz.cohort_size,
+      |  ROUND(CAST(a.n_active AS DOUBLE) / sz.cohort_size, 4) AS retention
+      |FROM (SELECT coh.cohort_week, act.wk - coh.cohort_week AS week_offset,
+      |        COUNT(*) AS n_active
+      |      FROM act JOIN coh USING (user_id)
+      |      GROUP BY 1, 2) a
+      |JOIN sz USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** ST1: a REAL Structured Streaming execution as a driver-oracled
     * battery entry — the events table replayed through a file-source
     * stream into [[graft.streaming.EventWindows.windowedCounts]]
@@ -547,6 +605,8 @@ object Relational {
     "st2_stream_sessions" -> (st2StreamSessions _),
     "j8_asof_join" -> (j8AsofJoin _),
     "w3_sessionize" -> (w3Sessionize _),
+    "ev1_event_funnel" -> (ev1EventFunnel _),
+    "ev2_retention" -> (ev2Retention _),
     "p1_filters" -> (p1Filters _),
     "j1_join_chain" -> (j1JoinChain _),
     "j3_anti_join" -> (j3AntiJoin _),
@@ -567,6 +627,8 @@ object Relational {
     "st2_stream_sessions" -> st2Sql,
     "j8_asof_join" -> j8AsofJoinSql,
     "w3_sessionize" -> w3SessionizeSql,
+    "ev1_event_funnel" -> ev1Sql,
+    "ev2_retention" -> ev2Sql,
     "p1_filters" -> p1FiltersSql,
     "j1_join_chain" -> j1JoinChainSql,
     "j3_anti_join" -> j3AntiJoinSql,

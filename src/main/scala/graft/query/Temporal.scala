@@ -110,4 +110,64 @@ object Temporal {
       .withColumn("session_seq", sum("_boundary").over(run))
       .drop("_boundary")
   }
+
+  /** Ordered-step event funnel — the product-analytics staple: how
+    * many users performed step 1, then step 2 STRICTLY AFTER their
+    * first step-1 event, then step 3 after that, and so on. Semantics
+    * are the standard "first qualifying event per step" funnel: a
+    * user's step-k timestamp is their earliest step-k event after
+    * their step-(k−1) timestamp; a user missing any step drops out of
+    * all later steps. Output: (step, step_name, n_users), one row per
+    * step.
+    *
+    * Scale shape: one user-keyed groupBy + join per step — shuffles
+    * bounded by user cardinality, never event volume (each step first
+    * FILTERS to its event type in the scan, and the per-user frame
+    * carries one timestamp). No window over a user's full history, so
+    * a billion-event user costs the same as a ten-event one past the
+    * scan. `tsCol` must be a totally-ordered numeric column (use
+    * unix_micros for timestamps). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(col(tsCol)).as("_t"))
+    val frames = steps.tail.scanLeft(first) { (prev, st) =>
+      events.filter(col(typeCol) === st)
+        .join(prev.select(col(userCol), col("_t").as("_tp")), Seq(userCol))
+        .filter(col(tsCol) > col("_tp"))
+        .groupBy(userCol).agg(min(col(tsCol)).as("_t"))
+    }
+    frames.zip(steps).zipWithIndex.map { case ((f, name), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention — the other product-analytics staple:
+    * users cohorted by their first-activity week, then for each
+    * (cohort, week offset) the count of cohort members active that
+    * week and the retention rate. Week index is exact integer division
+    * of the microsecond epoch (`div`), so cohort assignment replays on
+    * any engine. Output: (cohort_week, week_offset, n_active,
+    * cohort_size, retention 4 dp).
+    *
+    * Scale shape: distinct (user, week) activity partial-aggregates
+    * map-side; the cohort table is user-cardinality and joins back on
+    * the user key; the matrix aggregate is cohorts×offsets rows. */
+  def retention(events: DataFrame, userCol: String, tsUsCol: String): DataFrame = {
+    val weekUs = 604800000000L
+    val activity = events
+      .select(col(userCol), expr(s"$tsUsCol div $weekUs").as("_wk"))
+      .distinct()
+    val cohort = activity.groupBy(userCol).agg(min(col("_wk")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_week"), (col("_wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size"), 4))
+  }
 }

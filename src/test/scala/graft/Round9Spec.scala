@@ -275,6 +275,40 @@ class Round9Spec extends AnyFunSuite {
     assert(one.length == 64 * 3 + 2 && one.count(_ == '|') == 2)
   }
 
+  // ---- ev1/ev2: event funnel + cohort retention ----------------------
+
+  test("funnel counts first-qualifying steps in strict order") {
+    val ev = Seq(
+      ("a", "view", 10L), ("a", "click", 20L), ("a", "purchase", 30L),
+      ("b", "click", 5L), ("b", "view", 10L),          // click precedes view
+      ("c", "view", 1L), ("c", "click", 2L), ("c", "purchase", 1L), // buy too early
+      ("d", "click", 1L), ("d", "purchase", 2L))       // never viewed
+      .toDF("user_id", "event_type", "ts_us")
+    val got = graft.query.Temporal
+      .funnel(ev, "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "view", 3L), (2L, "click", 2L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("retention cohorts by first week and rates against cohort size") {
+    val wk = 604800000000L
+    val ev = Seq(
+      ("u1", 0L), ("u1", wk + 5L), ("u1", 3 * wk),     // weeks 0, 1, 3
+      ("u2", wk), ("u2", wk + 9L),                     // week 1 twice
+      ("u3", 1L))                                      // week 0 only
+      .toDF("user_id", "ts_us")
+    val got = graft.query.Temporal.retention(ev, "user_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (0L, 0L, 2L, 2L, 1.0),    // u1+u3 active in their cohort week
+      (0L, 1L, 1L, 2L, 0.5),    // only u1 returns in week 1
+      (0L, 3L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0)))   // u2's singleton cohort
+  }
+
   // ---- r7: pseudo-relevance-feedback expansion -----------------------
 
   test("PRF expansion surfaces a doc that matches only the expanded vocabulary") {
