@@ -469,6 +469,29 @@ object Relational {
       |JOIN sz USING (cohort_week)
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** EV3 (beyond ref): rolling DAU / trailing-7-day WAU / stickiness
+    * per day ([[graft.query.Temporal.activeUsers]]) — WAU via the
+    * linear contribute-forward explode, never a per-day range
+    * self-join. Exact integer counting + one 4-dp rate → fully
+    * oracled. */
+  def ev3ActiveUsers(s: SparkSession, d: String): DataFrame =
+    graft.query.Temporal.activeUsers(
+        events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us")
+      .orderBy("day")
+
+  val ev3Sql: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS d FROM events),
+      |dau AS (SELECT d AS day, COUNT(*) AS dau FROM act GROUP BY 1),
+      |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+      |        FROM (SELECT user_id, unnest(range(d, d + 7)) AS day FROM act)
+      |        GROUP BY day)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau USING (day)
+      |ORDER BY dau.day""".stripMargin
+
   /** ST1: a REAL Structured Streaming execution as a driver-oracled
     * battery entry — the events table replayed through a file-source
     * stream into [[graft.streaming.EventWindows.windowedCounts]]
@@ -607,6 +630,7 @@ object Relational {
     "w3_sessionize" -> (w3Sessionize _),
     "ev1_event_funnel" -> (ev1EventFunnel _),
     "ev2_retention" -> (ev2Retention _),
+    "ev3_active_users" -> (ev3ActiveUsers _),
     "p1_filters" -> (p1Filters _),
     "j1_join_chain" -> (j1JoinChain _),
     "j3_anti_join" -> (j3AntiJoin _),
@@ -629,6 +653,7 @@ object Relational {
     "w3_sessionize" -> w3SessionizeSql,
     "ev1_event_funnel" -> ev1Sql,
     "ev2_retention" -> ev2Sql,
+    "ev3_active_users" -> ev3Sql,
     "p1_filters" -> p1FiltersSql,
     "j1_join_chain" -> j1JoinChainSql,
     "j3_anti_join" -> j3AntiJoinSql,

@@ -309,6 +309,24 @@ class Round9Spec extends AnyFunSuite {
       (1L, 0L, 1L, 1L, 1.0)))   // u2's singleton cohort
   }
 
+  test("DAU/WAU: trailing window picks up earlier actives, join keeps observed days") {
+    val day = 86400000000L
+    val ev = Seq(
+      ("u1", 0L), ("u2", 0L),            // day 0: both
+      ("u1", 1 * day),                   // day 1: u1
+      ("u2", 8 * day))                   // day 8: u2 (u1's day-1 visit expired)
+      .toDF("user_id", "ts_us")
+    val got = graft.query.Temporal.activeUsers(ev, "user_id", "ts_us")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got == Map(
+      0L -> (2L, 2L, 1.0),
+      1L -> (1L, 2L, 0.5),               // u2 still inside day-0's window
+      8L -> (1L, 1L, 1.0)))              // only u2; day-1 visit is 7 days old
+    // silent days (2..7) report nothing
+    assert(got.keySet == Set(0L, 1L, 8L))
+  }
+
   // ---- r7: pseudo-relevance-feedback expansion -----------------------
 
   test("PRF expansion surfaces a doc that matches only the expanded vocabulary") {
