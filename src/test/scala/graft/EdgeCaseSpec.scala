@@ -235,6 +235,47 @@ class EdgeCaseSpec extends AnyFunSuite {
       5, 1L).count() == 0)
   }
 
+  test("round-9 operators degrade to empty results on empty inputs") {
+    import graft.pipeline.{LangModel, Retrieval, ScalarQuant, Similarity}
+    import graft.query.Temporal
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(emptyDocs, "doc_id", "text").count() == 0)
+    // trigram KN: empty training corpus AND empty scored corpus
+    assert(LangModel.knTrigramScores(emptyDocs, "doc_id", "text",
+      emptyDocs, "text").count() == 0)
+    // too-short docs (< 3 tokens) emit no trigram rows either
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(LangModel.knTrigramScores(short, "doc_id", "text",
+      short, "text").count() == 0)
+    // SQ: empty embedding table → no bounds, no codes, no throw
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(ScalarQuant.quantize(emptyEmb, "vec_id", "embedding").count() == 0)
+    // NDCG with empty graded table: no judged queries → empty metrics
+    val ranked = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val noGraded = Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "rel")
+    assert(Retrieval.ndcg(ranked, noGraded, "query_id", "doc_id", "rel").count() == 0)
+    // PRF over an empty corpus: both rounds empty, no throw
+    val qs = Seq((1L, "alpha")).toDF("query_id", "term")
+    assert(Retrieval.prfSearch(emptyDocs, "doc_id", "text", qs,
+      "query_id", "term").count() == 0)
+    // MIPS with empty query side / empty corpus
+    val emb = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val noQ = Seq.empty[(Long, Array[Float])].toDF("q_vec_id", "q_embedding")
+    assert(Similarity.mipsTopK(emb, noQ, k = 3).count() == 0)
+    assert(Similarity.mipsTopK(emptyEmb, noQ, k = 3).count() == 0)
+    // event analytics on an empty stream: funnel keeps its step rows
+    // (all zero — a dashboard shows the empty funnel), matrix ops empty
+    val noEv = Seq.empty[(String, String, Long)]
+      .toDF("user_id", "event_type", "ts_us")
+    val fn = Temporal.funnel(noEv, "user_id", "event_type", "ts_us",
+      Seq("view", "click"))
+    assert(fn.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 0L), (2L, 0L)))
+    val noAct = Seq.empty[(String, Long)].toDF("user_id", "ts_us")
+    assert(Temporal.retention(noAct, "user_id", "ts_us").count() == 0)
+    assert(Temporal.activeUsers(noAct, "user_id", "ts_us").count() == 0)
+  }
+
   test("search with cone + predicates composes; empty stats yields empty search") {
     val stats = Ltcv.objStatsComb(Ltcv.sources(cat, "pvid-pv1"))
       .join(Ltcv.weightedPositions(Ltcv.sources(cat, "pvid-pv1")), Seq("rootid"))
