@@ -56,4 +56,36 @@ object SnapshotDiff {
           nullif(col("n_removed") + col("n_changed") + col("n_unchanged"),
             lit(0L)), 4))
   }
+
+  /** SCD-type-2 history from a stack of full snapshots — the lakehouse
+    * "as-of any version" table [[diff]] generalizes to: given
+    * (key, version, digest) rows with consecutive integer versions, a
+    * new validity interval OPENS when the key first appears, reappears
+    * after an absence gap, or its digest changes; it CLOSES at the
+    * last version before the next opening (or the key's last
+    * appearance). Output: one row per interval — (key, digest,
+    * valid_from, valid_to) with the digest constant over the interval
+    * by construction.
+    *
+    * Plan shape: one per-key lag window (keys are many, versions per
+    * key are few — the partitions are tiny) + a running-sum era id +
+    * one partial-aggregated groupBy. No join against the snapshot
+    * stack; each snapshot row is read once. */
+  def scdHistory(snaps: DataFrame, keyCol: String, verCol: String,
+      digestCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(verCol)
+    snaps
+      .withColumn("_pv", lag(col(verCol), 1).over(w))
+      .withColumn("_pd", lag(col(digestCol), 1).over(w))
+      .withColumn("_open", when(col("_pv").isNull ||
+        col("_pv") =!= col(verCol) - 1 ||
+        col("_pd") =!= col(digestCol), 1L).otherwise(0L))
+      .withColumn("_era", sum(col("_open")).over(w))
+      .groupBy(col(keyCol), col("_era"))
+      .agg(max(col(digestCol)).as(digestCol),
+        min(col(verCol)).as("valid_from"),
+        max(col(verCol)).as("valid_to"))
+      .drop("_era")
+  }
 }

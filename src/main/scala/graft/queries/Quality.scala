@@ -181,6 +181,61 @@ object Quality {
         .orderBy("doc_id")
     }
 
+  /** SCD-type-2 history over a three-version snapshot stack
+    * ([[graft.pipeline.SnapshotDiff.scdHistory]]): v2 edits every 7th
+    * doc and drops every 9th; v3 edits every 5th and re-adds the
+    * dropped — exercising open-on-change, open-on-reappearance (the
+    * absence gap), and multi-interval keys. md5 digests + integer
+    * versions → fully oracled. */
+  def d13ScdHistory(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val v1 = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+    val v2 = docs.filter(col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" r2")))
+          .otherwise(col("text")).as("text"),
+        lit(2L).as("version"))
+    val v3 = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" r3")))
+        .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" r2")))
+        .otherwise(col("text")).as("text"),
+      lit(3L).as("version"))
+    val snaps = v1.unionByName(v2).unionByName(v3)
+      .select(col("doc_id"), col("version"), md5(col("text")).as("digest"))
+    graft.pipeline.SnapshotDiff.scdHistory(snaps, "doc_id", "version", "digest")
+      .withColumn("is_current", col("valid_to") === 3L)
+      .orderBy("doc_id", "valid_from")
+  }
+
+  val d13Sql: String =
+    """WITH sn AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS version, md5(text) AS digest
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' r2' ELSE text END)
+      |  FROM documents WHERE doc_id % 9 != 0
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' r3'
+      |             WHEN doc_id % 7 = 0 THEN text || ' r2'
+      |             ELSE text END)
+      |  FROM documents),
+      |l AS (SELECT doc_id, version, digest,
+      |        LAG(version) OVER w AS pv, LAG(digest) OVER w AS pd
+      |      FROM sn
+      |      WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+      |o AS (SELECT *, CASE WHEN pv IS NULL OR pv != version - 1
+      |                       OR pd != digest THEN 1 ELSE 0 END AS op
+      |      FROM l),
+      |e AS (SELECT *, SUM(op) OVER (PARTITION BY doc_id
+      |        ORDER BY version) AS era FROM o)
+      |SELECT doc_id, MAX(digest) AS digest,
+      |  MIN(version) AS valid_from, MAX(version) AS valid_to,
+      |  MAX(version) = 3 AS is_current
+      |FROM e GROUP BY doc_id, era
+      |ORDER BY doc_id, valid_from""".stripMargin
+
   /** CCNet-style perplexity stratification: per-LANGUAGE tercile
     * boundaries over the t9 bigram-LM scores split the corpus into
     * head (most fluent third), middle, tail — the split CCNet feeds to
@@ -626,6 +681,7 @@ object Quality {
     "t21_trigram_kn" -> (t21Trigram _),
     "st3_stream_neardup" -> (st3StreamNeardup _),
     "cc5_live_clusters" -> (cc5LiveClusters _),
+    "d13_scd_history" -> (d13ScdHistory _),
     "t16_ppl_buckets" -> (t16PplBuckets _),
     "t10_dsir_weights" -> (t10DsirWeights _),
     "t12_html_extract" -> (t12HtmlExtract _),
@@ -650,6 +706,7 @@ object Quality {
     "d7_dup_spans" -> d7Sql,
     "d8_incremental" -> d8Sql,
     "d11_snapshot_diff" -> d11Sql,
+    "d13_scd_history" -> d13Sql,
     "t14_bpe_tokenize" -> BpeOracle.t14Sql(numMerges = 64),
     "t17_tokenizer_fertility" -> BpeOracle.t17Sql(numMerges = 64),
     "d9_incremental_neardup" -> PortableHashOracle.d9Sql,

@@ -492,6 +492,31 @@ object Relational {
       |FROM dau JOIN wau USING (day)
       |ORDER BY dau.day""".stripMargin
 
+  /** EV4 (beyond ref): first-order Markov transition matrix over
+    * per-user event sequences ([[graft.query.Temporal
+    * .transitionMatrix]]); event_id is the total-order tiebreak. Exact
+    * integer counting + one 4-dp rate → fully oracled. */
+  def ev4Transitions(s: SparkSession, d: String): DataFrame =
+    graft.query.Temporal.transitionMatrix(
+        events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "event_type", "ts_us", "event_id")
+      .orderBy("from_type", "to_type")
+
+  val ev4Sql: String =
+    """WITH l AS (SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |pr AS (SELECT prev AS from_type, event_type AS to_type,
+      |         COUNT(*) AS n
+      |       FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+      |       FROM pr GROUP BY 1)
+      |SELECT pr.from_type, pr.to_type, pr.n,
+      |  ROUND(CAST(pr.n AS DOUBLE) / tt.tot, 4) AS p
+      |FROM pr JOIN tt USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** ST1: a REAL Structured Streaming execution as a driver-oracled
     * battery entry — the events table replayed through a file-source
     * stream into [[graft.streaming.EventWindows.windowedCounts]]
@@ -631,6 +656,7 @@ object Relational {
     "ev1_event_funnel" -> (ev1EventFunnel _),
     "ev2_retention" -> (ev2Retention _),
     "ev3_active_users" -> (ev3ActiveUsers _),
+    "ev4_transitions" -> (ev4Transitions _),
     "p1_filters" -> (p1Filters _),
     "j1_join_chain" -> (j1JoinChain _),
     "j3_anti_join" -> (j3AntiJoin _),
@@ -654,6 +680,7 @@ object Relational {
     "ev1_event_funnel" -> ev1Sql,
     "ev2_retention" -> ev2Sql,
     "ev3_active_users" -> ev3Sql,
+    "ev4_transitions" -> ev4Sql,
     "p1_filters" -> p1FiltersSql,
     "j1_join_chain" -> j1JoinChainSql,
     "j3_anti_join" -> j3AntiJoinSql,

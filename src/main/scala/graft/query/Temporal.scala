@@ -176,6 +176,31 @@ object Temporal {
         round(col("dau").cast("double") / col("wau"), 4))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the clickstream model behind next-action prediction
+    * and funnel discovery: count adjacent (prev → next) event-type
+    * pairs per user (ordered by time with a unique tiebreak column so
+    * the sequence is total-ordered on any engine), then the
+    * conditional probability per source type. Output: (from_type,
+    * to_type, n, p 4 dp).
+    *
+    * Plan shape: one per-user lag window (tiny partitions) + two
+    * partial-aggregated groupBys; the per-source totals derive from
+    * the pair counts (type²-bounded), never a second event scan. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, tieCol)
+    val pairs = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("_tot"))
+    pairs.join(totals, Seq("from_type"))
+      .withColumn("p", round(col("n").cast("double") / col("_tot"), 4))
+      .drop("_tot")
+  }
+
   /** Weekly cohort retention — the other product-analytics staple:
     * users cohorted by their first-activity week, then for each
     * (cohort, week offset) the count of cohort members active that

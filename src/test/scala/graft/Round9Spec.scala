@@ -309,6 +309,47 @@ class Round9Spec extends AnyFunSuite {
       (1L, 0L, 1L, 1L, 1.0)))   // u2's singleton cohort
   }
 
+  test("SCD-2 history: change, absence gap, and re-add each open an interval") {
+    val snaps = Seq(
+      // key 1: stable across all three versions → one open interval
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "a"),
+      // key 2: digest changes at v2 → two intervals
+      (2L, 1L, "x"), (2L, 2L, "y"), (2L, 3L, "y"),
+      // key 3: absent at v2, same digest back at v3 → gap splits it
+      (3L, 1L, "z"), (3L, 3L, "z"),
+      // key 4: only ever in v1 → one closed interval
+      (4L, 1L, "q"))
+      .toDF("doc_id", "version", "digest")
+    val got = graft.pipeline.SnapshotDiff
+      .scdHistory(snaps, "doc_id", "version", "digest")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, "a", 1L, 3L),
+      (2L, "x", 1L, 1L), (2L, "y", 2L, 3L),
+      (3L, "z", 1L, 1L), (3L, "z", 3L, 3L),
+      (4L, "q", 1L, 1L)))
+  }
+
+  test("transition matrix: hand-computed conditional probabilities") {
+    val ev = Seq(
+      ("u1", "a", 1L, 1L), ("u1", "b", 2L, 2L), ("u1", "a", 3L, 3L),
+      ("u1", "b", 4L, 4L),
+      ("u2", "a", 1L, 5L), ("u2", "c", 2L, 6L),
+      // ts tie broken by the id column: 7 before 8 → (b → a)
+      ("u3", "b", 9L, 7L), ("u3", "a", 9L, 8L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val got = graft.query.Temporal
+      .transitionMatrix(ev, "user_id", "event_type", "ts_us", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      ("a", "b", 2L, 0.6667), ("a", "c", 1L, 0.3333),
+      ("b", "a", 2L, 1.0)))
+  }
+
   test("DAU/WAU: trailing window picks up earlier actives, join keeps observed days") {
     val day = 86400000000L
     val ev = Seq(
