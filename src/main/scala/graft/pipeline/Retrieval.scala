@@ -32,25 +32,45 @@ object Retrieval {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, termCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Core(tokenStream(docs, idCol, "_term", textCol),
+      docLengthsAndStats(docs, idCol, textCol),
+      queries, idCol, queryIdCol, termCol, k1, b)
+
+  /** The corpus token stream (idCol, _term) — one row per token
+    * occurrence, generated in the scan stage. Factored out so callers
+    * that need the stream more than once (PRF's two rounds + feedback
+    * join) can persist ONE frame instead of re-tokenizing per pass. */
+  def tokenStream(docs: DataFrame, idCol: String, termCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+      .as(termCol))
+
+  /** Per-doc lengths + the one-row corpus stats frame bm25 broadcasts. */
+  private def docLengthsAndStats(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val dl = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("_dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n_docs"),
+      avg(TextAnalysis.tokenCount(col(textCol))).as("_avgdl"))
+    (dl, stats)
+  }
+
+  /** BM25 over a pre-built token stream (see [[bm25]] for semantics). */
+  private def bm25Core(tok: DataFrame, dlStats: (DataFrame, DataFrame),
+      queries: DataFrame, idCol: String, queryIdCol: String,
+      termCol: String, k1: Double, b: Double): DataFrame = {
+    val (dl, stats) = dlStats
     val qt = queries.select(col(queryIdCol), col(termCol).as("_term")).distinct()
     val qterms = qt.select("_term").distinct()
 
     // corpus-side: filter the token stream to query terms FIRST (the
     // broadcast semi join runs in the scan stage), then count tf —
     // the (doc, term) shuffle carries only matching rows
-    val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("_term"))
     val tf = tok.join(broadcast(qterms), Seq("_term"))
       .groupBy(col(idCol), col("_term"))
       .agg(count(lit(1)).as("_tf"))
-
-    // per-doc length + corpus stats (one-row broadcast)
-    val dl = docs.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("double").as("_dl"))
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("_n_docs"),
-      avg(TextAnalysis.tokenCount(col(textCol))).as("_avgdl"))
 
     // df per query term: tf is already distinct per (doc, term)
     val df = tf.groupBy("_term").agg(count(lit(1)).cast("double").as("_df"))
@@ -169,29 +189,37 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, termCol: String,
       feedbackDocs: Int = 3, expandTerms: Int = 2, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w1 = Window.partitionBy(queryIdCol).orderBy(desc("score_r"), col(idCol))
-    val top = bm25(docs, idCol, textCol, queries, queryIdCol, termCol)
+    // tokenize ONCE: both BM25 rounds and the feedback join consume
+    // the same persisted stream (re-deriving the plan would re-scan
+    // and re-explode the corpus three times). Result is materialized
+    // eagerly below so the cache can be released before returning.
+    val tok = tokenStream(docs, idCol, "_term", textCol).persist()
+    val dlStats = docLengthsAndStats(docs, idCol, textCol)
+    val wRank = Window.partitionBy(queryIdCol).orderBy(desc("score_r"), col(idCol))
+    val top = bm25Core(tok, dlStats, queries, idCol, queryIdCol, termCol, 1.2, 0.75)
       .withColumn("score_r", round(col("score"), 4))
-      .withColumn("rank", row_number().over(w1))
+      .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= feedbackDocs)
       .select(queryIdCol, idCol)
-    val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as(termCol))
-    val wExp = Window.partitionBy(queryIdCol).orderBy(desc("_tf"), col(termCol))
-    val expansion = top.join(tok, Seq(idCol))
-      .join(queries, Seq(queryIdCol, termCol), "left_anti")
-      .groupBy(queryIdCol, termCol).agg(count(lit(1)).as("_tf"))
+    val wExp = Window.partitionBy(queryIdCol).orderBy(desc("_tf"), col("_term"))
+    val expansion = top
+      .join(tok, Seq(idCol))
+      .join(queries.select(col(queryIdCol), col(termCol).as("_term")),
+        Seq(queryIdCol, "_term"), "left_anti")
+      .groupBy(col(queryIdCol), col("_term")).agg(count(lit(1)).as("_tf"))
       .withColumn("_rn", row_number().over(wExp))
       .filter(col("_rn") <= expandTerms)
-      .select(queryIdCol, termCol)
+      .select(col(queryIdCol), col("_term").as(termCol))
     val expanded = queries.select(col(queryIdCol), col(termCol))
       .unionByName(expansion)
-    val w2 = Window.partitionBy(queryIdCol).orderBy(desc("score_r"), col(idCol))
-    bm25(docs, idCol, textCol, expanded, queryIdCol, termCol)
+    val out = bm25Core(tok, dlStats, expanded, idCol, queryIdCol, termCol, 1.2, 0.75)
       .withColumn("score_r", round(col("score"), 4))
-      .withColumn("rank", row_number().over(w2).cast("long"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("score_r"), col("rank"))
+      .localCheckpoint(true)
+    tok.unpersist(blocking = false)
+    out
   }
 
   /** Ranking-quality evaluation — the rollup every retrieval pipeline

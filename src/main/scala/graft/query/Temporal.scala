@@ -120,13 +120,16 @@ object Temporal {
     * all later steps. Output: (step, step_name, n_users), one row per
     * step.
     *
-    * Scale shape: one user-keyed groupBy + join per step — shuffles
-    * bounded by user cardinality, never event volume (each step first
-    * FILTERS to its event type in the scan, and the per-user frame
-    * carries one timestamp). No window over a user's full history, so
-    * a billion-event user costs the same as a ten-event one past the
-    * scan. `tsCol` must be a totally-ordered numeric column (use
-    * unix_micros for timestamps). */
+    * Scale shape: per step, the scan filters to that step's event
+    * type, the filtered events join the previous step's one-row-per-
+    * user frame, and a partial-aggregated min collapses back to one
+    * row per user. The join shuffles the step-typed EVENT rows (the
+    * per-user min can only be taken after comparing each event to
+    * _tp), so per-step cost is linear in that type's event volume —
+    * the funnel's survivor set, usually a small slice of the stream —
+    * while the carried state stays one timestamp per user. No window
+    * over a user's full history. `tsCol` must be a totally-ordered
+    * numeric column (use unix_micros for timestamps). */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
