@@ -388,6 +388,9 @@ class Round9Spec extends AnyFunSuite {
     // doc 1's top non-query term is beta → doc 2 (3× beta) now retrieved
     assert(prf.contains(2L))
     assert(!prf.contains(3L))              // noise stays invisible
+    // token-stream reuse policy boundary (cost-only; output identical)
+    assert(!graft.pipeline.Retrieval.reuseTokenStream(49999L))
+    assert(graft.pipeline.Retrieval.reuseTokenStream(50000L))
   }
 
   // ---- s10: max-inner-product top-k ----------------------------------
