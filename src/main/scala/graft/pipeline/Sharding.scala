@@ -76,7 +76,15 @@ object Sharding {
   /** The shared two-phase distributed prefix sum: each doc's running
     * token total in `idCol` order (within its stratum when `strata`
     * is nonempty), as (strata…, idCol, n_tokens, cum_tokens). */
-  private def prefixSum(docs: DataFrame, idCol: String,
+  /** Two-phase distributed prefix sum over `idCol` order (optionally
+    * per stratum): partition-local running sums + a one-row-per-
+    * partition offset window — the serial step sees partition COUNT
+    * rows, never the data. The reusable primitive behind
+    * [[packByTokenBudget]], [[packSequences]],
+    * [[deterministicShuffle]], and cumulative-curve reports
+    * (vocabulary growth). Output: (strata…, idCol, n_tokens,
+    * cum_tokens ending AT this row). */
+  def prefixSum(docs: DataFrame, idCol: String,
       tokens: Column, strata: Seq[String]): DataFrame = {
     val sc = strata.map(col)
     val t = docs.select((sc :+ col(idCol) :+ tokens.cast("long").as("n_tokens")): _*)

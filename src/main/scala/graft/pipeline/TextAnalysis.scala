@@ -349,4 +349,27 @@ object TextAnalysis {
         count(when(col("_k") === "b", lit(1))).as("n_distinct_2grams"),
         coalesce(max(when(col("_k") === "b", col("_c"))), lit(0L)).as("top_2gram_count"))
   }
+
+  /** Vocabulary-growth (Heaps-law) curve: for every document that
+    * introduces at least one NEW term (in doc-id order), the count of
+    * first-occurrence terms it contributes and the cumulative
+    * vocabulary size after it. The curve's shape against corpus size
+    * is the standard corpus-health diagnostic (a boilerplate-heavy or
+    * deduplicated-to-death corpus flattens early; synthetic text grows
+    * suspiciously straight).
+    *
+    * Scale shape: first occurrences are a (term -> min doc) partial
+    * aggregate, per-doc new-term counts another, and the cumulative
+    * curve rides [[Sharding.prefixSum]]'s two-phase scheme — the
+    * serial step sees partition-count rows, never the corpus. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val firstOcc = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_term"))
+      .groupBy("_term").agg(min(col(idCol)).as(idCol))
+    val newPerDoc = firstOcc.groupBy(idCol)
+      .agg(count(lit(1)).as("_n_new"))
+    Sharding.prefixSum(newPerDoc, idCol, col("_n_new"), Nil)
+      .select(col(idCol), col("n_tokens").as("n_new_terms"),
+        col("cum_tokens").as("vocab_size"))
+  }
 }

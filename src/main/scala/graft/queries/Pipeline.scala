@@ -1086,6 +1086,25 @@ object Pipeline {
       |    ORDER BY ip_r DESC, vec_id) AS rank FROM ips)
       |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin
 
+  /** Vocabulary-growth (Heaps-law) curve
+    * ([[TextAnalysis.vocabGrowth]]): per first-occurrence doc, new
+    * terms introduced + cumulative vocabulary size, the corpus-health
+    * diagnostic. Exact integer counting + the two-phase prefix sum →
+    * fully oracled. */
+  def t22VocabGrowth(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabGrowth(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val t22Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |fo AS (SELECT term, MIN(doc_id) AS doc_id FROM tok GROUP BY term),
+      |np AS (SELECT doc_id, COUNT(*) AS n_new_terms FROM fo GROUP BY doc_id)
+      |SELECT doc_id, n_new_terms,
+      |  CAST(SUM(n_new_terms) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
+      |FROM np ORDER BY doc_id""".stripMargin
+
   /** Per-label embedding centroids — the domain/cluster drift monitor
     * an embedding pipeline reports (centroid movement between corpus
     * versions flags encoder or distribution drift): one row per
@@ -1598,6 +1617,7 @@ object Pipeline {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t2_repetition" -> (t2Repetition _),
     "t19_filter_bank" -> (t19FilterBank _),
+    "t22_vocab_growth" -> (t22VocabGrowth _),
     "t15_collocations" -> (t15Collocations _),
     "t5_profile" -> (t5Profile _),
     "m1_multimodal" -> (m1Multimodal _),
@@ -1635,6 +1655,7 @@ object Pipeline {
     "t4_fingerprint" -> t4Sql,
     "t2_repetition" -> t2Sql,
     "t19_filter_bank" -> t19Sql,
+    "t22_vocab_growth" -> t22Sql,
     "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,
     "m5_media_quality" -> m5Sql,

@@ -517,6 +517,34 @@ object Relational {
       |FROM pr JOIN tt USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** EV5 (beyond ref): per-user daily-volume anomaly z-scores
+    * ([[graft.query.Temporal.dailyAnomalies]], centered two-pass
+    * moments, |z| ≥ 2 flagged). Deterministic arithmetic at 4 dp →
+    * fully oracled. */
+  def ev5Anomalies(s: SparkSession, d: String): DataFrame =
+    graft.query.Temporal.dailyAnomalies(
+        events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", zThreshold = 2.0)
+      .orderBy("user_id", "day")
+
+  val ev5Sql: String =
+    """WITH dly AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         COUNT(*) AS n_events
+      |       FROM events GROUP BY 1, 2),
+      |m AS (SELECT user_id, COUNT(*) AS nd,
+      |        AVG(CAST(n_events AS DOUBLE)) AS mean
+      |      FROM dly GROUP BY 1),
+      |m2 AS (SELECT d.user_id,
+      |         SUM((d.n_events - m.mean) * (d.n_events - m.mean)) AS s2
+      |       FROM dly d JOIN m USING (user_id) GROUP BY 1),
+      |z AS (SELECT d.user_id, d.day, d.n_events,
+      |        CASE WHEN sqrt(m2.s2 / m.nd) > 0
+      |             THEN ROUND((d.n_events - m.mean) / sqrt(m2.s2 / m.nd), 4)
+      |             ELSE 0.0 END AS z
+      |      FROM dly d JOIN m USING (user_id) JOIN m2 USING (user_id))
+      |SELECT user_id, day, n_events, z, ABS(z) >= 2.0 AS is_anomaly
+      |FROM z ORDER BY user_id, day""".stripMargin
+
   /** ST1: a REAL Structured Streaming execution as a driver-oracled
     * battery entry — the events table replayed through a file-source
     * stream into [[graft.streaming.EventWindows.windowedCounts]]
@@ -657,6 +685,7 @@ object Relational {
     "ev2_retention" -> (ev2Retention _),
     "ev3_active_users" -> (ev3ActiveUsers _),
     "ev4_transitions" -> (ev4Transitions _),
+    "ev5_anomalies" -> (ev5Anomalies _),
     "p1_filters" -> (p1Filters _),
     "j1_join_chain" -> (j1JoinChain _),
     "j3_anti_join" -> (j3AntiJoin _),
@@ -681,6 +710,7 @@ object Relational {
     "ev2_retention" -> ev2Sql,
     "ev3_active_users" -> ev3Sql,
     "ev4_transitions" -> ev4Sql,
+    "ev5_anomalies" -> ev5Sql,
     "p1_filters" -> p1FiltersSql,
     "j1_join_chain" -> j1JoinChainSql,
     "j3_anti_join" -> j3AntiJoinSql,

@@ -179,6 +179,43 @@ object Temporal {
         round(col("dau").cast("double") / col("wau"), 4))
   }
 
+  /** Per-user daily-volume anomaly flags — the usage-spike monitor an
+    * event pipeline alerts on: each user's daily event counts scored
+    * as z-scores against their OWN history (population mean/std over
+    * the user's active days), |z| ≥ `zThreshold` flagged. Moments use
+    * the centered two-pass formulation (the a13 numeric-portability
+    * rule: Welford accumulation is engine-specific, one-pass nΣx²−(Σx)²
+    * cancels); a zero-variance history scores 0 everywhere (no scale
+    * to deviate against). Silent days are NOT zero-filled — the score
+    * is over active days only, the convention that keeps sparse users
+    * from looking anomalous every time they appear.
+    *
+    * Plan shape: three partial-aggregated groupBys on (user[, day]) +
+    * two user-keyed joins; nothing window-shaped, nothing per-user
+    * serial. */
+  def dailyAnomalies(events: DataFrame, userCol: String, tsUsCol: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = events
+      .select(col(userCol), expr(s"$tsUsCol div $dayUs").as("day"))
+      .groupBy(userCol, "day").agg(count(lit(1)).as("n_events"))
+    val m = daily.groupBy(userCol)
+      .agg(count(lit(1)).as("_nd"),
+        avg(col("n_events").cast("double")).as("_mean"))
+    val m2 = daily.join(m, Seq(userCol))
+      .groupBy(userCol)
+      .agg(sum((col("n_events") - col("_mean")) *
+        (col("n_events") - col("_mean"))).as("_s2"))
+    daily.join(m, Seq(userCol)).join(m2, Seq(userCol))
+      .withColumn("_std", sqrt(col("_s2") / col("_nd")))
+      .withColumn("z", when(col("_std") > 0,
+          round((col("n_events") - col("_mean")) / col("_std"), 4))
+        .otherwise(lit(0.0)))
+      .withColumn("is_anomaly", abs(col("z")) >= zThreshold)
+      .select(col(userCol), col("day"), col("n_events"), col("z"),
+        col("is_anomaly"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences — the clickstream model behind next-action prediction
     * and funnel discovery: count adjacent (prev → next) event-type

@@ -350,6 +350,38 @@ class Round9Spec extends AnyFunSuite {
       ("b", "a", 2L, 1.0)))
   }
 
+  test("daily anomaly z-scores: hand-computed spike, zero-variance guard") {
+    val day = 86400000000L
+    // u1: 1,1,1,1,16 events on days 0..4 → mean 4, std 6, z(16) = 2.0
+    val u1 = (0 until 4).flatMap(d => Seq(("u1", d * day))) ++
+      (0 until 16).map(_ => ("u1", 4 * day + 5L))
+    // u2: constant 5/day → zero variance → z 0 everywhere
+    val u2 = (0 until 2).flatMap(d => (0 until 5).map(i => ("u2", d * day + i)))
+    val ev = (u1 ++ u2).toDF("user_id", "ts_us")
+    val got = graft.query.Temporal.dailyAnomalies(ev, "user_id", "ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got(("u1", 4L)) == (16L, 2.0, true))
+    assert(got(("u1", 0L)) == (1L, -0.5, false))
+    assert(got(("u2", 0L)) == (5L, 0.0, false))
+    assert(got(("u2", 1L)) == (5L, 0.0, false))
+  }
+
+  test("vocabulary growth: cumulative first occurrences, partition-invariant") {
+    val docs = Seq(
+      (1L, "a b c"),        // 3 new
+      (2L, "a b d"),        // 1 new (d)
+      (3L, "a b c"),        // 0 new → no row
+      (4L, "e f"))          // 2 new
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.vocabGrowth(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = Set((1L, 3L, 3L), (2L, 1L, 4L), (4L, 2L, 6L))
+    assert(run(docs) == expect)
+    assert(run(docs.repartition(7)) == expect)
+  }
+
   test("DAU/WAU: trailing window picks up earlier actives, join keeps observed days") {
     val day = 86400000000L
     val ev = Seq(
