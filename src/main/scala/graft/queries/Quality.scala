@@ -236,6 +236,43 @@ object Quality {
       |FROM e GROUP BY doc_id, era
       |ORDER BY doc_id, valid_from""".stripMargin
 
+  /** Per-language head/middle/tail stratification over the TRIGRAM KN
+    * scores — t16's CCNet split driven by the order-3 model (t21), the
+    * pairing a production CCNet filter actually ships (5-gram KenLM →
+    * terciles). Same broadcast-aggregate + scan-stage assignment shape;
+    * fully oracled by wrapping t21's replay in the per-language
+    * `quantile_cont` terciles. */
+  def t23KnBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = LangModel
+      .knTrigramScores(docs, "doc_id", "text", docs, "text", discount = 0.75)
+      .select(col("doc_id"), round(col("avg_logp"), 6).as("avg_logp"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    LangModel.scoreBuckets(scored, "lang", "avg_logp")
+      .select(col("doc_id"), col("lang"), col("avg_logp"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val t23Sql: String = {
+    // t21's score replay as a subquery (its ORDER BY is harmless), the
+    // t16 tercile wrapper on top — same 4-dp boundary rounding + strict
+    // `>` tie rule on both engines
+    val scores = t21Sql
+    s"""WITH sc AS (SELECT doc_id, avg_logp FROM ($scores)),
+       |lg AS (SELECT sc.doc_id, d.lang, sc.avg_logp
+       |       FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |q AS (SELECT lang,
+       |        ROUND(quantile_cont(avg_logp, 1.0/3), 4) AS q1,
+       |        ROUND(quantile_cont(avg_logp, 2.0/3), 4) AS q2
+       |      FROM lg GROUP BY lang)
+       |SELECT lg.doc_id, lg.lang, lg.avg_logp,
+       |  CASE WHEN lg.avg_logp > q.q2 THEN 'head'
+       |       WHEN lg.avg_logp > q.q1 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM lg JOIN q USING (lang)
+       |ORDER BY lg.doc_id""".stripMargin
+  }
+
   /** CCNet-style perplexity stratification: per-LANGUAGE tercile
     * boundaries over the t9 bigram-LM scores split the corpus into
     * head (most fluent third), middle, tail — the split CCNet feeds to
@@ -679,6 +716,7 @@ object Quality {
     "t9_lm_score" -> (t9LmScore _),
     "t20_kn_score" -> (t20KnScore _),
     "t21_trigram_kn" -> (t21Trigram _),
+    "t23_kn_buckets" -> (t23KnBuckets _),
     "st3_stream_neardup" -> (st3StreamNeardup _),
     "cc5_live_clusters" -> (cc5LiveClusters _),
     "d13_scd_history" -> (d13ScdHistory _),
@@ -699,6 +737,7 @@ object Quality {
     "t9_lm_score" -> t9Sql,
     "t20_kn_score" -> t20Sql,
     "t21_trigram_kn" -> t21Sql,
+    "t23_kn_buckets" -> t23Sql,
     "t16_ppl_buckets" -> t16Sql,
     "t10_dsir_weights" -> t10Sql,
     "t12_html_extract" -> t12Sql,

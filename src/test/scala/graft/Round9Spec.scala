@@ -490,6 +490,24 @@ class Round9Spec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 16L -> 0L, 17L -> 0L, 18L -> 18L, 20L -> 18L))
   }
 
+  // ---- t23: trigram-KN perplexity buckets ---------------------------
+
+  test("KN buckets: per-language score cohesion head > middle > tail") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.Quality.t23KnBuckets(spark, d)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      def scores(b: String) = rs.filter(_._3 == b).map(_._2)
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      assert(h.nonEmpty && t.nonEmpty, s"$lang missing buckets")
+      if (m.nonEmpty) {
+        assert(h.min >= m.max, s"$lang head/middle overlap")
+        assert(m.min >= t.max, s"$lang middle/tail overlap")
+      } else assert(h.min >= t.max, s"$lang head/tail overlap")
+    }
+    spark.catalog.clearCache()
+  }
+
   // ---- st3: streamed near-dup state machine ------------------------
 
   test("streamed near-dup labels evolve against the kept index (st3 semantics)") {
