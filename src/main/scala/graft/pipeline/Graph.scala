@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components
+  * ([[Components]]): PageRank over a weighted edge list — the
+  * centrality measure a corpus pipeline runs over its similarity /
+  * citation / co-occurrence graphs to pick canonical cluster
+  * representatives and to weight sources (the "quality by linkage"
+  * signal of web-corpus curation).
+  *
+  * Scale shape (100 TB): the canonical distributed formulation — per
+  * iteration, the node-sized rank frame joins the out-weight-normalized
+  * edge frame on the source key (one shuffle keyed by src) and the
+  * contributions partial-aggregate onto the destination key (one
+  * shuffle keyed by dst, combined map-side so a hub's million
+  * in-edges collapse per-partition before moving). Nothing is ever
+  * edge² and no per-node state leaves the executors. On a cluster,
+  * bucket the edge table by src to delete the join shuffle entirely;
+  * AQE's skew splitting handles hub destinations. The fixed-iteration
+  * contract (no convergence test) keeps the run deterministic and
+  * replayable on any engine — the battery oracle unrolls the same
+  * iterations in SQL.
+  */
+object Graph {
+
+  /** Weighted PageRank with `iterations` fixed power-iteration steps
+    * and teleport factor `1 - damping`:
+    *
+    *   r₀(v)    = 1/N
+    *   rᵢ₊₁(v)  = (1−damping)/N + damping · Σ_{u→v} rᵢ(u) · w(u,v)/outw(u)
+    *
+    * Edges are directed; pass both orientations for an undirected
+    * graph. Multi-edges are summed into one weight. The node set is
+    * every id appearing as src or dst. CONVENTION: a dangling node (no
+    * out-edges) simply loses its mass — ranks then sum to < 1, the
+    * standard simplification; on a symmetric (undirected) edge list
+    * there are no dangling nodes and ranks sum to 1.
+    *
+    * Output: (node, rank) — exact doubles; round at the consumption
+    * site. The whole `iterations`-deep program executes as ONE job at
+    * the eager materialization; the edge and node frames are persisted
+    * across their `iterations` reuses and released before returning.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.groupBy(col(srcCol).as("_s"), col(dstCol).as("_t"))
+      .agg(sum(col(weightCol)).as("_w"))
+    val outw = e.groupBy("_s").agg(sum(col("_w")).as("_ow"))
+    val en = e.join(outw, Seq("_s"))
+      .select(col("_s"), col("_t"),
+        (col("_w").cast("double") / col("_ow")).as("_f"))
+      .persist()
+    val nodes = e.select(col("_s").as("_v"))
+      .union(e.select(col("_t").as("_v")))
+      .distinct().persist()
+    val n = nodes.agg(count(lit(1)).cast("double").as("_n"))
+    val r0 = nodes.crossJoin(broadcast(n))
+      .select(col("_v"), (lit(1.0) / col("_n")).as("_r"))
+    val ranks = (1 to iterations).foldLeft(r0) { (r, _) =>
+      val contrib = r.withColumnRenamed("_v", "_s")
+        .join(en, Seq("_s"))
+        .groupBy("_t").agg(sum(col("_r") * col("_f")).as("_c"))
+        .withColumnRenamed("_t", "_v")
+      nodes.join(contrib, Seq("_v"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("_v"),
+          (lit(1.0 - damping) / col("_n") +
+            lit(damping) * coalesce(col("_c"), lit(0.0))).as("_r"))
+    }
+    // eager materialization BEFORE releasing the persisted inputs the
+    // plan reads `iterations` times (the LangModel.dsirWeights rule);
+    // the checkpoint blocks are freed by the caller's session hygiene
+    // (getPersistentRDDs covers localCheckpoint RDDs) or Components
+    // .release-style cleanup.
+    val out = ranks
+      .select(col("_v").as("node"), col("_r").as("rank"))
+      .localCheckpoint(true)
+    Seq(en, nodes).foreach(_.unpersist(blocking = false))
+    out
+  }
+}

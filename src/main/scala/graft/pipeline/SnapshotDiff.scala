@@ -71,6 +71,37 @@ object SnapshotDiff {
     * key are few — the partitions are tiny) + a running-sum era id +
     * one partial-aggregated groupBy. No join against the snapshot
     * stack; each snapshot row is read once. */
+  /** Point-in-time slice of an SCD-2 history ([[scdHistory]] output):
+    * the rows whose validity interval covers `version` — i.e. the
+    * snapshot as it existed at that version, reconstructed WITHOUT
+    * rescanning any snapshot. On a history table partitioned or
+    * z-ordered by the validity columns this filter partition-prunes;
+    * either way it is a scan-stage predicate, never a join. */
+  def asOf(history: DataFrame, version: Long): DataFrame =
+    history.filter(col("valid_from") <= version &&
+      col("valid_to") >= version)
+
+  /** Time-travel diff: classify every key between two VERSIONS of the
+    * corpus using only the SCD-2 history — `added` / `removed` /
+    * `changed` / `unchanged` from `vOld` to `vNew`, same taxonomy as
+    * [[diff]] but with both sides reconstructed by [[asOf]] interval
+    * filters instead of full-snapshot digest scans. This is the audit
+    * that stays cheap when snapshots are petabyte-scale but churn is
+    * small: the history table carries one row per CHANGE interval, so
+    * both sides of the single full-outer id-join are churn-sized, not
+    * corpus-sized. */
+  def asOfDiff(history: DataFrame, keyCol: String, digestCol: String,
+      vOld: Long, vNew: Long): DataFrame = {
+    def at(v: Long, as: String) =
+      asOf(history, v).select(col(keyCol), col(digestCol).as(as))
+    at(vOld, "_d1").join(at(vNew, "_d2"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("_d1").isNull, lit("added"))
+          .when(col("_d2").isNull, lit("removed"))
+          .when(col("_d1") === col("_d2"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def scdHistory(snaps: DataFrame, keyCol: String, verCol: String,
       digestCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

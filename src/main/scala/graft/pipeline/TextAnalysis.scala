@@ -362,6 +362,42 @@ object TextAnalysis {
     * aggregate, per-doc new-term counts another, and the cumulative
     * curve rides [[Sharding.prefixSum]]'s two-phase scheme — the
     * serial step sees partition-count rows, never the corpus. */
+  /** TF-IDF keyword extraction — the top-`k` terms of every document
+    * by tf·idf with idf = ln(N/df): the per-doc topical signature a
+    * corpus pipeline feeds to tagging, routing, and near-dup triage.
+    * Output: (idCol, term, tf, df, score 6 dp, rank), rank 1..k per
+    * doc ordered by (score desc, term) — ranking compares the ROUNDED
+    * score so the ordering replays identically on any engine (two
+    * different (tf, df) pairs can land within an ulp of each other in
+    * exact arithmetic; at 6 dp they are either equal — then the term
+    * text breaks the tie — or decisively apart).
+    *
+    * Scale shape: term counts partial-aggregate map-side to (doc,
+    * term) rows; df derives from THAT frame (one row per distinct
+    * term — the corpus's token volume is scanned once); N joins in as
+    * a one-row broadcast; the rank window partitions per document
+    * (bounded by a doc's distinct-term count). The tf⋈df term join
+    * hashes on the term — stopword terms have high df rows on the tf
+    * side but the build side is one row per term, so there is no
+    * skew-side build explosion. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("_n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("_n_docs") / col("df")), 6))
+    val w = Window.partitionBy(idCol).orderBy(desc("score"), col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val firstOcc = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("_term"))

@@ -1105,6 +1105,28 @@ object Pipeline {
       |  CAST(SUM(n_new_terms) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
       |FROM np ORDER BY doc_id""".stripMargin
 
+  /** T24: per-doc TF-IDF keywords, top-3 by (6-dp score desc, term)
+    * ([[TextAnalysis.tfidfKeywords]]) — ranking on the ROUNDED score
+    * keeps the order engine-portable. */
+  def t24TfidfKeywords(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfKeywords(documents(s, d), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  val t24Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         ROUND(tf.tf * ln(c.nd / df.df), 6) AS score
+      |       FROM tf JOIN df USING (term) CROSS JOIN c),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, term) AS rank FROM sc)
+      |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Per-label embedding centroids — the domain/cluster drift monitor
     * an embedding pipeline reports (centroid movement between corpus
     * versions flags encoder or distribution drift): one row per
@@ -1618,6 +1640,7 @@ object Pipeline {
     "t2_repetition" -> (t2Repetition _),
     "t19_filter_bank" -> (t19FilterBank _),
     "t22_vocab_growth" -> (t22VocabGrowth _),
+    "t24_tfidf_keywords" -> (t24TfidfKeywords _),
     "t15_collocations" -> (t15Collocations _),
     "t5_profile" -> (t5Profile _),
     "m1_multimodal" -> (m1Multimodal _),
@@ -1656,6 +1679,7 @@ object Pipeline {
     "t2_repetition" -> t2Sql,
     "t19_filter_bank" -> t19Sql,
     "t22_vocab_growth" -> t22Sql,
+    "t24_tfidf_keywords" -> t24Sql,
     "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,
     "m5_media_quality" -> m5Sql,

@@ -187,8 +187,10 @@ object Quality {
     * dropped — exercising open-on-change, open-on-reappearance (the
     * absence gap), and multi-interval keys. md5 digests + integer
     * versions → fully oracled. */
-  def d13ScdHistory(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  /** The three-version snapshot stack d13/d14 share: v2 edits every
+    * 7th doc and drops every 9th; v3 edits every 5th and re-adds the
+    * dropped. */
+  private def scdSnaps(docs: DataFrame): DataFrame = {
     val v1 = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
     val v2 = docs.filter(col("doc_id") % 9 =!= 0)
       .select(col("doc_id"),
@@ -200,8 +202,12 @@ object Quality {
         .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" r2")))
         .otherwise(col("text")).as("text"),
       lit(3L).as("version"))
-    val snaps = v1.unionByName(v2).unionByName(v3)
+    v1.unionByName(v2).unionByName(v3)
       .select(col("doc_id"), col("version"), md5(col("text")).as("digest"))
+  }
+
+  def d13ScdHistory(s: SparkSession, d: String): DataFrame = {
+    val snaps = scdSnaps(documents(s, d))
     graft.pipeline.SnapshotDiff.scdHistory(snaps, "doc_id", "version", "digest")
       .withColumn("is_current", col("valid_to") === 3L)
       .orderBy("doc_id", "valid_from")
@@ -235,6 +241,35 @@ object Quality {
       |  MAX(version) = 3 AS is_current
       |FROM e GROUP BY doc_id, era
       |ORDER BY doc_id, valid_from""".stripMargin
+
+  /** Time-travel diff over the d13 SCD-2 history
+    * ([[graft.pipeline.SnapshotDiff.asOfDiff]]): classify every doc
+    * between version 2 and version 3 by reconstructing BOTH sides from
+    * validity-interval filters — the churn audit that never rescans a
+    * snapshot. v2→v3 exercises `added` (the docs v2 dropped and v3
+    * re-added), `changed` (the r3 edits), and `unchanged`; the
+    * `removed` leg is pinned on a constructed stack in Round10Spec. */
+  def d14TimetravelDiff(s: SparkSession, d: String): DataFrame = {
+    val hist = graft.pipeline.SnapshotDiff.scdHistory(
+      scdSnaps(documents(s, d)), "doc_id", "version", "digest")
+    graft.pipeline.SnapshotDiff.asOfDiff(hist, "doc_id", "digest",
+        vOld = 2L, vNew = 3L)
+      .orderBy("doc_id")
+  }
+
+  val d14Sql: String =
+    s"""WITH h AS ($d13Sql),
+       |o AS (SELECT doc_id, digest AS d1 FROM h
+       |      WHERE valid_from <= 2 AND valid_to >= 2),
+       |nw AS (SELECT doc_id, digest AS d2 FROM h
+       |       WHERE valid_from <= 3 AND valid_to >= 3)
+       |SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+       |  CASE WHEN d1 IS NULL THEN 'added'
+       |       WHEN d2 IS NULL THEN 'removed'
+       |       WHEN d1 = d2 THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Per-language head/middle/tail stratification over the TRIGRAM KN
     * scores — t16's CCNet split driven by the order-3 model (t21), the
@@ -720,6 +755,7 @@ object Quality {
     "st3_stream_neardup" -> (st3StreamNeardup _),
     "cc5_live_clusters" -> (cc5LiveClusters _),
     "d13_scd_history" -> (d13ScdHistory _),
+    "d14_timetravel_diff" -> (d14TimetravelDiff _),
     "t16_ppl_buckets" -> (t16PplBuckets _),
     "t10_dsir_weights" -> (t10DsirWeights _),
     "t12_html_extract" -> (t12HtmlExtract _),
@@ -746,6 +782,7 @@ object Quality {
     "d8_incremental" -> d8Sql,
     "d11_snapshot_diff" -> d11Sql,
     "d13_scd_history" -> d13Sql,
+    "d14_timetravel_diff" -> d14Sql,
     "t14_bpe_tokenize" -> BpeOracle.t14Sql(numMerges = 64),
     "t17_tokenizer_fertility" -> BpeOracle.t17Sql(numMerges = 64),
     "d9_incremental_neardup" -> PortableHashOracle.d9Sql,

@@ -545,6 +545,88 @@ object Relational {
       |SELECT user_id, day, n_events, z, ABS(z) >= 2.0 AS is_anomaly
       |FROM z ORDER BY user_id, day""".stripMargin
 
+  /** EV6 (beyond ref): top session paths — 30-minute-gap sessions, the
+    * first 5 event types of each session in (ts, event_id) order joined
+    * into a path string, the 20 most frequent paths
+    * ([[graft.query.Temporal.topPaths]]). Exact integer counting with
+    * the (count desc, path) tie rule → fully oracled. */
+  def ev6EventPaths(s: SparkSession, d: String): DataFrame =
+    graft.query.Temporal.topPaths(
+        events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "event_type", "ts_us", "event_id",
+        gapUs = 1800000000L, maxSteps = 5, k = 20)
+      .orderBy("rank")
+
+  val ev6Sql: String =
+    """WITH o AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(ts) AS ts_us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |s AS (SELECT *, SUM(CASE WHEN prev IS NULL
+      |          OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sess
+      |      FROM o),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess
+      |        ORDER BY ts_us, event_id) AS rn FROM s),
+      |p AS (SELECT user_id, sess,
+      |        string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM r WHERE rn <= 5 GROUP BY user_id, sess),
+      |c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+      |SELECT path, n_sessions, CAST(rk AS BIGINT) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+      |        AS rk FROM c)
+      |WHERE rk <= 20 ORDER BY rank""".stripMargin
+
+  /** G1 (beyond ref): weighted PageRank over the part co-purchase
+    * graph — parts are linked when they share an order, weight = the
+    * number of shared orders, both orientations (undirected), 5
+    * power-iteration steps at damping 0.85
+    * ([[graft.pipeline.Graph.pageRank]]). The oracle unrolls the same
+    * five iterations in SQL; ranks are O(1/N) and round at 6 dp, three
+    * significant digits of float-portability margin. */
+  def g1PageRank(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .groupBy("pk", "pk2").agg(count(lit(1)).as("w"))
+    val edges = pairs
+      .select(col("pk").as("src"), col("pk2").as("dst"), col("w"))
+      .unionByName(
+        pairs.select(col("pk2").as("src"), col("pk").as("dst"), col("w")))
+    graft.pipeline.Graph.pageRank(edges, "src", "dst", "w", iterations = 5)
+      .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
+      .orderBy("part")
+  }
+
+  val g1Sql: String = {
+    // one power-iteration step: rank = teleport + damping * inbound
+    // contribution sum (COALESCE for generality; the symmetric graph
+    // has no in-edge-free node)
+    def step(i: Int) =
+      s"""r$i AS (SELECT n.v, 0.15 / c.nd +
+         |    0.85 * COALESCE(SUM(r${i - 1}.r * en.f), 0.0) AS r
+         |  FROM n CROSS JOIN c
+         |  LEFT JOIN en ON en.t = n.v
+         |  LEFT JOIN r${i - 1} ON r${i - 1}.v = en.s
+         |  GROUP BY n.v, c.nd)""".stripMargin
+    s"""WITH e0 AS (SELECT a.l_partkey AS s, b.l_partkey AS t, COUNT(*) AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT s, t, w FROM e0 UNION ALL SELECT t, s, w FROM e0),
+       |ow AS (SELECT s, SUM(w) AS ow FROM e GROUP BY 1),
+       |en AS (SELECT e.s, e.t, CAST(e.w AS DOUBLE) / ow.ow AS f
+       |       FROM e JOIN ow USING (s)),
+       |n AS (SELECT DISTINCT s AS v FROM e),
+       |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM n),
+       |r0 AS (SELECT v, 1.0 / c.nd AS r FROM n CROSS JOIN c),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT v AS part, ROUND(r, 6) AS rank FROM r5
+       |ORDER BY part""".stripMargin
+  }
+
   /** ST1: a REAL Structured Streaming execution as a driver-oracled
     * battery entry — the events table replayed through a file-source
     * stream into [[graft.streaming.EventWindows.windowedCounts]]
@@ -686,6 +768,8 @@ object Relational {
     "ev3_active_users" -> (ev3ActiveUsers _),
     "ev4_transitions" -> (ev4Transitions _),
     "ev5_anomalies" -> (ev5Anomalies _),
+    "ev6_event_paths" -> (ev6EventPaths _),
+    "g1_pagerank" -> (g1PageRank _),
     "p1_filters" -> (p1Filters _),
     "j1_join_chain" -> (j1JoinChain _),
     "j3_anti_join" -> (j3AntiJoin _),
@@ -711,6 +795,8 @@ object Relational {
     "ev3_active_users" -> ev3Sql,
     "ev4_transitions" -> ev4Sql,
     "ev5_anomalies" -> ev5Sql,
+    "ev6_event_paths" -> ev6Sql,
+    "g1_pagerank" -> g1Sql,
     "p1_filters" -> p1FiltersSql,
     "j1_join_chain" -> j1JoinChainSql,
     "j3_anti_join" -> j3AntiJoinSql,

@@ -241,6 +241,46 @@ object Temporal {
       .drop("_tot")
   }
 
+  /** Top session paths — the clickstream "common journeys" report:
+    * sessionize each user's events (gap rule, [[sessionize]]), take the
+    * first `maxSteps` event types of every session in time order, join
+    * them into a path string, and rank the `k` most frequent paths.
+    * Ties in frequency break on the path text so the ranking is
+    * deterministic on any engine. Output: (path, n_sessions, rank).
+    *
+    * Plan shape: ONE shuffle on the user key carries the sessionize
+    * boundary window, the per-session row_number, and (after the
+    * rn ≤ maxSteps prune) the path assembly — the sort is shared, and
+    * path assembly aggregates at most `maxSteps` rows per session via
+    * a sort_array over (rn, type) structs (order-insensitive partial
+    * aggregation, no collect_list ordering assumption). The final
+    * ranking window is global but runs over the path-frequency frame,
+    * whose cardinality is bounded by |event types|^maxSteps — a few
+    * thousand rows, not the event volume; at a truly unbounded path
+    * vocabulary, put a per-partition top-k prune in front (the
+    * [[graft.pipeline.TextAnalysis.topNgrams]] note).
+    * `tsUsCol` must be totally ordered with `tieCol` unique per user. */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, tieCol: String, gapUs: Long,
+      maxSteps: Int = 5, k: Int = 20): DataFrame = {
+    val sess = sessionize(events, userCol, tsUsCol, lit(gapUs),
+      tieBreak = Seq(tieCol))
+    val w = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(col(tsUsCol), col(tieCol))
+    val paths = sess
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxSteps)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(array_sort(collect_list(struct(col("_rn"),
+        col(typeCol).as("_t")))).as("_steps"))
+      .select(concat_ws(">",
+        transform(col("_steps"), s => s("_t"))).as("path"))
+    val counts = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    val rk = Window.orderBy(desc("n_sessions"), col("path"))
+    counts.withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Weekly cohort retention — the other product-analytics staple:
     * users cohorted by their first-activity week, then for each
     * (cohort, week offset) the count of cohort members active that

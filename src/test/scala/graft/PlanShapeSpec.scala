@@ -128,14 +128,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin is acceptable only where one side is a
     // broadcast of a bounded frame (the ANN query sets: linear corpus
     // scan x a handful of broadcast query vectors / centroids;
-    // p5 / r1 / t15: a broadcast ONE-ROW scalar-totals frame — the
-    // distributed alternative to a driver collect that would re-scan
-    // the corpus); a CartesianProduct is never acceptable.
+    // p5 / r1 / t15 / t24 / g1: a broadcast ONE-ROW scalar-totals
+    // frame — the distributed alternative to a driver collect that
+    // would re-scan the corpus); a CartesianProduct is never
+    // acceptable.
     val boundedNestedLoop =
       Set("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_ivfpq",
         "s5_incremental_pq", "s10_mips_topk", "p5_source_mix", "r1_bm25",
         "r3_hybrid_rrf", "r4_eval_metrics", "r6_ndcg", "r7_prf_expand",
-        "t15_collocations")
+        "t15_collocations", "t24_tfidf_keywords", "g1_pagerank")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
       assert(!p.contains("CartesianProduct"),
