@@ -76,7 +76,8 @@ object Bench {
     // isolated steady state inside a chunk — JIT warm-up bleeding into
     // the warm median — so they get solo JVMs too.
     val soloExtra = Set("t9_lm_score", "t10_dsir_weights", "t20_kn_score",
-      "t21_trigram_kn", "t23_kn_buckets", "st3_stream_neardup")
+      "t21_trigram_kn", "t23_kn_buckets", "st3_stream_neardup",
+      "g1_pagerank")
     val (solo, cheap) = names.partition(n =>
       n.startsWith("d") || n.startsWith("e") || n.startsWith("cc") ||
         soloExtra(n))

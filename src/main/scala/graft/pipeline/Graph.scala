@@ -49,6 +49,8 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.groupBy(col(srcCol).as("_s"), col(dstCol).as("_t"))
       .agg(sum(col(weightCol)).as("_w"))
+      .persist()  // read 3x below (outw, en, nodes) — and its upstream
+                  // (the caller's pair generation) is the expensive part
     val outw = e.groupBy("_s").agg(sum(col("_w")).as("_ow"))
     val en = e.join(outw, Seq("_s"))
       .select(col("_s"), col("_t"),
@@ -57,18 +59,24 @@ object Graph {
     val nodes = e.select(col("_s").as("_v"))
       .union(e.select(col("_t").as("_v")))
       .distinct().persist()
-    val n = nodes.agg(count(lit(1)).cast("double").as("_n"))
-    val r0 = nodes.crossJoin(broadcast(n))
-      .select(col("_v"), (lit(1.0) / col("_n")).as("_r"))
+    // Materialize the two frames the iteration chain reads `iterations`
+    // times BEFORE building it — otherwise the first execution's
+    // concurrent stages each recompute the un-cached edge pipeline.
+    // nodes.count() doubles as N: a scalar aggregate action (never row
+    // data on the driver), which lets the teleport/seed terms be plain
+    // literals instead of a per-iteration one-row broadcast join.
+    en.count()
+    val n = nodes.count().toDouble
+    e.unpersist(blocking = false)
+    val r0 = nodes.select(col("_v"), lit(1.0 / n).as("_r"))
     val ranks = (1 to iterations).foldLeft(r0) { (r, _) =>
       val contrib = r.withColumnRenamed("_v", "_s")
         .join(en, Seq("_s"))
         .groupBy("_t").agg(sum(col("_r") * col("_f")).as("_c"))
         .withColumnRenamed("_t", "_v")
       nodes.join(contrib, Seq("_v"), "left")
-        .crossJoin(broadcast(n))
         .select(col("_v"),
-          (lit(1.0 - damping) / col("_n") +
+          (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("_c"), lit(0.0))).as("_r"))
     }
     // eager materialization BEFORE releasing the persisted inputs the

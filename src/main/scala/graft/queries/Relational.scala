@@ -588,9 +588,17 @@ object Relational {
   def g1PageRank(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // significant co-occurrences only (>= 2 shared orders) — the
+    // association-mining convention: the w=1 noise floor is quadratic
+    // in basket size and carries no signal, and thresholding INSIDE
+    // the pair aggregate keeps everything downstream churn-sized.
+    // Checkpoint so the union's two orientations don't re-run the
+    // order-keyed self-join.
     val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
       .filter(col("pk") < col("pk2"))
       .groupBy("pk", "pk2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .localCheckpoint(true)
     val edges = pairs
       .select(col("pk").as("src"), col("pk2").as("dst"), col("w"))
       .unionByName(
@@ -614,7 +622,7 @@ object Relational {
     s"""WITH e0 AS (SELECT a.l_partkey AS s, b.l_partkey AS t, COUNT(*) AS w
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |e AS (SELECT s, t, w FROM e0 UNION ALL SELECT t, s, w FROM e0),
        |ow AS (SELECT s, SUM(w) AS ow FROM e GROUP BY 1),
        |en AS (SELECT e.s, e.t, CAST(e.w AS DOUBLE) / ow.ow AS f
