@@ -124,6 +124,50 @@ object Retrieval {
         concat_ws(" ", col("_ct")).as("chunk_text"))
   }
 
+  /** Exact phrase search over positional postings — the operator a
+    * lexical index serves for quoted queries, and the verbatim-overlap
+    * primitive decontamination sweeps build on. Phrases are
+    * whitespace-tokenized like the corpus ([[TextAnalysis.tokens]]);
+    * a document matches at `anchor` when token `anchor + i` equals
+    * phrase token `i` for every i — the classic positional-postings
+    * intersection by anchor alignment: each corpus token matching a
+    * phrase term votes for the anchor `pos − qpos`, and an anchor with
+    * all `n` phrase positions voting is an occurrence.
+    *
+    * Scale shape: the phrase-term table is tiny and BROADCAST, so the
+    * corpus token stream is cut to matching tokens map-side in the
+    * scan stage; the only shuffle carries (query, doc, anchor) votes
+    * for matching tokens — df-bounded like bm25's tf stream, never
+    * corpus-sized. Overlapping occurrences all report (a phrase of n
+    * identical tokens over a run of m reports m−n+1 anchors).
+    *
+    * Output: (queryIdCol, idCol, n_occurrences, first_pos) for
+    * documents with ≥ 1 occurrence; positions are 0-based. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame, queryIdCol: String, phraseCol: String): DataFrame = {
+    val pt = phrases
+      .select(col(queryIdCol), TextAnalysis.tokens(col(phraseCol)).as("_pt"))
+      .withColumn("_n", size(col("_pt")).cast("long"))
+      .filter(col("_n") > 0)
+      .select(col(queryIdCol), col("_n"),
+        posexplode(col("_pt")).as(Seq("_qpos", "_term")))
+    val tok = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("_pos", "_term")))
+    // within one (query, doc, anchor) group each matched qpos appears
+    // exactly once (pos = anchor + qpos is injective in qpos), so
+    // count(*) counts matched phrase positions
+    val anchors = tok.join(broadcast(pt), Seq("_term"))
+      .withColumn("_anchor", col("_pos") - col("_qpos"))
+      .filter(col("_anchor") >= 0)
+      .groupBy(col(queryIdCol), col(idCol), col("_anchor"))
+      .agg(count(lit(1)).as("_hits"), max(col("_n")).as("_need"))
+      .filter(col("_hits") === col("_need"))
+    anchors.groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("_anchor")).cast("long").as("first_pos"))
+  }
+
   /** NDCG@k with graded relevance — the ranking-quality metric that
     * credits partially-relevant results where [[evalMetrics]]' binary
     * recall/MRR cannot. `graded` carries (query, doc, rel ≥ 0);

@@ -407,6 +407,66 @@ object FastdbOps {
        |FROM g GROUP BY rootid, band
        |ORDER BY rootid, band""".stripMargin
 
+  // ---- A16 (beyond ref): structure function ---------------------------
+
+  /** First-order structure function per light curve — the AGN/variable
+    * variability statistic: |Δflux| of detection pairs binned by time
+    * lag, here 10 bins of 2 days covering lags up to 20 days on the
+    * integer centi-mjd axis. Reported as pair count + the summed
+    * |Δflux| per (curve, band, lag bin); SF(τ) = sum/n at the
+    * consumption site (the a13 sum rule — a MEAN can land on the
+    * rounding-digit half where engines' rounding modes disagree).
+    *
+    * Scale shape: the naive per-curve pair join is quadratic in curve
+    * length; bounding the lag makes it linear in detections × bucket
+    * occupancy via the j7 bucket trick — probe rows explode to their
+    * own and the previous 2000-centi-mjd bucket, the build side keys
+    * by its own bucket, so every lag-≤-2000 pair is found exactly once
+    * and the equi key (rootid, band, bucket) carries the whole join.
+    * Pairs are oriented (m_a, id_a) < (m_b, id_b) lexicographically, so
+    * equal-epoch detections pair once, lag 0. */
+  def a16StructureFunc(s: SparkSession, d: String): DataFrame = {
+    val src = liSources(s, d)
+      .withColumn("mjd_c", floor(col("midpointmjdtai") * 100 + 0.5).cast("long"))
+      .select(col("rootid"), col("band"), col("mjd_c"), col("psfflux"),
+        col("diasourceid"))
+    val a = src.select(col("rootid"), col("band"),
+        col("mjd_c").as("m_a"), col("psfflux").as("f_a"),
+        col("diasourceid").as("id_a"))
+      .withColumn("_bkt", explode(array(
+        expr("m_a div 2000"), expr("m_a div 2000") + 1)))
+    val b = src.select(col("rootid"), col("band"),
+        col("mjd_c").as("m_b"), col("psfflux").as("f_b"),
+        col("diasourceid").as("id_b"))
+      .withColumn("_bkt", expr("m_b div 2000"))
+    a.join(b, Seq("rootid", "band", "_bkt"))
+      .filter(col("m_b") - col("m_a") <= 2000L &&
+        (col("m_a") < col("m_b") ||
+          (col("m_a") === col("m_b") && col("id_a") < col("id_b"))))
+      .withColumn("lag_bin", expr("(m_b - m_a) div 200"))
+      .groupBy("rootid", "band", "lag_bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(abs(col("f_b") - col("f_a"))), 3).as("sf_sum"))
+      .orderBy("rootid", "band", "lag_bin")
+  }
+
+  val a16Sql: String =
+    s"""WITH src AS ($liSourcesSql),
+       |s2 AS (SELECT rootid, band, psfflux, diasourceid,
+       |         CAST(FLOOR(midpointmjdtai * 100 + 0.5) AS BIGINT) AS mjd_c
+       |       FROM src)
+       |SELECT a.rootid, a.band,
+       |  (b.mjd_c - a.mjd_c) // 200 AS lag_bin,
+       |  COUNT(*) AS n_pairs,
+       |  ROUND(SUM(ABS(b.psfflux - a.psfflux)), 3) AS sf_sum
+       |FROM s2 a JOIN s2 b
+       |  ON a.rootid = b.rootid AND a.band = b.band
+       | AND b.mjd_c - a.mjd_c BETWEEN 0 AND 2000
+       | AND (a.mjd_c < b.mjd_c
+       |      OR (a.mjd_c = b.mjd_c AND a.diasourceid < b.diasourceid))
+       |GROUP BY 1, 2, 3
+       |ORDER BY a.rootid, a.band, lag_bin""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -934,6 +994,7 @@ object FastdbOps {
     "w6_rolling_ltcv" -> (w6RollingLtcv _),
     "a14_phase_fold" -> (a14PhaseFold _),
     "a15_cadence" -> (a15Cadence _),
+    "a16_structure_func" -> (a16StructureFunc _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -957,6 +1018,7 @@ object FastdbOps {
     "w6_rolling_ltcv" -> w6Sql,
     "a14_phase_fold" -> a14Sql,
     "a15_cadence" -> a15Sql,
+    "a16_structure_func" -> a16Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

@@ -578,6 +578,70 @@ object Relational {
       |        AS rk FROM c)
       |WHERE rk <= 20 ORDER BY rank""".stripMargin
 
+  /** EV7 (beyond ref): A/B experiment readout — the analysis every
+    * event pipeline ends in. Users are assigned to arms by the
+    * engine-portable md5-nibble split ([[graft.pipeline.Sharding]]'s
+    * idiom: first hex nibble of md5(user_id), 0–7 → control, 8–f →
+    * treatment — deterministic, seedless, and identical on any engine
+    * with a standard md5); conversion = the user fired ≥ 1 `purchase`
+    * event above the 180.0 value cut (every synthetic user purchases
+    * SOMETHING, so bare purchase saturates to p = 1 and the z
+    * denominator vanishes — the cut keeps both arms interior at every
+    * SF). One row: per-arm sizes/conversions plus the two-proportion
+    * z statistic, spelled identically in both engines — every step
+    * (counts, exact integer-ratio divisions, one sqrt) is a correctly
+    * rounded IEEE op on identical inputs, so the 6-dp rounding carries
+    * three digits of margin. Shape: one user-keyed partial-agg groupBy
+    * + one scalar conditional aggregate — no join, nothing wider than
+    * a row ever moves. */
+  def ev7AbTest(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 180.0,
+          1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7",
+          "control").otherwise("treatment"))
+    perUser.agg(
+        sum(when(col("arm") === "control", 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === "control", col("conv")).otherwise(0L)).as("k_c"),
+        sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === "treatment", col("conv")).otherwise(0L)).as("k_t"))
+      .select(col("n_c"), col("k_c"), col("n_t"), col("k_t"),
+        round(col("k_c").cast("double") / col("n_c"), 6).as("conv_c"),
+        round(col("k_t").cast("double") / col("n_t"), 6).as("conv_t"),
+        round(
+          (col("k_t").cast("double") / col("n_t") -
+            col("k_c").cast("double") / col("n_c")) /
+          sqrt(((col("k_c") + col("k_t")).cast("double") / (col("n_c") + col("n_t"))) *
+            (lit(1.0) - (col("k_c") + col("k_t")).cast("double") / (col("n_c") + col("n_t"))) *
+            (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))), 6).as("z"))
+  }
+
+  val ev7Sql: String =
+    """WITH pu AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 180.0
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |ar AS (SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |           <= '7' THEN 'control' ELSE 'treatment' END AS arm, conv
+      |       FROM pu),
+      |ag AS (SELECT
+      |    SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS n_c,
+      |    SUM(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS k_c,
+      |    SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS n_t,
+      |    SUM(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END) AS k_t
+      |  FROM ar)
+      |SELECT CAST(n_c AS BIGINT) AS n_c, CAST(k_c AS BIGINT) AS k_c,
+      |  CAST(n_t AS BIGINT) AS n_t, CAST(k_t AS BIGINT) AS k_t,
+      |  ROUND(CAST(k_c AS DOUBLE) / n_c, 6) AS conv_c,
+      |  ROUND(CAST(k_t AS DOUBLE) / n_t, 6) AS conv_t,
+      |  ROUND((CAST(k_t AS DOUBLE) / n_t - CAST(k_c AS DOUBLE) / n_c) /
+      |    sqrt((CAST(k_c + k_t AS DOUBLE) / (n_c + n_t)) *
+      |      (1.0 - CAST(k_c + k_t AS DOUBLE) / (n_c + n_t)) *
+      |      (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))), 6) AS z
+      |FROM ag""".stripMargin
+
   /** G1 (beyond ref): weighted PageRank over the part co-purchase
     * graph — parts are linked when they share an order, weight = the
     * number of shared orders, both orientations (undirected), 5
@@ -585,20 +649,34 @@ object Relational {
     * ([[graft.pipeline.Graph.pageRank]]). The oracle unrolls the same
     * five iterations in SQL; ranks are O(1/N) and round at 6 dp, three
     * significant digits of float-portability margin. */
-  def g1PageRank(s: SparkSession, d: String): DataFrame = {
+  /** The part co-purchase pair substrate g1/g2 share: parts linked
+    * when they appear in >= 2 common orders (pk < pk2 canonical form,
+    * w = shared-order count). Significant co-occurrences only — the
+    * association-mining convention: the w=1 noise floor is quadratic
+    * in basket size and carries no signal, and thresholding INSIDE
+    * the pair aggregate keeps everything downstream churn-sized.
+    * Checkpointed so multiple consumers don't re-run the order-keyed
+    * self-join. */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    // significant co-occurrences only (>= 2 shared orders) — the
-    // association-mining convention: the w=1 noise floor is quadratic
-    // in basket size and carries no signal, and thresholding INSIDE
-    // the pair aggregate keeps everything downstream churn-sized.
-    // Checkpoint so the union's two orientations don't re-run the
-    // order-keyed self-join.
-    val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+    li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
       .filter(col("pk") < col("pk2"))
       .groupBy("pk", "pk2").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .localCheckpoint(true)
+  }
+
+  /** The e0 CTE both graph oracles open with — the SQL spelling of
+    * [[coPurchasePairs]]. */
+  private val coPurchaseSql: String =
+    """e0 AS (SELECT a.l_partkey AS s, b.l_partkey AS t, COUNT(*) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  def g1PageRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = coPurchasePairs(s, d)
     val edges = pairs
       .select(col("pk").as("src"), col("pk2").as("dst"), col("w"))
       .unionByName(
@@ -619,10 +697,7 @@ object Relational {
          |  LEFT JOIN en ON en.t = n.v
          |  LEFT JOIN r${i - 1} ON r${i - 1}.v = en.s
          |  GROUP BY n.v, c.nd)""".stripMargin
-    s"""WITH e0 AS (SELECT a.l_partkey AS s, b.l_partkey AS t, COUNT(*) AS w
-       |  FROM lineitem a JOIN lineitem b
-       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    s"""WITH $coPurchaseSql,
        |e AS (SELECT s, t, w FROM e0 UNION ALL SELECT t, s, w FROM e0),
        |ow AS (SELECT s, SUM(w) AS ow FROM e GROUP BY 1),
        |en AS (SELECT e.s, e.t, CAST(e.w AS DOUBLE) / ow.ow AS f
@@ -634,6 +709,46 @@ object Relational {
        |SELECT v AS part, ROUND(r, 6) AS rank FROM r5
        |ORDER BY part""".stripMargin
   }
+
+  /** G2 (beyond ref): per-node triangle counts + local clustering
+    * coefficient over the co-purchase graph ([[graft.pipeline.Graph
+    * .triangleCounts]] — degree-ordered wedge closing, so no reducer
+    * ever sees a hub's Θ(deg²) wedge set). The oracle enumerates each
+    * triangle once in its canonical x < y < z form — the orientations
+    * differ but the triangle SET is identical, which is exactly what
+    * the hash check pins. Clustering = 2T / (d(d−1)), an exact IEEE
+    * division of integers, rounded at 6 dp. */
+  def g2Triangles(s: SparkSession, d: String): DataFrame = {
+    val pairs = coPurchasePairs(s, d)
+    graft.pipeline.Graph.triangleCounts(pairs, "pk", "pk2")
+      .select(col("node").as("part"), col("degree"), col("n_triangles"),
+        round(when(col("degree") > 1,
+            col("n_triangles") * lit(2.0) /
+              (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+      .orderBy("part")
+  }
+
+  val g2Sql: String =
+    s"""WITH $coPurchaseSql,
+       |tri AS (SELECT a.s AS x, a.t AS y, b.t AS z
+       |  FROM e0 a
+       |  JOIN e0 b ON b.s = a.s AND b.t > a.t
+       |  JOIN e0 c ON c.s = a.t AND c.t = b.t),
+       |deg AS (SELECT n, COUNT(*) AS d FROM (
+       |    SELECT s AS n FROM e0 UNION ALL SELECT t FROM e0)
+       |  GROUP BY 1),
+       |tc AS (SELECT n, COUNT(*) AS t FROM (
+       |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri)
+       |  GROUP BY 1)
+       |SELECT deg.n AS part, deg.d AS degree,
+       |  COALESCE(tc.t, 0) AS n_triangles,
+       |  ROUND(CASE WHEN deg.d > 1
+       |    THEN COALESCE(tc.t, 0) * 2.0 / (deg.d * (deg.d - 1))
+       |    ELSE 0.0 END, 6) AS clustering
+       |FROM deg LEFT JOIN tc ON tc.n = deg.n
+       |ORDER BY part""".stripMargin
 
   /** ST1: a REAL Structured Streaming execution as a driver-oracled
     * battery entry — the events table replayed through a file-source
@@ -777,7 +892,9 @@ object Relational {
     "ev4_transitions" -> (ev4Transitions _),
     "ev5_anomalies" -> (ev5Anomalies _),
     "ev6_event_paths" -> (ev6EventPaths _),
+    "ev7_ab_test" -> (ev7AbTest _),
     "g1_pagerank" -> (g1PageRank _),
+    "g2_triangles" -> (g2Triangles _),
     "p1_filters" -> (p1Filters _),
     "j1_join_chain" -> (j1JoinChain _),
     "j3_anti_join" -> (j3AntiJoin _),
@@ -804,7 +921,9 @@ object Relational {
     "ev4_transitions" -> ev4Sql,
     "ev5_anomalies" -> ev5Sql,
     "ev6_event_paths" -> ev6Sql,
+    "ev7_ab_test" -> ev7Sql,
     "g1_pagerank" -> g1Sql,
+    "g2_triangles" -> g2Sql,
     "p1_filters" -> p1FiltersSql,
     "j1_join_chain" -> j1JoinChainSql,
     "j3_anti_join" -> j3AntiJoinSql,

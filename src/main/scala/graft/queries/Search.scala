@@ -513,6 +513,50 @@ object Search {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Exact phrase search ([[Retrieval.phraseSearch]]): four quoted
+    * queries against the positional-postings alignment, including a
+    * repeated-token phrase ('table table table') whose overlapping
+    * occurrences exercise the anchor arithmetic. Pure integer output
+    * (counts + 0-based first position) → fully oracled. */
+  def r8PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ph = Seq(
+      (1L, "hash join"), (2L, "table scan"), (3L, "slow query"),
+      (4L, "table table table")).toDF("query_id", "phrase")
+    Retrieval.phraseSearch(documents(s, d), "doc_id", "text", ph,
+        "query_id", "phrase")
+      .orderBy("query_id", "doc_id")
+  }
+
+  val r8Sql: String =
+    """WITH p(query_id, phrase) AS (VALUES
+      |    (1, 'hash join'), (2, 'table scan'), (3, 'slow query'),
+      |    (4, 'table table table')),
+      |pw AS (SELECT query_id, string_split(phrase, ' ') AS wd FROM p),
+      |pt AS (SELECT query_id, len(wd) AS n, qp - 1 AS qpos, wd[qp] AS term
+      |       FROM (SELECT query_id, wd,
+      |               unnest(generate_series(1, len(wd))) AS qp
+      |             FROM pw)),
+      |tw AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |tok AS (SELECT doc_id, ps - 1 AS pos, wd[ps] AS term
+      |        FROM (SELECT doc_id, wd,
+      |                unnest(generate_series(1, len(wd))) AS ps
+      |              FROM tw)),
+      |an AS (SELECT pt.query_id, tok.doc_id,
+      |         tok.pos - pt.qpos AS anchor, pt.n
+      |       FROM tok JOIN pt USING (term)
+      |       WHERE tok.pos - pt.qpos >= 0),
+      |occ AS (SELECT query_id, doc_id, anchor
+      |        FROM an GROUP BY query_id, doc_id, anchor, n
+      |        HAVING COUNT(*) = n)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |  COUNT(*) AS n_occurrences,
+      |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+      |FROM occ GROUP BY query_id, doc_id
+      |ORDER BY query_id, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_bm25" -> (r1Bm25 _),
     "r2_chunk" -> (r2Chunk _),
@@ -520,7 +564,8 @@ object Search {
     "r4_eval_metrics" -> (r4EvalMetrics _),
     "r5_mmr_rerank" -> (r5Mmr _),
     "r6_ndcg" -> (r6Ndcg _),
-    "r7_prf_expand" -> (r7PrfExpand _))
+    "r7_prf_expand" -> (r7PrfExpand _),
+    "r8_phrase_search" -> (r8PhraseSearch _))
 
   def oracles: Map[String, String] = Map(
     "r1_bm25" -> r1Sql,
@@ -529,5 +574,6 @@ object Search {
     "r4_eval_metrics" -> r4Sql,
     "r5_mmr_rerank" -> r5Sql,
     "r6_ndcg" -> r6Sql,
-    "r7_prf_expand" -> r7Sql)
+    "r7_prf_expand" -> r7Sql,
+    "r8_phrase_search" -> r8Sql)
 }
