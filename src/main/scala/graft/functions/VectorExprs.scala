@@ -103,6 +103,94 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared Euclidean distance of two numeric array columns:
+  * Σ (a_i − b_i)², summed left to right.
+  *
+  * Spelled as the difference fold rather than |a|² − 2a·b + |b|²
+  * deliberately: the expanded form cancels catastrophically when
+  * a ≈ b (exactly the pairs a clustering assignment cares about), and
+  * the fold's left-to-right order makes the value bit-identical to a
+  * sequential replay (`list_sum(list_transform(...))` in DuckDB, the
+  * interpreted HOF form in Spark) — which is what lets k-means
+  * assignment rounds be exactly oracled. Same conventions as
+  * [[DotProduct]]: null input → null, decimal arrays rejected at
+  * analysis, length mismatch runs over the shorter prefix. */
+case class SqL2Dist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(_: DecimalType, _) => false
+      case ArrayType(_: NumericType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_l2_dist needs two non-decimal numeric arrays, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemType(e: Expression): NumericType =
+    e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = math.min(la.numElements(), ra.numElements())
+    val lt = elemType(left); val rt = elemType(right)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(la, i, lt) - get(ra, i, rt)
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  private def get(a: ArrayData, i: Int, t: NumericType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case _ => a.getByte(i).toDouble
+  }
+
+  private def accessor(t: NumericType): String = t match {
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+    case IntegerType => "getInt"
+    case LongType => "getLong"
+    case ShortType => "getShort"
+    case _ => "getByte"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = accessor(elemType(left)); val ra = accessor(elemType(right))
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $l.$la($i)) - ((double) $r.$ra($i));
+         |  $sum += $d * $d;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqL2Dist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd polynomial rolling hash over a string's codepoints:
   * acc = (acc * 31 + codepoint) % 1_000_000_007, left to right.
   *
@@ -638,6 +726,11 @@ object VectorExprs {
   /** Codegen'd dot product of two numeric array columns. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.toColumn(DotProduct(Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** Codegen'd squared Euclidean distance of two numeric array
+    * columns (difference fold — see [[SqL2Dist]]). */
+  def sqL2Dist(a: Column, b: Column): Column =
+    Bridge.toColumn(SqL2Dist(Bridge.toExpression(a), Bridge.toExpression(b)))
 
   /** Codegen'd codepoint rolling hash (see [[RollingHash]]). */
   def rollingHash(s: Column): Column =

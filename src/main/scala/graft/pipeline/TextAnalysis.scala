@@ -398,6 +398,43 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Zipf slope per group: OLS fit of ln(frequency) against ln(rank)
+    * over each group's `topR` most frequent terms — the corpus-health
+    * diagnostic that flags synthetic/templated text (natural language
+    * sits near −1; boilerplate floods flatten or steepen the curve).
+    * Frequency ranks break ties by term so the ranking is total; the
+    * slope uses centered two-pass moments (the a13 rule — one-pass
+    * nΣxy−ΣxΣy cancels catastrophically) and rounds at 4 dp, leaving
+    * ~8 digits of margin over cross-engine ln()/sum-order ulps.
+    *
+    * Scale shape: the rank window partitions the VOCABULARY (the
+    * term-frequency aggregate), not the corpus — per-group vocabulary
+    * is Heaps-bounded (≈ √corpus), and a pathological vocabulary can
+    * pre-cut with the exact-k hex trick ([[Sharding]]'s p8 pattern)
+    * before the window. Output: (groupCol, n_terms, slope_r). */
+  def zipfSlope(docs: DataFrame, groupCol: String, textCol: String,
+      topR: Int = 200): DataFrame = {
+    val freq = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("_term"))
+      .groupBy(col(groupCol), col("_term")).agg(count(lit(1)).as("_f"))
+    val w = Window.partitionBy(groupCol).orderBy(desc("_f"), col("_term"))
+    val ranked = freq.withColumn("_rk", row_number().over(w).cast("long"))
+      .filter(col("_rk") <= topR)
+      .select(col(groupCol),
+        log(col("_rk").cast("double")).as("_x"),
+        log(col("_f").cast("double")).as("_y"))
+    val means = ranked.groupBy(groupCol)
+      .agg(avg(col("_x")).as("_mx"), avg(col("_y")).as("_my"),
+        count(lit(1)).as("n_terms"))
+    ranked.join(broadcast(means), Seq(groupCol))
+      .groupBy(col(groupCol), col("n_terms"))
+      .agg(
+        sum((col("_x") - col("_mx")) * (col("_y") - col("_my"))).as("_sxy"),
+        sum((col("_x") - col("_mx")) * (col("_x") - col("_mx"))).as("_sxx"))
+      .select(col(groupCol), col("n_terms"),
+        round(col("_sxy") / col("_sxx"), 4).as("slope_r"))
+  }
+
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val firstOcc = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("_term"))

@@ -1086,6 +1086,55 @@ object Pipeline {
       |    ORDER BY ip_r DESC, vec_id) AS rank FROM ips)
       |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin
 
+  /** Deterministic k-means over the embedding corpus
+    * ([[graft.pipeline.KMeans.assign]]): k = 8 seeds = the 8 lowest
+    * vec_ids, 2 full Lloyd steps, every engine-divergent quantity
+    * (distances, centroid means) rounded at 6 dp before it feeds the
+    * next decision — so the whole clustering replays exactly and the
+    * oracle unrolls both iterations as chained CTEs. The distance is
+    * the codegen'd difference fold [[graft.functions.SqL2Dist]],
+    * bit-identical to DuckDB's sequential list_sum replay. */
+  def s11Kmeans(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.KMeans.assign(embeddings(s, d), "vec_id", "embedding",
+        k = 8, iterations = 2)
+      .orderBy("vec_id")
+
+  val s11Sql: String = {
+    // one Lloyd step: assignment against k<i-1>, then per-(cluster,
+    // dim) rounded means with empty-cluster carryover
+    def step(i: Int) = {
+      val p = i - 1
+      s"""d$i AS (SELECT e.vec_id, k.c,
+         |    ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
+         |      j -> (e.v[j] - k.cv[j]) * (e.v[j] - k.cv[j]))), 6) AS d2
+         |  FROM e CROSS JOIN k$p k),
+         |a$i AS (SELECT vec_id, c FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, c) AS rn FROM d$i) WHERE rn = 1),
+         |x$i AS (SELECT a$i.c, e.v,
+         |         unnest(generate_series(1, len(e.v))) AS dim
+         |       FROM a$i JOIN e USING (vec_id)),
+         |m$i AS (SELECT c, dim, ROUND(AVG(v[dim]), 6) AS mv
+         |       FROM x$i GROUP BY 1, 2),
+         |k$i AS (SELECT k$p.c, COALESCE(g.gcv, k$p.cv) AS cv
+         |       FROM k$p LEFT JOIN (SELECT c, list(mv ORDER BY dim) AS gcv
+         |                           FROM m$i GROUP BY 1) g USING (c))""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |k0 AS (SELECT vec_id AS c, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+       |${(1 to 2).map(step).mkString(",\n")},
+       |df AS (SELECT e.vec_id, k.c,
+       |    ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
+       |      j -> (e.v[j] - k.cv[j]) * (e.v[j] - k.cv[j]))), 6) AS d2
+       |  FROM e CROSS JOIN k2 k)
+       |SELECT vec_id, c AS cluster, d2 AS dist2_r FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, c) AS rn FROM df)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   /** Vocabulary-growth (Heaps-law) curve
     * ([[TextAnalysis.vocabGrowth]]): per first-occurrence doc, new
     * terms introduced + cumulative vocabulary size, the corpus-health
@@ -1126,6 +1175,32 @@ object Pipeline {
       |        ORDER BY score DESC, term) AS rank FROM sc)
       |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Zipf slope per language ([[TextAnalysis.zipfSlope]]): OLS of
+    * ln(freq) on ln(rank) over each language's top-200 terms, centered
+    * two-pass moments, 4-dp rounding. */
+  def t25ZipfSlope(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.zipfSlope(documents(s, d), "lang", "text", topR = 200)
+      .orderBy("lang")
+
+  val t25Sql: String =
+    """WITH tok AS (SELECT lang,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |f AS (SELECT lang, term, COUNT(*) AS f FROM tok GROUP BY 1, 2),
+      |r AS (SELECT lang, f, ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY f DESC, term) AS rk FROM f),
+      |t AS (SELECT lang, ln(CAST(rk AS DOUBLE)) AS x,
+      |        ln(CAST(f AS DOUBLE)) AS y
+      |      FROM r WHERE rk <= 200),
+      |m AS (SELECT lang, AVG(x) AS mx, AVG(y) AS my,
+      |        COUNT(*) AS n_terms FROM t GROUP BY 1)
+      |SELECT t.lang, CAST(m.n_terms AS BIGINT) AS n_terms,
+      |  ROUND(SUM((x - mx) * (y - my)) / SUM((x - mx) * (x - mx)), 4)
+      |    AS slope_r
+      |FROM t JOIN m USING (lang)
+      |GROUP BY t.lang, m.n_terms
+      |ORDER BY lang""".stripMargin
 
   /** Per-label embedding centroids — the domain/cluster drift monitor
     * an embedding pipeline reports (centroid movement between corpus
@@ -1634,6 +1709,7 @@ object Pipeline {
     "s7_embed_centroids" -> (s7EmbedCentroids _),
     "s8_sq_quantize" -> (s8SqQuantize _),
     "s10_mips_topk" -> (s10MipsTopK _),
+    "s11_kmeans" -> (s11Kmeans _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
@@ -1641,6 +1717,7 @@ object Pipeline {
     "t19_filter_bank" -> (t19FilterBank _),
     "t22_vocab_growth" -> (t22VocabGrowth _),
     "t24_tfidf_keywords" -> (t24TfidfKeywords _),
+    "t25_zipf_slope" -> (t25ZipfSlope _),
     "t15_collocations" -> (t15Collocations _),
     "t5_profile" -> (t5Profile _),
     "m1_multimodal" -> (m1Multimodal _),
@@ -1672,6 +1749,7 @@ object Pipeline {
     "s7_embed_centroids" -> s7Sql,
     "s8_sq_quantize" -> s8Sql,
     "s10_mips_topk" -> s10Sql,
+    "s11_kmeans" -> s11Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,
@@ -1680,6 +1758,7 @@ object Pipeline {
     "t19_filter_bank" -> t19Sql,
     "t22_vocab_growth" -> t22Sql,
     "t24_tfidf_keywords" -> t24Sql,
+    "t25_zipf_slope" -> t25Sql,
     "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,
     "m5_media_quality" -> m5Sql,
