@@ -642,6 +642,44 @@ object Relational {
       |      (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))), 6) AS z
       |FROM ag""".stripMargin
 
+  /** EV8 (beyond ref): incrementally-maintained daily rollup — the
+    * materialized-view pattern ([[graft.merge.RollupStore]]): the
+    * event stream folds in four batches, each fold aggregating ONLY
+    * its batch, semi-joining back only the touched day partitions,
+    * and rewriting exactly those via dynamic partition overwrite.
+    * Counts/sums are additive so the final state equals the one-shot
+    * GROUP BY the oracle runs — which is precisely the m-view
+    * maintenance invariant the query pins. Sums round at 4 dp only at
+    * the output (state carries raw doubles; per-batch partial sums
+    * reassociate differently than one pass). */
+  def ev8IncrementalRollup(s: SparkSession, d: String): DataFrame = {
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(): Unit
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev8").toString
+    try {
+      val ev = events(s, d).withColumn("day",
+        expr("unix_micros(ts) div 86400000000").cast("int"))
+      (0 until 4).foreach { k =>
+        graft.merge.RollupStore.fold(s, dir,
+          ev.filter(col("event_id") % 4 === k), "day", "event_type", "value")
+      }
+      graft.merge.RollupStore.load(s, dir)
+        .select(col("day"), col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value_r"))
+        .orderBy("day", "event_type")
+        .localCheckpoint(true)  // detach from the scratch tree before delete
+    } finally deleteRec(new java.io.File(dir))
+  }
+
+  val ev8Sql: String =
+    """SELECT CAST(epoch_us(ts) // 86400000000 AS INTEGER) AS day,
+      |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value_r
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
   /** G1 (beyond ref): weighted PageRank over the part co-purchase
     * graph — parts are linked when they share an order, weight = the
     * number of shared orders, both orientations (undirected), 5
@@ -893,6 +931,7 @@ object Relational {
     "ev5_anomalies" -> (ev5Anomalies _),
     "ev6_event_paths" -> (ev6EventPaths _),
     "ev7_ab_test" -> (ev7AbTest _),
+    "ev8_incremental_rollup" -> (ev8IncrementalRollup _),
     "g1_pagerank" -> (g1PageRank _),
     "g2_triangles" -> (g2Triangles _),
     "p1_filters" -> (p1Filters _),
@@ -922,6 +961,7 @@ object Relational {
     "ev5_anomalies" -> ev5Sql,
     "ev6_event_paths" -> ev6Sql,
     "ev7_ab_test" -> ev7Sql,
+    "ev8_incremental_rollup" -> ev8Sql,
     "g1_pagerank" -> g1Sql,
     "g2_triangles" -> g2Sql,
     "p1_filters" -> p1FiltersSql,

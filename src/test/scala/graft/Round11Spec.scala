@@ -153,6 +153,56 @@ class Round11Spec extends AnyFunSuite {
     assert(all.toSeq.sorted == Seq((7L, 7L, 0.0), (8L, 8L, 0.0)))
   }
 
+  // ---- ev8: incremental rollup ---------------------------------------
+
+  test("RollupStore folds equal one-shot agg; untouched partitions are not rewritten") {
+    val rng = new scala.util.Random(29)
+    val rows = (0L until 500L).map { i =>
+      (i, rng.nextInt(6), Vector("a", "b", "c")(rng.nextInt(3)),
+        rng.nextInt(1000) / 100.0)
+    }
+    val df = rows.toDF("eid", "day", "k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("rollupspec").toString
+    try {
+      // fold by day pairs: batch 0 = days 0-1, 1 = days 2-3, 2 = days 4-5,
+      // then a late batch touching ONLY day 5
+      (0 until 3).foreach { b =>
+        merge.RollupStore.fold(spark, dir,
+          df.filter(col("day") === 2 * b || col("day") === 2 * b + 1),
+          "day", "k", "v")
+      }
+      def files(day: Int) = {
+        val f = new java.io.File(dir, s"day=$day")
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => (p.getName, p.lastModified(), p.length())).sorted.toSeq
+      }
+      val day0Before = files(0)
+      assert(day0Before.nonEmpty)
+      val late = Seq((9999L, 5, "a", 1.25)).toDF("eid", "day", "k", "v")
+      merge.RollupStore.fold(spark, dir, late, "day", "k", "v")
+      assert(files(0) == day0Before, "untouched day partition was rewritten")
+      // final state == one-shot aggregate over everything folded
+      val got = merge.RollupStore.load(spark, dir)
+        .collect().map(r => ((r.getAs[Int]("day"), r.getAs[String]("k")),
+          (r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
+      val all = rows.map(t => (t._2, t._3, t._4)) :+ ((5, "a", 1.25))
+      val expect = all.groupBy(t => (t._1, t._2)).map { case (key, ts) =>
+        key -> (ts.size.toLong, ts.map(_._3).sum)
+      }
+      assert(got.keySet == expect.keySet)
+      got.foreach { case (key, (n, sv)) =>
+        assert(n == expect(key)._1, s"$key n")
+        assert(math.abs(sv - expect(key)._2) < 1e-9, s"$key sum")
+      }
+    } finally {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(): Unit
+      }
+      rec(new java.io.File(dir))
+    }
+  }
+
   // ---- a16: bucket-bounded pair join ---------------------------------
 
   test("a16's bucket trick finds exactly the naive lag-bounded pair set") {
