@@ -467,6 +467,62 @@ object FastdbOps {
        |GROUP BY 1, 2, 3
        |ORDER BY a.rootid, a.band, lag_bin""".stripMargin
 
+  // ---- A17 (beyond ref): periodogram ----------------------------------
+
+  /** Classical (Schuster) periodogram per light curve at a fixed trial
+    * period grid — the frequency-domain periodicity search next to
+    * a14's phase-dispersion statistic: for each (curve, band, period)
+    * the flux's spectral amplitude Σy·cos(ωt), Σy·sin(ωt) with
+    * y = flux − per-curve mean and ω = 2π/P, plus the normalized
+    * power (Sc² + Ss²)/n. Portability discipline: the centering mean
+    * is deliberately UNROUNDED — engines' sum orders differ only
+    * smoothly (~1e−13), while rounding a mean of finite-decimal
+    * inputs creates exact .xxxx5 halves where HALF_UP and banker's
+    * rounding cliff apart (the a13 lesson, re-confirmed live on this
+    * query's first formulation); the two spectral sums round at 3 dp
+    * (~7 digits of margin over accumulated mean/libm-ulp noise), and
+    * the power is computed FROM the rounded sums — exact arithmetic
+    * on identical inputs. Scale shape: the period grid is a 5-element
+    * exploded in the scan stage (no join), then one partial-aggregated
+    * groupBy at curve × period cardinality. */
+  def a17Periodogram(s: SparkSession, d: String): DataFrame = {
+    val periods = Seq(5.0, 10.0, 15.0, 20.0, 25.0)
+    val src = liSources(s, d)
+      .select(col("rootid"), col("band"), col("midpointmjdtai").as("t"),
+        col("psfflux"))
+    val means = src.groupBy("rootid", "band")
+      .agg(avg(col("psfflux")).as("_mean"))
+    val w = (lit(2 * math.Pi) / col("p")) * col("t")
+    src.join(means, Seq("rootid", "band"))
+      .withColumn("y", col("psfflux") - col("_mean"))
+      .withColumn("p", explode(array(periods.map(lit): _*)))
+      .groupBy("rootid", "band", "p")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("y") * cos(w)), 3).as("sc_r"),
+        round(sum(col("y") * sin(w)), 3).as("ss_r"))
+      .withColumn("power_r",
+        round((col("sc_r") * col("sc_r") + col("ss_r") * col("ss_r")) /
+          col("n"), 3))
+      .orderBy("rootid", "band", "p")
+  }
+
+  val a17Sql: String =
+    s"""WITH src AS ($liSourcesSql),
+       |m AS (SELECT rootid, band, AVG(psfflux) AS mn
+       |      FROM src GROUP BY 1, 2),
+       |y AS (SELECT s.rootid, s.band, s.midpointmjdtai AS t,
+       |        s.psfflux - m.mn AS y
+       |      FROM src s JOIN m USING (rootid, band)),
+       |f AS (SELECT CAST(unnest([5.0, 10.0, 15.0, 20.0, 25.0]) AS DOUBLE)
+       |        AS p),
+       |g AS (SELECT rootid, band, p, COUNT(*) AS n,
+       |        ROUND(SUM(y * cos(2 * pi() / p * t)), 3) AS sc_r,
+       |        ROUND(SUM(y * sin(2 * pi() / p * t)), 3) AS ss_r
+       |      FROM y CROSS JOIN f GROUP BY 1, 2, 3)
+       |SELECT rootid, band, p, CAST(n AS BIGINT) AS n, sc_r, ss_r,
+       |  ROUND((sc_r * sc_r + ss_r * ss_r) / n, 3) AS power_r
+       |FROM g ORDER BY rootid, band, p""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -995,6 +1051,7 @@ object FastdbOps {
     "a14_phase_fold" -> (a14PhaseFold _),
     "a15_cadence" -> (a15Cadence _),
     "a16_structure_func" -> (a16StructureFunc _),
+    "a17_periodogram" -> (a17Periodogram _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -1019,6 +1076,7 @@ object FastdbOps {
     "a14_phase_fold" -> a14Sql,
     "a15_cadence" -> a15Sql,
     "a16_structure_func" -> a16Sql,
+    "a17_periodogram" -> a17Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,
