@@ -272,6 +272,38 @@ object Relational {
       |ORDER BY total_spent DESC, o_custkey
       |LIMIT 10""".stripMargin
 
+  /** O4: keyset (seek-method) pagination — the reference exports
+    * result chunks with OFFSET/LIMIT (src/parquet_export.py:96-101),
+    * which SURVEY.md §2 marks "avoid": OFFSET n re-sorts and discards
+    * n rows per page, O(n·pages) total and unstable under concurrent
+    * writes. The scale-correct replacement is the seek method: each
+    * page filters `key > last_seen_key` (a parquet min/max-prunable
+    * predicate — untouched row groups are never read) and takes the
+    * next `pageSize` by key order. Pages 1–3 are walked here by
+    * carrying only the boundary KEY between pages (two one-scalar
+    * collects, the client-cursor contract); the third page is the
+    * result. The oracle states the same rows as OFFSET/LIMIT — tiny
+    * in DuckDB, which is exactly the asymmetry the operator exists
+    * for. */
+  def o4KeysetPage(s: SparkSession, d: String): DataFrame = {
+    val pageSize = 100
+    def page(after: Option[Long]): DataFrame =
+      after.foldLeft(orders(s, d))((df, b) => df.filter(col("o_orderkey") > b))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+        .limit(pageSize)
+    val b1 = page(None).agg(max(col("o_orderkey"))).head().getLong(0)
+    val b2 = page(Some(b1)).agg(max(col("o_orderkey"))).head().getLong(0)
+    page(Some(b2)).orderBy("o_orderkey")
+  }
+
+  val o4KeysetPageSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 100 OFFSET 200""".stripMargin
+
   /** Set op: UNION ALL of two entity projections (server.py:38-43's
     * procver + alias concatenation). */
   def setUnion(s: SparkSession, d: String): DataFrame =
@@ -943,6 +975,7 @@ object Relational {
     "a8_array_agg" -> (a8ArrayAgg _),
     "w2_window" -> (w2Window _),
     "o1_topk" -> (o1TopK _),
+    "o4_keyset_page" -> (o4KeysetPage _),
     "set_union" -> (setUnion _),
     "f1_scalar_math" -> (f1ScalarMath _),
     "f9_json" -> (f9Json _),
@@ -973,6 +1006,7 @@ object Relational {
     "a8_array_agg" -> a8ArrayAggSql,
     "w2_window" -> w2WindowSql,
     "o1_topk" -> o1TopKSql,
+    "o4_keyset_page" -> o4KeysetPageSql,
     "set_union" -> setUnionSql,
     "f1_scalar_math" -> f1ScalarMathSql,
     "f9_json" -> f9JsonSql,
