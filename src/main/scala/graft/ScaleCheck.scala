@@ -136,6 +136,65 @@ object ScaleCheck {
     stageOn("s8_sq_quantize", emb1, embN)(e =>
       graft.pipeline.ScalarQuant.quantize(e, "vec_id", "embedding").count())
 
+    // ---- N× lineitem (graph + light-curve stages) ------------------
+    // copies offset BOTH keys by k·10⁹ so the co-purchase graphs (and
+    // curve groups) of different copies are vertex-disjoint: triangles
+    // and SF pairs grow exactly ×N by construction
+    val liStages = Set("g2_triangles", "a16_sf_pairs")
+    val bigLiPath = s"$scratch/lineitem_${nCopies}x.parquet"
+    lazy val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_linenumber"))
+    if (only.forall(liStages.contains) &&
+        !new java.io.File(bigLiPath).exists()) {
+      (0 until nCopies).map { k =>
+        liBase.select(
+          (col("l_orderkey") + lit(k.toLong * 1000000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(k.toLong * 1000000000L)).as("l_partkey"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_linenumber"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt).write.mode("overwrite").parquet(bigLiPath)
+    }
+    def li1 = liBase.repartition(cpus.toInt)
+    def liN = spark.read.parquet(bigLiPath).repartition(cpus.toInt)
+
+    // triangle counting on the thresholded co-purchase graph: wedge
+    // volume is the superlinear risk (Σ outdeg²) — the degree
+    // ordering is what should keep wall ~linear; n = total triangle
+    // incidences (grows ×N on vertex-disjoint copies)
+    stageOn("g2_triangles", li1, liN) { li =>
+      val e = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = e.join(e.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .groupBy("pk", "pk2").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      graft.pipeline.Graph.triangleCounts(pairs, "pk", "pk2")
+        .agg(sum(col("n_triangles"))).head().getLong(0)
+    }
+    // structure-function pair volume through the bucket-bounded join
+    // (copy-disjoint curve keys → pairs grow exactly ×N; wall should
+    // track the pair count, never per-curve quadratic)
+    stageOn("a16_sf_pairs", li1, liN) { li =>
+      val src = li.select(
+        (expr("l_orderkey div 1000000000") * 10000 +
+          pmod(col("l_orderkey"), lit(1000))).as("rootid"),
+        col("l_returnflag").as("band"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("mjd_c"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("sid"))
+      val a = src.select(col("rootid"), col("band"), col("mjd_c").as("m_a"),
+          col("sid").as("id_a"))
+        .withColumn("_bkt", explode(array(
+          expr("m_a div 2000"), expr("m_a div 2000") + 1)))
+      val b = src.select(col("rootid"), col("band"), col("mjd_c").as("m_b"),
+          col("sid").as("id_b"))
+        .withColumn("_bkt", expr("m_b div 2000"))
+      a.join(b, Seq("rootid", "band", "_bkt"))
+        .filter(col("m_b") - col("m_a") <= 2000L &&
+          (col("m_a") < col("m_b") ||
+            (col("m_a") === col("m_b") && col("id_a") < col("id_b"))))
+        .count()
+    }
+
     stage("candidate_volume")(d => candidateVolume(d))
     stage("d1_exact_dedup")(d => Dedup.exactDedup(d, "doc_id", "text").count())
     stage("d2_minhash_lsh")(d => Dedup.minhashNearDups(d, "doc_id", "text",
