@@ -110,6 +110,53 @@ object Graph {
     * Three shuffles total (degree agg, wedge self-join on apex,
     * closure join on the wedge's far pair) — all equi-joins on ids,
     * AQE-splittable. */
+  /** Link prediction over an undirected edge list: for every NON-edge
+    * node pair sharing at least one neighbor, the common-neighbor
+    * count and the Adamic–Adar score Σ_c 1/ln(deg(c)) over the shared
+    * neighbors c — the classic "people you may know" / related-item
+    * candidate generator run over co-occurrence graphs.
+    *
+    * Shape: adjacency (both orientations) → wedge self-join keyed by
+    * the center c (each unordered endpoint pair enumerated once via
+    * n₁ < n₂) → per-(u,v) partial aggregate → left-anti join against
+    * the canonical edge set (a predicted link must not already exist).
+    * Three id-keyed equi-shuffles, map-side-combined aggregate.
+    *
+    * Scale note: wedge volume is Σ_c C(deg(c), 2) — quadratic in HUB
+    * degree, the same curse g2's triangle orientation dodges. It is
+    * irreducible here (a non-edge pair has no canonical apex), so at
+    * scale the standard move is capping or sampling super-hub centers
+    * BEFORE this operator; Adamic–Adar already assigns them ~zero
+    * weight (1/ln d), so a deg ≤ 10⁴-style cap changes scores only in
+    * the noise. Callers pass a pre-thresholded substrate (here w ≥ 2
+    * co-purchases) for exactly that reason.
+    *
+    * Every center in a wedge has deg ≥ 2, so ln(deg) ≥ ln 2 > 0 —
+    * the Adamic–Adar division is always defined. */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()  // read 3x: two adjacency orientations + the anti join
+    val adj = e.select(col("u").as("c"), col("v").as("n"))
+      .union(e.select(col("v").as("c"), col("u").as("n")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+    val wedges = adj
+      .join(adj.select(col("c"), col("n").as("n2")), Seq("c"))
+      .filter(col("n") < col("n2"))
+    val scored = wedges.join(deg, Seq("c"))
+      .select(col("n").as("u"), col("n2").as("v"), col("d"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("d"))).as("aa"))
+    val out = scored.join(e, Seq("u", "v"), "left_anti")
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),

@@ -523,6 +523,66 @@ object FastdbOps {
        |  ROUND((sc_r * sc_r + ss_r * ss_r) / n, 3) AS power_r
        |FROM g ORDER BY rootid, band, p""".stripMargin
 
+  // ---- A18 (beyond ref): von Neumann variability index ----------------
+
+  /** Von Neumann η per light curve — the time-ordered variability
+    * statistic survey pipelines cut on (η ≪ 2 ⇒ correlated trend,
+    * η ≈ 2 ⇒ white noise): the ratio of the mean squared successive
+    * flux difference to the flux variance. Reported as the two sums
+    * plus η computed FROM the rounded sums (the a13/a17 rule: the
+    * centering mean stays unrounded — engines' sum orders differ only
+    * smoothly — while each accumulated SUM rounds at 3 dp, orders of
+    * magnitude above float noise on these ≤ ~dozen-row groups).
+    * Successive = (mjd_c, diasourceid) lexicographic order, the a15
+    * cadence ordering, so ties are deterministic in both engines.
+    * Single-detection curves report nulls (no evidence), as both
+    * engines agree aggregates over empty sets do. Scale shape: one
+    * per-curve lag window + one partial-aggregated groupBy — no
+    * self-join, nothing quadratic in curve length. */
+  def a18EtaVariability(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = liSources(s, d)
+      .withColumn("mjd_c", floor(col("midpointmjdtai") * 100 + 0.5).cast("long"))
+      .select(col("rootid"), col("band"), col("mjd_c"), col("diasourceid"),
+        col("psfflux"))
+    val w = Window.partitionBy("rootid", "band").orderBy("mjd_c", "diasourceid")
+    val means = src.groupBy("rootid", "band").agg(avg(col("psfflux")).as("_mean"))
+    val diffed = src
+      .withColumn("_d", col("psfflux") - lag("psfflux", 1).over(w))
+      .join(means, Seq("rootid", "band"))
+    diffed
+      .groupBy("rootid", "band")
+      .agg(count(lit(1)).as("ndets"),
+        round(sum(col("_d") * col("_d")), 3).as("sq_diff_sum"),
+        round(sum((col("psfflux") - col("_mean")) *
+          (col("psfflux") - col("_mean"))), 3).as("sq_dev_sum"))
+      .withColumn("eta",
+        when(col("ndets") > 1 && col("sq_dev_sum") > 0,
+          round(col("sq_diff_sum") / col("sq_dev_sum"), 6)))
+      .orderBy("rootid", "band")
+  }
+
+  val a18Sql: String =
+    s"""WITH src AS ($liSourcesSql),
+       |s2 AS (SELECT rootid, band, diasourceid, psfflux,
+       |         CAST(FLOOR(midpointmjdtai * 100 + 0.5) AS BIGINT) AS mjd_c
+       |       FROM src),
+       |m AS (SELECT rootid, band, AVG(psfflux) AS mn FROM s2 GROUP BY 1, 2),
+       |dd AS (SELECT s2.rootid, s2.band, s2.psfflux, m.mn,
+       |         s2.psfflux - LAG(s2.psfflux) OVER (
+       |           PARTITION BY s2.rootid, s2.band
+       |           ORDER BY s2.mjd_c, s2.diasourceid) AS d
+       |       FROM s2 JOIN m USING (rootid, band)),
+       |g AS (SELECT rootid, band, COUNT(*) AS ndets,
+       |        ROUND(SUM(d * d), 3) AS sq_diff_sum,
+       |        ROUND(SUM((psfflux - mn) * (psfflux - mn)), 3) AS sq_dev_sum
+       |      FROM dd GROUP BY 1, 2)
+       |SELECT rootid, band, ndets, sq_diff_sum, sq_dev_sum,
+       |  CASE WHEN ndets > 1 AND sq_dev_sum > 0
+       |    THEN ROUND(sq_diff_sum / sq_dev_sum, 6)
+       |  END AS eta
+       |FROM g ORDER BY rootid, band""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -1052,6 +1112,7 @@ object FastdbOps {
     "a15_cadence" -> (a15Cadence _),
     "a16_structure_func" -> (a16StructureFunc _),
     "a17_periodogram" -> (a17Periodogram _),
+    "a18_eta_variability" -> (a18EtaVariability _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -1077,6 +1138,7 @@ object FastdbOps {
     "a15_cadence" -> a15Sql,
     "a16_structure_func" -> a16Sql,
     "a17_periodogram" -> a17Sql,
+    "a18_eta_variability" -> a18Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

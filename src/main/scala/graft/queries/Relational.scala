@@ -610,6 +610,34 @@ object Relational {
       |        AS rk FROM c)
       |WHERE rk <= 20 ORDER BY rank""".stripMargin
 
+  /** EV9 (beyond ref): daily trending leaderboard — top-3 event types
+    * per day by volume with the day-over-day delta
+    * ([[graft.query.Temporal.trendingTypes]]). Exact integer counts,
+    * lag/rank windows only over the day×type-bounded count frame,
+    * (n desc, type) deterministic tie rule → fully oracled. */
+  def ev9Trending(s: SparkSession, d: String): DataFrame =
+    graft.query.Temporal.trendingTypes(
+        events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "event_type", "ts_us", k = 3)
+      .orderBy("day", "rank")
+
+  val ev9Sql: String =
+    """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |         COUNT(*) AS n
+      |       FROM events GROUP BY 1, 2),
+      |l AS (SELECT *,
+      |        LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS pd,
+      |        LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS pn
+      |      FROM c),
+      |r AS (SELECT day, event_type, n,
+      |        CASE WHEN pd = day - 1 THEN n - pn END AS delta,
+      |        ROW_NUMBER() OVER (PARTITION BY day
+      |          ORDER BY n DESC, event_type) AS rank
+      |      FROM l)
+      |SELECT day, CAST(rank AS BIGINT) AS rank, event_type, n, delta
+      |FROM r WHERE rank <= 3
+      |ORDER BY day, rank""".stripMargin
+
   /** EV7 (beyond ref): A/B experiment readout — the analysis every
     * event pipeline ends in. Users are assigned to arms by the
     * engine-portable md5-nibble split ([[graft.pipeline.Sharding]]'s
@@ -820,6 +848,40 @@ object Relational {
        |FROM deg LEFT JOIN tc ON tc.n = deg.n
        |ORDER BY part""".stripMargin
 
+  /** G3 (beyond ref): link prediction over the co-purchase graph —
+    * for every non-linked part pair sharing ≥ 2 co-purchase neighbors,
+    * the common-neighbor count and Adamic–Adar score
+    * ([[graft.pipeline.Graph.linkPredict]]): the related-item
+    * candidate generator. Integer counts are engine-exact; the
+    * Adamic–Adar sum (few O(1) terms of 1/ln d, libm log on identical
+    * integer inputs) rounds at 6 dp with ~9 digits of margin over
+    * 1-ulp libm divergence. */
+  def g3LinkPredict(s: SparkSession, d: String): DataFrame = {
+    val pairs = coPurchasePairs(s, d)
+    graft.pipeline.Graph.linkPredict(pairs, "pk", "pk2")
+      .filter(col("common") >= 2)
+      .select(col("u").as("part_u"), col("v").as("part_v"),
+        col("common"), round(col("aa"), 6).as("aa"))
+      .orderBy("part_u", "part_v")
+  }
+
+  val g3Sql: String =
+    s"""WITH $coPurchaseSql,
+       |adj AS (SELECT s AS c, t AS n FROM e0
+       |        UNION ALL SELECT t, s FROM e0),
+       |deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY 1),
+       |w AS (SELECT a.c, a.n AS u, b.n AS v
+       |      FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n),
+       |cand AS (SELECT u, v, COUNT(*) AS common,
+       |           ROUND(SUM(1.0 / LN(deg.d)), 6) AS aa
+       |         FROM w JOIN deg ON deg.c = w.c GROUP BY 1, 2)
+       |SELECT u AS part_u, v AS part_v, common, aa
+       |FROM cand
+       |WHERE common >= 2
+       |  AND NOT EXISTS (SELECT 1 FROM e0
+       |                  WHERE e0.s = cand.u AND e0.t = cand.v)
+       |ORDER BY part_u, part_v""".stripMargin
+
   /** ST1: a REAL Structured Streaming execution as a driver-oracled
     * battery entry — the events table replayed through a file-source
     * stream into [[graft.streaming.EventWindows.windowedCounts]]
@@ -962,10 +1024,12 @@ object Relational {
     "ev4_transitions" -> (ev4Transitions _),
     "ev5_anomalies" -> (ev5Anomalies _),
     "ev6_event_paths" -> (ev6EventPaths _),
+    "ev9_trending" -> (ev9Trending _),
     "ev7_ab_test" -> (ev7AbTest _),
     "ev8_incremental_rollup" -> (ev8IncrementalRollup _),
     "g1_pagerank" -> (g1PageRank _),
     "g2_triangles" -> (g2Triangles _),
+    "g3_link_predict" -> (g3LinkPredict _),
     "p1_filters" -> (p1Filters _),
     "j1_join_chain" -> (j1JoinChain _),
     "j3_anti_join" -> (j3AntiJoin _),
@@ -993,10 +1057,12 @@ object Relational {
     "ev4_transitions" -> ev4Sql,
     "ev5_anomalies" -> ev5Sql,
     "ev6_event_paths" -> ev6Sql,
+    "ev9_trending" -> ev9Sql,
     "ev7_ab_test" -> ev7Sql,
     "ev8_incremental_rollup" -> ev8Sql,
     "g1_pagerank" -> g1Sql,
     "g2_triangles" -> g2Sql,
+    "g3_link_predict" -> g3Sql,
     "p1_filters" -> p1FiltersSql,
     "j1_join_chain" -> j1JoinChainSql,
     "j3_anti_join" -> j3AntiJoinSql,

@@ -306,4 +306,35 @@ object Temporal {
       .withColumn("retention",
         round(col("n_active").cast("double") / col("cohort_size"), 4))
   }
+
+  /** Daily trending leaderboard: the top-`k` event types of each day
+    * by volume, with the day-over-day delta (null when the type has no
+    * row on the PREVIOUS calendar day — absence is "new entrant", not
+    * zero, so a type surging from nothing is visibly distinct from one
+    * growing from a small base).
+    *
+    * Shape: one map-side-combined (day, type) count — the only pass
+    * over the event corpus — then a lag window and the top-k rank
+    * window both run on that day×type-bounded frame (thousands of
+    * rows at ANY corpus size; the windows never see raw events). Rank
+    * ties break by type name for a total deterministic order. */
+  def trendingTypes(events: DataFrame, typeCol: String, tsUsCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val counts = events
+      .select(expr(s"$tsUsCol div $dayUs").as("day"), col(typeCol).as("event_type"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val wLag = Window.partitionBy("event_type").orderBy("day")
+    val wRank = Window.partitionBy("day").orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("_prev_day", lag("day", 1).over(wLag))
+      .withColumn("_prev_n", lag("n", 1).over(wLag))
+      .withColumn("delta",
+        when(col("_prev_day") === col("day") - 1, col("n") - col("_prev_n")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("day"), col("rank"), col("event_type"), col("n"), col("delta"))
+  }
 }

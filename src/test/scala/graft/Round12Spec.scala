@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Graph
+import graft.query.Temporal
+
+/** Specs for the round-12 operator additions: link prediction (g3)
+  * and the daily trending leaderboard (ev9). a18's von Neumann η is
+  * plain lag-window + groupBy arithmetic pinned by the double-SF
+  * oracle hash (the a17 precedent).
+  */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- g3: link prediction -----------------------------------------
+
+  /** Brute-force common-neighbor / Adamic–Adar scores over canonical
+    * u<v edges: every non-edge pair with ≥1 shared neighbor. */
+  private def bruteLinkPredict(edges: Seq[(Long, Long)])
+      : Map[(Long, Long), (Long, Double)] = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val eset = e.toSet
+    val nbrs = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val nodes = nbrs.keys.toSeq.sorted
+    (for {
+      u <- nodes; v <- nodes if u < v && !eset((u, v))
+      shared = nbrs(u).intersect(nbrs(v)) if shared.nonEmpty
+    } yield (u, v) ->
+      (shared.size.toLong, shared.toSeq.map(c => 1.0 / math.log(nbrs(c).size)).sum)
+    ).toMap
+  }
+
+  test("linkPredict equals brute force on a random graph") {
+    val rng = new scala.util.Random(29)
+    val edges = (0 until 90).map { _ =>
+      (rng.nextInt(16).toLong, rng.nextInt(16).toLong)
+    }.filter { case (a, b) => a != b }
+    val got = Graph.linkPredict(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val want = bruteLinkPredict(edges)
+    assert(got.keySet == want.keySet)
+    for ((k, (c, aa)) <- want) {
+      assert(got(k)._1 == c, s"common mismatch at $k")
+      assert(math.abs(got(k)._2 - aa) < 1e-9, s"aa mismatch at $k")
+    }
+  }
+
+  test("linkPredict known graphs: path endpoint pair, square diagonals") {
+    // path 1-2-3: the only prediction is (1,3) through center 2 (deg 2)
+    val path = Seq((1L, 2L), (2L, 3L))
+    val gotPath = Graph.linkPredict(path.toDF("a", "b"), "a", "b").collect()
+    assert(gotPath.length == 1)
+    assert((gotPath(0).getLong(0), gotPath(0).getLong(1), gotPath(0).getLong(2)) == (1L, 3L, 1L))
+    assert(math.abs(gotPath(0).getDouble(3) - 1.0 / math.log(2.0)) < 1e-12)
+    // square 1-2-3-4-1: both diagonals share 2 centers of degree 2;
+    // existing edges must NOT appear
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val gotSq = Graph.linkPredict(sq.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(gotSq.toSeq == Seq((1L, 3L, 2L), (2L, 4L, 2L)))
+  }
+
+  // ---- ev9: trending leaderboard ------------------------------------
+
+  test("trendingTypes: deltas, new-entrant nulls, ties, truncation") {
+    val day = 86400000000L
+    // day 0: a×3, b×2, c×1, d×1; day 1: a×1, b×3, e×2; day 3: a×2
+    val ev = Seq.tabulate(3)(i => ("a", i * 100L))                ++
+      Seq.tabulate(2)(i => ("b", 1000L + i))                     ++
+      Seq(("c", 2000L), ("d", 3000L))                            ++
+      Seq(("a", day + 1), ("e", day + 2), ("e", day + 3))        ++
+      Seq.tabulate(3)(i => ("b", day + 100L + i))                ++
+      Seq(("a", 3 * day + 1), ("a", 3 * day + 2))
+    val got = Temporal.trendingTypes(ev.toDF("event_type", "ts_us"),
+        "event_type", "ts_us", k = 3)
+      .orderBy("day", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq == Seq(
+      // day 0: ties c/d at n=1 break by name; only top-3 → d dropped
+      (0L, 1L, "a", 3L, None), (0L, 2L, "b", 2L, None), (0L, 3L, "c", 1L, None),
+      // day 1: b up by 1, e is a NEW ENTRANT (null delta), a down by 2
+      (1L, 1L, "b", 3L, Some(1L)), (1L, 2L, "e", 2L, None),
+      (1L, 3L, "a", 1L, Some(-2L)),
+      // day 3: gap from day 1 → no delta even though a has history
+      (3L, 1L, "a", 2L, None)))
+  }
+
+  test("trendingTypes: empty input degrades to empty output") {
+    val empty = Seq.empty[(String, Long)].toDF("event_type", "ts_us")
+    assert(Temporal.trendingTypes(empty, "event_type", "ts_us", 3).count() == 0)
+  }
+}
