@@ -168,6 +168,52 @@ object Retrieval {
         min(col("_anchor")).cast("long").as("first_pos"))
   }
 
+  /** Proximity ranking for two-term queries: documents where both
+    * terms occur within `window` token positions of each other,
+    * scored by the number of such position pairs and the minimum
+    * distance, top-`k` per query — the "terms near each other"
+    * operator between [[bm25]]'s bag-of-words and [[phraseSearch]]'s
+    * exact adjacency.
+    *
+    * Scale shape: the per-doc position-pair join is quadratic in
+    * occurrence counts if keyed by doc alone (a 10⁶-token doc with
+    * frequent terms explodes); adding the position bucket ⌊pos/window⌋
+    * to the equi key bounds candidates by bucket occupancy instead —
+    * the a-side explodes to its own and both adjacent buckets, the
+    * b-side keys its own, so every |Δpos| ≤ window pair is found
+    * exactly once (buckets of width `window` can differ by at most 1)
+    * and nothing outside ±1 bucket is ever paired. The query-term
+    * frames broadcast; the only corpus-sized shuffle carries matched
+    * occurrences. The final rank window runs per query over the
+    * df-bounded candidate frame, never the corpus. */
+  def proximityRank(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, queryIdCol: String, termACol: String,
+      termBCol: String, window: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("_pos", "_term")))
+    def side(termCol: String, posName: String) = tok
+      .join(broadcast(pairs.select(col(queryIdCol), col(termCol).as("_term"))),
+        Seq("_term"))
+      .select(col(queryIdCol), col(idCol), col("_pos").as(posName))
+    val pa = side(termACol, "_pa")
+      .withColumn("_bkt", explode(array(
+        expr(s"_pa div $window") - 1, expr(s"_pa div $window"),
+        expr(s"_pa div $window") + 1)))
+    val pb = side(termBCol, "_pb")
+      .withColumn("_bkt", expr(s"_pb div $window"))
+    val scored = pa.join(pb, Seq(queryIdCol, idCol, "_bkt"))
+      .filter(abs(col("_pa") - col("_pb")) <= window)
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("_pa") - col("_pb"))).cast("long").as("min_dist"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("n_pairs").desc, col("min_dist"), col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** NDCG@k with graded relevance — the ranking-quality metric that
     * credits partially-relevant results where [[evalMetrics]]' binary
     * recall/MRR cannot. `graded` carries (query, doc, rel ≥ 0);

@@ -35,6 +35,36 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** C4/CCNet-style dedup normalization: casefold, collapse every
+    * non-alphanumeric run to a single space, trim — so case, spacing
+    * and punctuation variants of the same content collapse to one
+    * canonical form. One codegen'd regex pass; engine-portable (the
+    * DuckDB spelling needs the 'g' flag — Spark replaces globally by
+    * default). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Letter-run word count (the readability definition of "word" —
+    * unlike [[tokenCount]]'s whitespace tokens, digits/punctuation
+    * don't count). */
+  def letterWordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))).cast("long")
+
+  /** Sentence count for readability: terminator runs ([.!?]+), min 1
+    * so unterminated text counts as one sentence. */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+
+  /** Syllable-count heuristic: vowel runs (aeiouy, casefolded) over
+    * the whole text. Words are separated by non-letters — never
+    * vowels — so runs can't span words and the global count equals
+    * the per-word sum; this IS the heuristic's definition here (no
+    * min-1-per-word clamp: an all-consonant token contributes 0),
+    * chosen because it replays exactly on any regex engine. */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+
   /** Occurrences of any of `words` as whole tokens. A whitespace
     * token equals `w` exactly when `w` occurs in the text with no
     * adjacent non-whitespace character, so the count is one codegen'd

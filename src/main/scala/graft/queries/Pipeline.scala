@@ -1202,6 +1202,70 @@ object Pipeline {
       |GROUP BY t.lang, m.n_terms
       |ORDER BY lang""".stripMargin
 
+  /** T26 (beyond ref): Flesch reading-ease per doc — the classic
+    * readability quality signal next to t19's rule flags: words =
+    * letter runs, sentences = terminator runs (min 1), syllables =
+    * vowel runs ([[TextAnalysis.syllableCount]]'s engine-exact
+    * heuristic). All three counts are integers; the score is IEEE
+    * division/multiplication of identical inputs rounded at 4 dp. */
+  def t26Readability(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.letterWordCount(t).as("n_words"),
+        TextAnalysis.sentenceCount(t).as("n_sentences"),
+        TextAnalysis.syllableCount(t).as("n_syllables"))
+      .withColumn("flesch_r",
+        when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4)))
+      .orderBy("doc_id")
+  }
+
+  val t26Sql: String =
+    """WITH c AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+      |      AS n_words,
+      |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |      AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words > 0 THEN
+      |    ROUND(206.835
+      |      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+      |  END AS flesch_r
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** D15 (beyond ref): normalized ("fuzzy-exact") dedup — the C4/CCNet
+    * recipe: casefold + punctuation/whitespace canonicalization
+    * ([[TextAnalysis.normalizeText]]) BEFORE the d1 digest groupBy, so
+    * trivially-reformatted copies collapse too. Same per-source
+    * readout as d1 for direct comparison (n_kept here ≤ d1's). */
+  def d15NormalizedDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(
+        documents(s, d)
+          .withColumn("_norm", TextAnalysis.normalizeText(col("text"))),
+        "doc_id", "_norm")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_copies").as("n_docs"))
+      .orderBy("source")
+
+  val d15Sql: String =
+    """WITH nd AS (SELECT doc_id, source,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |k AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |      FROM nd GROUP BY norm)
+      |SELECT d.source, COUNT(*) AS n_kept,
+      |  CAST(SUM(k.n_copies) AS BIGINT) AS n_docs
+      |FROM k JOIN nd d ON k.doc_id = d.doc_id
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   /** Per-label embedding centroids — the domain/cluster drift monitor
     * an embedding pipeline reports (centroid movement between corpus
     * versions flags encoder or distribution drift): one row per
@@ -1718,6 +1782,8 @@ object Pipeline {
     "t22_vocab_growth" -> (t22VocabGrowth _),
     "t24_tfidf_keywords" -> (t24TfidfKeywords _),
     "t25_zipf_slope" -> (t25ZipfSlope _),
+    "t26_readability" -> (t26Readability _),
+    "d15_normalized_dedup" -> (d15NormalizedDedup _),
     "t15_collocations" -> (t15Collocations _),
     "t5_profile" -> (t5Profile _),
     "m1_multimodal" -> (m1Multimodal _),
@@ -1759,6 +1825,8 @@ object Pipeline {
     "t22_vocab_growth" -> t22Sql,
     "t24_tfidf_keywords" -> t24Sql,
     "t25_zipf_slope" -> t25Sql,
+    "t26_readability" -> t26Sql,
+    "d15_normalized_dedup" -> d15Sql,
     "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,
     "m5_media_quality" -> m5Sql,

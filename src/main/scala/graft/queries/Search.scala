@@ -557,7 +557,54 @@ object Search {
       |FROM occ GROUP BY query_id, doc_id
       |ORDER BY query_id, doc_id""".stripMargin
 
+  /** R9 (beyond ref): proximity ranking ([[Retrieval.proximityRank]])
+    * — both terms within 5 token positions, scored by pair count +
+    * min distance, top-10 per query; the position-pair join is
+    * bucket-bounded (the j7/a16 trick), never per-doc quadratic.
+    * Pure integer output with a deterministic (n_pairs desc,
+    * min_dist, doc_id) tie rule → fully oracled. */
+  def r9Proximity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = Seq(
+      (1L, "hash", "join"), (2L, "table", "scan"),
+      (3L, "slow", "query"), (4L, "sort", "merge"))
+      .toDF("query_id", "term_a", "term_b")
+    Retrieval.proximityRank(documents(s, d), "doc_id", "text", q,
+        "query_id", "term_a", "term_b", window = 5, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val r9Sql: String =
+    """WITH q(query_id, ta, tb) AS (VALUES
+      |    (1, 'hash', 'join'), (2, 'table', 'scan'),
+      |    (3, 'slow', 'query'), (4, 'sort', 'merge')),
+      |tw AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |tok AS (SELECT doc_id, ps - 1 AS pos, wd[ps] AS term
+      |        FROM (SELECT doc_id, wd,
+      |                unnest(generate_series(1, len(wd))) AS ps
+      |              FROM tw)),
+      |pa AS (SELECT q.query_id, t.doc_id, t.pos
+      |       FROM tok t JOIN q ON t.term = q.ta),
+      |pb AS (SELECT q.query_id, t.doc_id, t.pos
+      |       FROM tok t JOIN q ON t.term = q.tb),
+      |pr AS (SELECT pa.query_id, pa.doc_id, COUNT(*) AS n_pairs,
+      |         CAST(MIN(ABS(pa.pos - pb.pos)) AS BIGINT) AS min_dist
+      |       FROM pa JOIN pb
+      |         ON pa.query_id = pb.query_id AND pa.doc_id = pb.doc_id
+      |        AND ABS(pa.pos - pb.pos) <= 5
+      |       GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_pairs,
+      |  min_dist, CAST(rank AS BIGINT) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY n_pairs DESC, min_dist, doc_id) AS rank
+      |      FROM pr)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r9_proximity" -> (r9Proximity _),
     "r1_bm25" -> (r1Bm25 _),
     "r2_chunk" -> (r2Chunk _),
     "r3_hybrid_rrf" -> (r3HybridRrf _),
@@ -568,6 +615,7 @@ object Search {
     "r8_phrase_search" -> (r8PhraseSearch _))
 
   def oracles: Map[String, String] = Map(
+    "r9_proximity" -> r9Sql,
     "r1_bm25" -> r1Sql,
     "r2_chunk" -> r2Sql,
     "r3_hybrid_rrf" -> r3Sql,

@@ -96,4 +96,92 @@ class Round12Spec extends AnyFunSuite {
     val empty = Seq.empty[(String, Long)].toDF("event_type", "ts_us")
     assert(Temporal.trendingTypes(empty, "event_type", "ts_us", 3).count() == 0)
   }
+
+  // ---- r9: proximity ranking ----------------------------------------
+
+  /** Brute-force proximity scores: every (pa, pb) occurrence pair with
+    * |pa − pb| ≤ window. */
+  private def bruteProximity(docs: Seq[(String, String)], ta: String,
+      tb: String, window: Int): Map[String, (Long, Long)] =
+    docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val pas = toks.zipWithIndex.collect { case (t, i) if t == ta => i }
+      val pbs = toks.zipWithIndex.collect { case (t, i) if t == tb => i }
+      val dists = for { a <- pas; b <- pbs; d = math.abs(a - b) if d <= window }
+        yield d
+      if (dists.isEmpty) None
+      else Some(id -> (dists.length.toLong, dists.min.toLong))
+    }.toMap
+
+  test("proximityRank equals brute force incl. bucket boundaries") {
+    // distances straddle the window (5) and its bucket edges: pos 4→5
+    // (dist 1, adjacent buckets), 0→5 (dist exactly window), 0→6
+    // (dist 6, excluded), repeated occurrences multiply pairs
+    val docs = Seq(
+      ("d1", "hash x x x join hash x x x x join"),
+      ("d2", "hash x x x x join"),
+      ("d3", "hash x x x x x join"),
+      ("d4", "join x hash x join"),
+      ("d5", "hash x x hash"),
+      ("d6", ""))
+    val q = Seq((1L, "hash", "join")).toDF("query_id", "term_a", "term_b")
+    val got = graft.pipeline.Retrieval.proximityRank(
+        docs.toDF("doc_id", "text"), "doc_id", "text", q,
+        "query_id", "term_a", "term_b", window = 5, k = 10)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == bruteProximity(docs, "hash", "join", 5))
+    // spot-check the straddle doc: pairs (0,4)=4, (0,9)... d1 positions:
+    // hash@0,5? recompute: tokens: hash x x x join hash x x x x join
+    // hash@{0,5}, join@{4,10}; dists: |0-4|=4 ok, |0-10|=10 no,
+    // |5-4|=1 ok, |5-10|=5 ok (exactly window) → 3 pairs, min 1
+    assert(got("d1") == (3L, 1L))
+    assert(!got.contains("d3")) // dist 6 > window
+    assert(!got.contains("d5")) // no second term
+  }
+
+  test("proximityRank: rank ties and truncation") {
+    val docs = Seq(
+      ("a", "p q"), ("b", "p q"), ("c", "p x q"), ("d", "p q p q"))
+    val q = Seq((7L, "p", "q")).toDF("query_id", "term_a", "term_b")
+    val got = graft.pipeline.Retrieval.proximityRank(
+        docs.toDF("doc_id", "text"), "doc_id", "text", q,
+        "query_id", "term_a", "term_b", window = 5, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // d has 4 pairs (p@0,2 × q@1,3 all within 5) → rank 1; a/b tie on
+    // (1 pair, dist 1) → doc_id order; c (dist 2) cut by k=3
+    assert(got.toSeq == Seq(("d", 4L, 1L, 1L), ("a", 1L, 1L, 2L),
+      ("b", 1L, 1L, 3L)))
+  }
+
+  // ---- t26 / d15 helpers --------------------------------------------
+
+  test("normalizeText collapses case, punctuation and spacing variants") {
+    val got = Seq("Hello,  World!", "hello world", "HELLO-WORLD", " hello?world ",
+        "hello  world2")
+      .toDF("t")
+      .select(graft.pipeline.TextAnalysis.normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(got.take(4).forall(_ == "hello world"))
+    assert(got(4) == "hello world2")
+  }
+
+  test("readability counts: hand-computed words/sentences/syllables") {
+    import graft.pipeline.TextAnalysis._
+    val r = Seq("The quick brown fox. It jumps! Over 12 lazy dogs? xyz crwth")
+      .toDF("t")
+      .select(letterWordCount(col("t")).as("w"), sentenceCount(col("t")).as("s"),
+        syllableCount(col("t")).as("y"))
+      .head()
+    // words: The quick brown fox It jumps Over lazy dogs xyz crwth = 11
+    // (digits don't count); sentences: . ! ? = 3; vowel runs: e, ui,
+    // o, o, i, u, o+e, a+y, o, y = 12 ("xyz"→y counts, "crwth"→0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (11L, 3L, 12L))
+    // unterminated text → 1 sentence; empty text → zero counts
+    val r2 = Seq(("no terminator here", ""), ("", "")).toDF("t", "u")
+      .select(sentenceCount(col("t")).as("s"), letterWordCount(col("u")).as("w"))
+      .collect()
+    assert(r2(0).getLong(0) == 1L)
+    assert(r2.map(_.getLong(1)).sum == 0L)
+  }
 }
