@@ -38,7 +38,15 @@ object KMeans {
     * `cluster` is the seed id of the winning centroid and `dist2_r`
     * the 6-dp-rounded squared L2 distance to it. */
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iterations: Int = 2): DataFrame = {
+      k: Int = 8, iterations: Int = 2): DataFrame =
+    fitAssign(vecs, idCol, vecCol, k, iterations)._2
+
+  /** [[assign]], but also returning the final (label, centroid)
+    * model — the k×dim matrix an IVF-style consumer ([[DetIvf]])
+    * probes against. One Lloyd run feeds both. */
+  def fitAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iterations: Int = 2)
+      : (Seq[(Long, Seq[Double])], DataFrame) = {
     require(k >= 1 && iterations >= 0,
       s"need k >= 1, iterations >= 0 (got $k, $iterations)")
     val spark = vecs.sparkSession
@@ -79,6 +87,6 @@ object KMeans {
         col("_d2").as("dist2_r"))
       .localCheckpoint(true)
     v.unpersist(blocking = false)
-    out
+    (cents, out)
   }
 }

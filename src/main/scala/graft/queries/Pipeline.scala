@@ -1099,9 +1099,13 @@ object Pipeline {
         k = 8, iterations = 2)
       .orderBy("vec_id")
 
-  val s11Sql: String = {
-    // one Lloyd step: assignment against k<i-1>, then per-(cluster,
-    // dim) rounded means with empty-cluster carryover
+  /** The shared DuckDB replay of [[graft.pipeline.KMeans.fitAssign]]'s
+    * Lloyd run (s11 + s12 oracles): CTEs `e` (double-cast vectors),
+    * `k0` (first-8-id seeds), two unrolled steps ending in the final
+    * centroids `k2`, and `df` (final per-vector distances vs k2) —
+    * one Lloyd step = assignment against k<i-1>, then per-(cluster,
+    * dim) rounded means with empty-cluster carryover. */
+  private val kmeansLloydCtes: String = {
     def step(i: Int) = {
       val p = i - 1
       s"""d$i AS (SELECT e.vec_id, k.c,
@@ -1120,7 +1124,7 @@ object Pipeline {
          |       FROM k$p LEFT JOIN (SELECT c, list(mv ORDER BY dim) AS gcv
          |                           FROM m$i GROUP BY 1) g USING (c))""".stripMargin
     }
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |k0 AS (SELECT vec_id AS c, v AS cv FROM e ORDER BY vec_id LIMIT 8),
@@ -1128,12 +1132,54 @@ object Pipeline {
        |df AS (SELECT e.vec_id, k.c,
        |    ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
        |      j -> (e.v[j] - k.cv[j]) * (e.v[j] - k.cv[j]))), 6) AS d2
-       |  FROM e CROSS JOIN k2 k)
+       |  FROM e CROSS JOIN k2 k)""".stripMargin
+  }
+
+  val s11Sql: String =
+    s"""WITH $kmeansLloydCtes
        |SELECT vec_id, c AS cluster, d2 AS dist2_r FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY d2, c) AS rn FROM df)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** S12 (beyond ref): a deterministic-IVF ANN query under the FULL
+    * hash-oracle gate ([[graft.pipeline.DetIvf.topK]]) — unlike
+    * s3/s4's seeded trainers (rows-only + recall specs), every
+    * decision here replays exactly: s11's Lloyd cells, 2-cell probes,
+    * exact 6-dp squared-L2 re-rank, (d2_r, vec_id) tiebreak. */
+  def s12IvfDet(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    graft.pipeline.DetIvf.topK(emb, "vec_id", "embedding",
+        q, "q_vec_id", "q_embedding",
+        kCells = 8, iterations = 2, nprobe = 2, topK = 5)
+      .orderBy("q_vec_id", "rank")
   }
+
+  val s12Sql: String =
+    s"""WITH $kmeansLloydCtes,
+       |af AS (SELECT vec_id, c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, c) AS rn FROM df) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_vec_id, v AS qv FROM e WHERE vec_id < 10),
+       |pd AS (SELECT q.q_vec_id, k.c,
+       |    ROUND(list_sum(list_transform(range(1, len(q.qv) + 1),
+       |      j -> (q.qv[j] - k.cv[j]) * (q.qv[j] - k.cv[j]))), 6) AS d2
+       |  FROM q CROSS JOIN k2 k),
+       |pr AS (SELECT q_vec_id, c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY d2, c) AS rn FROM pd) WHERE rn <= 2),
+       |cand AS (SELECT pr.q_vec_id, af.vec_id
+       |         FROM pr JOIN af USING (c) WHERE af.vec_id != pr.q_vec_id),
+       |sc AS (SELECT cand.q_vec_id, cand.vec_id,
+       |    ROUND(list_sum(list_transform(range(1, len(q.qv) + 1),
+       |      j -> (q.qv[j] - e.v[j]) * (q.qv[j] - e.v[j]))), 6) AS d2_r
+       |  FROM cand JOIN q USING (q_vec_id) JOIN e ON e.vec_id = cand.vec_id)
+       |SELECT q_vec_id, vec_id, d2_r, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |        ORDER BY d2_r, vec_id) AS rank FROM sc)
+       |WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin
 
   /** Vocabulary-growth (Heaps-law) curve
     * ([[TextAnalysis.vocabGrowth]]): per first-occurrence doc, new
@@ -1774,6 +1820,7 @@ object Pipeline {
     "s8_sq_quantize" -> (s8SqQuantize _),
     "s10_mips_topk" -> (s10MipsTopK _),
     "s11_kmeans" -> (s11Kmeans _),
+    "s12_ivf_det" -> (s12IvfDet _),
     "t1_text_stats" -> (t1TextStats _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
@@ -1816,6 +1863,7 @@ object Pipeline {
     "s8_sq_quantize" -> s8Sql,
     "s10_mips_topk" -> s10Sql,
     "s11_kmeans" -> s11Sql,
+    "s12_ivf_det" -> s12Sql,
     "s1_cosine_topk" -> s1Sql,
     "t1_text_stats" -> t1Sql,
     "t3_langid" -> t3Sql,

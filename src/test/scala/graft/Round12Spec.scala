@@ -166,6 +166,84 @@ class Round12Spec extends AnyFunSuite {
     assert(got(4) == "hello world2")
   }
 
+  // ---- s12: deterministic IVF ---------------------------------------
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def sqd(a: Seq[Double], b: Seq[Double]): Double =
+    r6(a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) })
+
+  /** Sequential replay of the whole DetIvf contract: Lloyd (same
+    * seeds/rounding/tiebreaks/carryover as Round11Spec's denseKmeans),
+    * nprobe-cell probes, exact re-rank. */
+  private def seqDetIvf(vs: Seq[(Long, Seq[Double])], qids: Set[Long],
+      k: Int, iters: Int, nprobe: Int, topK: Int)
+      : Seq[(Long, Long, Double, Long)] = {
+    var cents = vs.sortBy(_._1).take(k)
+    def assignAll = vs.map { case (id, v) =>
+      val (c, d) = cents.map { case (c, cv) => (c, sqd(v, cv)) }
+        .minBy { case (c, d) => (d, c) }
+      (id, c, d)
+    }
+    for (_ <- 1 to iters) {
+      val byC = assignAll.groupBy(_._2)
+      cents = cents.map { case (c, cv) =>
+        byC.get(c) match {
+          case Some(members) =>
+            val mv = members.map(m => vs.find(_._1 == m._1).get._2)
+            c -> cv.indices.map(i => r6(mv.map(_(i)).sum / mv.size))
+          case None => c -> cv
+        }
+      }
+    }
+    val cellOf = assignAll.map(a => a._1 -> a._2).toMap
+    vs.filter(v => qids(v._1)).sortBy(_._1).flatMap { case (qid, qv) =>
+      val probed = cents.map { case (c, cv) => (c, sqd(qv, cv)) }
+        .sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1).toSet
+      vs.filter { case (id, _) => id != qid && probed(cellOf(id)) }
+        .map { case (id, v) => (id, sqd(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(topK).zipWithIndex
+        .map { case ((id, d), i) => (qid, id, d, i + 1L) }
+    }
+  }
+
+  test("DetIvf.topK equals the sequential IVF replay") {
+    val rng = new scala.util.Random(41)
+    val vs = (0L until 90L).map(i => i -> Seq.fill(5)(rng.nextDouble() * 2 - 1))
+    val qids = Set(3L, 17L, 42L)
+    val q = vs.filter(v => qids(v._1))
+      .toDF("id", "v").select(col("id").as("qid"), col("v").as("qv"))
+    val got = graft.pipeline.DetIvf.topK(vs.toDF("id", "v"), "id", "v",
+        q, "qid", "qv", kCells = 6, iterations = 2, nprobe = 2, topK = 4)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val want = seqDetIvf(vs, qids, k = 6, iters = 2, nprobe = 2, topK = 4)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._4 == w._4, s"$g vs $w")
+      assert(math.abs(g._3 - w._3) < 1e-9, s"$g vs $w")
+    }
+  }
+
+  test("DetIvf with nprobe = kCells equals exact search") {
+    val rng = new scala.util.Random(43)
+    val vs = (0L until 60L).map(i => i -> Seq.fill(4)(rng.nextDouble()))
+    val qids = Set(5L, 30L)
+    val q = vs.filter(v => qids(v._1))
+      .toDF("id", "v").select(col("id").as("qid"), col("v").as("qv"))
+    val got = graft.pipeline.DetIvf.topK(vs.toDF("id", "v"), "id", "v",
+        q, "qid", "qv", kCells = 5, iterations = 2, nprobe = 5, topK = 3)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val brute = qids.toSeq.sorted.flatMap { qid =>
+      val qv = vs.find(_._1 == qid).get._2
+      vs.filter(_._1 != qid).map { case (id, v) => (id, sqd(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1L) }
+    }
+    assert(got.toSeq == brute)
+  }
+
   test("readability counts: hand-computed words/sentences/syllables") {
     import graft.pipeline.TextAnalysis._
     val r = Seq("The quick brown fox. It jumps! Over 12 lazy dogs? xyz crwth")
