@@ -77,7 +77,7 @@ object Bench {
     // the warm median — so they get solo JVMs too.
     val soloExtra = Set("t9_lm_score", "t10_dsir_weights", "t20_kn_score",
       "t21_trigram_kn", "t23_kn_buckets", "st3_stream_neardup",
-      "g1_pagerank", "g2_triangles", "g3_link_predict",
+      "g1_pagerank", "g2_triangles", "g3_link_predict", "g4_communities",
       "a16_structure_func")
     val (solo, cheap) = names.partition(n =>
       n.startsWith("d") || n.startsWith("e") || n.startsWith("cc") ||

@@ -157,6 +157,60 @@ object Graph {
     out
   }
 
+  /** Deterministic synchronous label propagation (community
+    * detection): every node starts labeled with its own id; each round
+    * all nodes simultaneously adopt the most frequent label among
+    * their neighbors, ties broken by the smaller label. A fixed round
+    * count (no convergence test) keeps the run deterministic and
+    * replayable on any engine — the battery oracle unrolls the same
+    * rounds as SQL CTEs, exactly the PageRank contract.
+    *
+    * CONTRACT: node ids must be NUMERIC (the smaller-label tie-break
+    * is encoded as `max_by(struct(count, -label))`, which needs a
+    * negatable id) — same contract as [[Components]]' large-star
+    * ordering; hash string ids to longs first.
+    *
+    * Scale shape: per round, one shuffle keyed by the neighbor id
+    * (labels ⋈ adjacency) and one map-side-combined aggregate keyed by
+    * (node, label) whose argmax folds into the same pass — a hub's
+    * million identical neighbor votes collapse per-partition before
+    * moving. Nothing is ever edge² and no per-node state leaves the
+    * executors; on a cluster, bucket the adjacency by neighbor id to
+    * delete the join shuffle (the PageRank note).
+    *
+    * Unlike min-label flooding (= connected components), frequency
+    * voting partitions dense regions: bridges lose the vote against
+    * intra-community edges, so two cliques joined by one edge keep
+    * distinct labels. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = e.select(col("u").as("c"), col("v").as("n"))
+      .union(e.select(col("v").as("c"), col("u").as("n")))
+      .persist()  // read `rounds` times by the iteration chain
+    adj.count()   // materialize BEFORE building the chain (pageRank rule)
+    val l0 = adj.select(col("c").as("_v")).distinct()
+      .select(col("_v"), col("_v").as("_l"))
+    val labels = (1 to rounds).foldLeft(l0) { (l, _) =>
+      adj.join(l.select(col("_v").as("n"), col("_l")), Seq("n"))
+        .groupBy(col("c"), col("_l"))
+        .agg(count(lit(1)).as("_cnt"))
+        .groupBy(col("c"))
+        .agg(max_by(col("_l"), struct(col("_cnt"), -col("_l"))).as("_l"))
+        .withColumnRenamed("c", "_v")
+    }
+    val out = labels
+      .select(col("_v").as("node"), col("_l").as("label"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    out
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),

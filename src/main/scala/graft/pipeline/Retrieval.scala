@@ -37,6 +37,58 @@ object Retrieval {
       docLengthsAndStats(docs, idCol, textCol),
       queries, idCol, queryIdCol, termCol, k1, b)
 
+  /** Dirichlet-smoothed query-likelihood score per (query, document) —
+    * the language-modeling retrieval family next to [[bm25]]'s
+    * probabilistic one (Zhai & Lafferty 2001):
+    *
+    *   score(q,d) = Σ_{t∈q∩d} ln(1 + tf(t,d)/(μ·P(t|C)))
+    *              + |q| · ln(μ/(|d| + μ))
+    *
+    * with collection model P(t|C) = cf(t)/totalTokens. The first sum
+    * runs only over matched terms (sparse, join-friendly); the second
+    * is a per-document constant, so documents sharing ≥1 query term
+    * get a full exact score and absent pairs are omitted (their score
+    * would be the constant-only floor — standard top-k semantics).
+    *
+    * Scale shape mirrors bm25Core: the token stream is filtered to
+    * query terms by a broadcast semi join IN THE SCAN STAGE, so the
+    * only corpus-sized shuffle carries matching (doc, term) rows;
+    * collection frequencies aggregate map-side and broadcast back.
+    * Every arithmetic step (integer counts, one division, ln) is a
+    * correctly-rounded IEEE op on identical inputs in any engine, so
+    * a 4-dp rounding of the summed score is engine-stable. */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      mu: Double = 300.0): DataFrame = {
+    val tok = tokenStream(docs, idCol, "_term", textCol)
+    val dl = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("_dl"))
+    val total = dl.agg(sum("_dl").as("_total"))
+    val qt = queries.select(col(queryIdCol), col(termCol).as("_term")).distinct()
+    val qterms = qt.select("_term").distinct()
+    val qlen = qt.groupBy(queryIdCol).agg(count(lit(1)).as("_qlen"))
+    // collection frequency of the query terms only — the corpus-wide
+    // term count table never materializes
+    val matched = tok.join(broadcast(qterms), Seq("_term"))
+    val cf = matched.groupBy("_term")
+      .agg(count(lit(1)).cast("double").as("_cf"))
+    val tf = matched.groupBy(col(idCol), col("_term"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val termSum = tf
+      .join(broadcast(cf), Seq("_term"))
+      .crossJoin(broadcast(total))
+      .join(broadcast(qt), Seq("_term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(log(lit(1.0) +
+        col("_tf") * col("_total") / (lit(mu) * col("_cf")))).as("_s"))
+    termSum
+      .join(dl, Seq(idCol))
+      .join(broadcast(qlen), Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        (col("_s") + col("_qlen") * log(lit(mu) / (col("_dl") + mu)))
+          .as("score"))
+  }
+
   /** The corpus token stream (idCol, _term) — one row per token
     * occurrence, generated in the scan stage. Factored out so callers
     * that need the stream more than once (PRF's two rounds + feedback

@@ -141,6 +141,33 @@ object Sharding {
       .drop("_pid", "_rl", "_off", "_shufkey")
   }
 
+  /** Distributed global row_number over an arbitrary sort order,
+    * without the single-task `Window.orderBy(...)` pitfall: a range
+    * exchange on the sort key, partition-local row_number, and a
+    * one-row-per-partition offset window ([[deterministicShuffle]]'s
+    * two-phase scheme generalized to caller-supplied keys). The order
+    * MUST be total (append a unique id as the last key) or ranks of
+    * tied rows are partition-placement-dependent.
+    *
+    * Returns the input plus `rankName` (1-based long). The range
+    * exchange inspects the key distribution by sampling, so skewed
+    * metrics still split evenly; the offset frame is one row per
+    * partition — driver-bounded by definition. */
+  def globalRank(df: DataFrame, order: Seq[Column], rankName: String): DataFrame = {
+    val t = df.repartitionByRange(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()  // pin _pid before the two dependent reads
+    val wLocal = Window.partitionBy("_pid").orderBy(order: _*)
+    val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("_pid").agg(count(lit(1)).as("_pn"))
+      .withColumn("_off", coalesce(sum("_pn").over(wOff), lit(0L)))
+      .select("_pid", "_off")
+    t.withColumn("_rl", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rankName, col("_off") + col("_rl"))
+      .drop("_pid", "_rl", "_off")
+  }
+
   /** Fixed-context-length sequence packing — the layout a trainer
     * actually consumes: tokens laid end-to-end in `idCol` order and
     * cut every `seqLen`, documents SPLITTING across cuts (no padding,

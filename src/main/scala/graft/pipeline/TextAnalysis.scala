@@ -465,6 +465,59 @@ object TextAnalysis {
         round(col("_sxy") / col("_sxx"), 4).as("slope_r"))
   }
 
+  /** Pairwise Jensen–Shannon divergence (nats) between the unigram
+    * distributions of every group pair — the distribution-shift /
+    * source-mixing diagnostic a training-data pipeline runs before
+    * blending corpora (which sources are near-duplicates of each
+    * other, which are outliers).
+    *
+    * Exact over the FULL shared vocabulary via the intersection
+    * decomposition: with p, q the in-group token probabilities and
+    * M = (P+Q)/2,
+    *
+    *   JSD = ½ Σ_{t∈a∩b} [ p·ln(2p/(p+q)) + q·ln(2q/(p+q)) ]
+    *       + ½·ln2 · [ (1 − Σ_{t∈a∩b} p) + (1 − Σ_{t∈a∩b} q) ]
+    *
+    * because a token present only in P contributes p·ln(p/(p/2)) =
+    * p·ln2 to KL(P‖M) — so the one-sided tails fold into two scalar
+    * sums and ONLY the intersection ever joins. Scale shape: one
+    * map-combined (group, term) count, totals broadcast (|groups|
+    * rows), a self-join keyed by term over the Heaps-bounded
+    * vocabulary (never the corpus), and a |pairs|-sized aggregate.
+    *
+    * Determinism: probabilities are exact integer-count divisions;
+    * the summed ~|vocab| ln terms differ across engines only by
+    * accumulation order (≲1e-12), absorbed by the caller's rounding.
+    * Output: (group_a, group_b, n_shared, jsd) for group_a < group_b;
+    * jsd ∈ [0, ln 2]. */
+  def jsDivergence(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val cnt = docs
+      .select(col(groupCol).as("_g"), explode(tokens(col(textCol))).as("_t"))
+      .groupBy("_g", "_t").agg(count(lit(1)).as("_c"))
+    val tot = cnt.groupBy("_g").agg(sum("_c").as("_n"))
+    val p = cnt.join(broadcast(tot), Seq("_g"))
+      .select(col("_g"), col("_t"),
+        (col("_c").cast("double") / col("_n")).as("_p"))
+    val pairs = p.as("a")
+      .join(p.as("b"), col("a._t") === col("b._t") &&
+        col("a._g") < col("b._g"))
+      .select(col("a._g").as("ga"), col("b._g").as("gb"),
+        col("a._p").as("pa"), col("b._p").as("pb"))
+    val ln2 = math.log(2.0)
+    pairs.groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+          col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+          .as("_inter"),
+        sum("pa").as("_spa"), sum("pb").as("_spb"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_shared"),
+        (lit(0.5) * col("_inter") +
+          lit(0.5 * ln2) * (lit(2.0) - col("_spa") - col("_spb")))
+          .as("jsd"))
+  }
+
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val firstOcc = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("_term"))

@@ -1225,6 +1225,42 @@ object Pipeline {
   /** Zipf slope per language ([[TextAnalysis.zipfSlope]]): OLS of
     * ln(freq) on ln(rank) over each language's top-200 terms, centered
     * two-pass moments, 4-dp rounding. */
+  /** T27 (beyond ref): pairwise Jensen–Shannon divergence between the
+    * per-language unigram distributions
+    * ([[TextAnalysis.jsDivergence]]) — the distribution-shift /
+    * source-similarity diagnostic run before mixing corpora. Exact
+    * over the full shared vocabulary via the intersection
+    * decomposition (one-sided tails fold into scalar sums, so only
+    * intersecting terms ever join); both engines spell the identical
+    * formula, and the ~|vocab|-term sums differ only by accumulation
+    * order (≲1e-12), absorbed by the 6-dp rounding. */
+  def t27JsDivergence(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.jsDivergence(documents(s, d), "lang", "text")
+      .select(col("group_a").as("lang_a"), col("group_b").as("lang_b"),
+        col("n_shared"), round(col("jsd"), 6).as("jsd_r"))
+      .orderBy("lang_a", "lang_b")
+
+  val t27Sql: String =
+    """WITH tok AS (SELECT lang,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != ''))
+      |      AS term
+      |  FROM documents),
+      |cnt AS (SELECT lang, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang, SUM(c) AS n FROM cnt GROUP BY 1),
+      |p AS (SELECT cnt.lang, term, CAST(c AS DOUBLE) / tot.n AS p
+      |      FROM cnt JOIN tot USING (lang)),
+      |pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |         a.p AS pa, b.p AS pb
+      |       FROM p a JOIN p b ON a.term = b.term AND a.lang < b.lang),
+      |ag AS (SELECT lang_a, lang_b, COUNT(*) AS n_shared,
+      |    SUM(pa * ln(2.0 * pa / (pa + pb)) +
+      |        pb * ln(2.0 * pb / (pa + pb))) AS inter,
+      |    SUM(pa) AS spa, SUM(pb) AS spb
+      |  FROM pr GROUP BY 1, 2)
+      |SELECT lang_a, lang_b, n_shared,
+      |  ROUND(0.5 * inter + 0.5 * ln(2.0) * (2.0 - spa - spb), 6) AS jsd_r
+      |FROM ag ORDER BY lang_a, lang_b""".stripMargin
+
   def t25ZipfSlope(s: SparkSession, d: String): DataFrame =
     TextAnalysis.zipfSlope(documents(s, d), "lang", "text", topR = 200)
       .orderBy("lang")
@@ -1830,6 +1866,7 @@ object Pipeline {
     "t24_tfidf_keywords" -> (t24TfidfKeywords _),
     "t25_zipf_slope" -> (t25ZipfSlope _),
     "t26_readability" -> (t26Readability _),
+    "t27_js_divergence" -> (t27JsDivergence _),
     "d15_normalized_dedup" -> (d15NormalizedDedup _),
     "t15_collocations" -> (t15Collocations _),
     "t5_profile" -> (t5Profile _),
@@ -1874,6 +1911,7 @@ object Pipeline {
     "t24_tfidf_keywords" -> t24Sql,
     "t25_zipf_slope" -> t25Sql,
     "t26_readability" -> t26Sql,
+    "t27_js_divergence" -> t27Sql,
     "d15_normalized_dedup" -> d15Sql,
     "t15_collocations" -> t15Sql,
     "m2_image_decode" -> m2Sql,

@@ -1012,6 +1012,149 @@ object Relational {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** EV10 (beyond ref): RFM customer segmentation — the canonical
+    * marketing-analytics readout. Per customer: recency (last order's
+    * epoch day), frequency (order count), monetary (3-dp-rounded spend
+    * sum — the established sum-rounding idiom, and the RANK key, so
+    * ordering is engine-stable). Each metric is ranked best-first with
+    * a custkey tie-break and cut into quintiles by the explicit
+    * formula q = (5·(rank−1)) div n + 1 — spelled identically in both
+    * engines because NTILE's remainder distribution (first n mod 5
+    * groups one larger) differs from this flooring split.
+    *
+    * Scale shape: one orders-keyed partial agg, then THREE
+    * [[graft.pipeline.Sharding.globalRank]] two-phase rankings
+    * (range exchange + local row_number + per-partition offsets) —
+    * never a single-task `Window.orderBy` over all customers. The
+    * customer count n arrives via one scalar count() action. */
+  def ev10Rfm(s: SparkSession, d: String): DataFrame = {
+    val per = orders(s, d).groupBy(col("o_custkey").as("custkey"))
+      // o_orderdate ships as TIMESTAMP_NTZ: cast relabels the same
+      // wall-clock instant under the fixed UTC session tz (Tables rule)
+      .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+          .as("rec_day"),
+        count(lit(1)).as("frequency"),
+        round(sum("o_totalprice"), 3).as("monetary"))
+    val n = per.count()
+    val ranked = Seq(
+      (Seq(col("rec_day").desc, col("custkey").asc), "_rr"),
+      (Seq(col("frequency").desc, col("custkey").asc), "_rf"),
+      (Seq(col("monetary").desc, col("custkey").asc), "_rm"))
+      .foldLeft(per) { case (df, (ord, name)) =>
+        graft.pipeline.Sharding.globalRank(df, ord, name)
+      }
+    def quint(rank: String) = expr(s"(5 * ($rank - 1)) div ${n}L + 1")
+    ranked
+      .withColumn("r_q", quint("_rr"))
+      .withColumn("f_q", quint("_rf"))
+      .withColumn("m_q", quint("_rm"))
+      .select(col("custkey"), col("rec_day"), col("frequency"),
+        col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
+      .orderBy("custkey")
+  }
+
+  val ev10Sql: String =
+    """WITH per AS (SELECT o_custkey AS custkey,
+      |    MAX(epoch_us(o_orderdate) // 86400000000) AS rec_day,
+      |    COUNT(*) AS frequency,
+      |    ROUND(SUM(o_totalprice), 3) AS monetary
+      |  FROM orders GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM per),
+      |rk AS (SELECT per.*,
+      |    ROW_NUMBER() OVER (ORDER BY rec_day DESC, custkey) AS rr,
+      |    ROW_NUMBER() OVER (ORDER BY frequency DESC, custkey) AS rf,
+      |    ROW_NUMBER() OVER (ORDER BY monetary DESC, custkey) AS rm
+      |  FROM per),
+      |q AS (SELECT custkey, rec_day, frequency, monetary,
+      |    (5 * (rr - 1)) // nn.n + 1 AS r_q,
+      |    (5 * (rf - 1)) // nn.n + 1 AS f_q,
+      |    (5 * (rm - 1)) // nn.n + 1 AS m_q
+      |  FROM rk, nn)
+      |SELECT custkey, rec_day, frequency, monetary,
+      |  r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm
+      |FROM q ORDER BY custkey""".stripMargin
+
+  /** G4 (beyond ref): community detection over the co-purchase graph
+    * by deterministic synchronous label propagation
+    * ([[graft.pipeline.Graph.labelPropagate]], 3 rounds) — frequency
+    * voting with a smaller-label tie-break, so unlike min-label
+    * flooding (= connected components) dense regions keep distinct
+    * labels across bridges. The oracle unrolls the same three
+    * rounds as CTEs; all arithmetic is integer, so the hash check is
+    * exact with no rounding at all. */
+  def g4Communities(s: SparkSession, d: String): DataFrame = {
+    val pairs = coPurchasePairs(s, d)
+    graft.pipeline.Graph.labelPropagate(pairs, "pk", "pk2", rounds = 3)
+      .select(col("node").as("part"), col("label"))
+      .orderBy("part")
+  }
+
+  val g4Sql: String = {
+    def round_(i: Int) =
+      s"""v$i AS (SELECT adj.c, l${i - 1}.l, COUNT(*) AS cnt
+         |  FROM adj JOIN l${i - 1} ON l${i - 1}.v = adj.n GROUP BY 1, 2),
+         |l$i AS (SELECT c AS v, l FROM (
+         |    SELECT c, l, ROW_NUMBER() OVER (PARTITION BY c
+         |      ORDER BY cnt DESC, l) AS rk FROM v$i) WHERE rk = 1)""".stripMargin
+    s"""WITH $coPurchaseSql,
+       |adj AS (SELECT s AS c, t AS n FROM e0
+       |        UNION ALL SELECT t, s FROM e0),
+       |l0 AS (SELECT DISTINCT c AS v, c AS l FROM adj),
+       |${(1 to 3).map(round_).mkString(",\n")}
+       |SELECT v AS part, l AS label FROM l3 ORDER BY part""".stripMargin
+  }
+
+  /** W7 (beyond ref): PIVOT — the wide-format rollup
+    * (`groupBy().pivot()` with an EXPLICIT value list, so no
+    * distinct-scan pre-pass and a fixed output schema at any scale;
+    * Spark compiles it to the same one-pass conditional aggregation
+    * the oracle spells with CASE WHEN). Counts and 3-dp-rounded spend
+    * per (priority × status) cell; absent cells coalesce to 0. */
+  def w7Pivot(s: SparkSession, d: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    val wide = orders(s, d).groupBy("o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 3).as("rev"))
+    wide.select(col("o_orderpriority") +:
+        statuses.flatMap(st => Seq(
+          coalesce(col(s"${st}_n"), lit(0L)).as(s"${st.toLowerCase}_n"),
+          coalesce(col(s"${st}_rev"), lit(0.0)).as(s"${st.toLowerCase}_rev"))): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  val w7Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+      |  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN o_totalprice END), 3), 0.0) AS f_rev,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+      |  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN o_totalprice END), 3), 0.0) AS o_rev,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+      |  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN o_totalprice END), 3), 0.0) AS p_rev
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** W8 (beyond ref): UNPIVOT/melt — wide columns to (key, metric,
+    * value) long format (Spark's native `unpivot`, a scan-stage
+    * expansion with no shuffle at all; the oracle is the equivalent
+    * UNION ALL). Values cast to the common double type explicitly. */
+  def w8Melt(s: SparkSession, d: String): DataFrame =
+    part(s, d).unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").as("p_retailprice")),
+        "metric", "val")
+      .orderBy("p_partkey", "metric")
+
+  val w8Sql: String =
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "st1_stream_windows" -> (st1StreamWindows _),
@@ -1027,6 +1170,10 @@ object Relational {
     "ev9_trending" -> (ev9Trending _),
     "ev7_ab_test" -> (ev7AbTest _),
     "ev8_incremental_rollup" -> (ev8IncrementalRollup _),
+    "ev10_rfm" -> (ev10Rfm _),
+    "w7_pivot" -> (w7Pivot _),
+    "w8_melt" -> (w8Melt _),
+    "g4_communities" -> (g4Communities _),
     "g1_pagerank" -> (g1PageRank _),
     "g2_triangles" -> (g2Triangles _),
     "g3_link_predict" -> (g3LinkPredict _),
@@ -1060,6 +1207,10 @@ object Relational {
     "ev9_trending" -> ev9Sql,
     "ev7_ab_test" -> ev7Sql,
     "ev8_incremental_rollup" -> ev8Sql,
+    "ev10_rfm" -> ev10Sql,
+    "w7_pivot" -> w7Sql,
+    "w8_melt" -> w8Sql,
+    "g4_communities" -> g4Sql,
     "g1_pagerank" -> g1Sql,
     "g2_triangles" -> g2Sql,
     "g3_link_predict" -> g3Sql,

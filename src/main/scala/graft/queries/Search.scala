@@ -603,7 +603,67 @@ object Search {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** R10 (beyond ref): Dirichlet query-likelihood retrieval
+    * ([[Retrieval.queryLikelihood]], μ=300) — the language-modeling
+    * ranking family next to r1's BM25, over the same query set so the
+    * two rankings are directly comparable. Scores use the r1 idiom:
+    * 4-dp rounding + doc_id tiebreak, top-10 per query. μ=300 sits
+    * near the corpus mean doc length, the standard setting. */
+  def r10Qlm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (1L, "vector"), (1L, "hash"), (1L, "join"),
+      (2L, "spark"), (2L, "stream"), (2L, "window"),
+      (3L, "slow"), (3L, "query")).toDF("query_id", "term")
+    val w = Window.partitionBy("query_id").orderBy(desc("score_r"), col("doc_id"))
+    Retrieval.queryLikelihood(documents(s, d), "doc_id", "text",
+        qs, "query_id", "term", mu = 300.0)
+      .withColumn("score_r", round(col("score"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score_r"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val r10Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |    (1, 'vector'), (1, 'hash'), (1, 'join'),
+      |    (2, 'spark'), (2, 'stream'), (2, 'window'),
+      |    (3, 'slow'), (3, 'query')),
+      |dl AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(trim(text), ' '),
+      |      t -> t != '')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |tot AS (SELECT SUM(dl) AS total FROM dl),
+      |qlen AS (SELECT query_id, COUNT(DISTINCT term) AS qlen
+      |         FROM q GROUP BY 1),
+      |tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != ''))
+      |      AS term
+      |  FROM documents),
+      |m AS (SELECT doc_id, term FROM tok
+      |      WHERE term IN (SELECT term FROM q)),
+      |cf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cf FROM m GROUP BY 1),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |       FROM m GROUP BY 1, 2),
+      |ts AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(ln(1.0 + tf.tf * tot.total / (300.0 * cf.cf))) AS s
+      |  FROM tf JOIN cf USING (term) JOIN q ON q.term = tf.term, tot
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT ts.query_id, ts.doc_id,
+      |    ts.s + qlen.qlen * ln(300.0 / (dl.dl + 300.0)) AS score
+      |  FROM ts JOIN dl USING (doc_id) JOIN qlen USING (query_id)),
+      |r AS (SELECT query_id, doc_id, ROUND(score, 4) AS score_r,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_r,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r10_qlm" -> (r10Qlm _),
     "r9_proximity" -> (r9Proximity _),
     "r1_bm25" -> (r1Bm25 _),
     "r2_chunk" -> (r2Chunk _),
@@ -615,6 +675,7 @@ object Search {
     "r8_phrase_search" -> (r8PhraseSearch _))
 
   def oracles: Map[String, String] = Map(
+    "r10_qlm" -> r10Sql,
     "r9_proximity" -> r9Sql,
     "r1_bm25" -> r1Sql,
     "r2_chunk" -> r2Sql,

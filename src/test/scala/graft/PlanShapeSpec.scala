@@ -134,8 +134,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // acceptable.
     val boundedNestedLoop =
       Set("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_ivfpq",
-        "s5_incremental_pq", "s10_mips_topk", "s11_kmeans", "p5_source_mix",
-        "r1_bm25",
+        "s5_incremental_pq", "s10_mips_topk", "s11_kmeans", "s12_ivf_det",
+        "p5_source_mix",
+        "r1_bm25", "r10_qlm",
         "r3_hybrid_rrf", "r4_eval_metrics", "r6_ndcg", "r7_prf_expand",
         "t15_collocations", "t24_tfidf_keywords")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
