@@ -78,7 +78,7 @@ object Bench {
     val soloExtra = Set("t9_lm_score", "t10_dsir_weights", "t20_kn_score",
       "t21_trigram_kn", "t23_kn_buckets", "st3_stream_neardup",
       "g1_pagerank", "g2_triangles", "g3_link_predict", "g4_communities",
-      "a16_structure_func")
+      "g5_bfs", "a16_structure_func", "a19_lomb_scargle")
     val (solo, cheap) = names.partition(n =>
       n.startsWith("d") || n.startsWith("e") || n.startsWith("cc") ||
         soloExtra(n))

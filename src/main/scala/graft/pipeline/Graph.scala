@@ -211,6 +211,53 @@ object Graph {
     out
   }
 
+  /** Multi-source breadth-first search: shortest hop distance from any
+    * seed node, out to `maxHops`. Returns (node, dist) for every node
+    * reached — seeds at 0, unreached nodes absent.
+    *
+    * Delta-frontier formulation — THE property that makes distributed
+    * BFS viable: round i joins the adjacency against only the nodes
+    * FIRST discovered in round i−1 (not the whole reached set, and
+    * never re-relaxing settled nodes), so total work is Σ_i
+    * |frontier_i-adjacent edges| ≈ one pass over the reachable
+    * edge set across all rounds, not rounds × edges. Each round is
+    * one id-keyed equi-join + an anti join against the settled set;
+    * frontiers are localCheckpointed (the [[Components]] idiom) so
+    * round i+1's plan doesn't recompute rounds 1..i.
+    *
+    * Hop distances are integers — engine-exact, no rounding anywhere;
+    * the battery oracle unrolls the same rounds as CTEs. */
+  def bfs(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj2 = e.select(col("u").as("c"), col("v").as("n"))
+      .union(e.select(col("v").as("c"), col("u").as("n")))
+      .persist()  // read once per round
+    adj2.count()
+    val s0 = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var settled = s0
+    var frontier = s0
+    (1 to maxHops).foreach { i =>
+      val discovered = adj2
+        .join(frontier.select(col("node").as("n")), Seq("n"))
+        .select(col("c").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i))
+        .localCheckpoint(true)
+      settled = settled.union(discovered).localCheckpoint(true)
+      frontier = discovered
+    }
+    adj2.unpersist(blocking = false)
+    settled
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),

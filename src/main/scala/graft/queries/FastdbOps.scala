@@ -583,6 +583,121 @@ object FastdbOps {
        |  END AS eta
        |FROM g ORDER BY rootid, band""".stripMargin
 
+  // ---- A19 (beyond ref): Lomb–Scargle periodogram ---------------------
+
+  /** Lomb–Scargle periodogram (Scargle 1982) per light curve at a
+    * 5-period trial grid — the irregular-sampling period search that
+    * is THE standard in time-domain astronomy (a17's Schuster form
+    * assumes even sampling; LS's per-period phase offset τ restores
+    * time-shift invariance for real cadences).
+    *
+    * Two-pass τ-offset form, engine-portable by the a13/a17 rounding
+    * discipline: pass 1 accumulates Σsin(2ωt), Σcos(2ωt) and ROUNDS
+    * them at 3 dp — so τ = atan2(s2_r, c2_r)/(2ω) is computed from
+    * bit-identical inputs in both engines and is itself bit-identical
+    * (atan2/sin/cos are 1-ulp libm calls whose ≲1e-15 divergence is
+    * crushed by the 3-dp rounding of every downstream SUM); pass 2
+    * accumulates the four phased sums (Σy·cos, Σy·sin, Σcos², Σsin²
+    * at ω(t−τ)), rounds each at 3 dp, and assembles the power from
+    * the rounded pieces. The centering mean stays UNROUNDED (the a17
+    * lesson). Frequencies are spelled as single divisions of exact
+    * doubles (2π/p, 4π/p — 2π and 4π are exact power-of-two scalings
+    * of the correctly-rounded π), so every argument is IEEE-identical
+    * cross-engine.
+    *
+    * Curves need n ≥ 5 detections (below that the trial fit is
+    * meaningless and the n=1 degenerate τ makes Σsin² exactly 0);
+    * if a rounded denominator still lands ≤ 0, power is null rather
+    * than ±inf — both spelled identically in the oracle.
+    *
+    * τ is only defined modulo p/2 (the defining tangent has period π
+    * in 2ωτ), and atan2's ±π branch cut sits exactly where a
+    * near-zero Σsin(2ωt) rounds to ±0 — an engine whose accumulation
+    * noise lands on the other side of zero picks the other branch,
+    * shifting the phase by π and flipping BOTH projection signs
+    * (observed live: one sf0.01 curve). The emitted (yc, ys) pair is
+    * therefore sign-canonicalized — flipped to make it
+    * lexicographically non-negative — which pins the τ representative
+    * without touching the (sign-invariant) power.
+    *
+    * Scale shape: the period grid explodes in the scan stage (×5
+    * rows, no join); pass 1 is one map-combined aggregate; τ (one row
+    * per curve×period) broadcasts back onto the exploded stream, so
+    * pass 2 is one more map-combined aggregate — no self-join,
+    * nothing quadratic in curve length, the same two-shuffle shape at
+    * any corpus size. */
+  def a19LombScargle(s: SparkSession, d: String): DataFrame = {
+    val periods = Seq(5.0, 10.0, 15.0, 20.0, 25.0)
+    val src = liSources(s, d)
+      .select(col("rootid"), col("band"), col("midpointmjdtai").as("t"),
+        col("psfflux"))
+    val means = src.groupBy("rootid", "band")
+      .agg(avg(col("psfflux")).as("_mean"))
+    val yp = src.join(means, Seq("rootid", "band"))
+      .withColumn("y", col("psfflux") - col("_mean"))
+      .withColumn("p", explode(array(periods.map(lit): _*)))
+    val w1 = lit(2 * math.Pi) / col("p")   // ω
+    val w2 = lit(4 * math.Pi) / col("p")   // 2ω
+    val tau = yp.groupBy("rootid", "band", "p")
+      .agg(count(lit(1)).as("n"),
+        round(sum(sin(w2 * col("t"))), 3).as("_s2_r"),
+        round(sum(cos(w2 * col("t"))), 3).as("_c2_r"))
+      .filter(col("n") >= 5)
+      .withColumn("_tau", atan2(col("_s2_r"), col("_c2_r")) / w2)
+      .select(col("rootid"), col("band"), col("p"), col("n"), col("_tau"))
+    val ph = w1 * (col("t") - col("_tau"))
+    yp.join(broadcast(tau), Seq("rootid", "band", "p"))
+      .groupBy(col("rootid"), col("band"), col("p"), col("n"))
+      .agg(round(sum(col("y") * cos(ph)), 3).as("yc_r"),
+        round(sum(col("y") * sin(ph)), 3).as("ys_r"),
+        round(sum(cos(ph) * cos(ph)), 3).as("_cc_r"),
+        round(sum(sin(ph) * sin(ph)), 3).as("_ss_r"))
+      .withColumn("power_r",
+        when(col("_cc_r") > 0 && col("_ss_r") > 0,
+          round(lit(0.5) * (col("yc_r") * col("yc_r") / col("_cc_r") +
+            col("ys_r") * col("ys_r") / col("_ss_r")), 3)))
+      .withColumn("_flip",
+        col("yc_r") < 0 || (col("yc_r") === 0 && col("ys_r") < 0))
+      .select(col("rootid"), col("band"), col("p"), col("n"),
+        when(col("_flip"), -col("yc_r")).otherwise(col("yc_r")).as("yc_r"),
+        when(col("_flip"), -col("ys_r")).otherwise(col("ys_r")).as("ys_r"),
+        col("power_r"))
+      .orderBy("rootid", "band", "p")
+  }
+
+  val a19Sql: String =
+    s"""WITH src AS ($liSourcesSql),
+       |m AS (SELECT rootid, band, AVG(psfflux) AS mn
+       |      FROM src GROUP BY 1, 2),
+       |yp AS (SELECT s.rootid, s.band, s.midpointmjdtai AS t,
+       |         s.psfflux - m.mn AS y, f.p
+       |       FROM src s JOIN m USING (rootid, band)
+       |       CROSS JOIN (SELECT CAST(unnest([5.0, 10.0, 15.0, 20.0, 25.0])
+       |         AS DOUBLE) AS p) f),
+       |tau AS (SELECT rootid, band, p, COUNT(*) AS n,
+       |          atan2(ROUND(SUM(sin(4 * pi() / p * t)), 3),
+       |                ROUND(SUM(cos(4 * pi() / p * t)), 3))
+       |            / (4 * pi() / p) AS tau
+       |        FROM yp GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5),
+       |g AS (SELECT yp.rootid, yp.band, yp.p, tau.n,
+       |        ROUND(SUM(y * cos(2 * pi() / yp.p * (t - tau))), 3) AS yc_r,
+       |        ROUND(SUM(y * sin(2 * pi() / yp.p * (t - tau))), 3) AS ys_r,
+       |        ROUND(SUM(cos(2 * pi() / yp.p * (t - tau)) *
+       |                  cos(2 * pi() / yp.p * (t - tau))), 3) AS cc_r,
+       |        ROUND(SUM(sin(2 * pi() / yp.p * (t - tau)) *
+       |                  sin(2 * pi() / yp.p * (t - tau))), 3) AS ss_r
+       |      FROM yp JOIN tau USING (rootid, band, p)
+       |      GROUP BY 1, 2, 3, 4)
+       |SELECT rootid, band, p, n,
+       |  CASE WHEN yc_r < 0 OR (yc_r = 0 AND ys_r < 0)
+       |    THEN -yc_r ELSE yc_r END AS yc_r,
+       |  CASE WHEN yc_r < 0 OR (yc_r = 0 AND ys_r < 0)
+       |    THEN -ys_r ELSE ys_r END AS ys_r,
+       |  CASE WHEN cc_r > 0 AND ss_r > 0
+       |    THEN ROUND(0.5 * (yc_r * yc_r / cc_r + ys_r * ys_r / ss_r), 3)
+       |  END AS power_r
+       |FROM g ORDER BY rootid, band, p""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -1113,6 +1228,7 @@ object FastdbOps {
     "a16_structure_func" -> (a16StructureFunc _),
     "a17_periodogram" -> (a17Periodogram _),
     "a18_eta_variability" -> (a18EtaVariability _),
+    "a19_lomb_scargle" -> (a19LombScargle _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -1139,6 +1255,7 @@ object FastdbOps {
     "a16_structure_func" -> a16Sql,
     "a17_periodogram" -> a17Sql,
     "a18_eta_variability" -> a18Sql,
+    "a19_lomb_scargle" -> a19Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

@@ -1105,6 +1105,140 @@ object Relational {
        |SELECT v AS part, l AS label FROM l3 ORDER BY part""".stripMargin
   }
 
+  /** G5 (beyond ref): multi-source BFS hop distances over the
+    * co-purchase graph ([[graft.pipeline.Graph.bfs]], delta-frontier,
+    * 3 hops) from the deterministic seed set pk ≡ 0 (mod 50). Hop
+    * counts are integers — engine-exact with no rounding; the oracle
+    * unrolls the same frontier rounds as CTEs. */
+  def g5Bfs(s: SparkSession, d: String): DataFrame = {
+    val pairs = coPurchasePairs(s, d)
+    val seeds = pairs.select(col("pk").as("node"))
+      .union(pairs.select(col("pk2").as("node")))
+      .distinct()
+      .filter(col("node") % 50 === 0)
+    graft.pipeline.Graph.bfs(pairs, "pk", "pk2", seeds, "node", maxHops = 3)
+      .select(col("node").as("part"), col("dist").cast("long").as("dist"))
+      .orderBy("part")
+  }
+
+  val g5Sql: String = {
+    def hop(i: Int) =
+      s"""f$i AS (SELECT DISTINCT adj.c AS node FROM adj
+         |  JOIN f${i - 1} ON f${i - 1}.node = adj.n
+         |  WHERE adj.c NOT IN (SELECT node FROM s${i - 1})),
+         |s$i AS (SELECT node, dist FROM s${i - 1}
+         |        UNION ALL SELECT node, $i FROM f$i)""".stripMargin
+    s"""WITH $coPurchaseSql,
+       |adj AS (SELECT s AS c, t AS n FROM e0
+       |        UNION ALL SELECT t, s FROM e0),
+       |f0 AS (SELECT DISTINCT c AS node FROM adj WHERE c % 50 = 0),
+       |s0 AS (SELECT node, 0 AS dist FROM f0),
+       |${(1 to 3).map(hop).mkString(",\n")}
+       |SELECT node AS part, CAST(dist AS BIGINT) AS dist FROM s3
+       |ORDER BY part""".stripMargin
+  }
+
+  /** EV11 (beyond ref): growth accounting — the daily
+    * new / retained / resurrected / churned user ledger every product
+    * analytics stack reports. Per user-day (distinct active days):
+    * new = first-ever day, retained = also active the previous day,
+    * resurrected = returning after a gap ≥ 2 days; churned on day d =
+    * active on d−1 but not d (attributed to the day the user went
+    * silent, including max_day+1). All counts are integers — no
+    * rounding anywhere.
+    *
+    * Scale shape: one distinct over (user, day), one per-user lag AND
+    * lead window in the same pass (user-keyed, never global), then a
+    * day-keyed map-combined aggregate; the churn side reuses the same
+    * windowed frame. Nothing is ever user×day dense. */
+  def ev11GrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val flagged = ud
+      .withColumn("_prev", lag("day", 1).over(w))
+      .withColumn("_next", lead("day", 1).over(w))
+    val act = flagged.groupBy("day").agg(
+      sum(when(col("_prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("_prev") === col("day") - 1, 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("_prev").isNotNull && col("_prev") < col("day") - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = flagged
+      .filter(col("_next").isNull || col("_next") > col("day") + 1)
+      .groupBy((col("day") + 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day")
+  }
+
+  val ev11Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |f AS (SELECT user_id, day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+      |  FROM ud),
+      |act AS (SELECT day,
+      |    COUNT(CASE WHEN prev IS NULL THEN 1 END) AS n_new,
+      |    COUNT(CASE WHEN prev = day - 1 THEN 1 END) AS n_retained,
+      |    COUNT(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 END)
+      |      AS n_resurrected
+      |  FROM f GROUP BY 1),
+      |ch AS (SELECT day + 1 AS day, COUNT(*) AS n_churned
+      |       FROM f WHERE next IS NULL OR next > day + 1 GROUP BY 1)
+      |SELECT COALESCE(act.day, ch.day) AS day,
+      |  COALESCE(n_new, 0) AS n_new,
+      |  COALESCE(n_retained, 0) AS n_retained,
+      |  COALESCE(n_resurrected, 0) AS n_resurrected,
+      |  COALESCE(n_churned, 0) AS n_churned
+      |FROM act FULL OUTER JOIN ch ON act.day = ch.day
+      |ORDER BY day""".stripMargin
+
+  /** P11 (beyond ref): equal-frequency discretization (decile binning)
+    * of a numeric column — the feature-engineering quantizer. Each
+    * lineitem price gets a decile via the ev10 flooring-split formula
+    * over a [[graft.pipeline.Sharding.globalRank]] two-phase ranking
+    * (total order: price, then the synthetic row id — never a
+    * single-task global window); the battery entry emits the 10-row
+    * bin summary (count, exact min/max edges, 3-dp-rounded mass). */
+  def p11QuantileBins(s: SparkSession, d: String): DataFrame = {
+    val rows = lineitem(s, d)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_extendedprice").as("x"))
+    val n = rows.count()
+    val ranked = graft.pipeline.Sharding.globalRank(rows,
+      Seq(col("x").asc, col("rid").asc), "_rk")
+    ranked
+      .withColumn("bin", expr(s"(10 * (_rk - 1)) div ${n}L + 1"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("lo"), max("x").as("hi"),
+        round(sum("x"), 3).as("mass_r"))
+      .orderBy("bin")
+  }
+
+  val p11Sql: String =
+    """WITH rows_ AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+      |    l_extendedprice AS x
+      |  FROM lineitem),
+      |nn AS (SELECT COUNT(*) AS n FROM rows_),
+      |rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, rid) AS r
+      |       FROM rows_),
+      |b AS (SELECT x, (10 * (r - 1)) // nn.n + 1 AS bin FROM rk, nn)
+      |SELECT bin, COUNT(*) AS n_rows, MIN(x) AS lo, MAX(x) AS hi,
+      |  ROUND(SUM(x), 3) AS mass_r
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** W7 (beyond ref): PIVOT — the wide-format rollup
     * (`groupBy().pivot()` with an EXPLICIT value list, so no
     * distinct-scan pre-pass and a fixed output schema at any scale;
@@ -1171,6 +1305,9 @@ object Relational {
     "ev7_ab_test" -> (ev7AbTest _),
     "ev8_incremental_rollup" -> (ev8IncrementalRollup _),
     "ev10_rfm" -> (ev10Rfm _),
+    "ev11_growth" -> (ev11GrowthAccounting _),
+    "p11_quantile_bins" -> (p11QuantileBins _),
+    "g5_bfs" -> (g5Bfs _),
     "w7_pivot" -> (w7Pivot _),
     "w8_melt" -> (w8Melt _),
     "g4_communities" -> (g4Communities _),
@@ -1208,6 +1345,9 @@ object Relational {
     "ev7_ab_test" -> ev7Sql,
     "ev8_incremental_rollup" -> ev8Sql,
     "ev10_rfm" -> ev10Sql,
+    "ev11_growth" -> ev11Sql,
+    "p11_quantile_bins" -> p11Sql,
+    "g5_bfs" -> g5Sql,
     "w7_pivot" -> w7Sql,
     "w8_melt" -> w8Sql,
     "g4_communities" -> g4Sql,

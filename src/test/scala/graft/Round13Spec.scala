@@ -63,6 +63,68 @@ class Round13Spec extends AnyFunSuite {
     assert(got == bruteLabelProp(edges, 3))
   }
 
+  // ---- g5: multi-source BFS ------------------------------------------
+
+  /** Sequential multi-source BFS reference. */
+  private def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      maxHops: Int): Map[Long, Int] = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val nbrs = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    (1 to maxHops).foreach { i =>
+      val next = frontier.flatMap(n => nbrs.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> i)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfs equals sequential multi-source BFS on a random graph") {
+    val rng = new scala.util.Random(43)
+    val edges = (0 until 150).map { _ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong)
+    }.filter { case (a, b) => a != b }
+    val seeds = Set(0L, 7L)
+    val got = Graph.bfs(edges.toDF("a", "b"), "a", "b",
+        seeds.toSeq.toDF("node"), "node", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == bruteBfs(edges, seeds, 3))
+  }
+
+  test("bfs on a path graph: hop ring truncates at maxHops") {
+    // path 1-2-3-4-5-6 seeded at 1: dist = position - 1, cut at 2 hops
+    val edges = (1L to 5L).map(i => (i, i + 1))
+    val got = Graph.bfs(edges.toDF("a", "b"), "a", "b",
+        Seq(1L).toDF("node"), "node", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  // ---- ev11: growth accounting ----------------------------------------
+
+  test("growth accounting: class counts tie out against DAU identities") {
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d)
+    val got = graft.queries.Relational.ev11GrowthAccounting(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val dau = ev.select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().groupBy("day").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every active day: new + retained + resurrected = DAU
+    for ((day, n) <- dau)
+      assert(got(day)._1 + got(day)._2 + got(day)._3 == n, s"day $day")
+    // churned(d) = DAU(d-1) - retained(d): everyone active yesterday
+    // either came back (retained) or churned
+    for ((day, (_, ret, _, _)) <- got if dau.contains(day - 1))
+      assert(got(day)._4 == dau(day - 1) - ret, s"churn at $day")
+  }
+
   // ---- r10: Dirichlet query likelihood ------------------------------
 
   test("queryLikelihood matches the hand formula on a tiny corpus") {
