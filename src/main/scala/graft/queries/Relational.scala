@@ -1105,6 +1105,51 @@ object Relational {
        |SELECT v AS part, l AS label FROM l3 ORDER BY part""".stripMargin
   }
 
+  /** D16 (beyond ref): CDC changelog compaction — the operator behind
+    * every lakehouse MERGE/upsert sink: given a keyed change stream
+    * (op ∈ {U, D} with a total-order sequence), produce the final
+    * table state — last-writer-wins per key, deleted keys absent.
+    * The events table stands in as the changelog (key = user_id,
+    * seq = (event-time µs, event_id), op = D on 'error' else U).
+    *
+    * Scale shape: ONE map-side-combined `max_by(payload, seq)`
+    * aggregate — per-partition pre-argmax means a hot key's million
+    * changes collapse before the shuffle, strictly better than the
+    * per-key window sort the oracle spells (row_number = the
+    * PostgreSQL/DuckDB idiom; max_by = the Spark-native one — same
+    * rows, pinned by the hash compare). Payload doubles are emitted
+    * raw (bit-identical parquet reads), no rounding anywhere. */
+  def d16CdcCompact(s: SparkSession, d: String): DataFrame = {
+    val log = events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("seq_us"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+        .as("op"),
+      col("value"))
+    log.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ops"),
+        max_by(col("op"), struct(col("seq_us"), col("event_id")))
+          .as("_last_op"),
+        max_by(col("value"), struct(col("seq_us"), col("event_id")))
+          .as("_last_value"))
+      .filter(col("_last_op") =!= "D")
+      .select(col("user_id"), col("n_ops"), col("_last_value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val d16Sql: String =
+    """WITH log AS (SELECT user_id, epoch_us(ts) AS seq_us, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    value
+      |  FROM events),
+      |rk AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY seq_us DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM log)
+      |SELECT user_id, n_ops, value AS last_value
+      |FROM rk WHERE rn = 1 AND op != 'D'
+      |ORDER BY user_id""".stripMargin
+
   /** G5 (beyond ref): multi-source BFS hop distances over the
     * co-purchase graph ([[graft.pipeline.Graph.bfs]], delta-frontier,
     * 3 hops) from the deterministic seed set pk ≡ 0 (mod 50). Hop
@@ -1306,6 +1351,7 @@ object Relational {
     "ev8_incremental_rollup" -> (ev8IncrementalRollup _),
     "ev10_rfm" -> (ev10Rfm _),
     "ev11_growth" -> (ev11GrowthAccounting _),
+    "d16_cdc_compact" -> (d16CdcCompact _),
     "p11_quantile_bins" -> (p11QuantileBins _),
     "g5_bfs" -> (g5Bfs _),
     "w7_pivot" -> (w7Pivot _),
@@ -1346,6 +1392,7 @@ object Relational {
     "ev8_incremental_rollup" -> ev8Sql,
     "ev10_rfm" -> ev10Sql,
     "ev11_growth" -> ev11Sql,
+    "d16_cdc_compact" -> d16Sql,
     "p11_quantile_bins" -> p11Sql,
     "g5_bfs" -> g5Sql,
     "w7_pivot" -> w7Sql,

@@ -228,13 +228,48 @@ object SqlSurface {
       |FROM d WHERE sep <= 15.0
       |ORDER BY c_custkey""".stripMargin
 
+  /** X5: PIVOT on the ad-hoc SQL surface — the same wide-format rollup
+    * w7 states through the Column API, here as the SQL `PIVOT` clause
+    * a reference user would type into the query queue (explicit IN
+    * list, so the plan is the identical one-pass conditional
+    * aggregation — no distinct pre-pass at any scale). ROUND/COALESCE
+    * applied in the outer select; the oracle spells DuckDB's CASE
+    * WHEN equivalent. */
+  def x5SqlPivot(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql("""
+      SELECT o_orderpriority,
+        COALESCE(f_n, 0L) AS f_n, COALESCE(ROUND(f_rev, 3), 0.0) AS f_rev,
+        COALESCE(o_n, 0L) AS o_n, COALESCE(ROUND(o_rev, 3), 0.0) AS o_rev,
+        COALESCE(p_n, 0L) AS p_n, COALESCE(ROUND(p_rev, 3), 0.0) AS p_rev
+      FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)
+      PIVOT (COUNT(*) AS n, SUM(o_totalprice) AS rev
+             FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+      ORDER BY o_orderpriority""")
+  }
+
+  val x5Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+      |  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN o_totalprice END), 3), 0.0) AS f_rev,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+      |  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN o_totalprice END), 3), 0.0) AS o_rev,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+      |  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN o_totalprice END), 3), 0.0) AS p_rev
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x5_sql_pivot" -> (x5SqlPivot _),
     "x1_sql_cone" -> (x1SqlCone _),
     "x2_adhoc_astro" -> (x2AdhocAstro _),
     "x3_sql_pipeline" -> (x3SqlPipeline _),
     "x4_naive_cone" -> (x4NaiveCone _))
 
   def oracles: Map[String, String] = Map(
+    "x5_sql_pivot" -> x5Sql,
     "x1_sql_cone" -> x1Sql,
     "x2_adhoc_astro" -> x2Sql,
     "x3_sql_pipeline" -> x3Sql,
