@@ -1105,6 +1105,70 @@ object Relational {
        |SELECT v AS part, l AS label FROM l3 ORDER BY part""".stripMargin
   }
 
+  /** EV12 (beyond ref): peak concurrent sessions per day — the
+    * capacity-planning statistic, computed as a classic sweep line:
+    * every session (w3's 30-minute-gap definition, st2's
+    * last-event + 30 min end convention) emits +1 at its start and
+    * −1 at its end; the running sum over the global boundary order is
+    * the live concurrency, and the per-day max of the inclusive
+    * running sum is the peak. Boundary order is (instant, end<start,
+    * user) — ends sort first, so back-to-back sessions hand over
+    * without a phantom double-count, and the triple is unique (one
+    * boundary per user per tag per instant), making the row-framed
+    * running sum identical in both engines.
+    *
+    * Scale shape: the global running sum is [[graft.pipeline.Sharding
+    * .prefixSum]]'s two-phase scheme over a zero-padded (t, tag, user)
+    * sort key — partition-local sums + a one-row-per-partition offset
+    * window, never a single-task global window. Days containing no
+    * session boundary are absent (their peak equals the carried
+    * concurrency — document, don't densify). */
+  def ev12PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.query.Temporal.sessionize(
+        events(s, d).select(col("user_id"), col("ts")),
+        "user_id", "ts", expr("INTERVAL 30 MINUTES"))
+      .groupBy("user_id", "session_seq")
+      .agg(unix_micros(min("ts")).as("start_us"),
+        (unix_micros(max("ts")) + lit(1800000000L)).as("end_us"))
+    val sweep = sess.select(col("end_us").as("t"), lit("0").as("tag"),
+        col("user_id"), lit(-1L).as("delta"))
+      .unionByName(sess.select(col("start_us").as("t"), lit("1").as("tag"),
+        col("user_id"), lit(1L).as("delta")))
+      .select(concat(
+          lpad(col("t").cast("string"), 20, "0"),
+          col("tag"),
+          lpad(col("user_id").cast("string"), 12, "0")).as("k"),
+        col("delta"))
+    graft.pipeline.Sharding.prefixSum(sweep, "k", col("delta"), Nil)
+      .select(expr("cast(substring(k, 1, 20) as bigint) div 86400000000")
+          .as("day"),
+        col("cum_tokens").as("_conc"))
+      .groupBy("day").agg(max("_conc").as("peak"))
+      .orderBy("day")
+  }
+
+  val ev12Sql: String =
+    """WITH o AS (SELECT user_id, ts,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |sq AS (SELECT user_id, ts,
+      |    SUM(CASE WHEN prev_ts IS NULL
+      |               OR ts - prev_ts > INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+      |  FROM o),
+      |sess AS (SELECT user_id, epoch_us(MIN(ts)) AS start_us,
+      |           epoch_us(MAX(ts)) + 1800000000 AS end_us
+      |         FROM sq GROUP BY user_id, session_seq),
+      |sw AS (SELECT end_us AS t, 0 AS tag, user_id, -1 AS delta FROM sess
+      |       UNION ALL
+      |       SELECT start_us, 1, user_id, 1 FROM sess),
+      |c AS (SELECT t, SUM(delta) OVER (ORDER BY t, tag, user_id
+      |        ROWS UNBOUNDED PRECEDING) AS conc
+      |      FROM sw)
+      |SELECT t // 86400000000 AS day, CAST(MAX(conc) AS BIGINT) AS peak
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** D16 (beyond ref): CDC changelog compaction — the operator behind
     * every lakehouse MERGE/upsert sink: given a keyed change stream
     * (op ∈ {U, D} with a total-order sequence), produce the final
@@ -1352,6 +1416,7 @@ object Relational {
     "ev10_rfm" -> (ev10Rfm _),
     "ev11_growth" -> (ev11GrowthAccounting _),
     "d16_cdc_compact" -> (d16CdcCompact _),
+    "ev12_peak_concurrency" -> (ev12PeakConcurrency _),
     "p11_quantile_bins" -> (p11QuantileBins _),
     "g5_bfs" -> (g5Bfs _),
     "w7_pivot" -> (w7Pivot _),
@@ -1393,6 +1458,7 @@ object Relational {
     "ev10_rfm" -> ev10Sql,
     "ev11_growth" -> ev11Sql,
     "d16_cdc_compact" -> d16Sql,
+    "ev12_peak_concurrency" -> ev12Sql,
     "p11_quantile_bins" -> p11Sql,
     "g5_bfs" -> g5Sql,
     "w7_pivot" -> w7Sql,

@@ -125,6 +125,41 @@ class Round13Spec extends AnyFunSuite {
       assert(got(day)._4 == dau(day - 1) - ret, s"churn at $day")
   }
 
+  // ---- ev12: sweep-line peak concurrency -------------------------------
+
+  test("peak concurrency equals a sequential sweep over the same sessions") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.Relational.ev12PeakConcurrency(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential reference: rebuild the same sessions then sweep in
+    // (t, end-before-start, user) order, tracking the running max per day
+    val ev = graft.Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val ts = xs.map(_._2).sorted
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = ts.head; var last = ts.head
+      ts.tail.foreach { t =>
+        if (t - last > 1800000000L) { bounds += ((start, last)); start = t }
+        last = t
+      }
+      bounds += ((start, last))
+      bounds.map { case (s0, l0) => (u, s0, l0 + 1800000000L) }
+    }
+    val sweep = sessions.flatMap { case (u, s0, e0) =>
+      Seq((e0, 0, u, -1L), (s0, 1, u, 1L))
+    }.sortBy { case (t, tag, u, _) => (t, tag, u) }
+    var conc = 0L
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    sweep.foreach { case (t, _, _, d0) =>
+      conc += d0
+      val day = t / 86400000000L
+      want(day) = math.max(want.getOrElse(day, Long.MinValue), conc)
+    }
+    assert(got == want.toMap)
+  }
+
   // ---- r10: Dirichlet query likelihood ------------------------------
 
   test("queryLikelihood matches the hand formula on a tiny corpus") {
