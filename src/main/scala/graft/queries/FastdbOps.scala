@@ -698,6 +698,77 @@ object FastdbOps {
        |  END AS power_r
        |FROM g ORDER BY rootid, band, p""".stripMargin
 
+  // ---- A20: cross-band color via as-of match -------------------------
+
+  /** A20 (beyond ref): nearest-epoch cross-band color — for each
+    * R-band detection, the most recent N-band detection of the same
+    * object at-or-before its epoch, and the flux ratio between them
+    * (the color index; monotone in the g−r magnitude color without the
+    * engine-divergent log10). This is the classifier feature the
+    * reference assembles per-object in `ltcv.py`'s many-band frames,
+    * expressed as ONE [[graft.query.Temporal.asofJoin]]: both band
+    * streams shuffle once on rootid through a single carry-forward
+    * window — never the per-detection correlated scan the oracle
+    * spells (rank over an inequality join, quadratic per object).
+    *
+    * Numeric portability: mjd and flux derive from parquet integers /
+    * doubles by identical arithmetic; the ratio and the epoch gap are
+    * single IEEE ops on bit-identical inputs → emitted UNROUNDED.
+    * Duplicate N-band epochs break ties on srcid (highest wins). */
+  def a20Color(s: SparkSession, d: String): DataFrame = {
+    // srcid must be UNIQUE for the as-of tiebreak and the oracle's
+    // per-detection rank: (l_orderkey, l_linenumber) repeats in the
+    // synthetic lineitem, but adding partkey + the exact price cents
+    // is checked unique — rendered as an integer-only string so both
+    // engines produce identical bytes.
+    val src = lineitem(s, d).select(
+      concat_ws("-", col("l_orderkey") * 10 + col("l_linenumber"),
+        col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long")).as("srcid"),
+      (col("l_orderkey") % 300).cast("string").as("rootid"),
+      col("l_returnflag").as("band"),
+      (lit(60000.0) + (col("l_partkey") % 1000) * 0.1).as("mjd"),
+      (col("l_extendedprice") / 10).as("flux"))
+    val r = src.filter(col("band") === "R")
+      .select("rootid", "srcid", "mjd", "flux")
+    val n = src.filter(col("band") === "N")
+      .select(col("rootid"), col("srcid").as("n_srcid"),
+        col("mjd").as("n_mjd"), col("flux").as("n_flux"))
+    graft.query.Temporal.asofJoin(r, n, "rootid", "mjd", "n_mjd",
+        tieBreak = Seq("n_srcid"))
+      .filter(col("n_srcid").isNotNull)
+      .select(col("rootid"), col("srcid"), col("mjd"), col("flux"),
+        col("n_srcid"), col("n_mjd"), col("n_flux"),
+        (col("flux") / col("n_flux")).as("color_ratio"),
+        // mjd lives on a 0.1-day grid anchored at 60000: the big-offset
+        // sum absorbs the grid's double noise (values match DuckDB's
+        // decimal arithmetic bit-for-bit), but SUBTRACTING two epochs
+        // cancels the anchor and exposes it — round the gap at 4 dp.
+        round(col("mjd") - col("n_mjd"), 4).as("dt"))
+      .orderBy("srcid")
+  }
+
+  val a20Sql: String =
+    """WITH src AS (SELECT
+      |    CONCAT_WS('-', l_orderkey * 10 + l_linenumber, l_partkey,
+      |      CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS srcid,
+      |    CAST(l_orderkey % 300 AS VARCHAR) AS rootid,
+      |    l_returnflag AS band,
+      |    60000.0 + (l_partkey % 1000) * 0.1 AS mjd,
+      |    l_extendedprice / 10 AS flux
+      |  FROM lineitem),
+      |r AS (SELECT rootid, srcid, mjd, flux FROM src WHERE band = 'R'),
+      |n AS (SELECT rootid, srcid AS n_srcid, mjd AS n_mjd, flux AS n_flux
+      |      FROM src WHERE band = 'N'),
+      |j AS (SELECT r.rootid, r.srcid, r.mjd, r.flux,
+      |        n.n_srcid, n.n_mjd, n.n_flux,
+      |        ROW_NUMBER() OVER (PARTITION BY r.srcid
+      |          ORDER BY n.n_mjd DESC, n.n_srcid DESC) AS rk
+      |      FROM r JOIN n ON r.rootid = n.rootid AND n.n_mjd <= r.mjd)
+      |SELECT rootid, srcid, mjd, flux, n_srcid, n_mjd, n_flux,
+      |  flux / n_flux AS color_ratio, ROUND(mjd - n_mjd, 4) AS dt
+      |FROM j WHERE rk = 1 ORDER BY srcid""".stripMargin
+
   // ---- A4: cross-band rollup ----------------------------------------
 
   def a4Rollup(s: SparkSession, d: String): DataFrame =
@@ -1229,6 +1300,7 @@ object FastdbOps {
     "a17_periodogram" -> (a17Periodogram _),
     "a18_eta_variability" -> (a18EtaVariability _),
     "a19_lomb_scargle" -> (a19LombScargle _),
+    "a20_color" -> (a20Color _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -1256,6 +1328,7 @@ object FastdbOps {
     "a17_periodogram" -> a17Sql,
     "a18_eta_variability" -> a18Sql,
     "a19_lomb_scargle" -> a19Sql,
+    "a20_color" -> a20Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

@@ -1398,6 +1398,115 @@ object Relational {
       |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
       |ORDER BY p_partkey, metric""".stripMargin
 
+  /** EV13 (beyond ref): last-touch marketing attribution — for every
+    * conversion (purchase), the single most recent marketing touch
+    * (click/view) by the same user within a 7-day lookback, rolled up
+    * to per-channel conversions / attributed revenue / revenue share;
+    * conversions with no touch in the window attribute to 'direct'.
+    *
+    * The touch lookup is [[graft.query.Temporal.asofJoin]] — ONE
+    * user-keyed shuffle carrying both event streams through a single
+    * carry-forward window (tolerance gates the lookback), never the
+    * per-conversion correlated scan the oracle spells with a
+    * LEFT JOIN + rank. At-or-equal instants match (at-or-before
+    * semantics); duplicate touch instants break ties on event_id
+    * (highest wins), pinning the attributed row on any engine.
+    * Revenue sums round at 4 dp (inputs are 2-dp values, so the sum
+    * sits on the 2-dp grid up to accumulation noise); the share
+    * divides the two ROUNDED sums so both engines divide identical
+    * numerators. */
+  def ev13Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_type").as("channel"), col("event_id").as("t_event_id"))
+    val attributed = graft.query.Temporal.asofJoin(
+      conv, touch, "user_id", "ts", "t_ts",
+      tolerance = Some(expr("INTERVAL 7 DAYS")),
+      tieBreak = Seq("t_event_id"))
+    val perChannel = attributed
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum("value"), 4).as("revenue"))
+    val total = conv.agg(round(sum("value"), 4).as("_tot"))
+    perChannel.join(broadcast(total))
+      .withColumn("share", round(col("revenue") / col("_tot"), 4))
+      .select("channel", "n_conversions", "revenue", "share")
+      .orderBy("channel")
+  }
+
+  val ev13Sql: String =
+    """WITH conv AS (SELECT user_id, event_id, ts, value FROM events
+      |              WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts AS t_ts, event_type AS channel,
+      |        event_id AS t_event_id
+      |      FROM events WHERE event_type IN ('click', 'view')),
+      |j AS (SELECT c.user_id, c.event_id, c.value, t.channel,
+      |        ROW_NUMBER() OVER (PARTITION BY c.event_id
+      |          ORDER BY t.t_ts DESC, t.t_event_id DESC) AS rk
+      |      FROM conv c LEFT JOIN t
+      |        ON c.user_id = t.user_id AND t.t_ts <= c.ts
+      |       AND t.t_ts >= c.ts - INTERVAL 7 DAYS),
+      |a AS (SELECT COALESCE(channel, 'direct') AS channel,
+      |        COUNT(*) AS n_conversions, ROUND(SUM(value), 4) AS revenue
+      |      FROM j WHERE rk = 1 GROUP BY 1),
+      |tot AS (SELECT ROUND(SUM(value), 4) AS t FROM conv)
+      |SELECT channel, n_conversions, revenue,
+      |  ROUND(revenue / (SELECT t FROM tot), 4) AS share
+      |FROM a ORDER BY channel""".stripMargin
+
+  /** D17 (beyond ref): blocked fuzzy entity resolution — the
+    * record-linkage staple: candidate entity-name pairs whose edit
+    * distance is within a threshold, generated only WITHIN blocks so
+    * no pair crosses a blocking key. The match runs over DISTINCT
+    * entity keys, not raw rows: rows first collapse to (name,
+    * support count, canonical min id) — at 100 TB the name vocabulary
+    * is Heaps-bounded (here 64 names over 20 k parts at sf0.1), so the
+    * pairwise stage is vocabulary², never rows², and the blocking key
+    * (the name's last token — the entity's type noun) cuts it another
+    * ~8×. Levenshtein is the classic unit-cost edit distance in both
+    * engines — exact integers; similarity = 1 − lev/maxlen is two IEEE
+    * ops on identical inputs, emitted unrounded (bit-identical). */
+  def d17EntityResolve(s: SparkSession, d: String): DataFrame = {
+    val ents = part(s, d)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"), min("p_partkey").as("canon_id"))
+      .withColumn("_blk", element_at(split(col("name"), " "), -1))
+    val a = ents.select(col("_blk"), col("name").as("name_a"),
+      col("n_rows").as("n_a"), col("canon_id").as("id_a"))
+    val b = ents.select(col("_blk"), col("name").as("name_b"),
+      col("n_rows").as("n_b"), col("canon_id").as("id_b"))
+    a.join(b, Seq("_blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev") <= 2)
+      .withColumn("sim", lit(1.0) - col("lev") /
+        greatest(length(col("name_a")), length(col("name_b"))).cast("double"))
+      .select("name_a", "name_b", "n_a", "n_b", "id_a", "id_b", "lev", "sim")
+      .orderBy("name_a", "name_b")
+  }
+
+  val d17Sql: String =
+    """WITH e AS (SELECT p_name AS name, COUNT(*) AS n_rows,
+      |    MIN(p_partkey) AS canon_id
+      |  FROM part GROUP BY 1),
+      |blk AS (SELECT name, n_rows, canon_id,
+      |    string_split(name, ' ')[-1] AS b
+      |  FROM e),
+      |pr AS (SELECT a.name AS name_a, b.name AS name_b,
+      |         a.n_rows AS n_a, b.n_rows AS n_b,
+      |         a.canon_id AS id_a, b.canon_id AS id_b,
+      |         levenshtein(a.name, b.name) AS lev
+      |       FROM blk a JOIN blk b ON a.b = b.b AND a.name < b.name)
+      |SELECT name_a, name_b, n_a, n_b, id_a, id_b,
+      |  CAST(lev AS BIGINT) AS lev,
+      |  1.0 - lev / CAST(GREATEST(len(name_a), len(name_b)) AS DOUBLE)
+      |    AS sim
+      |FROM pr WHERE lev <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "st1_stream_windows" -> (st1StreamWindows _),
@@ -1417,6 +1526,8 @@ object Relational {
     "ev11_growth" -> (ev11GrowthAccounting _),
     "d16_cdc_compact" -> (d16CdcCompact _),
     "ev12_peak_concurrency" -> (ev12PeakConcurrency _),
+    "ev13_attribution" -> (ev13Attribution _),
+    "d17_entity_resolve" -> (d17EntityResolve _),
     "p11_quantile_bins" -> (p11QuantileBins _),
     "g5_bfs" -> (g5Bfs _),
     "w7_pivot" -> (w7Pivot _),
@@ -1459,6 +1570,8 @@ object Relational {
     "ev11_growth" -> ev11Sql,
     "d16_cdc_compact" -> d16Sql,
     "ev12_peak_concurrency" -> ev12Sql,
+    "ev13_attribution" -> ev13Sql,
+    "d17_entity_resolve" -> d17Sql,
     "p11_quantile_bins" -> p11Sql,
     "g5_bfs" -> g5Sql,
     "w7_pivot" -> w7Sql,
