@@ -405,6 +405,35 @@ object Retrieval {
         round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 4).as("mrr_at_k"))
   }
 
+  /** Hard-negative mining for contrastive / reranker training — the
+    * step that turns a retrieval corpus into (query, positive,
+    * negative) triplets: for each query, every gold-relevant document
+    * pairs with the `nNeg` HIGHEST-ranked non-gold documents from the
+    * retriever's list. Top-ranked non-relevant hits are the "hard"
+    * negatives — lexically close enough to fool the retriever — which
+    * train far stronger embedders than random negatives (the DPR /
+    * sentence-transformers recipe).
+    *
+    * Plan shape: the ranked list anti-joins gold (broadcast — gold is
+    * labels, not corpus), a per-query window re-ranks the survivors
+    * (rank cardinality ≤ the retriever's k, never corpus-sized), and
+    * the positive×negative pairing is a per-query join bounded by
+    * |gold(q)| · nNeg. Output: (query, pos_<id>, neg_<id>, neg_rank,
+    * plus the negative's retrieval score columns). */
+  def hardNegatives(ranked: DataFrame, gold: DataFrame, queryIdCol: String,
+      idCol: String, rankCol: String = "rank", nNeg: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = gold.select(col(queryIdCol), col(idCol)).distinct()
+    val w = Window.partitionBy(queryIdCol).orderBy(rankCol)
+    val negs = ranked.join(broadcast(g), Seq(queryIdCol, idCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= nNeg)
+      .withColumnRenamed(idCol, s"neg_$idCol")
+      .drop(rankCol)
+    g.withColumnRenamed(idCol, s"pos_$idCol")
+      .join(negs, Seq(queryIdCol))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
     * retrieval lists — the standard way to combine lexical (BM25) and
     * dense (embedding) retrieval without score calibration:

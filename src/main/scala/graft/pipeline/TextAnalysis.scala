@@ -518,6 +518,49 @@ object TextAnalysis {
           .as("jsd"))
   }
 
+  /** Robust per-group outlier flags via median absolute deviation —
+    * the corpus-QA screen that survives the heavy-tailed length/score
+    * distributions a mean/std z-score drowns in (one 10 MB document
+    * shifts a group's mean; it cannot shift its median). Per group:
+    * med = exact median of `valueCol`, mad = exact median of
+    * |value − med|, and a row is an outlier when
+    * |value − med| > k · 1.4826 · mad (1.4826 scales MAD to σ under
+    * normality — the standard consistency constant). Groups with
+    * mad = 0 (a majority-constant value) are skipped: there is no
+    * scale to deviate against, the convention that keeps boilerplate-
+    * heavy sources from flagging everything.
+    *
+    * Returns one row per OUTLIER with (group, value, med, mad,
+    * robust_z). med and mad are rounded at 4 dp INSIDE the operator:
+    * even-count medians interpolate, and engines spell the
+    * interpolation differently ((a+b)/2 vs a+(b−a)·0.5 — up to 1 ulp
+    * apart), so the rounding pins the only engine-divergent step to
+    * the decimal grid; every downstream deviation, threshold compare,
+    * and score is then IEEE ops on bit-identical inputs and the
+    * robust_z emits unrounded.
+    *
+    * Scale shape: two group-keyed exact `percentile` aggregates + two
+    * broadcast joins of the group-cardinality stats frame; the data is
+    * scanned twice but never shuffled on anything wider than the group
+    * key. Exact group medians sort within the aggregate buffer — at
+    * true 100 TB per-group volumes swap `percentile` for
+    * `approx_percentile` (same plan shape, sketch-merge aggregate);
+    * the exact form is what an oracle can replay. */
+  def madOutliers(rows: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = rows.groupBy(groupCol)
+      .agg(round(percentile(v, lit(0.5)), 4).as("med"))
+    val dev = rows.join(broadcast(med), Seq(groupCol))
+      .withColumn("_adev", abs(v - col("med")))
+    val mad = dev.groupBy(groupCol)
+      .agg(round(percentile(col("_adev"), lit(0.5)), 4).as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("mad") > 0 && col("_adev") > lit(k * 1.4826) * col("mad"))
+      .withColumn("robust_z", (v - col("med")) / (lit(1.4826) * col("mad")))
+      .drop("_adev")
+  }
+
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val firstOcc = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("_term"))

@@ -63,6 +63,52 @@ object Corpus {
       |  CAST(GREATEST(strt, seq * 512) - seq * 512 AS BIGINT) AS seq_off
       |FROM e ORDER BY seq_id, doc_id""".stripMargin
 
+  /** P12 (beyond ref): packing-efficiency audit — the per-sequence
+    * manifest a trainer's data loader checks before a run: for every
+    * fixed-length sequence of p4's layout, how many documents it
+    * holds, its used-token count, how many spans are continuations of
+    * a document split across a boundary, and whether the slot is full
+    * (only the final sequence may not be). Integer-exact end to end →
+    * fully oracled; one map-side-combined aggregate over the packed
+    * span frame (seq_id-keyed, ~tokens/512 rows at any scale). */
+  def p12PackAudit(s: SparkSession, d: String): DataFrame =
+    Sharding.packSequences(documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 512L)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok_len").as("n_tokens"),
+        sum(when(col("tok_start") > 0, 1L).otherwise(0L))
+          .as("n_continuations"),
+        sum(when(col("seq_off") === 0 && col("tok_start") > 0, 1L)
+          .otherwise(0L)).as("n_carry_ins"))
+      .withColumn("is_full", col("n_tokens") === 512L)
+      .orderBy("seq_id")
+
+  val p12Sql: String =
+    """WITH w AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, tok,
+      |    CAST(SUM(tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM w),
+      |s AS (SELECT doc_id, cum - tok AS strt, cum FROM c WHERE tok > 0),
+      |e AS (SELECT doc_id, strt, cum,
+      |    unnest(generate_series(strt // 512, (cum - 1) // 512)) AS seq
+      |  FROM s),
+      |sp AS (SELECT CAST(seq AS BIGINT) AS seq_id, doc_id,
+      |    CAST(GREATEST(strt, seq * 512) - strt AS BIGINT) AS tok_start,
+      |    CAST(LEAST(cum, (seq + 1) * 512)
+      |         - GREATEST(strt, seq * 512) AS BIGINT) AS tok_len,
+      |    CAST(GREATEST(strt, seq * 512) - seq * 512 AS BIGINT) AS seq_off
+      |  FROM e)
+      |SELECT seq_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok_len) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN tok_start > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_continuations,
+      |  CAST(SUM(CASE WHEN seq_off = 0 AND tok_start > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_carry_ins,
+      |  SUM(tok_len) = 512 AS is_full
+      |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   /** Temperature mixing over the skewed language mix (α = 0.5,
     * target 200): per-language quotas ∝ ⌊√n⌋ flatten the en-heavy
     * corpus; the kept docs per language are the quota-many smallest
@@ -413,6 +459,7 @@ object Corpus {
     "p10_epoch_mix" -> (p10EpochMix _),
     "p9_weighted_sample" -> (p9WeightedSample _),
     "p4_pack_sequences" -> (p4PackSequences _),
+    "p12_pack_audit" -> (p12PackAudit _),
     "p5_source_mix" -> (p5SourceMix _),
     "t7_top_ngrams" -> (t7TopNgrams _),
     "t8_redact" -> (t8Redact _))
@@ -428,6 +475,7 @@ object Corpus {
     "p10_epoch_mix" -> p10Sql,
     "p9_weighted_sample" -> p9Sql,
     "p4_pack_sequences" -> p4Sql,
+    "p12_pack_audit" -> p12Sql,
     "p5_source_mix" -> p5Sql,
     "t7_top_ngrams" -> t7Sql,
     "t8_redact" -> t8Sql)

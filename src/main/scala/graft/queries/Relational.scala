@@ -1457,6 +1457,40 @@ object Relational {
       |  ROUND(revenue / (SELECT t FROM tot), 4) AS share
       |FROM a ORDER BY channel""".stripMargin
 
+  /** EV14 (beyond ref): robust per-type value outliers — MAD-based
+    * deviation scores ([[graft.pipeline.TextAnalysis.madOutliers]],
+    * k = 3), the heavy-tail-safe alternative to ev5's mean/std
+    * z-score: one extreme purchase shifts a mean, it cannot shift a
+    * median. med/mad round at 4 dp inside the operator (pinning the
+    * engine-divergent quantile interpolation — see the operator doc);
+    * every deviation, the threshold compare, and the emitted
+    * robust_z are then IEEE ops on bit-identical inputs → unrounded,
+    * fully oracled. The oracle spells the constants as float literals
+    * ((3.0 * 1.4826e0), left-assoc) so DuckDB doesn't promote them to
+    * DECIMAL one ulp away. */
+  def ev14MadOutliers(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TextAnalysis.madOutliers(
+        events(s, d).select("event_id", "event_type", "value"),
+        "event_type", "value", k = 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("robust_z"))
+      .orderBy("event_id")
+
+  val ev14Sql: String =
+    """WITH med AS (SELECT event_type,
+      |      ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS med
+      |    FROM events GROUP BY 1),
+      |dev AS (SELECT e.event_id, e.event_type, e.value, med.med,
+      |          ABS(e.value - med.med) AS adev
+      |        FROM events e JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, ROUND(quantile_cont(adev, 0.5), 4) AS mad
+      |        FROM dev GROUP BY 1)
+      |SELECT dev.event_id, dev.event_type, dev.value, dev.med, mad.mad,
+      |  (dev.value - dev.med) / (1.4826e0 * mad.mad) AS robust_z
+      |FROM dev JOIN mad USING (event_type)
+      |WHERE mad.mad > 0 AND dev.adev > (3.0 * 1.4826e0) * mad.mad
+      |ORDER BY dev.event_id""".stripMargin
+
   /** D17 (beyond ref): blocked fuzzy entity resolution — the
     * record-linkage staple: candidate entity-name pairs whose edit
     * distance is within a threshold, generated only WITHIN blocks so
@@ -1527,6 +1561,7 @@ object Relational {
     "d16_cdc_compact" -> (d16CdcCompact _),
     "ev12_peak_concurrency" -> (ev12PeakConcurrency _),
     "ev13_attribution" -> (ev13Attribution _),
+    "ev14_mad_outliers" -> (ev14MadOutliers _),
     "d17_entity_resolve" -> (d17EntityResolve _),
     "p11_quantile_bins" -> (p11QuantileBins _),
     "g5_bfs" -> (g5Bfs _),
@@ -1571,6 +1606,7 @@ object Relational {
     "d16_cdc_compact" -> d16Sql,
     "ev12_peak_concurrency" -> ev12Sql,
     "ev13_attribution" -> ev13Sql,
+    "ev14_mad_outliers" -> ev14Sql,
     "d17_entity_resolve" -> d17Sql,
     "p11_quantile_bins" -> p11Sql,
     "g5_bfs" -> g5Sql,

@@ -285,7 +285,10 @@ object Search {
     * engine-replayable, the stand-in for human relevance labels), then
     * [[Retrieval.evalMetrics]] reports per-query recall@10 / MRR@10.
     * The whole metric table is deterministic → fully oracled. */
-  def r4EvalMetrics(s: SparkSession, d: String): DataFrame = {
+  /** The conjunctive-match gold table behind r4: gold(q) = docs
+    * containing ALL the query's terms — exact and engine-replayable,
+    * the stand-in for human relevance labels. */
+  private def goldTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qs = Seq(
       (1L, "vector"), (1L, "hash"), (1L, "join"),
@@ -295,15 +298,18 @@ object Search {
       explode(array_distinct(graft.pipeline.TextAnalysis.tokens(col("text"))))
         .as("term"))
     val nq = qs.groupBy("query_id").agg(countDistinct(col("term")).as("_nt"))
-    val gold = qs.join(tok, Seq("term"))
+    qs.join(tok, Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(countDistinct(col("term")).as("_m"))
       .join(nq, Seq("query_id"))
       .filter(col("_m") === col("_nt"))
       .select("query_id", "doc_id")
-    Retrieval.evalMetrics(r1Bm25(s, d), gold, "query_id", "doc_id", k = 10)
-      .orderBy("query_id")
   }
+
+  def r4EvalMetrics(s: SparkSession, d: String): DataFrame =
+    Retrieval.evalMetrics(r1Bm25(s, d), goldTable(s, d), "query_id",
+        "doc_id", k = 10)
+      .orderBy("query_id")
 
   val r4Sql: String =
     """WITH q(query_id, term) AS (VALUES
@@ -353,6 +359,85 @@ object Search {
       |  ROUND(COALESCE(1.0 / h.frst, 0.0), 4) AS mrr_at_k
       |FROM ng LEFT JOIN h USING (query_id)
       |ORDER BY ng.query_id""".stripMargin
+
+  /** R11 (beyond ref): hard-negative mining for contrastive training
+    * ([[Retrieval.hardNegatives]]) — positives are the TEACHER
+    * retriever's top-3 (r10's query-likelihood ranking), and each
+    * pairs with the 3 highest-BM25-ranked docs NOT in the teacher's
+    * top-3: the cross-retriever distillation recipe (mine negatives
+    * with a different retriever than the one that labeled positives,
+    * so the negatives are lexically plausible but teacher-rejected).
+    * r4's conjunctive gold is unusable here: on this corpus half the
+    * docs contain every query term, so BM25's whole top-10 is gold
+    * and the naive mine is empty. Rank arithmetic is engine-exact
+    * (4-dp-rounded scores + doc_id tiebreak) → fully oracled. */
+  def r11HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val teacherTop = r10Qlm(s, d).filter(col("rank") <= 3)
+      .select("query_id", "doc_id")
+    Retrieval.hardNegatives(r1Bm25(s, d), teacherTop, "query_id",
+        "doc_id", "rank", nNeg = 3)
+      .select(col("query_id"), col("pos_doc_id"), col("neg_doc_id"),
+        col("neg_rank"), col("score_r").as("neg_score_r"))
+      .orderBy("query_id", "pos_doc_id", "neg_rank")
+  }
+
+  val r11Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |    (1, 'vector'), (1, 'hash'), (1, 'join'),
+      |    (2, 'spark'), (2, 'stream'), (2, 'window'),
+      |    (3, 'slow'), (3, 'query')),
+      |tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(text), ' '), t -> t != '')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS dl
+      |  FROM documents),
+      |m AS (SELECT doc_id, term FROM tok
+      |      WHERE term IN (SELECT term FROM q)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM m GROUP BY 1, 2),
+      |tot AS (SELECT SUM(CAST(dl AS DOUBLE)) AS total FROM dl),
+      |qlen AS (SELECT query_id, COUNT(DISTINCT term) AS qlen
+      |         FROM q GROUP BY 1),
+      |cf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cf FROM m GROUP BY 1),
+      |tts AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(ln(1.0 + tf.tf * tot.total / (300.0 * cf.cf))) AS s
+      |  FROM tf JOIN cf USING (term) JOIN q ON q.term = tf.term, tot
+      |  GROUP BY 1, 2),
+      |tsc AS (SELECT tts.query_id, tts.doc_id,
+      |    tts.s + qlen.qlen * ln(300.0 / (CAST(dl.dl AS DOUBLE) + 300.0))
+      |      AS score
+      |  FROM tts JOIN dl USING (doc_id) JOIN qlen USING (query_id)),
+      |gold AS (SELECT query_id, doc_id FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+      |    FROM tsc) WHERE rank <= 3),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |         AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |    SUM(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * tf.tf * 2.2
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  JOIN q ON q.term = tf.term, st
+      |  GROUP BY q.query_id, tf.doc_id),
+      |r AS (SELECT query_id, doc_id, ROUND(score, 4) AS score_r,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+      |      FROM sc),
+      |neg AS (SELECT r.query_id, r.doc_id, r.score_r,
+      |          ROW_NUMBER() OVER (PARTITION BY r.query_id
+      |            ORDER BY r.rank) AS neg_rank
+      |        FROM r WHERE r.rank <= 10 AND NOT EXISTS (
+      |          SELECT 1 FROM gold g
+      |          WHERE g.query_id = r.query_id AND g.doc_id = r.doc_id))
+      |SELECT CAST(g.query_id AS BIGINT) AS query_id,
+      |  g.doc_id AS pos_doc_id, n.doc_id AS neg_doc_id,
+      |  CAST(n.neg_rank AS BIGINT) AS neg_rank, n.score_r AS neg_score_r
+      |FROM gold g JOIN neg n ON g.query_id = n.query_id
+      |WHERE n.neg_rank <= 3
+      |ORDER BY query_id, pos_doc_id, neg_rank""".stripMargin
 
   /** NDCG@10 over the r1 BM25 ranking with GRADED relevance — rel(q,
     * doc) = how many of the query's terms the doc contains (1..3), the
@@ -664,6 +749,7 @@ object Search {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r10_qlm" -> (r10Qlm _),
+    "r11_hard_negatives" -> (r11HardNegatives _),
     "r9_proximity" -> (r9Proximity _),
     "r1_bm25" -> (r1Bm25 _),
     "r2_chunk" -> (r2Chunk _),
@@ -676,6 +762,7 @@ object Search {
 
   def oracles: Map[String, String] = Map(
     "r10_qlm" -> r10Sql,
+    "r11_hard_negatives" -> r11Sql,
     "r9_proximity" -> r9Sql,
     "r1_bm25" -> r1Sql,
     "r2_chunk" -> r2Sql,
