@@ -1794,6 +1794,65 @@ object Pipeline {
       |SELECT vhash, COUNT(*) AS n_videos, MIN(doc_id) AS min_doc
       |FROM vh GROUP BY vhash ORDER BY vhash""".stripMargin
 
+  /** M13 (beyond ref): shot/scene-change detection — the video
+    * pipeline's segmentation primitive: a cut is declared between
+    * consecutive frames whose perceptual aHashes differ in ≥ 16 of 64
+    * bits (the standard shot-boundary heuristic over m9's per-frame
+    * hashes). A video's frames live in ONE row's payload, so the
+    * demux → decode → hash → consecutive-hamming chain is pure per-row
+    * work — no shuffle at all before the output sort; at 100 TB the
+    * cut detector scales with video count, not frame count × cluster
+    * coordination. Exact-integer hash + integer hamming → the whole
+    * chain replays from the pixel closed form. */
+  def m13SceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val hs = Multimodal.splitPngFrames(Multimodal.syntheticVideo(id, 3))
+          .zipWithIndex.map { case (png, f) =>
+            Multimodal.aHashBits(png).getOrElse(
+              throw new IllegalStateException(
+                s"frame $f of doc $id failed to decode"))
+          }
+        hs.sliding(2).zipWithIndex.flatMap {
+          case (Seq(a, b), i) =>
+            val ham = a.zip(b).count { case (x, y) => x != y }
+            if (ham >= 16) Some((id, (i + 1).toLong, ham.toLong)) else None
+          case _ => None
+        }
+      }
+      .toDF("doc_id", "frame_idx", "hamming")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val m13Sql: String =
+    """WITH p AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(8 + doc_id % 7 AS INT) AS h
+      |           FROM documents),
+      |px AS (SELECT p.doc_id, p.w, p.h, f.range AS f, x.range AS x, y.range AS y,
+      |    ((x.range + 2*y.range + p.doc_id + 7*f.range) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 7*f.range + 5) % 256)
+      |  + ((x.range + 2*y.range + p.doc_id + 7*f.range + 10) % 256) AS lum
+      |  FROM p, range(3) f, range(16) x, range(14) y
+      |  WHERE x.range < p.w AND y.range < p.h),
+      |b AS (SELECT doc_id, f, ((x*8)//w)*8 + (y*8)//h AS k,
+      |        SUM(lum) AS s, COUNT(*) AS c
+      |      FROM px GROUP BY doc_id, f, ((x*8)//w)*8 + (y*8)//h),
+      |t AS (SELECT doc_id, f, k, (s * 64) // c AS t FROM b),
+      |tot AS (SELECT doc_id, f, SUM(t) AS total FROM t GROUP BY doc_id, f),
+      |bits AS (SELECT t.doc_id, t.f, t.k,
+      |    CASE WHEN 64 * t.t > tot.total THEN 1 ELSE 0 END AS bit
+      |  FROM t JOIN tot ON t.doc_id = tot.doc_id AND t.f = tot.f),
+      |h AS (SELECT a.doc_id, b2.f AS frame_idx,
+      |        SUM(CASE WHEN a.bit != b2.bit THEN 1 ELSE 0 END) AS ham
+      |      FROM bits a JOIN bits b2
+      |        ON a.doc_id = b2.doc_id AND a.k = b2.k AND b2.f = a.f + 1
+      |      GROUP BY 1, 2)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(ham AS BIGINT) AS hamming
+      |FROM h WHERE ham >= 16
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** REAL audio decode: a 16-bit PCM WAV is synthesized per doc and
     * decoded back through the JRE's javax.sound.sampled (RIFF header
     * parsed by the real reader); format fields + exact integer sample
@@ -1880,6 +1939,7 @@ object Pipeline {
     "m10_audio_dedup" -> (m10AudioDedup _),
     "m9_video_framehash" -> (m9VideoFramehash _),
     "m12_video_dedup" -> (m12VideoDedup _),
+    "m13_scene_cuts" -> (m13SceneCuts _),
     "m3_frame_decode" -> (m3FrameDecode _),
     "m4_audio_decode" -> (m4AudioDecode _))
 
@@ -1923,6 +1983,7 @@ object Pipeline {
     "m10_audio_dedup" -> m10Sql,
     "m9_video_framehash" -> m9Sql,
     "m12_video_dedup" -> m12Sql,
+    "m13_scene_cuts" -> m13Sql,
     "m3_frame_decode" -> m3Sql,
     "m4_audio_decode" -> m4Sql,
     "d2_minhash_lsh" -> PortableHashOracle.d2Sql,

@@ -1541,8 +1541,43 @@ object Relational {
       |FROM pr WHERE lev <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** J9 (beyond ref): shuffle-free big⋈big join over BUCKETED layout
+    * ([[graft.layout.Bucketing]]) — lineitem and orders persisted
+    * bucketed + bucket-sorted on the order key, then sort-merge-joined
+    * with NO exchange on either input (spec-pinned); the only shuffle
+    * in the whole plan is the final 5-row priority rollup. This is the
+    * physical-layout story the 100 TB
+    * fact⋈fact join needs — co-locate once at write time, join free
+    * forever — and the result is oracled against the plain logical
+    * join, which by definition must be identical. */
+  def j9BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.layout.Bucketing
+    val n = 16
+    val li = Bucketing.bucketedTable(s,
+      Bucketing.tableName(d, "lineitem", "l_orderkey", n),
+      lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+      "l_orderkey", n, Bucketing.scratchDir(d, "lineitem", "l_orderkey", n))
+    val ord = Bucketing.bucketedTable(s,
+      Bucketing.tableName(d, "orders", "o_orderkey", n),
+      orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey", n, Bucketing.scratchDir(d, "orders", "o_orderkey", n))
+    li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 4).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val j9Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  ROUND(SUM(l_extendedprice), 4) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "j9_bucketed_join" -> (j9BucketedJoin _),
     "st1_stream_windows" -> (st1StreamWindows _),
     "st2_stream_sessions" -> (st2StreamSessions _),
     "j8_asof_join" -> (j8AsofJoin _),
@@ -1607,6 +1642,7 @@ object Relational {
     "ev12_peak_concurrency" -> ev12Sql,
     "ev13_attribution" -> ev13Sql,
     "ev14_mad_outliers" -> ev14Sql,
+    "j9_bucketed_join" -> j9Sql,
     "d17_entity_resolve" -> d17Sql,
     "p11_quantile_bins" -> p11Sql,
     "g5_bfs" -> g5Sql,

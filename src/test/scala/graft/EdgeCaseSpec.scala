@@ -276,6 +276,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Temporal.activeUsers(noAct, "user_id", "ts_us").count() == 0)
   }
 
+  test("round-14 operators degrade to empty results on empty inputs") {
+    import graft.pipeline.{Retrieval, TextAnalysis}
+    import graft.query.Temporal
+    // MAD outliers: empty frame, and a single-row group (mad = 0)
+    val noVals = Seq.empty[(String, Double)].toDF("g", "x")
+    assert(TextAnalysis.madOutliers(noVals, "g", "x").count() == 0)
+    assert(TextAnalysis.madOutliers(
+      Seq(("a", 5.0)).toDF("g", "x"), "g", "x").count() == 0)
+    // hard negatives: empty ranked list / empty gold → no triplets
+    val ranked = Seq((1L, "d1", 1L)).toDF("query_id", "doc_id", "rank")
+    val noRanked = Seq.empty[(Long, String, Long)]
+      .toDF("query_id", "doc_id", "rank")
+    val noGold = Seq.empty[(Long, String)].toDF("query_id", "doc_id")
+    assert(Retrieval.hardNegatives(noRanked, noGold, "query_id",
+      "doc_id").count() == 0)
+    assert(Retrieval.hardNegatives(ranked, noGold, "query_id",
+      "doc_id").count() == 0)
+    // as-of with tolerance on an empty right side: left rows survive
+    // unmatched (the ev13 'direct' path)
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val noRight = Seq.empty[(Long, Long)].toDF("k", "rt")
+    val asof = Temporal.asofJoin(left, noRight, "k", "t", "rt",
+      tolerance = Some(lit(5L)))
+    assert(asof.count() == 1 && asof.select("rt").head.isNullAt(0))
+  }
+
   test("search with cone + predicates composes; empty stats yields empty search") {
     val stats = Ltcv.objStatsComb(Ltcv.sources(cat, "pvid-pv1"))
       .join(Ltcv.weightedPositions(Ltcv.sources(cat, "pvid-pv1")), Seq("rootid"))

@@ -170,6 +170,45 @@ class Round14Spec extends AnyFunSuite {
     assert(got.map(_._3).sum == 300 + 300 + 500 + 12)
   }
 
+  // ---- j9: bucketed shuffle-free join --------------------------------
+
+  test("bucketed join plan reads both sides with no exchange") {
+    val d = "/root/testdata/sf0.001"
+    import graft.layout.Bucketing
+    val n = 16
+    val li = Bucketing.bucketedTable(spark,
+      Bucketing.tableName(d, "lineitem", "l_orderkey", n),
+      Tables.lineitem(spark, d).select("l_orderkey", "l_extendedprice"),
+      "l_orderkey", n, Bucketing.scratchDir(d, "lineitem", "l_orderkey", n))
+    val ord = Bucketing.bucketedTable(spark,
+      Bucketing.tableName(d, "orders", "o_orderkey", n),
+      Tables.orders(spark, d).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey", n, Bucketing.scratchDir(d, "orders", "o_orderkey", n))
+    val joined = li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+    // NOTE a partition-local Sort remains: since SPARK-28113 the scan
+    // does not advertise bucket-sort order unless the legacy conf is
+    // set (multiple files per bucket would need a merge). The shuffle
+    // is the scale cost, and it is gone.
+    // and the layout survives a REGISTRATION round-trip: dropping the
+    // catalog entry and re-attaching via CREATE TABLE keeps the
+    // exchange-free plan (the cross-session path)
+    spark.sql(s"DROP TABLE ${Bucketing.tableName(d, "lineitem", "l_orderkey", n)}")
+    val li2 = Bucketing.bucketedTable(spark,
+      Bucketing.tableName(d, "lineitem", "l_orderkey", n),
+      sys.error("must not rebuild — files are persisted"),
+      "l_orderkey", n, Bucketing.scratchDir(d, "lineitem", "l_orderkey", n))
+    val plan2 = li2.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("SortMergeJoin") && !plan2.contains("Exchange"),
+      plan2)
+  }
+
   // ---- a20: cross-band color as-of -----------------------------------
 
   test("a20 color equals a naive per-detection scan") {
