@@ -359,6 +359,118 @@ object Ltcv {
       .withColumn("peak_trail_raw", max(col(fluxCol)).over(w))
   }
 
+  /** W9 (beyond ref) — light-curve resampling by linear interpolation
+    * onto a regular grid: for every grid epoch inside a curve's
+    * observed span, the flux interpolated between the bracketing
+    * detections. The grid classifiers and cross-matchers consume —
+    * irregular cadence in, fixed-step vectors out.
+    *
+    * The time axis is INTEGER units (`timeCol`, e.g. deci-days):
+    * value-based bracketing on floats diverges between engines, while
+    * integer epochs, integer grid steps, and integer gaps replay
+    * exactly; the interpolation weight is then one exact-integer
+    * division and the output flux three IEEE ops on bit-identical
+    * inputs — no rounding anywhere. Duplicate epochs within a curve
+    * must be pre-collapsed by the caller (the brightest-wins aggregate
+    * w9 uses); a grid point landing exactly on a detection emits that
+    * detection's flux (the zero-gap guard).
+    *
+    * Scale shape: detections and grid points union and ride ONE
+    * per-curve window sorted by epoch (carry-forward for the previous
+    * detection, carry-backward for the next — two frame directions on
+    * the same sort). The grid derives from a per-curve min/max
+    * aggregate, so its row count is span/step per curve, never a
+    * global densification. */
+  def interpolateGrid(dedupedSrc: DataFrame, keys: Seq[String],
+      timeCol: String, fluxCol: String, step: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    val grid = dedupedSrc.groupBy(k: _*)
+      .agg(min(col(timeCol)).as("_tmin"), max(col(timeCol)).as("_tmax"))
+      // ceil/floor by INTEGER division (Spark's `/` on longs is double
+      // division — a boundary epoch would flip under float noise);
+      // valid for the non-negative epochs this operator contracts
+      .select(k :+ explode(sequence(
+        expr(s"(_tmin + ${step - 1}) div $step"),
+        expr(s"_tmax div $step"))).as("_k"): _*)
+      .select(k :+ (col("_k") * step).as("_t") :+ lit(1).as("_isgrid"): _*)
+    val dets = dedupedSrc.select(
+      k :+ col(timeCol).as("_t") :+ lit(0).as("_isgrid"): _*)
+      .withColumn("_f", col(fluxCol))
+    val unioned = grid.withColumn("_f", lit(null).cast("double"))
+      .unionByName(dets)
+    // detections sort BEFORE grid points at equal epochs (_isgrid), so
+    // an exact hit is its own bracket on both sides
+    val ordA = Seq(col("_t"), col("_isgrid"))
+    val wPrev = Window.partitionBy(k: _*).orderBy(ordA: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(k: _*).orderBy(ordA.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bracket = unioned
+      .withColumn("_tp", last(when(col("_isgrid") === 0, col("_t")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("_fp", last(when(col("_isgrid") === 0, col("_f")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("_tn", last(when(col("_isgrid") === 0, col("_t")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("_fn", last(when(col("_isgrid") === 0, col("_f")),
+        ignoreNulls = true).over(wNext))
+      .filter(col("_isgrid") === 1 &&
+        col("_tp").isNotNull && col("_tn").isNotNull)
+    bracket.select(
+      k :+ col("_t").as(timeCol) :+
+        when(col("_tn") === col("_tp"), col("_fp"))
+          .otherwise(col("_fp") + (col("_fn") - col("_fp")) *
+            ((col("_t") - col("_tp")).cast("double") /
+              (col("_tn") - col("_tp")).cast("double")))
+          .as("flux_interp") :+
+        (col("_tn") - col("_tp")).as("bracket_gap"): _*)
+  }
+
+  /** A21 (beyond ref) — Stetson J/K variability indices (Stetson 1996,
+    * PASP 108, 851): the error-weighted pair statistic transient
+    * classifiers use alongside a18's von Neumann η. Per curve with
+    * n ≥ 2: δ_i = √(n/(n−1)) · (f_i − f̄)/σ_i, consecutive-pair
+    * products P_i = δ_i·δ_{i+1}, J = Σ sgn(P)·√|P| / n_pairs
+    * (normalized), K = (Σ|δ|/n) / √(Σδ²/n). The mean stays UNROUNDED
+    * (the a13/a17 rule: rounding a mean creates half-ties; engines'
+    * sum-order noise is smooth and sgn(x)·√|x| is continuous at 0, so
+    * the 3-dp output rounding absorbs it).
+    *
+    * Scale shape: one per-curve mean aggregate joins back (broadcast
+    * at stats cardinality), δ is a scan-stage projection, pairs ride
+    * one per-curve lag window, and J/K are one final map-combined
+    * aggregate. `tieCol` must make (timeCol, tieCol) unique per curve
+    * so pairing replays on any engine. */
+  def stetsonIndices(dedupedSrc: DataFrame, keys: Seq[String],
+      timeCol: String, tieCol: String, fluxCol: String,
+      errCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    val m = dedupedSrc.groupBy(k: _*)
+      .agg(count(lit(1)).as("_n"), avg(col(fluxCol)).as("_fbar"))
+      .filter(col("_n") >= 2)
+    val del = dedupedSrc.join(m, keys)
+      .withColumn("_delta",
+        sqrt(col("_n").cast("double") / (col("_n") - 1)) *
+          (col(fluxCol) - col("_fbar")) / col(errCol))
+    val w = Window.partitionBy(k: _*).orderBy(col(timeCol), col(tieCol))
+    val paired = del.withColumn("_dprev", lag(col("_delta"), 1).over(w))
+    paired.groupBy(k: _*).agg(
+      count(lit(1)).as("ndets"),
+      sum(when(col("_dprev").isNotNull,
+          signum(col("_dprev") * col("_delta")) *
+            sqrt(abs(col("_dprev") * col("_delta")))))
+        .as("_jsum"),
+      sum(when(col("_dprev").isNotNull, 1L).otherwise(0L)).as("_npairs"),
+      sum(abs(col("_delta"))).as("_abssum"),
+      sum(col("_delta") * col("_delta")).as("_sqsum"))
+      .select(k :+ col("ndets") :+
+        round(col("_jsum") / col("_npairs"), 3).as("stetson_j") :+
+        round((col("_abssum") / col("ndets")) /
+          sqrt(col("_sqsum") / col("ndets")), 3).as("stetson_k"): _*)
+  }
+
   /** T6 — hot transients: lightcurves of objects with a detection in
     * [mjdNow - lastdays, mjdNow] (src/ltcv.py:1290-1518; default window
     * 30 d). Photometry is cut at mjdNow (P3). */
