@@ -217,6 +217,9 @@ object FastdbOps {
 
   def a13LtcvFeatures(s: SparkSession, d: String): DataFrame =
     Ltcv.lightcurveFeatures(a13Sources(s, d))
+      // the rounded slope can sit at a tiny negative — pin the sign of
+      // zero on both engines (graft.queries.Num.rnd0 rule)
+      .withColumn("trend_slope", col("trend_slope") + lit(0.0))
       .orderBy("rootid", "band")
 
   val a13Sql: String =
@@ -241,7 +244,7 @@ object FastdbOps {
        |  ROUND(m.fsum, 3) AS flux_sum,
        |  ROUND(sqrt(cen.sff / m.ndets), 4) AS flux_std,
        |  ROUND(CASE WHEN cen.stt > 0 THEN cen.stf / cen.stt ELSE 0.0 END, 4)
-       |    AS trend_slope
+       |    + 0.0 AS trend_slope
        |FROM m JOIN cen USING (rootid, band)
        |ORDER BY m.rootid, m.band""".stripMargin
 
@@ -498,8 +501,8 @@ object FastdbOps {
       .withColumn("p", explode(array(periods.map(lit): _*)))
       .groupBy("rootid", "band", "p")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("y") * cos(w)), 3).as("sc_r"),
-        round(sum(col("y") * sin(w)), 3).as("ss_r"))
+        (round(sum(col("y") * cos(w)), 3) + lit(0.0)).as("sc_r"),
+        (round(sum(col("y") * sin(w)), 3) + lit(0.0)).as("ss_r"))
       .withColumn("power_r",
         round((col("sc_r") * col("sc_r") + col("ss_r") * col("ss_r")) /
           col("n"), 3))
@@ -516,8 +519,8 @@ object FastdbOps {
        |f AS (SELECT CAST(unnest([5.0, 10.0, 15.0, 20.0, 25.0]) AS DOUBLE)
        |        AS p),
        |g AS (SELECT rootid, band, p, COUNT(*) AS n,
-       |        ROUND(SUM(y * cos(2 * pi() / p * t)), 3) AS sc_r,
-       |        ROUND(SUM(y * sin(2 * pi() / p * t)), 3) AS ss_r
+       |        ROUND(SUM(y * cos(2 * pi() / p * t)), 3) + 0.0 AS sc_r,
+       |        ROUND(SUM(y * sin(2 * pi() / p * t)), 3) + 0.0 AS ss_r
        |      FROM y CROSS JOIN f GROUP BY 1, 2, 3)
        |SELECT rootid, band, p, CAST(n AS BIGINT) AS n, sc_r, ss_r,
        |  ROUND((sc_r * sc_r + ss_r * ss_r) / n, 3) AS power_r
@@ -659,8 +662,12 @@ object FastdbOps {
       .withColumn("_flip",
         col("yc_r") < 0 || (col("yc_r") === 0 && col("ys_r") < 0))
       .select(col("rootid"), col("band"), col("p"), col("n"),
-        when(col("_flip"), -col("yc_r")).otherwise(col("yc_r")).as("yc_r"),
-        when(col("_flip"), -col("ys_r")).otherwise(col("ys_r")).as("ys_r"),
+        // + 0.0 pins the sign of zero: a rounded ±0 projection (or a
+        // flip of +0.0) must not emit -0.0 on one engine only
+        (when(col("_flip"), -col("yc_r")).otherwise(col("yc_r")) + lit(0.0))
+          .as("yc_r"),
+        (when(col("_flip"), -col("ys_r")).otherwise(col("ys_r")) + lit(0.0))
+          .as("ys_r"),
         col("power_r"))
       .orderBy("rootid", "band", "p")
   }
@@ -689,10 +696,10 @@ object FastdbOps {
        |      FROM yp JOIN tau USING (rootid, band, p)
        |      GROUP BY 1, 2, 3, 4)
        |SELECT rootid, band, p, n,
-       |  CASE WHEN yc_r < 0 OR (yc_r = 0 AND ys_r < 0)
-       |    THEN -yc_r ELSE yc_r END AS yc_r,
-       |  CASE WHEN yc_r < 0 OR (yc_r = 0 AND ys_r < 0)
-       |    THEN -ys_r ELSE ys_r END AS ys_r,
+       |  (CASE WHEN yc_r < 0 OR (yc_r = 0 AND ys_r < 0)
+       |    THEN -yc_r ELSE yc_r END) + 0.0 AS yc_r,
+       |  (CASE WHEN yc_r < 0 OR (yc_r = 0 AND ys_r < 0)
+       |    THEN -ys_r ELSE ys_r END) + 0.0 AS ys_r,
        |  CASE WHEN cc_r > 0 AND ss_r > 0
        |    THEN ROUND(0.5 * (yc_r * yc_r / cc_r + ys_r * ys_r / ss_r), 3)
        |  END AS power_r
@@ -768,6 +775,128 @@ object FastdbOps {
       |SELECT rootid, srcid, mjd, flux, n_srcid, n_mjd, n_flux,
       |  flux / n_flux AS color_ratio, ROUND(mjd - n_mjd, 4) AS dt
       |FROM j WHERE rk = 1 ORDER BY srcid""".stripMargin
+
+  // ---- W9: fixed-grid interpolation ----------------------------------
+
+  /** W9 (beyond ref): per-curve FIXED-GRID linear interpolation
+    * ([[Ltcv.interpolateGrid]]) — the resampling an LSST-style feature
+    * pipeline runs before fitting on a common epoch grid. Time rides
+    * an exact INTEGER axis (the operator's contract: integer epochs /
+    * steps / gaps replay exactly); duplicate epochs pre-collapse
+    * brightest-wins; step 50 so each curve gets a handful of grid
+    * epochs strictly inside its span. The interpolation weight is one
+    * exact-integer division and the flux three IEEE ops on
+    * bit-identical inputs → emitted UNROUNDED; grid epochs landing
+    * exactly ON a detection emit that detection's flux with
+    * bracket_gap 0 (the ordering-fix regression class — detections
+    * sort before grid points at equal epochs in BOTH window passes).
+    * Oracle mirrors the union + two-directional carry windows with
+    * DuckDB's IGNORE NULLS last_value. */
+  def w9InterpGrid(s: SparkSession, d: String): DataFrame = {
+    val src = lineitem(s, d).select(
+        (col("l_orderkey") % 300).cast("string").as("rootid"),
+        col("l_returnflag").as("band"),
+        (col("l_partkey") % 1000).cast("long").as("t"),
+        (col("l_extendedprice") / 10).as("flux"))
+      .groupBy("rootid", "band", "t")
+      .agg(max("flux").as("flux"))
+    Ltcv.interpolateGrid(src, Seq("rootid", "band"), "t", "flux", step = 50L)
+      .orderBy("rootid", "band", "t")
+  }
+
+  val w9Sql: String =
+    """WITH src0 AS (SELECT CAST(l_orderkey % 300 AS VARCHAR) AS rootid,
+      |    l_returnflag AS band, CAST(l_partkey % 1000 AS BIGINT) AS t,
+      |    l_extendedprice / 10 AS flux FROM lineitem),
+      |src AS (SELECT rootid, band, t, MAX(flux) AS flux
+      |        FROM src0 GROUP BY 1, 2, 3),
+      |b AS (SELECT rootid, band, MIN(t) AS tmin, MAX(t) AS tmax
+      |      FROM src GROUP BY 1, 2),
+      |g AS (SELECT rootid, band,
+      |        unnest(range((tmin + 49) // 50, tmax // 50 + 1)) * 50 AS t
+      |      FROM b),
+      |u AS (SELECT rootid, band, t, 1 AS isgrid, CAST(NULL AS DOUBLE) AS f
+      |      FROM g
+      |      UNION ALL
+      |      SELECT rootid, band, t, 0, flux FROM src),
+      |c AS (SELECT *,
+      |    LAST_VALUE(CASE WHEN isgrid = 0 THEN t END IGNORE NULLS)
+      |      OVER wp AS tp,
+      |    LAST_VALUE(CASE WHEN isgrid = 0 THEN f END IGNORE NULLS)
+      |      OVER wp AS fp,
+      |    LAST_VALUE(CASE WHEN isgrid = 0 THEN t END IGNORE NULLS)
+      |      OVER wn AS tn,
+      |    LAST_VALUE(CASE WHEN isgrid = 0 THEN f END IGNORE NULLS)
+      |      OVER wn AS fn
+      |  FROM u WINDOW
+      |    wp AS (PARTITION BY rootid, band ORDER BY t ASC, isgrid ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wn AS (PARTITION BY rootid, band ORDER BY t DESC, isgrid ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT rootid, band, t,
+      |  CASE WHEN tn = tp THEN fp
+      |       ELSE fp + (fn - fp) *
+      |            (CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) END
+      |    AS flux_interp,
+      |  CAST(tn - tp AS BIGINT) AS bracket_gap
+      |FROM c
+      |WHERE isgrid = 1 AND tp IS NOT NULL AND tn IS NOT NULL
+      |ORDER BY rootid, band, t""".stripMargin
+
+  // ---- A21: Stetson variability indices --------------------------------
+
+  /** A21 (beyond ref): Stetson J/K variability indices
+    * ([[Ltcv.stetsonIndices]]) on the a20 projection (unique srcid as
+    * the pairing tiebreak, positive integer errors). J's pair sum is
+    * sign-indefinite so its 3-dp rounding is zero-canonicalized in the
+    * operator; K is a positive ratio. Both engines spell the identical
+    * two-pass formula — the UNROUNDED mean feeds δ, and the smooth
+    * sgn(P)·√|P| absorbs last-ulp mean noise under 3-dp rounding. */
+  def a21Stetson(s: SparkSession, d: String): DataFrame = {
+    val src = lineitem(s, d).select(
+      concat_ws("-", col("l_orderkey") * 10 + col("l_linenumber"),
+        col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long")).as("srcid"),
+      (col("l_orderkey") % 300).cast("string").as("rootid"),
+      col("l_returnflag").as("band"),
+      (lit(60000.0) + (col("l_partkey") % 1000) * 0.1).as("mjd"),
+      (col("l_extendedprice") / 10).as("flux"),
+      col("l_quantity").cast("double").as("fluxerr"))
+    Ltcv.stetsonIndices(src, Seq("rootid", "band"),
+        "mjd", "srcid", "flux", "fluxerr")
+      .orderBy("rootid", "band")
+  }
+
+  val a21Sql: String =
+    """WITH src AS (SELECT
+      |    CONCAT_WS('-', l_orderkey * 10 + l_linenumber, l_partkey,
+      |      CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS srcid,
+      |    CAST(l_orderkey % 300 AS VARCHAR) AS rootid,
+      |    l_returnflag AS band,
+      |    60000.0 + (l_partkey % 1000) * 0.1 AS mjd,
+      |    l_extendedprice / 10 AS f,
+      |    CAST(l_quantity AS DOUBLE) AS e
+      |  FROM lineitem),
+      |m AS (SELECT rootid, band, COUNT(*) AS n, AVG(f) AS fbar
+      |      FROM src GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |d AS (SELECT s.rootid, s.band, s.mjd, s.srcid,
+      |        sqrt(CAST(m.n AS DOUBLE) / (m.n - 1)) * (s.f - m.fbar) / s.e
+      |          AS delta
+      |      FROM src s JOIN m USING (rootid, band)),
+      |p AS (SELECT *, LAG(delta) OVER (PARTITION BY rootid, band
+      |        ORDER BY mjd, srcid) AS dprev FROM d),
+      |ag AS (SELECT rootid, band, COUNT(*) AS ndets,
+      |    SUM(CASE WHEN dprev IS NOT NULL
+      |        THEN sign(dprev * delta) * sqrt(abs(dprev * delta)) END)
+      |      AS jsum,
+      |    SUM(CASE WHEN dprev IS NOT NULL THEN 1 ELSE 0 END) AS npairs,
+      |    SUM(abs(delta)) AS abssum,
+      |    SUM(delta * delta) AS sqsum
+      |  FROM p GROUP BY 1, 2)
+      |SELECT rootid, band, ndets,
+      |  ROUND(jsum / npairs, 3) + 0.0 AS stetson_j,
+      |  ROUND((abssum / ndets) / sqrt(sqsum / ndets), 3) AS stetson_k
+      |FROM ag ORDER BY rootid, band""".stripMargin
 
   // ---- A4: cross-band rollup ----------------------------------------
 
@@ -1301,6 +1430,8 @@ object FastdbOps {
     "a18_eta_variability" -> (a18EtaVariability _),
     "a19_lomb_scargle" -> (a19LombScargle _),
     "a20_color" -> (a20Color _),
+    "w9_interp_grid" -> (w9InterpGrid _),
+    "a21_stetson" -> (a21Stetson _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -1329,6 +1460,8 @@ object FastdbOps {
     "a18_eta_variability" -> a18Sql,
     "a19_lomb_scargle" -> a19Sql,
     "a20_color" -> a20Sql,
+    "w9_interp_grid" -> w9Sql,
+    "a21_stetson" -> a21Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

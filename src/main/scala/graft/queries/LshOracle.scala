@@ -104,7 +104,7 @@ object LshOracle {
        |    ELSE 0.0 END AS sim
        |  FROM cand cd JOIN e0 q ON q.vec_id = cd.q_vec_id
        |               JOIN e0 c ON c.vec_id = cd.vec_id),
-       |r AS (SELECT q_vec_id, vec_id, ROUND(sim, 4) AS sim_r,
+       |r AS (SELECT q_vec_id, vec_id, ROUND(sim, 4) + 0.0 AS sim_r,
        |    ROW_NUMBER() OVER (PARTITION BY q_vec_id
        |      ORDER BY sim DESC, vec_id) AS rank
        |  FROM sims)

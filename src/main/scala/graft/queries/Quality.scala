@@ -540,7 +540,9 @@ object Quality {
     LangModel.dsirWeights(docs, "doc_id", "text",
         docs.filter(col("lang") === "en"), "text")
       .select(col("doc_id"), col("n_features"),
-        round(col("dsir_weight"), 6).as("dsir_weight"))
+        // avg log-ratio can sit at a tiny negative — pin the sign of
+        // zero on both engines (graft.queries.Num.rnd0 rule)
+        (round(col("dsir_weight"), 6) + lit(0.0)).as("dsir_weight"))
       .orderBy("doc_id")
   }
 
@@ -561,7 +563,7 @@ object Quality {
       |       ((r.cr + 0.5) / (rt.n + 0.5 * 4096))) AS lr
       |  FROM b LEFT JOIN t USING (f) JOIN r USING (f), tt, rt)
       |SELECT doc_id, COUNT(*) AS n_features,
-      |  ROUND(AVG(lr), 6) AS dsir_weight
+      |  ROUND(AVG(lr), 6) + 0.0 AS dsir_weight
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** HTML extraction end-to-end: each doc rendered into a

@@ -557,6 +557,9 @@ object Relational {
     graft.query.Temporal.dailyAnomalies(
         events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
         "user_id", "ts_us", zThreshold = 2.0)
+      // z is a rounded value that can sit at a tiny negative — pin the
+      // sign of zero on both engines (graft.queries.Num.rnd0 rule)
+      .withColumn("z", col("z") + lit(0.0))
       .orderBy("user_id", "day")
 
   val ev5Sql: String =
@@ -572,6 +575,7 @@ object Relational {
       |z AS (SELECT d.user_id, d.day, d.n_events,
       |        CASE WHEN sqrt(m2.s2 / m.nd) > 0
       |             THEN ROUND((d.n_events - m.mean) / sqrt(m2.s2 / m.nd), 4)
+      |               + 0.0
       |             ELSE 0.0 END AS z
       |      FROM dly d JOIN m USING (user_id) JOIN m2 USING (user_id))
       |SELECT user_id, day, n_events, z, ABS(z) >= 2.0 AS is_anomaly
@@ -670,7 +674,7 @@ object Relational {
       .select(col("n_c"), col("k_c"), col("n_t"), col("k_t"),
         round(col("k_c").cast("double") / col("n_c"), 6).as("conv_c"),
         round(col("k_t").cast("double") / col("n_t"), 6).as("conv_t"),
-        round(
+        Num.rnd0(
           (col("k_t").cast("double") / col("n_t") -
             col("k_c").cast("double") / col("n_c")) /
           sqrt(((col("k_c") + col("k_t")).cast("double") / (col("n_c") + col("n_t"))) *
@@ -699,7 +703,8 @@ object Relational {
       |  ROUND((CAST(k_t AS DOUBLE) / n_t - CAST(k_c AS DOUBLE) / n_c) /
       |    sqrt((CAST(k_c + k_t AS DOUBLE) / (n_c + n_t)) *
       |      (1.0 - CAST(k_c + k_t AS DOUBLE) / (n_c + n_t)) *
-      |      (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))), 6) AS z
+      |      (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))), 6)
+      |    + 0.0 AS z
       |FROM ag""".stripMargin
 
   /** EV8 (beyond ref): incrementally-maintained daily rollup — the

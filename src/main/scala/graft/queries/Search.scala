@@ -223,7 +223,10 @@ object Search {
           .as("sim"))
     Retrieval.mmrRerank(cand, ps, "query_id", "doc_id", "sim_r",
         k = 5, lambda = 0.7)
-      .select(col("query_id"), col("doc_id"), col("mmr").as("mmr_r"), col("rank"))
+      // the MMR score can sit at a tiny negative — pin the sign of
+      // zero on both engines (graft.queries.Num.rnd0 rule)
+      .select(col("query_id"), col("doc_id"),
+        (col("mmr") + lit(0.0)).as("mmr_r"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -277,7 +280,7 @@ object Search {
       |    GROUP BY query_id, rank, picked
       |  )
       |)
-      |SELECT query_id, doc_id, mmr AS mmr_r, CAST(rank AS BIGINT) AS rank
+      |SELECT query_id, doc_id, mmr + 0.0 AS mmr_r, CAST(rank AS BIGINT) AS rank
       |FROM sel ORDER BY query_id, rank""".stripMargin
 
   /** Retrieval evaluation over the r1 ranking: gold(q) = docs

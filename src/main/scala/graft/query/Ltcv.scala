@@ -399,12 +399,18 @@ object Ltcv {
       .withColumn("_f", col(fluxCol))
     val unioned = grid.withColumn("_f", lit(null).cast("double"))
       .unionByName(dets)
-    // detections sort BEFORE grid points at equal epochs (_isgrid), so
-    // an exact hit is its own bracket on both sides
-    val ordA = Seq(col("_t"), col("_isgrid"))
-    val wPrev = Window.partitionBy(k: _*).orderBy(ordA: _*)
+    // detections sort BEFORE grid points at equal epochs IN BOTH
+    // PASSES, so an exact hit is its own bracket on both sides: the
+    // ascending pass orders (_t asc, _isgrid asc); the descending pass
+    // must order (_t desc, _isgrid ASC) — a naive full reversal would
+    // put the co-located detection AFTER the grid point, dropping grid
+    // epochs that land exactly on a curve's last detection and making
+    // the zero-gap guard unreachable for mid-curve exact hits
+    val wPrev = Window.partitionBy(k: _*)
+      .orderBy(col("_t").asc, col("_isgrid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(k: _*).orderBy(ordA.map(_.desc): _*)
+    val wNext = Window.partitionBy(k: _*)
+      .orderBy(col("_t").desc, col("_isgrid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bracket = unioned
       .withColumn("_tp", last(when(col("_isgrid") === 0, col("_t")),
@@ -466,7 +472,9 @@ object Ltcv {
       sum(abs(col("_delta"))).as("_abssum"),
       sum(col("_delta") * col("_delta")).as("_sqsum"))
       .select(k :+ col("ndets") :+
-        round(col("_jsum") / col("_npairs"), 3).as("stetson_j") :+
+        // + 0.0 pins the sign of zero on the (sign-indefinite) J sum
+        // — the graft.queries.Num.rnd0 rule
+        (round(col("_jsum") / col("_npairs"), 3) + lit(0.0)).as("stetson_j") :+
         round((col("_abssum") / col("ndets")) /
           sqrt(col("_sqsum") / col("ndets")), 3).as("stetson_k"): _*)
   }

@@ -128,7 +128,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin is acceptable only where one side is a
     // broadcast of a bounded frame (the ANN query sets: linear corpus
     // scan x a handful of broadcast query vectors / centroids;
-    // p5 / r1 / t15 / t24 / g1: a broadcast ONE-ROW scalar-totals
+    // p5 / r1 / t15 / t24 / ev13: a broadcast ONE-ROW scalar-totals
     // frame — the distributed alternative to a driver collect that
     // would re-scan the corpus); a CartesianProduct is never
     // acceptable.
@@ -138,7 +138,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "p5_source_mix",
         "r1_bm25", "r10_qlm",
         "r3_hybrid_rrf", "r4_eval_metrics", "r6_ndcg", "r7_prf_expand",
-        "t15_collocations", "t24_tfidf_keywords")
+        "t15_collocations", "t24_tfidf_keywords",
+        "ev13_attribution")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, d))
       assert(!p.contains("CartesianProduct"),

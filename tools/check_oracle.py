@@ -14,17 +14,32 @@ import pandas as pd
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
+class ArrayColumnError(Exception):
+    """An array-typed output column. The DRIVER's harness does not
+    tuple-ize these — its pandas lexsort crashes on ndarray cells
+    (the r7 s8_sq_quantize failure) — so the local stand-in must FLAG
+    them, not paper over them. Render arrays to strings in the query
+    (concat_ws / array_to_string), the a8 rule."""
+
 def norm(df):
     df = df[sorted(df.columns)]
-    # list/array cells (e.g. token or code arrays) aren't hashable —
-    # convert to tuples so sorting and equality work cell-exactly
     for c in df.columns:
         if df[c].dtype == object and df[c].map(
                 lambda v: hasattr(v, "__len__") and not isinstance(v, (str, bytes))).any():
-            df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__len__")
-                              and not isinstance(v, (str, bytes)) else v)
+            raise ArrayColumnError(c)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
+
+def zero_sign_mismatch(a, b):
+    """Cells where both engines agree numerically but disagree on the
+    sign of zero — equal to pandas, DIFFERENT to the driver's value
+    hash (the r7 t15_collocations failure)."""
+    import numpy as np
+    if str(a.dtype) not in ("float32", "float64"):
+        return []
+    av, bv = a.to_numpy(), b.to_numpy()
+    zero = (av == 0) & (bv == 0) & ~np.isnan(av) & ~np.isnan(bv)
+    return list(np.nonzero(zero & (np.signbit(av) != np.signbit(bv)))[0][:3])
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -37,8 +52,12 @@ def main(sfdir, outdir):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"{name}: NO OUTPUT"); nfail += 1; continue
-        spark = norm(duckdb.connect().execute(
-            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf())
+        try:
+            spark = norm(duckdb.connect().execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf())
+        except ArrayColumnError as e:
+            print(f"{name}: ARRAY COLUMN '{e}' (crashes the driver's "
+                  f"pandas sort — render to string)"); nfail += 1; continue
         if name not in oracle:
             print(f"{name}: rows-only ({len(spark)} rows)"); continue
         try:
@@ -63,6 +82,13 @@ def main(sfdir, outdir):
                     print(f"{name}: VALUES {c} differ at {list(idx)}: "
                           f"duck={[duck[c][i] for i in idx]} spark={[spark[c][i] for i in idx]}")
                     ok = False
+                else:
+                    zs = zero_sign_mismatch(duck[c], spark[c])
+                    if zs:
+                        print(f"{name}: SIGN-OF-ZERO {c} at {zs} "
+                              f"(pandas-equal, hash-different — "
+                              f"canonicalize with Num.rnd0 / ROUND+0.0)")
+                        ok = False
         if ok:
             print(f"{name}: MATCH ({len(duck)} rows)")
         else:
