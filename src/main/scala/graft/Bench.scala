@@ -75,10 +75,17 @@ object Bench {
     // pair: biggest codegen'd plans outside d*/e*) measured 2-3x their
     // isolated steady state inside a chunk — JIT warm-up bleeding into
     // the warm median — so they get solo JVMs too.
+    // The multimodal decode family (m1/m7/m9) is CPU-bound JVM-library
+    // work (ImageIO, javax.sound, byte-loop hashing): sharing a JVM
+    // with other queries showed 4-12x run-to-run swings on identical
+    // code (GC/JIT co-tenancy, r8 vs r9 bench logs), so they are
+    // isolated like the graph/LM families (e4 already is, via the e*
+    // solo rule below).
     val soloExtra = Set("t9_lm_score", "t10_dsir_weights", "t20_kn_score",
       "t21_trigram_kn", "t23_kn_buckets", "st3_stream_neardup",
       "g1_pagerank", "g2_triangles", "g3_link_predict", "g4_communities",
-      "g5_bfs", "a16_structure_func", "a19_lomb_scargle")
+      "g5_bfs", "a16_structure_func", "a19_lomb_scargle",
+      "m1_multimodal", "m7_image_dedup", "m9_video_framehash")
     val (solo, cheap) = names.partition(n =>
       n.startsWith("d") || n.startsWith("e") || n.startsWith("cc") ||
         soloExtra(n))

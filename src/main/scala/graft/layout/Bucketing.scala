@@ -41,33 +41,41 @@ object Bucketing {
     s"graft_bkt_${table}_${key}_${nBuckets}_" +
       graft.Tables.tableSignature(dataset, table)
 
-  private def isSaved(dir: String): Boolean =
-    new java.io.File(dir, "_SUCCESS").exists()
-
   /** Return `name` as a bucketed table, materializing `df` on first
     * use: write once (bucketBy + sortBy on `key`, one file per bucket
     * via the pre-repartition, so the scan needs no per-bucket merge
-    * sort), re-attach on every later session. Idempotent across
-    * concurrent sessions the same way the IVF index is: the _SUCCESS
-    * marker gates the build.
+    * sort), re-attach on every later session. The build follows the
+    * [[graft.util.Stage]] commit protocol: the bucketed files are
+    * written under a staging location (via a throwaway catalog name —
+    * `saveAsTable` is the only API that writes bucket layout) and
+    * atomically renamed into place, so a reader never attaches to a
+    * half-written directory and concurrent builders race safely; the
+    * catalog entry is then always (re)declared over the published
+    * files with CREATE TABLE ... CLUSTERED BY ... LOCATION, which is
+    * how the layout survives across sessions anyway (bucket info
+    * lives in the catalog, not the files).
     */
   def bucketedTable(spark: SparkSession, name: String, df: => DataFrame,
       key: String, nBuckets: Int, dir: String): DataFrame = {
     if (!spark.catalog.tableExists(name)) {
-      if (!isSaved(dir)) {
-        df.repartition(nBuckets, col(key))
-          .write.bucketBy(nBuckets, key).sortBy(key)
-          .option("path", dir).mode("overwrite").saveAsTable(name)
-      } else {
-        // bucket metadata is catalog state; re-declare it over the
-        // existing files. CLUSTERED BY requires an explicit column
-        // list, so read the schema back from the parquet footers.
-        val ddl = spark.read.parquet(dir).schema.toDDL
-        spark.sql(
-          s"""CREATE TABLE $name ($ddl) USING parquet
-             |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
-             |LOCATION '$dir'""".stripMargin)
+      if (!graft.util.Stage.isCommitted(spark, dir)) {
+        val stagingName = s"${name}_staging"
+        graft.util.Stage.publish(spark, dir) { staging =>
+          spark.sql(s"DROP TABLE IF EXISTS $stagingName")
+          df.repartition(nBuckets, col(key))
+            .write.bucketBy(nBuckets, key).sortBy(key)
+            .option("path", staging).mode("overwrite").saveAsTable(stagingName)
+          // external table: dropping the catalog entry keeps the files
+          spark.sql(s"DROP TABLE $stagingName")
+        }
       }
+      // CLUSTERED BY requires an explicit column list, so read the
+      // schema back from the parquet footers of the published files.
+      val ddl = spark.read.parquet(dir).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $name ($ddl) USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+           |LOCATION '$dir'""".stripMargin)
     }
     spark.table(name)
   }

@@ -40,8 +40,12 @@ object RollupStore {
     // touched partitions: bounded by the batch's distinct partition
     // keys (days, typically a handful) — broadcastable by construction
     val touched = agg.select(partCol).distinct()
+    // Hadoop-FS marker probe (not java.io.File) so the rollup store
+    // works on HDFS/S3 locations, where an MV lives at 100 TB
+    val fs = graft.util.Stage.fs(spark, dir)
+    val started = new org.apache.hadoop.fs.Path(dir, "_STARTED")
     val existing: Option[DataFrame] =
-      if (new java.io.File(dir, "_STARTED").exists())
+      if (fs.exists(started))
         Some(spark.read.parquet(dir)
           .join(broadcast(touched), Seq(partCol), "left_semi"))
       else None
@@ -64,9 +68,7 @@ object RollupStore {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     graft.pipeline.Components.release(out)
-    if (!new java.io.File(dir, "_STARTED").exists())
-      java.nio.file.Files.createFile(
-        java.nio.file.Paths.get(dir, "_STARTED")): Unit
+    if (!fs.exists(started)) fs.create(started).close()
   }
 
   /** The current rollup state. */

@@ -15,8 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * location is keyed by the SOURCE table's content signature plus the
   * clustering parameters, so a regenerated dataset (or a different
   * shingle/threshold config) rebuilds instead of serving stale
-  * clusters, and the `_SUCCESS` marker gates readers. Single-writer
-  * assumption as documented on [[graft.layout.Bucketing]].
+  * clusters. Commit protocol is [[graft.util.Stage]]: build into a
+  * staging dir, atomic rename to publish — readers never see a
+  * half-written table and concurrent builders race safely.
   */
 object ClusterStore {
 
@@ -27,23 +28,24 @@ object ClusterStore {
       s"${math.round(threshold * 100)}_" +
       graft.Tables.tableSignature(dataset, "documents")
 
-  private def isSaved(dir: String): Boolean =
-    new java.io.File(dir, "_SUCCESS").exists()
-
   /** Load the persisted (doc_id, cluster, is_rep) table if present,
     * else build it from `docs` (pair graph auto-policy + large/small-
-    * star CC, exactly cc1's substrate) and persist it. Either way the
-    * returned frame reads from parquet, so repeat consumers pay only
-    * the scan. */
+    * star CC, exactly cc1's substrate) and persist it via the
+    * [[graft.util.Stage]] staging-then-rename protocol (Hadoop-FS
+    * markers, atomic publish, race-safe against concurrent builders).
+    * Either way the returned frame reads from parquet, so repeat
+    * consumers pay only the scan. */
   def loadOrBuild(spark: SparkSession, dataset: String, docs: => DataFrame,
       shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
     val dir = scratchDir(dataset, shingleWords, threshold)
-    if (!isSaved(dir)) {
-      val d = docs
-      val pairs = Dedup.ngramJaccardPairsAuto(d, "doc_id", "text",
-        shingleWords = shingleWords, threshold = threshold)
-      Components.dedupClusters(d, "doc_id", pairs, "id_a", "id_b")
-        .write.mode("overwrite").parquet(dir)
+    if (!graft.util.Stage.isCommitted(spark, dir)) {
+      graft.util.Stage.publish(spark, dir) { staging =>
+        val d = docs
+        val pairs = Dedup.ngramJaccardPairsAuto(d, "doc_id", "text",
+          shingleWords = shingleWords, threshold = threshold)
+        Components.dedupClusters(d, "doc_id", pairs, "id_a", "id_b")
+          .write.mode("overwrite").parquet(staging)
+      }
     }
     spark.read.parquet(dir)
   }

@@ -314,13 +314,17 @@ object Dedup {
     * additionally bucket postings by `_bucket` and shingles by id so
     * probes and verifications become co-located point lookups. */
   def saveIndex(index: NearDupIndex, dir: String): Unit = {
-    index.buckets.write.mode("overwrite").partitionBy("_band")
-      .parquet(s"$dir/buckets")
-    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    graft.util.Stage.publish(index.buckets.sparkSession, dir,
+        "shingles/_SUCCESS") { staging =>
+      index.buckets.write.mode("overwrite").partitionBy("_band")
+        .parquet(s"$staging/buckets")
+      index.shingles.write.mode("overwrite").parquet(s"$staging/shingles")
+    }
   }
 
-  def isIndexSaved(dir: String): Boolean =
-    new java.io.File(s"$dir/shingles/_SUCCESS").exists()
+  def isIndexSaved(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    graft.util.Stage.isCommitted(spark, dir, "shingles/_SUCCESS")
 
   /** Reload a saved index. Probing a loaded index pays only the probe
     * cost — shingling and banding the corpus happened at [[saveIndex]]
@@ -338,7 +342,7 @@ object Dedup {
   def loadOrBuildIndex(corpus: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
       dir: String): NearDupIndex = {
-    if (!isIndexSaved(dir)) {
+    if (!isIndexSaved(corpus.sparkSession, dir)) {
       val (built, sigs) = minhashIndexWithSigs(corpus, idCol, textCol,
         shingleWords, numHashes, bands)
       saveIndex(built, dir)
@@ -623,13 +627,17 @@ object Dedup {
     * [[saveIndex]]. At 100 TB you'd additionally bucket keys by
     * (_v1, _v2) and shingles by id for co-located point lookups. */
   def saveSimhashIndex(index: SimHashIndex, dir: String): Unit = {
-    index.keys.write.mode("overwrite").partitionBy("_comb")
-      .parquet(s"$dir/keys")
-    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    graft.util.Stage.publish(index.keys.sparkSession, dir,
+        "shingles/_SUCCESS") { staging =>
+      index.keys.write.mode("overwrite").partitionBy("_comb")
+        .parquet(s"$staging/keys")
+      index.shingles.write.mode("overwrite").parquet(s"$staging/shingles")
+    }
   }
 
-  def isSimhashIndexSaved(dir: String): Boolean =
-    new java.io.File(s"$dir/shingles/_SUCCESS").exists()
+  def isSimhashIndexSaved(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    graft.util.Stage.isCommitted(spark, dir, "shingles/_SUCCESS")
 
   def loadSimhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): SimHashIndex =
@@ -642,7 +650,7 @@ object Dedup {
   def loadOrBuildSimhashIndex(corpus: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 4, shingleWords: Int = 3,
       dir: String): SimHashIndex = {
-    if (!isSimhashIndexSaved(dir)) {
+    if (!isSimhashIndexSaved(corpus.sparkSession, dir)) {
       val (built, sigs) = simhashIndexWithSigs(corpus, idCol, textCol,
         maxHamming, shingleWords)
       saveSimhashIndex(built, dir)

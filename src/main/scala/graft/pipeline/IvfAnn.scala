@@ -80,18 +80,24 @@ object IvfAnn {
     * cell id — so a probe's `_cell` equi-join prunes to its cells'
     * files (dynamic partition pruning against the broadcast probe
     * list) instead of scanning the corpus — plus the tiny centroid
-    * table. The centroid write lands last, so `centroids/_SUCCESS` is
-    * the commit marker for the whole index. At 100 TB the same layout
+    * table. The whole index commits via [[graft.util.Stage]]: both
+    * tables are written under a staging dir and published by one
+    * atomic rename, so readers never see an assigned table without
+    * its centroids (or vice versa) and concurrent builders race
+    * safely on any Hadoop filesystem. At 100 TB the same layout
     * holds; you'd additionally bucket within cells by id for
     * co-located candidate joins. */
   def save(index: Index, dir: String): Unit = {
-    index.assigned.write.mode("overwrite")
-      .partitionBy("_cell").parquet(s"$dir/assigned")
-    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val spark = index.assigned.sparkSession
+    graft.util.Stage.publish(spark, dir, "centroids/_SUCCESS") { staging =>
+      index.assigned.write.mode("overwrite")
+        .partitionBy("_cell").parquet(s"$staging/assigned")
+      index.centroids.write.mode("overwrite").parquet(s"$staging/centroids")
+    }
   }
 
-  def isSaved(dir: String): Boolean =
-    new java.io.File(s"$dir/centroids/_SUCCESS").exists()
+  def isSaved(spark: SparkSession, dir: String): Boolean =
+    graft.util.Stage.isCommitted(spark, dir, "centroids/_SUCCESS")
 
   /** Reload a saved index. Probing a loaded index pays only the probe
     * cost — quantizer training and cell assignment happened at
@@ -119,12 +125,19 @@ object IvfAnn {
   def loadOrBuild(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, dir: String): Index = {
     val spark = corpus.sparkSession
-    if (!isSaved(dir)) {
+    if (!isSaved(spark, dir)) {
       val built = buildIndex(corpus, idCol, embCol, nlist)
       save(built, dir)
       built.assigned.unpersist()
     }
-    load(spark, dir)
+    val ix = load(spark, dir)
+    // The centroid table has exactly nlist rows by construction, but a
+    // parquet read carries no static row bound (maxRows = None), so
+    // the probe-list cross join downstream would be indistinguishable
+    // in the plan from a corpus-quadratic one. Stamp the known bound
+    // onto the plan with a semantically-no-op limit: GlobalLimit(nlist)
+    // makes the broadcast side's boundedness statically provable.
+    ix.copy(centroids = ix.centroids.limit(nlist))
   }
 
   /** Top-k per query over the `nprobe` nearest cells. */

@@ -213,22 +213,26 @@ object PqAnn {
 
   /** Codes land PARTITIONED BY cell (a probe's equi-join prunes to its
     * cells' files); the model (cells + codebooks) is two tiny parquet
-    * tables. `books/_SUCCESS` is the commit marker. */
+    * tables. The whole index commits via [[graft.util.Stage]]
+    * staging-then-rename (Hadoop-FS, atomic, race-safe), same as
+    * [[IvfAnn.save]]. */
   def save(index: Index, dir: String): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
-    index.codes.write.mode("overwrite").partitionBy("_cell")
-      .parquet(s"$dir/codes")
-    index.model.cells.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("_cell", "_center")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/cells")
-    booksDf(spark, index.model.books)
-      .withColumn("_dim", lit(index.model.dim))
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/books")
+    graft.util.Stage.publish(spark, dir, "books/_SUCCESS") { staging =>
+      index.codes.write.mode("overwrite").partitionBy("_cell")
+        .parquet(s"$staging/codes")
+      index.model.cells.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("_cell", "_center")
+        .repartition(1).write.mode("overwrite").parquet(s"$staging/cells")
+      booksDf(spark, index.model.books)
+        .withColumn("_dim", lit(index.model.dim))
+        .repartition(1).write.mode("overwrite").parquet(s"$staging/books")
+    }
   }
 
-  def isSaved(dir: String): Boolean =
-    new java.io.File(s"$dir/books/_SUCCESS").exists()
+  def isSaved(spark: SparkSession, dir: String): Boolean =
+    graft.util.Stage.isCommitted(spark, dir, "books/_SUCCESS")
 
   def load(spark: SparkSession, dir: String): Index = {
     val cellRows = spark.read.parquet(s"$dir/cells").collect()
@@ -257,7 +261,7 @@ object PqAnn {
       dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16,
       dir: String): Index = {
     val spark = corpus.sparkSession
-    if (!isSaved(dir)) {
+    if (!isSaved(spark, dir)) {
       val (built, assigned) =
         buildIndexWithAssigned(corpus, idCol, embCol, dim, nlist, m, ksub)
       save(built, dir)

@@ -424,7 +424,10 @@ object Retrieval {
       idCol: String, rankCol: String = "rank", nNeg: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = gold.select(col(queryIdCol), col(idCol)).distinct()
-    val w = Window.partitionBy(queryIdCol).orderBy(rankCol)
+    // id tie-break: a retriever may emit duplicate ranks (score ties
+    // re-ranked downstream, or fused lists); row_number over rank
+    // alone would then be partition-order-dependent
+    val w = Window.partitionBy(queryIdCol).orderBy(col(rankCol), col(idCol))
     val negs = ranked.join(broadcast(g), Seq(queryIdCol, idCol), "left_anti")
       .withColumn("neg_rank", row_number().over(w).cast("long"))
       .filter(col("neg_rank") <= nNeg)

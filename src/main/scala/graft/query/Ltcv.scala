@@ -395,8 +395,8 @@ object Ltcv {
         expr(s"_tmax div $step"))).as("_k"): _*)
       .select(k :+ (col("_k") * step).as("_t") :+ lit(1).as("_isgrid"): _*)
     val dets = dedupedSrc.select(
-      k :+ col(timeCol).as("_t") :+ lit(0).as("_isgrid"): _*)
-      .withColumn("_f", col(fluxCol))
+      k :+ col(timeCol).as("_t") :+ lit(0).as("_isgrid") :+
+        col(fluxCol).cast("double").as("_f"): _*)
     val unioned = grid.withColumn("_f", lit(null).cast("double"))
       .unionByName(dets)
     // detections sort BEFORE grid points at equal epochs IN BOTH

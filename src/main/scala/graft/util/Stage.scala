@@ -1,0 +1,66 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Commit protocol for the persisted shared artifacts (bucketed table
+  * copies, IVF/PQ indexes, cluster tables, shingle postings): Hadoop
+  * `FileSystem`-based markers — so the same code works on HDFS/S3/GCS
+  * paths, not just `file:` (a `java.io.File` probe silently returns
+  * false on any remote filesystem and every session rebuilds) — plus
+  * write-to-staging-then-rename so a half-written artifact is never
+  * visible at the published location.
+  *
+  * Concurrency contract: `FileSystem.rename` is atomic per HDFS
+  * semantics (and per-object on S3A for directories created by one
+  * writer), so when two sessions race to build the same artifact,
+  * exactly one rename lands; the loser detects the existing
+  * destination, discards its staging dir, and reads the winner's
+  * files. This replaces the earlier check-then-act gate, which could
+  * let a reader see a directory mid-write.
+  */
+object Stage {
+  def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Is the artifact at `dir` committed? `marker` is relative to
+    * `dir` (default: the FileOutputCommitter `_SUCCESS` of the last
+    * write in the artifact's documented write order). */
+  def isCommitted(spark: SparkSession, dir: String,
+      marker: String = "_SUCCESS"): Boolean =
+    fs(spark, dir).exists(new Path(dir, marker))
+
+  /** Session-unique staging location next to the destination (same
+    * filesystem — a cross-FS rename is a copy, not atomic). */
+  def stagingDir(spark: SparkSession, dir: String): String =
+    s"$dir.staging-${spark.sparkContext.applicationId}"
+
+  /** Build into `staging` via `write`, then atomically publish it at
+    * `dir`. Returns true if this session's artifact landed, false if
+    * a concurrent writer already published (staging is discarded; the
+    * winner's artifact is content-equivalent, since locations are
+    * keyed by source-content signature + parameters — which is also
+    * why the residual check-to-rename window is benign: the worst
+    * case replaces one committed artifact with an identical one via
+    * atomic rename). An existing UNCOMMITTED destination (no marker —
+    * a crashed writer's debris, or a pre-created empty dir) is
+    * replaced. */
+  def publish(spark: SparkSession, dir: String,
+      marker: String = "_SUCCESS")(write: String => Unit): Boolean = {
+    val f = fs(spark, dir)
+    val staging = stagingDir(spark, dir)
+    val stagingPath = new Path(staging)
+    f.delete(stagingPath, true) // leftover from a crashed prior run
+    write(staging)
+    val dst = new Path(dir)
+    if (f.exists(new Path(dst, marker))) {
+      f.delete(stagingPath, true)
+      false
+    } else {
+      f.delete(dst, true)
+      val landed = f.rename(stagingPath, dst)
+      if (!landed) f.delete(stagingPath, true)
+      landed
+    }
+  }
+}

@@ -125,28 +125,47 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("no battery plan is corpus-quadratic") {
-    // BroadcastNestedLoopJoin is acceptable only where one side is a
-    // broadcast of a bounded frame (the ANN query sets: linear corpus
-    // scan x a handful of broadcast query vectors / centroids;
-    // p5 / r1 / t15 / t24 / ev13: a broadcast ONE-ROW scalar-totals
-    // frame — the distributed alternative to a driver collect that
-    // would re-scan the corpus); a CartesianProduct is never
-    // acceptable.
-    val boundedNestedLoop =
-      Set("s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_ivfpq",
-        "s5_incremental_pq", "s10_mips_topk", "s11_kmeans", "s12_ivf_det",
-        "p5_source_mix",
-        "r1_bm25", "r10_qlm",
-        "r3_hybrid_rrf", "r4_eval_metrics", "r6_ndcg", "r7_prf_expand",
-        "t15_collocations", "t24_tfidf_keywords",
-        "ev13_attribution")
+    // A nested-loop join (the physical plan Spark picks when a join
+    // has no equi keys) is acceptable only when one side is BOUNDED —
+    // the ANN query sets (linear corpus scan x a handful of broadcast
+    // query vectors / centroids) or a ONE-ROW scalar-totals frame (the
+    // distributed alternative to a driver collect that would re-scan
+    // the corpus). Rather than a query-name whitelist (which rounds
+    // 7-9 showed re-trips every time a bounded scorer is composed into
+    // a new query, e.g. r11 reusing r10's QLM stats), assert the
+    // property itself on the optimized logical plan: every join
+    // without equi keys must have a side whose static row bound
+    // (`LogicalPlan.maxRows` — Some(1) for ungrouped aggregates,
+    // Some(k) for limits, Some(n) for local relations, propagated
+    // through Project/Filter) is known and small. An unbounded x
+    // unbounded non-equi join — the corpus-quadratic shape — has
+    // maxRows None on both sides and fails regardless of which query
+    // composed it. A CartesianProduct is never acceptable.
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def isEquiKey(j: Join, l: Expression, r: Expression): Boolean =
+      (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet) ||
+       l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet)) &&
+      l.references.nonEmpty && r.references.nonEmpty
+    def hasEquiKeys(j: Join): Boolean = j.condition.exists(_.collect {
+      case EqualTo(l, r) if isEquiKey(j, l, r) => true
+      case EqualNullSafe(l, r) if isEquiKey(j, l, r) => true
+    }.nonEmpty)
+    val boundRows = 10000L
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val p = plan(fn(spark, d))
+      val df = fn(spark, d)
+      val p = plan(df)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product")
-      if (!boundedNestedLoop.contains(name))
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$name plans an unbounded nested-loop join")
+      df.queryExecution.optimizedPlan.foreach {
+        case j: Join if !hasEquiKeys(j) =>
+          assert(j.left.maxRows.exists(_ <= boundRows) ||
+                 j.right.maxRows.exists(_ <= boundRows),
+            s"$name plans a nested-loop join with NO statically bounded " +
+            s"side (left=${j.left.maxRows}, right=${j.right.maxRows}) — " +
+            "corpus-quadratic at scale")
+        case _ =>
+      }
     }
   }
 }

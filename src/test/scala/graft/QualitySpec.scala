@@ -510,7 +510,7 @@ class QualitySpec extends AnyFunSuite {
     Components.release(viaIndex)
     Components.release(inPlace)
     // and a RE-load (second consumer) sees the same index
-    assert(IvfAnn.isSaved(dir))
+    assert(IvfAnn.isSaved(spark, dir))
     val again = SemDedup.semanticDedupWithIndex(
       IvfAnn.load(spark, dir), "vec_id", threshold = 0.9)
     assert(again.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet == a)

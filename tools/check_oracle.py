@@ -62,6 +62,10 @@ def main(sfdir, outdir):
             print(f"{name}: rows-only ({len(spark)} rows)"); continue
         try:
             duck = norm(con.execute(oracle[name]).fetchdf())
+        except ArrayColumnError as e:
+            print(f"{name}: ORACLE ARRAY COLUMN '{e}' (duck-side list "
+                  f"output — render to string in the oracle SQL, the a8 "
+                  f"rule)"); nfail += 1; continue
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}"); nfail += 1; continue
         ok = True
