@@ -44,6 +44,37 @@ object Whitening {
     * the eigendecomposition. */
   def fit(df: DataFrame, idCol: String, embCol: String, dim: Int,
       eps: Double = 1e-9): Model = {
+    val (n, mean, covUpper) = covStats(df, idCol, embCol, dim)
+    require(n >= 2, s"whitening needs >= 2 vectors, got $n")
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = covUpper(i * dim + j)
+        cov(i, j) = v; cov(j, i) = v
+        j += 1
+      }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // breeze returns ascending eigenvalues; flip to descending
+    val order = (0 until dim).sortBy(k => -es.eigenvalues(k))
+    val eigenvalues = order.map(k => math.max(es.eigenvalues(k), 0.0)).toArray
+    val components = order.map(k =>
+      Array.tabulate(dim)(r => es.eigenvectors(r, k))).toArray
+    Model(dim, mean, components, eigenvalues,
+      eigenvalues.map(l => 1.0 / math.sqrt(l + eps)))
+  }
+
+  /** One-pass distributed covariance sufficient statistics: each task
+    * folds its rows into a local (n, Σx, upper-triangular ΣxxT) and the
+    * partials combine DISTRIBUTIVELY (element index → sum), so the
+    * driver receives exactly dim + dim² doubles regardless of
+    * partition count. Returns (n, mean, population covariance as a
+    * row-major array with only i ≤ j cells populated). */
+  private def covStats(df: DataFrame, idCol: String, embCol: String,
+      dim: Int): (Long, Array[Double], Array[Double]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = df
@@ -76,7 +107,6 @@ object Whitening {
       val r = parts.agg(org.apache.spark.sql.functions.sum(col("_n"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    require(n >= 2, s"whitening needs >= 2 vectors, got $n")
     def combine(c: String, len: Int): Array[Double] = {
       val out = new Array[Double](len)
       parts.select(posexplode(col(c)))
@@ -89,26 +119,33 @@ object Whitening {
     val gram = combine("_gram", dim * dim)
     parts.unpersist(blocking = false)
     val mean = sum.map(_ / n)
-    // covariance (population): E[xxT] − mean·meanT, symmetrized
-    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    val cov = new Array[Double](dim * dim)
     var i = 0
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val v = gram(i * dim + j) / n - mean(i) * mean(j)
-        cov(i, j) = v; cov(j, i) = v
+        cov(i * dim + j) = gram(i * dim + j) / n - mean(i) * mean(j)
         j += 1
       }
       i += 1
     }
-    val es = breeze.linalg.eigSym(cov)
-    // breeze returns ascending eigenvalues; flip to descending
-    val order = (0 until dim).sortBy(k => -es.eigenvalues(k))
-    val eigenvalues = order.map(k => math.max(es.eigenvalues(k), 0.0)).toArray
-    val components = order.map(k =>
-      Array.tabulate(dim)(r => es.eigenvectors(r, k))).toArray
-    Model(dim, mean, components, eigenvalues,
-      eigenvalues.map(l => 1.0 / math.sqrt(l + eps)))
+    (n, mean, cov)
+  }
+
+  /** The whitening CONTRACT as data: the population covariance of the
+    * whitened corpus, which must be the identity (diagonal λ/(λ+eps) ≈
+    * 1, off-diagonal rotation residue ~1e-12) — rounded at 4 dp this
+    * is an engine-independent constant, so the diagnostic oracle-checks
+    * even though no SQL engine replays the eigendecomposition behind
+    * it. Same distributed stats pass as [[fit]]; driver materializes
+    * dim² doubles. Returns (i, j, cov) for i ≤ j, i/j in component
+    * order. */
+  def whitenedCovariance(df: DataFrame, idCol: String, embCol: String,
+      model: Model): Seq[(Int, Int, Double)] = {
+    val wh = transform(df, idCol, embCol, model, "whitened")
+    val (_, _, cov) = covStats(wh, idCol, "whitened", model.dim)
+    for (i <- 0 until model.dim; j <- i until model.dim)
+      yield (i, j, cov(i * model.dim + j))
   }
 
   /** Whiten: out_k = scale_k · ⟨x − mean, component_k⟩. Per-row

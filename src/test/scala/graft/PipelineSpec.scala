@@ -715,6 +715,17 @@ class PipelineSpec extends AnyFunSuite {
         assert(math.abs(c - want) < 1e-6, s"cov($i,$j)=$c")
       }
     }
+    // the distributed whitened-covariance diagnostic (what s6_whiten
+    // surfaces to the oracle) agrees with the local recomputation
+    val diag = Whitening.whitenedCovariance(df, "vec_id", "embedding", model)
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(diag.size == dim * (dim + 1) / 2)
+    (0 until dim).foreach { i =>
+      (i until dim).foreach { j =>
+        val c = w.values.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+        assert(math.abs(diag((i, j)) - c) < 1e-9, s"diag($i,$j)=${diag((i, j))} local=$c")
+      }
+    }
     // partition layout changes float sum order, not the answer
     val m13 = Whitening.fit(df.repartition(13), "vec_id", "embedding", dim)
     model.mean.zip(m13.mean).foreach { case (x, y) =>
