@@ -1422,10 +1422,14 @@ object FastdbOps {
     * the dedup ordering key (diasourceid), so the synthetic lineitem's
     * duplicate (orderkey, linenumber) pairs produce IDENTICAL rows and
     * the A1 argmax tiebreak stays total (a1PriorityDedup's note).
-    * Detections drop k%7=0 rows and forced keeps only k%2=0, so the
-    * patch join sees all three categories (both / detection-only
-    * ispatch / forced-only). All derived doubles sit on exact 0.1/0.25
-    * lattices computed by one IEEE op order in both engines. */
+    * Detections drop k%7=0 rows and forced keeps k%7<=3, so the patch
+    * join sees all three categories (k%7 in 1-3: both; 4-6:
+    * detection-only ispatch; 0: forced-only) — the subset moduli must
+    * be COPRIME to 400, or membership would be a function of
+    * diaobjectid and whole cohorts would lose one side (k%2 was: 400
+    * is even, so odd roots never had forced rows). All derived doubles
+    * sit on exact 0.1/0.25 lattices computed by one IEEE op order in
+    * both engines. */
   private[queries] def apiCatalog(s: SparkSession, d: String): graft.query.Catalog = {
     val k = col("l_orderkey") * 10 + col("l_linenumber")
     val sfx = col("l_suppkey") % 3
@@ -1454,7 +1458,7 @@ object FastdbOps {
       diaobject = dia,
       diaobjectPosition = s.emptyDataFrame,
       diasource = phot("diasourceid", 100.0).filter(k % 7 =!= 0),
-      diaforcedsource = phot("diaforcedsourceid", 1100.0).filter(k % 2 === 0),
+      diaforcedsource = phot("diaforcedsourceid", 1100.0).filter(k % 7 <= 3),
       dims = dims)
   }
 
@@ -1500,7 +1504,7 @@ object FastdbOps {
        |fs AS (SELECT pid AS diaforcedsourceid, base_procver_id, diaobjectid,
        |         visit, band, midpointmjdtai,
        |         1100.0 + fluxbase AS psfflux, psffluxerr
-       |       FROM ph WHERE k % 2 = 0
+       |       FROM ph WHERE k % 7 <= 3
        |         AND midpointmjdtai <= 60075.05 AND band IN ('g','r')),
        |objmap AS (SELECT DISTINCT o_orderkey % 400 AS diaobjectid,
        |    'r' || CAST((o_orderkey % 400) % 150 AS VARCHAR) AS rootid

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-16 additions: the Stage commit protocol
+  * (Hadoop-FS markers + staging-then-atomic-rename) that all persisted
+  * shared artifacts now publish through, the hardNegatives duplicate-
+  * rank tie-break, and the a22 lightcurve-API composition's
+  * split-identity expansion.
+  */
+class Round16Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpBase(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("Stage.publish: atomic staging commit, loser discards, debris replaced") {
+    import graft.util.Stage
+    val dir = s"${tmpBase("stage")}/artifact"
+    assert(!Stage.isCommitted(spark, dir))
+
+    // first publish lands and is visible only AFTER the rename
+    val landed = Stage.publish(spark, dir) { staging =>
+      assert(staging.startsWith(dir + ".staging-"),
+        "staging must be a sibling on the same filesystem")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").parquet(staging)
+      assert(!Stage.isCommitted(spark, dir),
+        "artifact must not be visible while only staging exists")
+    }
+    assert(landed && Stage.isCommitted(spark, dir))
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // a second writer (content-equivalent by contract) loses the race:
+    // returns false, destination untouched, its staging cleaned up
+    val landed2 = Stage.publish(spark, dir) { staging =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").parquet(staging)
+    }
+    assert(!landed2)
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(!new java.io.File(Stage.stagingDir(spark, dir)).exists(),
+      "losing staging dir must be deleted")
+
+    // an existing UNCOMMITTED destination (pre-created empty dir, or a
+    // crashed writer's partial output) is replaced, not treated as won
+    val dir2 = s"${tmpBase("stage2")}/artifact"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
+    assert(!Stage.isCommitted(spark, dir2))
+    assert(Stage.publish(spark, dir2) { staging =>
+      Seq((9L, "z")).toDF("id", "v").write.parquet(staging)
+    })
+    assert(Stage.isCommitted(spark, dir2))
+    assert(spark.read.parquet(dir2).count() == 1)
+
+    // custom marker: not committed until the marker's own subdir exists
+    val dir3 = s"${tmpBase("stage3")}/artifact"
+    Stage.publish(spark, dir3, "inner/_SUCCESS") { staging =>
+      Seq((1L, "x")).toDF("id", "v").write.parquet(s"$staging/inner")
+    }
+    assert(Stage.isCommitted(spark, dir3, "inner/_SUCCESS"))
+    assert(!Stage.isCommitted(spark, dir3)) // no top-level _SUCCESS
+  }
+
+  test("hardNegatives: duplicate ranks resolve by id, partition-invariant") {
+    import graft.pipeline.Retrieval
+    // a fused list with tied ranks — the shape RRF/rerankers emit
+    val rows = Seq(
+      (1L, "dA", 1L), (1L, "dB", 1L), (1L, "dC", 2L), (1L, "dD", 2L),
+      (1L, "dE", 3L))
+    val gold = Seq((1L, "dC")).toDF("query_id", "doc_id")
+    def run(parts: Int) = Retrieval.hardNegatives(
+        rows.toDF("query_id", "doc_id", "rank").repartition(parts),
+        gold, "query_id", "doc_id", "rank", nNeg = 3)
+      .select("neg_doc_id", "neg_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // non-gold by (rank, id): dA(1) dB(1) dD(2) dE(3) -> neg_rank 1..3
+    val want = Set(("dA", 1L), ("dB", 2L), ("dD", 3L))
+    assert(run(1) == want)
+    assert(run(7) == want, "duplicate ranks must not be partition-order-dependent")
+  }
+
+  test("a22 expands requested ids to full rootid cohorts (split identity)") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.FastdbOps.a22ManyLtcvs(spark, d)
+      .select("rootid", "diaobjectid", "isdet", "ispatch").collect()
+    val roots = out.map(_.getString(0)).toSet
+    // requested: diaobjectids 7, 160, 311 and rootid r5 -> root cohort
+    // {r7, r10, r11, r5} (diaobjectid d maps to root r(d % 150)); a
+    // cohort with no photometry surviving the mjd/band cuts at this SF
+    // legitimately yields no rows (r10 at sf0.001), so assert subset +
+    // both request modes represented, not the exact set
+    assert(roots.subsetOf(Set("r5", "r7", "r10", "r11")) && roots.size >= 3)
+    assert(roots("r5"), "the rootid-mode request must be served")
+    // the split-identity contract: the lightcurve must contain rows
+    // from member diaobjectids the user did NOT request (e.g. root r7's
+    // members are {7, 157, 307}; only 7 was requested)
+    val dids = out.map(_.getLong(1)).toSet
+    assert((dids -- Set(7L, 160L, 311L)).nonEmpty,
+      "expansion must pull in unrequested sibling diaobjectids")
+    assert(dids.forall(id => Set("r5", "r7", "r10", "r11")(s"r${id % 150}")),
+      "every returned row must belong to a requested root cohort")
+    // all three patch categories present
+    val cats = out.map(r => (r.getBoolean(2), r.getBoolean(3))).toSet
+    assert(cats.contains((true, false)), "both-rows (isdet, not patch)")
+    assert(cats.contains((true, true)), "detection-only (ispatch)")
+    assert(cats.contains((false, false)), "forced-only")
+  }
+}
