@@ -415,4 +415,54 @@ object Sharding {
       .filter(col("sample_rank") <= k)
       .drop("_pid", "_lrk")
   }
+
+  /** UniMax language/stratum budget allocation + deterministic sample
+    * (Chung et al., "UniMax: Fairer and More Effective Language
+    * Sampling for Large-Scale Multilingual Pretraining", ICLR 2023):
+    * spread `budget` docs UNIFORMLY across strata, capping each
+    * stratum at `maxEpochs` passes over its corpus and re-distributing
+    * the unused share to the remaining (larger) strata — the
+    * water-filling that fixes temperature sampling's twin failure
+    * modes (head languages starved, tail languages over-epoched).
+    * Visit strata smallest-first; at each step
+    * quota = min(n·maxEpochs, remaining div strataLeft), all integer
+    * arithmetic, so every engine allocates identically.
+    *
+    * The per-stratum quota of docs is then the quota smallest-md5(id)
+    * members ([[temperatureMix]]'s engine-portable membership rule,
+    * with the same partition-local top-k prune ahead of the
+    * per-stratum rank window). Output: (stratumCol, idCol, rank).
+    *
+    * With maxEpochs > 1 a stratum's quota is a doc-PASS budget that
+    * may exceed its corpus size; the emitted sample naturally caps at
+    * one pass (there are only n rows to rank) and the trainer repeats
+    * the stratum quota/n times. The stratum-count collect is bounded
+    * by the number of LANGUAGES — a dimension, never corpus-sized. */
+  def unimaxSample(docs: DataFrame, idCol: String, stratumCol: String,
+      budget: Long, maxEpochs: Long = 1L): DataFrame = {
+    require(budget > 0 && maxEpochs > 0,
+      s"budget and maxEpochs must be positive (got $budget, $maxEpochs)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (st, n) => (n, st) }
+    var remaining = budget
+    val quotas = counts.zipWithIndex.map { case ((st, n), i) =>
+      val q = math.min(n * maxEpochs, remaining / (counts.length - i))
+      remaining -= q
+      (st, q)
+    }.toSeq.toDF(stratumCol, "_k")
+    val slim = docs.select(col(stratumCol), col(idCol),
+        md5(col(idCol).cast("string")).as("_h"))
+      .withColumn("_pid", spark_partition_id())
+    val wLoc = Window.partitionBy(stratumCol, "_pid").orderBy("_h")
+    val wGlob = Window.partitionBy(stratumCol).orderBy("_h")
+    slim.withColumn("_lrk", row_number().over(wLoc))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .filter(col("_lrk") <= col("_k"))
+      .withColumn("rank", row_number().over(wGlob).cast("long"))
+      .filter(col("rank") <= col("_k"))
+      .select(col(stratumCol), col(idCol), col("rank"))
+  }
 }

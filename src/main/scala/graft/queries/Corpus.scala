@@ -225,6 +225,44 @@ object Corpus {
       |    AS BIGINT) AS shuffle_pos
       |FROM rep ORDER BY doc_id, epoch""".stripMargin
 
+  /** UniMax language-budget allocation + sample
+    * ([[graft.pipeline.Sharding.unimaxSample]]): a 400-doc budget
+    * spread uniformly over languages, each capped at 1 epoch of its
+    * corpus with the unused share re-distributed to larger languages —
+    * the water-filling allocator that succeeded p5's temperature
+    * quotas for multilingual pretraining mixes. At this corpus's skew
+    * (en ≈ 3× the tail languages) the caps BIND for the three smallest
+    * languages and en absorbs the redistributed remainder, so the
+    * oracle exercises the actual recurrence, not the uniform
+    * fast path. All-integer allocation + smallest-md5 membership →
+    * fully oracled (the oracle replays the water-filling as a
+    * recursive CTE over the language counts). */
+  def p13Unimax(s: SparkSession, d: String): DataFrame =
+    Sharding.unimaxSample(documents(s, d), "doc_id", "lang", budget = 400L)
+      .orderBy("lang", "rank")
+
+  val p13Sql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*), lang) AS i
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT COUNT(*) AS k FROM n),
+      |a AS (
+      |  SELECT 0 AS i, CAST(400 AS BIGINT) AS rem,
+      |    CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS quota
+      |  UNION ALL
+      |  SELECT n.i,
+      |    a.rem - LEAST(n.n_docs, a.rem // (tot.k - a.i)),
+      |    n.lang,
+      |    LEAST(n.n_docs, a.rem // (tot.k - a.i))
+      |  FROM a, n, tot WHERE n.i = a.i + 1),
+      |q AS (SELECT lang, quota FROM a WHERE lang IS NOT NULL),
+      |r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk FROM documents)
+      |SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS rank
+      |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+      |ORDER BY lang, rank""".stripMargin
+
   /** Exact-k stratified sample: exactly 7 docs per language, the 7
     * smallest md5("11:"+id) rank keys — the deterministic per-stratum
     * quota draw of a corpus export. The oracle replays the rank key
@@ -460,6 +498,7 @@ object Corpus {
     "p9_weighted_sample" -> (p9WeightedSample _),
     "p4_pack_sequences" -> (p4PackSequences _),
     "p12_pack_audit" -> (p12PackAudit _),
+    "p13_unimax" -> (p13Unimax _),
     "p5_source_mix" -> (p5SourceMix _),
     "t7_top_ngrams" -> (t7TopNgrams _),
     "t8_redact" -> (t8Redact _))
@@ -476,6 +515,7 @@ object Corpus {
     "p9_weighted_sample" -> p9Sql,
     "p4_pack_sequences" -> p4Sql,
     "p12_pack_audit" -> p12Sql,
+    "p13_unimax" -> p13Sql,
     "p5_source_mix" -> p5Sql,
     "t7_top_ngrams" -> t7Sql,
     "t8_redact" -> t8Sql)

@@ -85,6 +85,35 @@ class Round16Spec extends AnyFunSuite {
     assert(run(7) == want, "duplicate ranks must not be partition-order-dependent")
   }
 
+  test("unimaxSample: water-filling allocation, caps bind, partition-invariant") {
+    import graft.pipeline.Sharding
+    // skewed strata: tiny(4) small(10) big(100) — budget 60:
+    //   tiny: min(4,  60/3=20) = 4   (cap binds)   rem 56
+    //   small: min(10, 56/2=28) = 10 (cap binds)   rem 46
+    //   big:  min(100, 46/1)   = 46 (budget binds)
+    val docs = (
+      (0L until 4L).map(i => (i, "tiny")) ++
+      (100L until 110L).map(i => (i, "small")) ++
+      (1000L until 1100L).map(i => (i, "big"))).toDF("doc_id", "lang")
+    def quotas(parts: Int) = Sharding.unimaxSample(
+        docs.repartition(parts), "doc_id", "lang", budget = 60L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = quotas(1)
+    assert(q == Map("tiny" -> 4L, "small" -> 10L, "big" -> 46L))
+    assert(q.values.sum == 60L, "budget fully spent when corpus allows")
+    assert(quotas(11) == q, "allocation and membership are partition-invariant")
+    // maxEpochs caps the pass budget: epochs=2 doubles the small caps
+    //   tiny: min(8, 20) = 8; small: min(20, 26) = 20; big: 32
+    val q2 = Sharding.unimaxSample(docs, "doc_id", "lang",
+        budget = 60L, maxEpochs = 2L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sample rows cap at one physical pass even when the PASS quota
+    // exceeds the corpus (tiny's quota 8 > 4 docs)
+    assert(q2 == Map("tiny" -> 4L, "small" -> 10L, "big" -> 32L))
+  }
+
   test("a22 expands requested ids to full rootid cohorts (split identity)") {
     val d = "/root/testdata/sf0.001"
     val out = graft.queries.FastdbOps.a22ManyLtcvs(spark, d)
