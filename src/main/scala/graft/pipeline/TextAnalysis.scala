@@ -133,6 +133,76 @@ object TextAnalysis {
       round(avg(length(col(textCol))), 4).as("avg_chars"))
   }
 
+  /** Engine-PORTABLE sketch profile per group — the bottom-k (KMV)
+    * counterpart of [[corpusProfile]]'s HLL/KLL sketches, for when the
+    * profile must replay bit-identically across engines (the
+    * cross-engine audit case; Bar-Yossef et al. 2002 for the
+    * estimator). Distinct-count estimate: the k smallest 48-bit
+    * md5-prefix values of the column, est = (k−1)·2⁴⁸ div h_k (exact
+    * count when fewer than k distinct values). Quantile estimates:
+    * exact order statistics of the k-smallest-md5(id) uniform doc
+    * sample, at the all-integer rank 1 + (q·(m−1)) div 100 — no
+    * float quantile interpolation for engines to disagree on.
+    *
+    * Scale shape: both sketches are bottom-k sets, so a
+    * partition-local top-k prune runs ahead of each per-group rank
+    * window (partitions × k rows reach the window, the
+    * temperatureMix idiom) and the per-partition dedup groupBy
+    * partial-aggregates map-side. Bottom-k sets merge by
+    * union-then-truncate — the distributed-combine property that
+    * makes KMV a real sketch, not a sample hack. */
+  def portableProfile(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, k: Int = 32): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val h48 = conv(substring(md5(col(textCol)), 1, 12), 16, 10).cast("long")
+    val s48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val wDocs = docs.select(col(groupCol), h48.as("_h"), s48.as("_s"),
+        tokenCount(col(textCol)).cast("long").as("_t"),
+        length(col(textCol)).cast("long").as("_c"))
+      .withColumn("_pid", spark_partition_id())
+
+    val exact = wDocs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_t")).as("n_tokens_total"))
+
+    // KMV distinct-text estimate: per-partition dedup (map-side
+    // combinable) -> partition-local bottom-k -> global bottom-k
+    val perPart = wDocs.groupBy(col(groupCol), col("_pid"), col("_h")).agg(
+      count(lit(1)).as("_n"))
+    val wLoc = Window.partitionBy(groupCol, "_pid").orderBy("_h")
+    val wGlob = Window.partitionBy(groupCol).orderBy("_h")
+    val kmv = perPart.withColumn("_lrk", row_number().over(wLoc))
+      .filter(col("_lrk") <= k)
+      .select(col(groupCol), col("_h")).distinct()
+      .withColumn("_rk", row_number().over(wGlob))
+      .filter(col("_rk") <= k)
+      .groupBy(groupCol).agg(max("_h").as("_hk"), count(lit(1)).as("_m"))
+      .select(col(groupCol),
+        when(col("_m") < k, col("_m"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div _hk"))
+          .as("kmv_distinct_est"))
+
+    // bottom-k uniform doc sample (by id hash), exact order statistics
+    val wSLoc = Window.partitionBy(groupCol, "_pid").orderBy("_s")
+    val wSGlob = Window.partitionBy(groupCol).orderBy("_s")
+    val sample = wDocs.withColumn("_lrk", row_number().over(wSLoc))
+      .filter(col("_lrk") <= k)
+      .withColumn("_rk", row_number().over(wSGlob))
+      .filter(col("_rk") <= k)
+    val wVal = Window.partitionBy(groupCol).orderBy(col("_t"), col("_s"))
+    val qs = sample
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("_vrk", row_number().over(wVal))
+      .groupBy(groupCol).agg(
+        max(when(col("_vrk") === lit(1L) + expr("(50 * (_m - 1)) div 100"),
+          col("_t"))).as("p50_tokens_est"),
+        max(when(col("_vrk") === lit(1L) + expr("(95 * (_m - 1)) div 100"),
+          col("_t"))).as("p95_tokens_est"))
+
+    exact.join(kmv, Seq(groupCol)).join(qs, Seq(groupCol))
+  }
+
   /** Corpus-level top-k n-grams per group — the "what boilerplate
     * dominates this source/language" report that picks dedup and
     * repetition thresholds. Adjacent tokens pair via the scan-stage

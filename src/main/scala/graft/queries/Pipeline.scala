@@ -1694,6 +1694,51 @@ object Pipeline {
     TextAnalysis.corpusProfile(documents(s, d), "source", "text")
       .orderBy("source")
 
+  /** The engine-portable sketch profile
+    * ([[TextAnalysis.portableProfile]]): KMV bottom-32 distinct-text
+    * estimate + order-statistic quantiles of a bottom-32 md5(id) doc
+    * sample — t5's profile re-expressed so every number replays
+    * bit-identically in any engine with an md5, hence fully ORACLED
+    * (unlike t5's HLL/KLL, whose outputs are engine-specific by
+    * construction). Grouped by lang (every language exceeds 32
+    * distinct texts at both test SFs, so the ESTIMATOR path runs, not
+    * the small-group exact fallback). */
+  def t28PortableProfile(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.portableProfile(documents(s, d), "doc_id", "lang", "text",
+        k = 32)
+      .orderBy("lang")
+
+  val t28Sql: String =
+    """WITH d AS (SELECT lang, doc_id,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS h,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS sh,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS tok
+      |  FROM documents),
+      |ex AS (SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(tok) AS BIGINT) AS n_tokens_total FROM d GROUP BY 1),
+      |hr AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY h) AS rk FROM (SELECT DISTINCT lang, h FROM d)),
+      |kd AS (SELECT lang, CAST(CASE WHEN COUNT(*) < 32 THEN COUNT(*)
+      |      ELSE (31 * 281474976710656) // MAX(h) END AS BIGINT)
+      |    AS kmv_distinct_est
+      |  FROM hr WHERE rk <= 32 GROUP BY lang),
+      |sr AS (SELECT lang, tok, sh, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY sh) AS rk FROM d),
+      |sv AS (SELECT lang, tok, ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY tok, sh) AS vrk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS m
+      |  FROM sr WHERE rk <= 32),
+      |q AS (SELECT lang,
+      |    CAST(MAX(CASE WHEN vrk = 1 + (50 * (m - 1)) // 100 THEN tok END)
+      |      AS BIGINT) AS p50_tokens_est,
+      |    CAST(MAX(CASE WHEN vrk = 1 + (95 * (m - 1)) // 100 THEN tok END)
+      |      AS BIGINT) AS p95_tokens_est
+      |  FROM sv GROUP BY lang)
+      |SELECT ex.lang, ex.n_docs, ex.n_tokens_total, kd.kmv_distinct_est,
+      |  q.p50_tokens_est, q.p95_tokens_est
+      |FROM ex JOIN kd USING (lang) JOIN q USING (lang)
+      |ORDER BY lang""".stripMargin
+
   /** REAL per-frame video decode: a 3-frame PNG container is
     * synthesized per doc, demuxed by signature scan, and every frame
     * decoded through ImageIO; dims + exact integer channel sums per
@@ -1958,6 +2003,7 @@ object Pipeline {
     "d15_normalized_dedup" -> (d15NormalizedDedup _),
     "t15_collocations" -> (t15Collocations _),
     "t5_profile" -> (t5Profile _),
+    "t28_portable_profile" -> (t28PortableProfile _),
     "m1_multimodal" -> (m1Multimodal _),
     "m2_image_decode" -> (m2ImageDecode _),
     "m5_media_quality" -> (m5MediaQuality _),
@@ -1988,6 +2034,7 @@ object Pipeline {
     "s7_embed_centroids" -> s7Sql,
     "s8_sq_quantize" -> s8Sql,
     "s6_whiten" -> s6Sql,
+    "t28_portable_profile" -> t28Sql,
     "s10_mips_topk" -> s10Sql,
     "s11_kmeans" -> s11Sql,
     "s12_ivf_det" -> s12Sql,

@@ -114,6 +114,29 @@ class Round16Spec extends AnyFunSuite {
     assert(q2 == Map("tiny" -> 4L, "small" -> 10L, "big" -> 32L))
   }
 
+  test("portableProfile: KMV estimate near exact, quantiles exact on uniform docs") {
+    import graft.pipeline.TextAnalysis
+    // 3000 docs, exactly 2000 distinct texts, all 4 tokens long
+    val docs = (0L until 3000L)
+      .map(i => (i, "g", s"text number ${i % 2000} pad"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.portableProfile(docs, "doc_id", "lang", "text", k = 64)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 3000L)
+    assert(r.getAs[Long]("n_tokens_total") == 12000L)
+    val est = r.getAs[Long]("kmv_distinct_est")
+    // KMV sigma ~ 1/sqrt(k-2) ~ 12.7% at k=64; allow 3 sigma. The
+    // check is deterministic (md5), not flaky — it pins the estimator
+    // path (2000 >> k) and its scaling constant.
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.38, s"KMV est $est vs 2000")
+    assert(r.getAs[Long]("p50_tokens_est") == 4L)
+    assert(r.getAs[Long]("p95_tokens_est") == 4L)
+    // partition invariance of the whole profile row
+    val r13 = TextAnalysis.portableProfile(
+      docs.repartition(13), "doc_id", "lang", "text", k = 64).collect().head
+    assert(r13.toSeq == r.toSeq)
+  }
+
   test("a22 expands requested ids to full rootid cohorts (split identity)") {
     val d = "/root/testdata/sf0.001"
     val out = graft.queries.FastdbOps.a22ManyLtcvs(spark, d)
