@@ -124,6 +124,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "code scan must carry a dynamic partition-pruning subquery on _cell")
   }
 
+  test("a22 API path: request-bounded sides broadcast, cuts reach the scans") {
+    val p = plan(graft.queries.FastdbOps.a22ManyLtcvs(spark, d))
+    // the expanded id set and priority maps broadcast into every
+    // corpus-side join (the scans carry the pushed mjd cut), so the
+    // ONLY shuffle join is the patch join itself: FULL OUTER cannot
+    // broadcast in Spark, and both its inputs are request-bounded
+    // post-dedup frames — bounded at any corpus scale
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6,
+      "id/priority joins must broadcast")
+    val smj = p.split("\n").filter(_.contains("SortMergeJoin"))
+    assert(smj.length == 1 && smj.head.contains("FullOuter"),
+      s"only the full-outer patch join may shuffle:\n${smj.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no battery plan is corpus-quadratic") {
     // A nested-loop join (the physical plan Spark picks when a join
     // has no equi keys) is acceptable only when one side is BOUNDED —
