@@ -314,6 +314,54 @@ object Corpus {
 
   /** Top-5 bigrams per language by exact corpus count (ties broken by
     * gram text, so ranking is deterministic). */
+  /** JSONL ingest round-trip ([[graft.ingest.CorpusLoader]]): the
+    * documents table is exported as newline-delimited JSON (the wire
+    * format raw corpora actually arrive in), two malformed lines are
+    * injected (a truncated record + plain garbage), and the loader
+    * reads it back with an EXPLICIT schema in PERMISSIVE mode. Clean
+    * rows aggregate per language with a portable md5-sum content
+    * fingerprint — any mutation of any text byte in the round trip
+    * breaks the oracle hash — and the quarantine count rides along as
+    * a column (both injected lines, no clean row swept up). The parse
+    * lands as BRONZE parquet first ([[graft.ingest.CorpusLoader
+    * .landBronze]]) — the parse-once medallion step — and everything
+    * downstream reads bronze. Scratch dir is per-invocation and
+    * deleted after materialization (the x2 rule). */
+  def io1JsonlIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("io1jsonl").toString
+    docs.coalesce(4).write.mode("overwrite").json(s"$dir/data")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/data/zz_corrupt.json"),
+      "{\"doc_id\": 999999999, \"text\": \nnot json at all\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val parsed = graft.ingest.CorpusLoader.landBronze(
+      s, s"$dir/data", docs.schema, s"$dir/bronze")
+    val nQuarantined = graft.ingest.CorpusLoader.quarantine(parsed).count()
+    val out = graft.ingest.CorpusLoader.good(parsed)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+          .as("text_md5_sum"))
+      .withColumn("n_quarantined", lit(nQuarantined))
+      .orderBy("lang")
+      .localCheckpoint()
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
+  val io1Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(('0x' || substr(md5(text), 1, 12))::BIGINT) AS BIGINT)
+      |    AS text_md5_sum,
+      |  CAST(2 AS BIGINT) AS n_quarantined
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def t7TopNgrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topNgrams(documents(s, d), "doc_id", "lang", "text", k = 5)
       .select(col("lang"), col("gram"), col("n"), col("rank"))
@@ -499,6 +547,7 @@ object Corpus {
     "p4_pack_sequences" -> (p4PackSequences _),
     "p12_pack_audit" -> (p12PackAudit _),
     "p13_unimax" -> (p13Unimax _),
+    "io1_jsonl_ingest" -> (io1JsonlIngest _),
     "p5_source_mix" -> (p5SourceMix _),
     "t7_top_ngrams" -> (t7TopNgrams _),
     "t8_redact" -> (t8Redact _))
@@ -516,6 +565,7 @@ object Corpus {
     "p4_pack_sequences" -> p4Sql,
     "p12_pack_audit" -> p12Sql,
     "p13_unimax" -> p13Sql,
+    "io1_jsonl_ingest" -> io1Sql,
     "p5_source_mix" -> p5Sql,
     "t7_top_ngrams" -> t7Sql,
     "t8_redact" -> t8Sql)

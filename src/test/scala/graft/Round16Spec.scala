@@ -137,6 +137,39 @@ class Round16Spec extends AnyFunSuite {
     assert(r13.toSeq == r.toSeq)
   }
 
+  test("CorpusLoader: explicit-schema JSONL, bronze landing, quarantine semantics") {
+    import graft.ingest.CorpusLoader
+    import org.apache.spark.sql.types._
+    val dir = tmpBase("jsonl")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part0.json"),
+      ("""{"id": 1, "text": "hello world"}""" + "\n" +
+       """{"id": 2}""" + "\n" +                       // missing field: CLEAN, null text
+       """{"id": "not-a-number", "text": "kept"}""" + "\n" + // partial parse: quarantined
+       """garbage line""" + "\n" +
+       """{"id": 4, "text": "tail"}""" + "\n").getBytes("UTF-8"))
+    val bronze = CorpusLoader.landBronze(spark, dir, schema, s"$dir.bronze")
+    val good = CorpusLoader.good(bronze).collect()
+      .map(r => (r.getAs[Any]("id"), r.getAs[String]("text"))).toSet
+    // a missing FIELD is data (null), not corruption — C4-style corpora
+    // have optional fields everywhere
+    assert(good == Set((1L, "hello world"), (2L, null), (4L, "tail")))
+    val q = CorpusLoader.quarantine(bronze).collect()
+    assert(q.length == 2)
+    val rawLines = q.map(_.getAs[String](CorpusLoader.CorruptCol)).toSet
+    assert(rawLines.exists(_.contains("not-a-number")),
+      "type-mismatch rows are quarantined with their raw line")
+    assert(rawLines.contains("garbage line"))
+    // the type-mismatch row is a PARTIAL parse: the readable field survives
+    assert(q.find(_.getAs[String](CorpusLoader.CorruptCol).contains("not-a-number"))
+      .get.getAs[String]("text") == "kept")
+    // the loader refuses a schema that collides with its marker column
+    intercept[IllegalArgumentException] {
+      CorpusLoader.readJsonl(spark, dir, schema.add("_corrupt", StringType))
+    }
+  }
+
   test("a22 expands requested ids to full rootid cohorts (split identity)") {
     val d = "/root/testdata/sf0.001"
     val out = graft.queries.FastdbOps.a22ManyLtcvs(spark, d)
