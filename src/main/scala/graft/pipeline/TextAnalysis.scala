@@ -158,8 +158,7 @@ object TextAnalysis {
     val s48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
       .cast("long")
     val wDocs = docs.select(col(groupCol), h48.as("_h"), s48.as("_s"),
-        tokenCount(col(textCol)).cast("long").as("_t"),
-        length(col(textCol)).cast("long").as("_c"))
+        tokenCount(col(textCol)).cast("long").as("_t"))
       .withColumn("_pid", spark_partition_id())
 
     val exact = wDocs.groupBy(groupCol).agg(

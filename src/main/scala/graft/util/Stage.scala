@@ -11,13 +11,19 @@ import org.apache.spark.sql.SparkSession
   * write-to-staging-then-rename so a half-written artifact is never
   * visible at the published location.
   *
-  * Concurrency contract: `FileSystem.rename` is atomic per HDFS
-  * semantics (and per-object on S3A for directories created by one
-  * writer), so when two sessions race to build the same artifact,
-  * exactly one rename lands; the loser detects the existing
-  * destination, discards its staging dir, and reads the winner's
-  * files. This replaces the earlier check-then-act gate, which could
-  * let a reader see a directory mid-write.
+  * Concurrency contract: `FileSystem.rename` is atomic on HDFS (and
+  * real-filesystem schemes like file:), so when two sessions race to
+  * build the same artifact, exactly one rename lands; the loser
+  * detects the existing destination, discards its staging dir, and
+  * reads the winner's files. On OBJECT stores (S3A, GCS) a directory
+  * rename is a client-side copy loop, not atomic — there the marker
+  * check still gates readers correctly only because the marker file
+  * is the artifact's documented LAST write inside the staging tree
+  * and copies preserve per-file completeness; a deployment that needs
+  * hard atomicity on S3 should point `dir` at an HDFS/consistent
+  * namespace or use a manifest committer. This replaces the earlier
+  * check-then-act gate, which could let a reader see a directory
+  * mid-write on ANY filesystem.
   */
 object Stage {
   def fs(spark: SparkSession, dir: String): FileSystem =

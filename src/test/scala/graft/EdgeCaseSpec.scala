@@ -312,4 +312,38 @@ class EdgeCaseSpec extends AnyFunSuite {
       cone = Some((42.0, 13.0, 15.0)))
     assert(none.count() == 0)
   }
+
+  test("unimaxSample degenerate inputs") {
+    import graft.pipeline.Sharding
+    val docs = (0L until 10L).map(i => (i, if (i < 7) "a" else "b"))
+      .toDF("doc_id", "lang")
+    // budget exceeding the whole corpus: every doc kept, nothing throws
+    val all = Sharding.unimaxSample(docs, "doc_id", "lang", budget = 1000L)
+    assert(all.count() == 10L)
+    // empty corpus: empty result
+    assert(Sharding.unimaxSample(docs.filter(col("doc_id") < 0),
+      "doc_id", "lang", budget = 10L).count() == 0)
+    // invalid budget refuses loudly
+    intercept[IllegalArgumentException] {
+      Sharding.unimaxSample(docs, "doc_id", "lang", budget = 0L)
+    }
+  }
+
+  test("portableProfile degenerate inputs") {
+    import graft.pipeline.TextAnalysis
+    // single doc: m = 1, both quantile ranks resolve to row 1
+    val one = Seq((1L, "g", "three token text")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.portableProfile(one, "doc_id", "lang", "text").collect().head
+    assert(r.getAs[Long]("n_docs") == 1L)
+    assert(r.getAs[Long]("kmv_distinct_est") == 1L)
+    assert(r.getAs[Long]("p50_tokens_est") == 3L)
+    assert(r.getAs[Long]("p95_tokens_est") == 3L)
+    // empty corpus: empty profile, never a division by zero
+    assert(TextAnalysis.portableProfile(one.filter(col("doc_id") < 0),
+      "doc_id", "lang", "text").count() == 0)
+    // k below the sketch minimum refuses loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.portableProfile(one, "doc_id", "lang", "text", k = 1)
+    }
+  }
 }
