@@ -102,7 +102,13 @@ object Brokers {
       Seq.empty, dynamicTopics = true)
 
   /** Pitt-Google: pub/sub rather than Kafka; messages carry the
-    * Confluent-style schema-id prefix (brokerconsumer.py:1060-1146). */
+    * Confluent-style schema-id prefix (brokerconsumer.py:1060-1146).
+    * No Spark Pub/Sub connector exists, so this path's source is the
+    * custom V2 micro-batch source [[PubSubLikeSource]] — envelope
+    * schema, offset tracking, partition fan-out, and checkpoint
+    * replay are all real and spec-driven; only the transport behind
+    * it is the in-process stub a deployment swaps for the subscriber
+    * client. */
   def pittGoogle(topic: String, project: String): BrokerConfig =
     BrokerConfig("Pitt-Google", s"pubsub:$project", "not_used",
       ConfluentWire, Map("topic" -> topic), Seq(topic))

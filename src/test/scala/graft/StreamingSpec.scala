@@ -930,4 +930,91 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy("window_start", "lang_pred").collect().map(_.toSeq).toSeq
     assert(rollup(silver) == rollup(batchCorpus))
   }
+
+  test("PubSubLike V2 source: envelope stream, offset advance, checkpoint replay") {
+    // The connector shape the Pitt-Google path needs (no Spark Pub/Sub
+    // source exists): a custom MicroBatchStream emitting the Kafka
+    // envelope, driven end-to-end through the REAL Confluent-framing
+    // decode (5-byte prefix, brokerconsumer.py:1123's data[5:]) into
+    // typed alerts, across multiple triggers, and replayed exactly
+    // from a checkpoint after the query restarts.
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    import graft.streaming.{AvroAlerts, Brokers, PubSubLikeSource}
+
+    val schema = new Schema.Parser().parse(AvroAlerts.alertAvsc)
+    val srcSchema = schema.getField("diaSource").schema()
+    val objSchema = schema.getField("diaObject").schema()
+    def framed(alertId: Long): Array[Byte] = {
+      val s = new GenericData.Record(srcSchema)
+      s.put("diaSourceId", alertId * 10); s.put("diaObjectId", 7L)
+      s.put("visit", alertId % 100); s.put("band", "r")
+      s.put("midpointMjdTai", 60000.0)
+      s.put("psfFlux", 1.5f); s.put("psfFluxErr", 0.1f)
+      s.put("ra", 42.0); s.put("dec", 13.0)
+      val a = new GenericData.Record(schema)
+      a.put("alertId", alertId); a.put("diaSource", s)
+      a.put("prvDiaSources", null); a.put("prvDiaForcedSources", null)
+      val o = new GenericData.Record(objSchema)
+      o.put("diaObjectId", 7L); o.put("ra", 42.0); o.put("dec", 13.0)
+      a.put("diaObject", o)
+      val bos = new java.io.ByteArrayOutputStream()
+      // Confluent wire prefix: magic 0 + 4-byte schema id
+      bos.write(Array[Byte](0, 0, 0, 0, 42))
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](schema).write(a, enc)
+      enc.flush(); bos.toByteArray
+    }
+    val queue = s"psl-${System.nanoTime()}"
+    def pub(ids: Long*): Unit = ids.foreach(i =>
+      PubSubLikeSource.publish(queue, "lsst-alerts", null, framed(i)))
+
+    pub(1L, 2L, 3L)
+    val ck = Files.createTempDirectory("pslck").toString
+    // foreachBatch decode: the engine's T7 pattern (and the only
+    // avro-decode home without the spark-avro module — AvroAlerts
+    // .decode is an RDD pass, legal on the batch frame inside the sink)
+    val seen = new scala.collection.mutable.ArrayBuffer[Long]()
+    val partsSeen = new scala.collection.mutable.ArrayBuffer[Int]()
+    def start() = PubSubLikeSource.readStream(spark, queue, numPartitions = 2)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.cache()
+        partsSeen.synchronized {
+          partsSeen ++= b.select("partition").distinct()
+            .collect().map(_.getInt(0))
+        }
+        val ids = Brokers.decode(spark,
+            b.select(col("topic"), col("value")), "value",
+            Brokers.ConfluentWire)
+          .select("alertId").collect().map(_.getLong(0))
+        b.unpersist()
+        seen.synchronized { seen ++= ids }: Unit
+      }
+      .option("checkpointLocation", ck).start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 3L),
+      "first trigger decodes the backlog")
+    assert(partsSeen.distinct.sorted == Seq(0, 1),
+      "a multi-message trigger must fan out across source partitions")
+    // offsets advance: a later publish lands in a later micro-batch
+    pub(4L, 5L)
+    q1.processAllAvailable()
+    assert(seen.sorted.toSeq == (1L to 5L))
+    q1.stop()
+    // checkpoint replay: messages published while the query is DOWN
+    // are exactly the suffix the restarted query reads — nothing
+    // re-delivered, nothing lost
+    pub(6L, 7L)
+    seen.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(seen.sorted.toSeq == Seq(6L, 7L),
+      "restart must resume from the checkpointed offset")
+    q2.stop()
+    PubSubLikeSource.clear(queue)
+  }
 }
