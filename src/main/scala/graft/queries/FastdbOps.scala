@@ -1411,6 +1411,117 @@ object FastdbOps {
       |WHERE diasourceid % 3 != 0 AND mjd < t
       |ORDER BY diasourceid""".stripMargin
 
+  // ---- st4: the full broker loop under the oracle --------------------
+
+  /** ST4: produce → wire → consume → silver, end to end. A
+    * deterministic alert batch derives from orders (1/37th of
+    * orderkeys — a consume batch, not a corpus), is encoded by the
+    * REAL avro producer ([[graft.streaming.AvroAlerts.encode]]),
+    * framed Confluent-style, published onto the Pub/Sub-shaped custom
+    * V2 source ([[graft.streaming.PubSubLikeSource]]), and consumed by
+    * a REAL Structured Streaming query whose foreachBatch runs the
+    * production path: framing decode → alert wrangle → idempotent
+    * silver merge ([[graft.merge.SourceImporter.importBatchWithDeltas]]
+    * + [[graft.streaming.SilverStore.saveDelta]]). Two waves exercise
+    * cross-batch merges, and wave 2 REDELIVERS part of wave 1 — the
+    * at-least-once duplicates the merge contract (T2) must drop, which
+    * the oracle proves by stating the silver table as exactly one row
+    * per derived alert. All derived values sit on integer/0.1/0.25
+    * lattices, so the silver columns replay bit-identically in SQL. */
+  def st4PubsubAlerts(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{AlertStream, AvroAlerts, Brokers, PubSubLikeSource, SilverStore}
+    val aSchema = AlertStream.alertSchema
+    val k = col("o_orderkey")
+    val band = when(k % 3 === 0, "g").when(k % 3 === 1, "r").otherwise("i")
+    val srcType = aSchema("diaSource").dataType
+    val src = struct(
+      (k * 10).as("diaSourceId"), (k % 50).as("diaObjectId"),
+      (k % 97).as("visit"), band.as("band"),
+      (lit(60000.0) + (k % 1000) * 0.1).as("midpointMjdTai"),
+      (lit(100.0) + (k % 5000) * 0.25).cast("float").as("psfFlux"),
+      lit(1.0f).as("psfFluxErr"),
+      ((k % 50) * 0.01).as("ra"), ((k % 50) * 0.01).as("dec"),
+      lit(null).cast("float").as("snr"),
+      lit(null).cast("float").as("scienceFlux"),
+      lit(null).cast("float").as("scienceFluxErr"),
+      lit(null).cast("float").as("extendedness"),
+      lit(null).cast("float").as("reliability")).cast(srcType)
+    // k % 50 != 0 keeps every derived id off the bad-row set (P5
+    // rejects id 0: k = 0 would make diasourceid 0 AND diaobjectid 0;
+    // any k % 50 = 0 makes diaobjectid 0) — rejection has its own spec,
+    // this entry oracles the merge pipeline
+    val alerts = orders(s, d).filter(k % 37 === 0 && k % 50 =!= 0).select(
+      k.as("alertId"), src.as("diaSource"),
+      lit(null).cast(aSchema("prvDiaSources").dataType).as("prvDiaSources"),
+      lit(null).cast(aSchema("prvDiaForcedSources").dataType).as("prvDiaForcedSources"),
+      struct((k % 50).as("diaObjectId"), ((k % 50) * 0.01).as("ra"),
+        ((k % 50) * 0.01).as("dec")).as("diaObject"),
+      lit(null).cast("binary").as("cutoutDifference"),
+      lit(null).cast("binary").as("cutoutScience"),
+      lit(null).cast("binary").as("cutoutTemplate"),
+      lit(null).cast(aSchema("classifications").dataType).as("classifications"))
+    // producer-encoded wire bytes; bounded collect (|orders|/37 — a
+    // consume batch, ~400 messages at sf0.01)
+    val wire = AvroAlerts.encode(s, alerts).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val prefix = Array[Byte](0, 0, 0, 0, 42) // Confluent magic + schema id
+    val queue = "st4-" + java.util.UUID.randomUUID().toString
+    def pub(rows: Seq[(Long, Array[Byte])]): Unit = rows.foreach { case (_, v) =>
+      PubSubLikeSource.publish(queue, "lsst-alerts", null, prefix ++ v) }
+    val (w1, w2) = wire.toSeq.partition(_._1 % 2 == 1)
+
+    val tmp = java.nio.file.Files.createTempDirectory("st4").toString
+    val store = new SilverStore(s"$tmp/silver")
+    pub(w1)
+    val q = PubSubLikeSource.readStream(s, queue, numPartitions = 4)
+      .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val decoded = Brokers.decode(s,
+          batch.select(col("topic"), col("value")), "value",
+          Brokers.ConfluentWire)
+        val w = AlertStream.wrangle(decoded, "bpv-ps", "Pitt-Google", "lsst-alerts")
+        val staged = Seq(w.objects, w.sources, w.forced, w.sourcesExtra,
+          w.forcedExtra, w.brokerinfo, w.thumbnails)
+        staged.foreach(_.persist())
+        try {
+          val (_, deltas) = graft.merge.SourceImporter.importBatchWithDeltas(
+            store.load(s), w.objects, w.sources, w.forced,
+            stagedSourcesExtra = Some(w.sourcesExtra),
+            stagedForcedExtra = Some(w.forcedExtra),
+            stagedBrokerinfo = Some(w.brokerinfo),
+            stagedThumbnails = Some(w.thumbnails))
+          store.saveDelta(deltas)
+        } finally staged.foreach(_.unpersist())
+      }
+      .start()
+    q.processAllAvailable()
+    pub(w2)
+    pub(w1.take(10)) // at-least-once: wave 1's head redelivered
+    q.processAllAvailable()
+    q.stop()
+    val out = store.load(s).diasource
+      .select(col("diasourceid"), col("diaobjectid"), col("visit"),
+        col("band"), col("midpointmjdtai"), col("psfflux"))
+      .orderBy("diasourceid")
+      .localCheckpoint(true)
+    val root = java.nio.file.Paths.get(tmp)
+    java.nio.file.Files.walk(root)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    PubSubLikeSource.clear(queue)
+    out
+  }
+
+  val st4Sql: String =
+    """SELECT o_orderkey * 10 AS diasourceid,
+      |  o_orderkey % 50 AS diaobjectid,
+      |  o_orderkey % 97 AS visit,
+      |  CASE o_orderkey % 3 WHEN 0 THEN 'g' WHEN 1 THEN 'r' ELSE 'i' END AS band,
+      |  60000.0 + (o_orderkey % 1000) * 0.1 AS midpointmjdtai,
+      |  CAST(100.0 + (o_orderkey % 5000) * 0.25 AS FLOAT) AS psfflux
+      |FROM orders WHERE o_orderkey % 37 = 0 AND o_orderkey % 50 != 0
+      |ORDER BY diasourceid""".stripMargin
+
   // ---- a22: the lightcurve API path end-to-end ----------------------
 
   /** A deterministically derived FASTDB catalog for driving
@@ -1563,6 +1674,7 @@ object FastdbOps {
     "w9_interp_grid" -> (w9InterpGrid _),
     "a21_stetson" -> (a21Stetson _),
     "a22_many_ltcvs" -> (a22ManyLtcvs _),
+    "st4_pubsub_alerts" -> (st4PubsubAlerts _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
     "a7_weighted_pos" -> (a7WeightedPos _),
@@ -1594,6 +1706,7 @@ object FastdbOps {
     "w9_interp_grid" -> w9Sql,
     "a21_stetson" -> a21Sql,
     "a22_many_ltcvs" -> a22Sql,
+    "st4_pubsub_alerts" -> st4Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,
     "a7_weighted_pos" -> a7Sql,
