@@ -83,6 +83,7 @@ object Bench {
     // solo rule below).
     val soloExtra = Set("t9_lm_score", "t10_dsir_weights", "t20_kn_score",
       "t21_trigram_kn", "t23_kn_buckets", "st3_stream_neardup",
+      "st4_pubsub_alerts",
       "g1_pagerank", "g2_triangles", "g3_link_predict", "g4_communities",
       "g5_bfs", "a16_structure_func", "a19_lomb_scargle",
       "m1_multimodal", "m7_image_dedup", "m9_video_framehash")
