@@ -59,7 +59,10 @@ object Bucketing {
       key: String, nBuckets: Int, dir: String): DataFrame = {
     if (!spark.catalog.tableExists(name)) {
       if (!graft.util.Stage.isCommitted(spark, dir)) {
-        val stagingName = s"${name}_staging"
+        // session-unique: on a shared metastore two racing builders
+        // must not drop/overwrite each other's in-flight staging entry
+        val stagingName = s"${name}_staging_" +
+          spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9_]", "_")
         graft.util.Stage.publish(spark, dir) { staging =>
           spark.sql(s"DROP TABLE IF EXISTS $stagingName")
           df.repartition(nBuckets, col(key))

@@ -137,6 +137,15 @@ object IvfAnn {
     // in the plan from a corpus-quadratic one. Stamp the known bound
     // onto the plan with a semantically-no-op limit: GlobalLimit(nlist)
     // makes the broadcast side's boundedness statically provable.
+    // Guard the no-op claim: a saved index built with a LARGER nlist
+    // would be silently truncated by the limit (probes assigned among
+    // a prefix of cells while `assigned` carries all of them — wrong,
+    // quiet results). The centroid table is nlist rows, so the count
+    // is a tiny read.
+    val loaded = ix.centroids.count()
+    require(loaded <= nlist,
+      s"index at $dir has $loaded cells but nlist=$nlist was requested — " +
+        "rebuild the index or key the location by nlist")
     ix.copy(centroids = ix.centroids.limit(nlist))
   }
 

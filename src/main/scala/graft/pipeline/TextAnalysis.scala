@@ -166,9 +166,8 @@ object TextAnalysis {
       sum(col("_t")).as("n_tokens_total"))
 
     // KMV distinct-text estimate: per-partition dedup (map-side
-    // combinable) -> partition-local bottom-k -> global bottom-k
-    val perPart = wDocs.groupBy(col(groupCol), col("_pid"), col("_h")).agg(
-      count(lit(1)).as("_n"))
+    // combinable distinct) -> partition-local bottom-k -> global bottom-k
+    val perPart = wDocs.select(col(groupCol), col("_pid"), col("_h")).distinct()
     val wLoc = Window.partitionBy(groupCol, "_pid").orderBy("_h")
     val wGlob = Window.partitionBy(groupCol).orderBy("_h")
     val kmv = perPart.withColumn("_lrk", row_number().over(wLoc))

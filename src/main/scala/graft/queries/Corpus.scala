@@ -312,8 +312,6 @@ object Corpus {
       |  SELECT *, ROW_NUMBER() OVER (ORDER BY draw_key, doc_id) AS rk FROM k)
       |WHERE rk <= 50 ORDER BY rk""".stripMargin
 
-  /** Top-5 bigrams per language by exact corpus count (ties broken by
-    * gram text, so ranking is deterministic). */
   /** JSONL ingest round-trip ([[graft.ingest.CorpusLoader]]): the
     * documents table is exported as newline-delimited JSON (the wire
     * format raw corpora actually arrive in), two malformed lines are
@@ -347,10 +345,7 @@ object Corpus {
       .withColumn("n_quarantined", lit(nQuarantined))
       .orderBy("lang")
       .localCheckpoint()
-    val root = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.walk(root)
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    graft.util.Local.deleteRecursively(dir)
     out
   }
 
@@ -362,6 +357,8 @@ object Corpus {
       |  CAST(2 AS BIGINT) AS n_quarantined
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Top-5 bigrams per language by exact corpus count (ties broken by
+    * gram text, so ranking is deterministic). */
   def t7TopNgrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topNgrams(documents(s, d), "doc_id", "lang", "text", k = 5)
       .select(col("lang"), col("gram"), col("n"), col("rank"))

@@ -1472,44 +1472,44 @@ object FastdbOps {
 
     val tmp = java.nio.file.Files.createTempDirectory("st4").toString
     val store = new SilverStore(s"$tmp/silver")
-    pub(w1)
-    val q = PubSubLikeSource.readStream(s, queue, numPartitions = 4)
-      .writeStream.option("checkpointLocation", s"$tmp/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val decoded = Brokers.decode(s,
-          batch.select(col("topic"), col("value")), "value",
-          Brokers.ConfluentWire)
-        val w = AlertStream.wrangle(decoded, "bpv-ps", "Pitt-Google", "lsst-alerts")
-        val staged = Seq(w.objects, w.sources, w.forced, w.sourcesExtra,
-          w.forcedExtra, w.brokerinfo, w.thumbnails)
-        staged.foreach(_.persist())
-        try {
-          val (_, deltas) = graft.merge.SourceImporter.importBatchWithDeltas(
-            store.load(s), w.objects, w.sources, w.forced,
-            stagedSourcesExtra = Some(w.sourcesExtra),
-            stagedForcedExtra = Some(w.forcedExtra),
-            stagedBrokerinfo = Some(w.brokerinfo),
-            stagedThumbnails = Some(w.thumbnails))
-          store.saveDelta(deltas)
-        } finally staged.foreach(_.unpersist())
-      }
-      .start()
-    q.processAllAvailable()
-    pub(w2)
-    pub(w1.take(10)) // at-least-once: wave 1's head redelivered
-    q.processAllAvailable()
-    q.stop()
-    val out = store.load(s).diasource
-      .select(col("diasourceid"), col("diaobjectid"), col("visit"),
-        col("band"), col("midpointmjdtai"), col("psfflux"))
-      .orderBy("diasourceid")
-      .localCheckpoint(true)
-    val root = java.nio.file.Paths.get(tmp)
-    java.nio.file.Files.walk(root)
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    PubSubLikeSource.clear(queue)
-    out
+    try {
+      pub(w1)
+      val q = PubSubLikeSource.readStream(s, queue, numPartitions = 4)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val decoded = Brokers.decode(s,
+            batch.select(col("topic"), col("value")), "value",
+            Brokers.ConfluentWire)
+          val w = AlertStream.wrangle(decoded, "bpv-ps", "Pitt-Google", "lsst-alerts")
+          val staged = Seq(w.objects, w.sources, w.forced, w.sourcesExtra,
+            w.forcedExtra, w.brokerinfo, w.thumbnails)
+          staged.foreach(_.persist())
+          try {
+            val (_, deltas) = graft.merge.SourceImporter.importBatchWithDeltas(
+              store.load(s), w.objects, w.sources, w.forced,
+              stagedSourcesExtra = Some(w.sourcesExtra),
+              stagedForcedExtra = Some(w.forcedExtra),
+              stagedBrokerinfo = Some(w.brokerinfo),
+              stagedThumbnails = Some(w.thumbnails))
+            store.saveDelta(deltas)
+          } finally staged.foreach(_.unpersist())
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        pub(w2)
+        pub(w1.take(10)) // at-least-once: wave 1's head redelivered
+        q.processAllAvailable()
+      } finally q.stop() // a failed merge must not leave a live stream thread
+      store.load(s).diasource
+        .select(col("diasourceid"), col("diaobjectid"), col("visit"),
+          col("band"), col("midpointmjdtai"), col("psfflux"))
+        .orderBy("diasourceid")
+        .localCheckpoint(true)
+    } finally {
+      graft.util.Local.deleteRecursively(tmp)
+      PubSubLikeSource.clear(queue)
+    }
   }
 
   val st4Sql: String =

@@ -588,7 +588,10 @@ object Pipeline {
     * identically despite last-ulp summation differences. */
   def s1CosineTopK(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 10)
+    // limit(10) is a no-op on the <10 id filter but stamps the static
+    // row bound (maxRows) the corpus-quadratic plan gate proves
+    // boundedness with (the IvfAnn centroid idiom)
+    val q = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
     val w = Window.partitionBy("q_vec_id").orderBy(desc("sim_r"), col("vec_id"))
     Similarity.pairSims(emb, q, "vec_id", "q_vec_id", "embedding", "q_embedding")
@@ -625,7 +628,10 @@ object Pipeline {
     * PipelineSpec. */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 10)
+    // limit(10) is a no-op on the <10 id filter but stamps the static
+    // row bound (maxRows) the corpus-quadratic plan gate proves
+    // boundedness with (the IvfAnn centroid idiom)
+    val q = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
     Similarity.annTopK(emb, q, k = 5, dim = 64)
       .select(col("q_vec_id"), col("vec_id"), Num.rnd0(col("sim"), 4).as("sim_r"), col("rank"))
@@ -641,7 +647,10 @@ object Pipeline {
     * seeded-deterministic, so build-then-load ≡ rebuild. */
   def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 10)
+    // limit(10) is a no-op on the <10 id filter but stamps the static
+    // row bound (maxRows) the corpus-quadratic plan gate proves
+    // boundedness with (the IvfAnn centroid idiom)
+    val q = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
     val ixDir = graft.pipeline.IvfAnn.scratchDir(d)
     val index = graft.pipeline.IvfAnn.loadOrBuild(emb, "vec_id", "embedding",
@@ -661,7 +670,10 @@ object Pipeline {
     * content-signature-keyed like s3's. */
   def s4AnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 10)
+    // limit(10) is a no-op on the <10 id filter but stamps the static
+    // row bound (maxRows) the corpus-quadratic plan gate proves
+    // boundedness with (the IvfAnn centroid idiom)
+    val q = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
     val dir = graft.pipeline.PqAnn.scratchDir(d, nlist = 16, m = 8, ksub = 64)
     val index = graft.pipeline.PqAnn.loadOrBuild(emb, "vec_id", "embedding",
@@ -688,7 +700,10 @@ object Pipeline {
     val grown = graft.pipeline.PqAnn.Index(index.model,
       index.codes.unionByName(
         graft.pipeline.PqAnn.encodeNew(index.model, batch, "vec_id", "embedding")))
-    val q = emb.filter(col("vec_id") < 10)
+    // limit(10) is a no-op on the <10 id filter but stamps the static
+    // row bound (maxRows) the corpus-quadratic plan gate proves
+    // boundedness with (the IvfAnn centroid idiom)
+    val q = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
     graft.pipeline.PqAnn.topK(grown,
         emb.select("vec_id", "embedding").unionByName(batch), q,
@@ -1087,7 +1102,10 @@ object Pipeline {
     * oracled. */
   def s10MipsTopK(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 10)
+    // limit(10) is a no-op on the <10 id filter but stamps the static
+    // row bound (maxRows) the corpus-quadratic plan gate proves
+    // boundedness with (the IvfAnn centroid idiom)
+    val q = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
     Similarity.mipsTopK(emb, q, k = 5, excludeSelfId = true)
       .withColumn("ip_r", col("ip_r") + lit(0.0))
@@ -1171,7 +1189,10 @@ object Pipeline {
     * exact 6-dp squared-L2 re-rank, (d2_r, vec_id) tiebreak. */
   def s12IvfDet(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 10)
+    // limit(10) is a no-op on the <10 id filter but stamps the static
+    // row bound (maxRows) the corpus-quadratic plan gate proves
+    // boundedness with (the IvfAnn centroid idiom)
+    val q = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
     graft.pipeline.DetIvf.topK(emb, "vec_id", "embedding",
         q, "q_vec_id", "q_embedding",

@@ -114,7 +114,7 @@ object Search {
       .filter(col("rank") <= 20)
       .select("query_id", "doc_id", "rank")
     val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+    val q = emb.filter(col("vec_id").isin(1L, 2L, 3L)).limit(3) // no-op bound stamp (plan-gate maxRows idiom)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val wd = Window.partitionBy("query_id").orderBy(desc("sim_r"), col("vec_id"))
     val dense = graft.pipeline.Similarity
@@ -202,7 +202,7 @@ object Search {
     * set as a list. */
   def r5Mmr(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+    val q = emb.filter(col("vec_id").isin(1L, 2L, 3L)).limit(3) // no-op bound stamp (plan-gate maxRows idiom)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val wd = Window.partitionBy("query_id").orderBy(desc("sim_r"), col("vec_id"))
     val cand = graft.pipeline.Similarity

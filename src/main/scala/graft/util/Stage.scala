@@ -59,14 +59,29 @@ object Stage {
     f.delete(stagingPath, true) // leftover from a crashed prior run
     write(staging)
     val dst = new Path(dir)
-    if (f.exists(new Path(dst, marker))) {
+    def committed = f.exists(new Path(dst, marker))
+    if (committed) {
       f.delete(stagingPath, true)
       false
     } else {
-      f.delete(dst, true)
-      val landed = f.rename(stagingPath, dst)
-      if (!landed) f.delete(stagingPath, true)
-      landed
+      // replace uncommitted debris, re-checking the marker immediately
+      // before the delete to narrow the lost-to-a-racer window; a
+      // racer landing inside the residual gap is benign only because
+      // artifacts are content-equivalent (signature-keyed locations)
+      if (!committed) f.delete(dst, true)
+      if (f.rename(stagingPath, dst)) true
+      else if (committed) {
+        // rename lost to a concurrent winner that landed in the gap
+        f.delete(stagingPath, true)
+        false
+      } else {
+        // rename failed with NO winner present: a real IO problem.
+        // Keep staging for post-mortem and fail loudly — silently
+        // returning would leave isCommitted-gated readers pointing at
+        // a nonexistent artifact.
+        throw new java.io.IOException(
+          s"rename $staging -> $dir failed and no committed artifact exists")
+      }
     }
   }
 }

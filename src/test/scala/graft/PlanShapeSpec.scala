@@ -156,16 +156,27 @@ class PlanShapeSpec extends AnyFunSuite {
     // unbounded non-equi join — the corpus-quadratic shape — has
     // maxRows None on both sides and fails regardless of which query
     // composed it. A CartesianProduct is never acceptable.
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe, Expression}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, EqualNullSafe, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.Join
     def isEquiKey(j: Join, l: Expression, r: Expression): Boolean =
       (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet) ||
        l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet)) &&
       l.references.nonEmpty && r.references.nonEmpty
-    def hasEquiKeys(j: Join): Boolean = j.condition.exists(_.collect {
-      case EqualTo(l, r) if isEquiKey(j, l, r) => true
-      case EqualNullSafe(l, r) if isEquiKey(j, l, r) => true
-    }.nonEmpty)
+    // only TOP-LEVEL CONJUNCTS count: Spark's ExtractEquiJoinKeys uses
+    // conjunctive equalities only, so an EqualTo under an Or/Not does
+    // NOT make the join hashable (`a.x = b.y OR a.u > b.v` still plans
+    // a nested loop) — Expression.collect over the whole tree would
+    // wave such a join through
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def hasEquiKeys(j: Join): Boolean =
+      j.condition.toSeq.flatMap(conjuncts).exists {
+        case EqualTo(l, r) => isEquiKey(j, l, r)
+        case EqualNullSafe(l, r) => isEquiKey(j, l, r)
+        case _ => false
+      }
     val boundRows = 10000L
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, d)
