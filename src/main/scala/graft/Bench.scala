@@ -81,12 +81,18 @@ object Bench {
     // code (GC/JIT co-tenancy, r8 vs r9 bench logs), so they are
     // isolated like the graph/LM families (e4 already is, via the e*
     // solo rule below).
+    // r6/r9 joined the solo set in round 11: BENCH_r10 reported
+    // r6_ndcg at 18.9 s inside its shared chunk vs 2.4 s best /
+    // 3.6 s cold in the same file's detail — pure GC/JIT co-tenancy,
+    // the m1/m7/m9 mechanism — which put ~17 s of scheduling noise
+    // into the headline total.
     val soloExtra = Set("t9_lm_score", "t10_dsir_weights", "t20_kn_score",
       "t21_trigram_kn", "t23_kn_buckets", "st3_stream_neardup",
       "st4_pubsub_alerts",
       "g1_pagerank", "g2_triangles", "g3_link_predict", "g4_communities",
       "g5_bfs", "a16_structure_func", "a19_lomb_scargle",
-      "m1_multimodal", "m7_image_dedup", "m9_video_framehash")
+      "m1_multimodal", "m7_image_dedup", "m9_video_framehash",
+      "r6_ndcg", "r9_proximity")
     val (solo, cheap) = names.partition(n =>
       n.startsWith("d") || n.startsWith("e") || n.startsWith("cc") ||
         soloExtra(n))

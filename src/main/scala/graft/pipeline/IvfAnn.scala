@@ -113,10 +113,12 @@ object IvfAnn {
     * reads it, exactly like two production consumers sharing one
     * persisted quantizer. Keyed by the embeddings table's CONTENT
     * signature, not just the path: a regenerated dataset at the same
-    * path gets a fresh index instead of stale cell assignments. */
-  def scratchDir(dataset: String): String =
+    * path gets a fresh index instead of stale cell assignments. Also
+    * keyed by `nlist`, so an index built at one resolution is never
+    * silently served to a caller asking for another. */
+  def scratchDir(dataset: String, nlist: Int = 16): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${
-      graft.Tables.tableSignature(dataset, "embeddings")}"
+      graft.Tables.tableSignature(dataset, "embeddings")}_n$nlist"
 
   /** Load the index at `dir` if present, else build it from `corpus`
     * and persist it there. Either way the returned index reads from
@@ -125,7 +127,8 @@ object IvfAnn {
   def loadOrBuild(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, dir: String): Index = {
     val spark = corpus.sparkSession
-    if (!isSaved(spark, dir)) {
+    val fresh = !isSaved(spark, dir)
+    if (fresh) {
       val built = buildIndex(corpus, idCol, embCol, nlist)
       save(built, dir)
       built.assigned.unpersist()
@@ -137,15 +140,20 @@ object IvfAnn {
     // in the plan from a corpus-quadratic one. Stamp the known bound
     // onto the plan with a semantically-no-op limit: GlobalLimit(nlist)
     // makes the broadcast side's boundedness statically provable.
-    // Guard the no-op claim: a saved index built with a LARGER nlist
-    // would be silently truncated by the limit (probes assigned among
-    // a prefix of cells while `assigned` carries all of them — wrong,
-    // quiet results). The centroid table is nlist rows, so the count
-    // is a tiny read.
-    val loaded = ix.centroids.count()
-    require(loaded <= nlist,
-      s"index at $dir has $loaded cells but nlist=$nlist was requested — " +
-        "rebuild the index or key the location by nlist")
+    // Guard the no-op claim on a PRE-EXISTING index only (the build
+    // path just produced exactly nlist cells, no count needed): the
+    // build always emits exactly nlist centroids, so anything else at
+    // `dir` is a stale index built at a DIFFERENT resolution — a
+    // larger one would be silently truncated by the limit, a smaller
+    // one silently served with coarser quantization and degraded
+    // recall. Both are rejected; scratchDir keys by nlist so the
+    // shared demo locations can't hit this.
+    if (!fresh) {
+      val loaded = ix.centroids.count()
+      require(loaded == nlist,
+        s"index at $dir has $loaded cells but nlist=$nlist was requested — " +
+          "rebuild the index or key the location by nlist")
+    }
     ix.copy(centroids = ix.centroids.limit(nlist))
   }
 

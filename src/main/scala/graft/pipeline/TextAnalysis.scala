@@ -150,14 +150,25 @@ object TextAnalysis {
     * temperatureMix idiom) and the per-partition dedup groupBy
     * partial-aggregates map-side. Bottom-k sets merge by
     * union-then-truncate — the distributed-combine property that
-    * makes KMV a real sketch, not a sample hack. */
+    * makes KMV a real sketch, not a sample hack.
+    *
+    * Null-text contract: rows with NULL `textCol` are EXCLUDED from
+    * the profile (they carry no text to profile). Without the filter,
+    * md5(NULL) = NULL would ride into the rank windows, where Spark's
+    * ascending NULLS FIRST puts null hashes in the bottom-k (nulling
+    * `kmv_distinct_est` via max(_h)) while engines with NULLS LAST
+    * defaults (DuckDB/Postgres) would diverge — exactly the
+    * portability this profile exists to guarantee. Relevant because
+    * [[graft.ingest.CorpusLoader]] treats null-text rows as clean
+    * data, so ingested corpora legally feed nulls here. */
   def portableProfile(docs: DataFrame, idCol: String, groupCol: String,
       textCol: String, k: Int = 32): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val h48 = conv(substring(md5(col(textCol)), 1, 12), 16, 10).cast("long")
     val s48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
       .cast("long")
-    val wDocs = docs.select(col(groupCol), h48.as("_h"), s48.as("_s"),
+    val wDocs = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), h48.as("_h"), s48.as("_s"),
         tokenCount(col(textCol)).cast("long").as("_t"))
       .withColumn("_pid", spark_partition_id())
 

@@ -328,25 +328,30 @@ object Corpus {
   def io1JsonlIngest(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val dir = java.nio.file.Files.createTempDirectory("io1jsonl").toString
-    docs.coalesce(4).write.mode("overwrite").json(s"$dir/data")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/data/zz_corrupt.json"),
-      "{\"doc_id\": 999999999, \"text\": \nnot json at all\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val parsed = graft.ingest.CorpusLoader.landBronze(
-      s, s"$dir/data", docs.schema, s"$dir/bronze")
-    val nQuarantined = graft.ingest.CorpusLoader.quarantine(parsed).count()
-    val out = graft.ingest.CorpusLoader.good(parsed)
-      .groupBy("lang").agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
-          .as("text_md5_sum"))
-      .withColumn("n_quarantined", lit(nQuarantined))
-      .orderBy("lang")
-      .localCheckpoint()
-    graft.util.Local.deleteRecursively(dir)
-    out
+    try {
+      docs.coalesce(4).write.mode("overwrite").json(s"$dir/data")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/data/zz_corrupt.json"),
+        "{\"doc_id\": 999999999, \"text\": \nnot json at all\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val parsed = graft.ingest.CorpusLoader.landBronze(
+        s, s"$dir/data", docs.schema, s"$dir/bronze")
+      val nQuarantined = graft.ingest.CorpusLoader.quarantine(parsed).count()
+      graft.ingest.CorpusLoader.good(parsed)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+            .as("text_md5_sum"))
+        .withColumn("n_quarantined", lit(nQuarantined))
+        .orderBy("lang")
+        .localCheckpoint()
+    } finally {
+      // the localCheckpoint above materialized everything that reads
+      // from the scratch tree, so deletion is safe even on failure
+      // paths — and a failure no longer leaks the tree (st4's rule)
+      graft.util.Local.deleteRecursively(dir)
+    }
   }
 
   val io1Sql: String =

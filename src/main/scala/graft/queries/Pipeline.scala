@@ -652,7 +652,7 @@ object Pipeline {
     // boundedness with (the IvfAnn centroid idiom)
     val q = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    val ixDir = graft.pipeline.IvfAnn.scratchDir(d)
+    val ixDir = graft.pipeline.IvfAnn.scratchDir(d, nlist = 16)
     val index = graft.pipeline.IvfAnn.loadOrBuild(emb, "vec_id", "embedding",
       nlist = 16, dir = ixDir)
     graft.pipeline.IvfAnn.topK(index, q, k = 5, nprobe = 6)
@@ -1401,13 +1401,16 @@ object Pipeline {
     * label-cardinality × dim after the partial agg, corpus-sized only
     * in the scan stage — one groupBy, no window. Means of float
     * components round at 4 dp (binary floats have no finite-decimal
-    * half-tie; summation-order noise is ~1e-14). */
+    * half-tie; summation-order noise is ~1e-14) and canonicalize the
+    * sign of zero (Num.rnd0): a mean that is true-zero up to
+    * accumulation noise rounds to -0.0 in one engine and +0.0 in the
+    * other — pandas-equal but hash-different (seen at sf0.001). */
   def s7Centroids(emb: DataFrame): DataFrame =
     emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "_x")))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("_x").cast("double")), 4).as("mean_r"))
+        Num.rnd0(avg(col("_x").cast("double")), 4).as("mean_r"))
       .withColumn("dim", col("dim").cast("long"))
       .orderBy("label", "dim")
 
@@ -1417,7 +1420,7 @@ object Pipeline {
   val s7Sql: String =
     """SELECT label, CAST(k - 1 AS BIGINT) AS dim,
       |  COUNT(*) AS n_vecs,
-      |  ROUND(AVG(CAST(embedding[k] AS DOUBLE)), 4) AS mean_r
+      |  ROUND(AVG(CAST(embedding[k] AS DOUBLE)), 4) + 0.0 AS mean_r
       |FROM (SELECT label, embedding,
       |        unnest(range(1, len(embedding) + 1)) AS k
       |      FROM embeddings)
@@ -1734,7 +1737,7 @@ object Pipeline {
       |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS h,
       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS sh,
       |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS tok
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |ex AS (SELECT lang, COUNT(*) AS n_docs,
       |    CAST(SUM(tok) AS BIGINT) AS n_tokens_total FROM d GROUP BY 1),
       |hr AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang

@@ -727,7 +727,7 @@ object Quality {
   def d6SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val index = graft.pipeline.IvfAnn.loadOrBuild(emb, "vec_id", "embedding",
-      nlist = 16, dir = graft.pipeline.IvfAnn.scratchDir(d))
+      nlist = 16, dir = graft.pipeline.IvfAnn.scratchDir(d, nlist = 16))
     SemDedup.semanticDedupWithIndex(index, "vec_id", threshold = 0.4)
       .orderBy("vec_id")
   }

@@ -45,12 +45,12 @@ object Stage {
     * `dir`. Returns true if this session's artifact landed, false if
     * a concurrent writer already published (staging is discarded; the
     * winner's artifact is content-equivalent, since locations are
-    * keyed by source-content signature + parameters — which is also
-    * why the residual check-to-rename window is benign: the worst
-    * case replaces one committed artifact with an identical one via
-    * atomic rename). An existing UNCOMMITTED destination (no marker —
-    * a crashed writer's debris, or a pre-created empty dir) is
-    * replaced. */
+    * keyed by source-content signature + parameters). An existing
+    * UNCOMMITTED destination (no marker — a crashed writer's debris,
+    * or a pre-created empty dir) is replaced. The racy interleaving
+    * where a winner commits between the debris delete and the rename
+    * is detected POST-rename (see the in-body comment on HDFS's
+    * rename-into-existing-dir semantics) rather than assumed away. */
   def publish(spark: SparkSession, dir: String,
       marker: String = "_SUCCESS")(write: String => Unit): Boolean = {
     val f = fs(spark, dir)
@@ -64,12 +64,31 @@ object Stage {
       f.delete(stagingPath, true)
       false
     } else {
-      // replace uncommitted debris, re-checking the marker immediately
-      // before the delete to narrow the lost-to-a-racer window; a
-      // racer landing inside the residual gap is benign only because
-      // artifacts are content-equivalent (signature-keyed locations)
-      if (!committed) f.delete(dst, true)
-      if (f.rename(stagingPath, dst)) true
+      // Replace uncommitted debris (a crashed writer's half-written
+      // dir), then rename. HDFS hazard: if a concurrent winner commits
+      // BETWEEN the delete and the rename, HDFS's rename-onto-an-
+      // existing-directory does not fail — it moves the staging dir
+      // INSIDE dst and returns true, nesting a '*.staging-*' subtree
+      // into the committed artifact (which would pollute partition
+      // discovery for every later reader). So a true return is not
+      // trusted by itself: verify no nested staging entry landed under
+      // dst (the staging name is session-unique, so the check is
+      // unambiguous) and that the marker is present at the expected
+      // relative path. Local-FS renames onto a non-empty dst simply
+      // fail, which the committed-recheck branch below handles.
+      f.delete(dst, true)
+      if (f.rename(stagingPath, dst)) {
+        val nested = new Path(dst, stagingPath.getName)
+        if (f.exists(nested)) {
+          // lost the race on HDFS semantics: un-nest our debris and
+          // defer to the winner's (content-equivalent) artifact
+          f.delete(nested, true)
+          false
+        } else if (committed) true
+        else throw new java.io.IOException(
+          s"publish to $dir renamed but marker $marker is absent — " +
+            "the write callback did not produce the marker as its last write")
+      }
       else if (committed) {
         // rename lost to a concurrent winner that landed in the gap
         f.delete(stagingPath, true)
