@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs
+import graft.query.{Catalog, Ltcv}
 
 /** Spectrum-cycle workflow (src/spectrum.py + spectrumapp.py): request
   * spectra for transients, claim them per facility, report results —
@@ -41,4 +42,183 @@ object Spectrum {
     requests.withColumn("wantspec_id",
         Funcs.wantspecId(col("root_diaobject_id"), col("requester")))
       .withColumn("priority", Funcs.clampPriority(col("priority")).cast("short"))
+
+  /** Flux → AB magnitude with the reference's 99.0 sentinel for
+    * non-positive flux (spectrum.py:273-277: mag defaults to 99, set
+    * only where flux > 0). */
+  def magOr99(flux: Column): Column =
+    when(flux > 0, Funcs.flux2mag(flux)).otherwise(lit(99.0))
+
+  /** The FULL `what_spectra_are_wanted` report (spectrum.py:23-334) as
+    * one declarative plan — every implicit and explicit filter of the
+    * reference's temp-table pipeline, composed from the engine's own
+    * operators instead of three materialized temp tables:
+    *
+    *  1. latest want per (root, requester, is_host) with
+    *     `wanttime <= mjdNow` and the optional wantSince / requester /
+    *     isHost cuts (the DISTINCT ON ... ORDER BY wanttime DESC step);
+    *  2. anti-join roots claimed since `notClaimSince`
+    *     (plannedspectra, J3);
+    *  3. anti-join roots with a spectrum reported in
+    *     [noSpecSince, mjdNow] (spectruminfo, J3);
+    *  4. photometry for the surviving roots only — [[Ltcv.sources]] /
+    *     [[Ltcv.forced]] with the objids restriction, so the priority
+    *     dedup scans only the requested cohort (the reference pulls
+    *     whole lightcurves into pandas here; this stays distributed);
+    *  5. latest detection / forced point per (rootid, band) (A9), AB
+    *     mags with the 99.0 non-positive-flux sentinel;
+    *  6. the optional limiting-magnitude cut: per root, the magnitude
+    *     of the newest point — forced wins when it is newer than the
+    *     newest detection or when there is no detection
+    *     (spectrum.py:285-311's `forcednewer`) — restricted to
+    *     `limMagBand` when given;
+    *  7. collapse to the newest point per root independent of band;
+    *     optional detSince cut on the latest-detection mjd;
+    *  8. objinfo: one member diaobjectid per root — the MINIMUM, where
+    *     the reference's groupby-first is frame-order arbitrary and
+    *     its own docstring warns "these aren't unique, just a random
+    *     one" — plus the (S/N)²-weighted mean detection position
+    *     ([[Ltcv.weightedPositions]]; the reference calls
+    *     many_object_ltcvs with always_use_weighted_source_positions);
+    *  9. wants ⋈ latest detection (INNER — "we assume there are
+    *     detections, otherwise nobody would want a spectrum")
+    *     ⟕ latest forced ⟕ objinfo.
+    *
+    * Times are MJD doubles throughout (the reference mixes
+    * timestamptz for wanttime with MJD floats for spectruminfo; one
+    * timeline unit keeps the window/anti-join semantics identical
+    * without timezone noise — F4 converts at the edge if a deployment
+    * stores timestamps).
+    *
+    * `wanted` columns: root_diaobject_id, is_host, ra, dec, requester,
+    * priority, wanttime. `planned`: root_diaobject_id, is_host,
+    * plantime. `info`: root_diaobject_id, is_host, mjd. Detections
+    * need ra/dec columns for the weighted positions.
+    *
+    * Scale shape: the want/claim/info tables are request-sized —
+    * every join against them broadcasts — and the only corpus-sized
+    * inputs (the photometry tables) are scanned once each, pre-cut by
+    * mjdNow at the parquet scan and semi-joined to the surviving
+    * cohort BEFORE the dedup shuffle. */
+  def wantedSpectraReport(cat: Catalog, procverId: String,
+      wanted: DataFrame, planned: DataFrame, info: DataFrame,
+      mjdNow: Double,
+      wantSince: Option[Double] = None,
+      requester: Option[String] = None,
+      isHost: Option[Boolean] = None,
+      notClaimSince: Option[Double] = None,
+      noSpecSince: Option[Double] = None,
+      detSince: Option[Double] = None,
+      limMag: Option[Double] = None,
+      limMagBand: Option[String] = None): DataFrame = {
+
+    // 1. latest want per (root, requester, is_host); full-payload
+    // tiebreak after wanttime so equal-time duplicates resolve
+    // deterministically (the reference keeps an arbitrary one)
+    val cut0 = wanted.filter(col("wanttime") <= mjdNow)
+    val cut1 = wantSince.map(t => cut0.filter(col("wanttime") >= t)).getOrElse(cut0)
+    val cut2 = requester.map(r => cut1.filter(col("requester") === r)).getOrElse(cut1)
+    val cut3 = isHost.map(h => cut2.filter(col("is_host") === h)).getOrElse(cut2)
+    val latestWant = cut3
+      .groupBy("root_diaobject_id", "requester", "is_host")
+      .agg(max_by(struct(col("ra"), col("dec"), col("priority"), col("wanttime")),
+        struct(col("wanttime"), col("priority"), col("ra"), col("dec"))).as("_w"))
+      .select(col("root_diaobject_id"), col("requester"), col("is_host"),
+        col("_w.ra").as("ra"), col("_w.dec").as("dec"),
+        col("_w.priority").as("priority"), col("_w.wanttime").as("wanttime"))
+
+    // 2. J3 — drop roots claimed since notClaimSince
+    val unclaimed = notClaimSince.map { t =>
+      latestWant.join(
+        planned.filter(col("plantime") > t)
+          .select("root_diaobject_id", "is_host").distinct(),
+        Seq("root_diaobject_id", "is_host"), "left_anti")
+    }.getOrElse(latestWant)
+
+    // 3. J3 — drop roots with a spectrum reported in [noSpecSince, now]
+    val noSpec = noSpecSince.map { t =>
+      unclaimed.join(
+        info.filter(col("mjd") >= t && col("mjd") <= mjdNow)
+          .select("root_diaobject_id", "is_host").distinct(),
+        Seq("root_diaobject_id", "is_host"), "left_anti")
+    }.getOrElse(unclaimed)
+
+    // 4. photometry for the surviving roots only
+    val roots = noSpec.select(col("root_diaobject_id").as("rootid")).distinct()
+    val ids = Ltcv.objMap(cat, procverId)
+      .join(broadcast(roots), Seq("rootid"), "left_semi")
+    val src = Ltcv.sources(cat, procverId, mjdNow = Some(mjdNow), objids = Some(ids))
+    val frc = Ltcv.forced(cat, procverId, mjdNow = Some(mjdNow), objids = Some(ids))
+
+    // 5. A9 — latest point per (rootid, band), with mags
+    def latestPerBand(df: DataFrame, idCol: String, pfx: String): DataFrame =
+      df.groupBy("rootid", "band")
+        .agg(max_by(struct(col("midpointmjdtai").as("mjd"), col("psfflux").as("flux")),
+          struct(col("midpointmjdtai"), col(idCol))).as("_l"))
+        .select(col("rootid"), col("band").as(s"${pfx}_band"),
+          col("_l.mjd").as(s"${pfx}_mjd"), magOr99(col("_l.flux")).as(s"${pfx}_mag"))
+    val srcBand = latestPerBand(src, "diasourceid", "src")
+    val frcBand = latestPerBand(frc, "diaforcedsourceid", "frced")
+
+    // newest point per root independent of band; tiebreak on band
+    // (the reference's idxmax keeps the first max in frame order —
+    // arbitrary; band makes it deterministic)
+    def latestAcrossBands(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy("rootid")
+        .agg(max_by(struct(col(s"${pfx}_mjd"), col(s"${pfx}_band"), col(s"${pfx}_mag")),
+          struct(col(s"${pfx}_mjd"), col(s"${pfx}_band"))).as("_l"))
+        .select(col("rootid"), col(s"_l.${pfx}_mjd").as(s"${pfx}_mjd"),
+          col(s"_l.${pfx}_band").as(s"${pfx}_band"),
+          col(s"_l.${pfx}_mag").as(s"${pfx}_mag"))
+
+    // 6. limiting-magnitude cut (spectrum.py:283-311)
+    val afterLim = limMag.map { lim =>
+      val (ls, lf) = limMagBand match {
+        case Some(b) => (srcBand.filter(col("src_band") === b),
+          frcBand.filter(col("frced_band") === b))
+        case None => (latestAcrossBands(srcBand, "src"),
+          latestAcrossBands(frcBand, "frced"))
+      }
+      val forcedNewer = (col("src_mag").isNull && col("frced_mag").isNotNull) ||
+        (col("src_mag").isNotNull && col("frced_mag").isNotNull &&
+          col("frced_mjd") > col("src_mjd"))
+      val passing = ls.select("rootid", "src_mjd", "src_mag")
+        .join(lf.select("rootid", "frced_mjd", "frced_mag"), Seq("rootid"), "full_outer")
+        .select(col("rootid"),
+          when(forcedNewer, col("frced_mag")).otherwise(col("src_mag")).as("_cutmag"))
+        .filter(col("_cutmag") <= lim)
+        .select("rootid")
+      noSpec.join(broadcast(passing),
+        col("root_diaobject_id") === col("rootid"), "left_semi")
+    }.getOrElse(noSpec)
+
+    // 7. collapse to newest per root; detSince on the detection side
+    val srcLatest0 = latestAcrossBands(srcBand, "src")
+    val srcLatest = detSince.map(t => srcLatest0.filter(col("src_mjd") >= t))
+      .getOrElse(srcLatest0)
+    val frcLatest = latestAcrossBands(frcBand, "frced")
+
+    // 8. objinfo: min member diaobjectid + weighted mean position
+    val objinfo = ids.groupBy("rootid")
+      .agg(min(col("diaobjectid")).as("diaobjectid"))
+      .join(Ltcv.weightedPositions(src)
+        .select(col("rootid"), col("ra").as("diaobj_meanra"),
+          col("dec").as("diaobj_meandec")),
+        Seq("rootid"), "left_outer")
+
+    // 9. final assembly — wants are request-sized, photometry rollups
+    // are root-sized: every join here broadcasts the smaller side
+    afterLim
+      .join(srcLatest.withColumnRenamed("rootid", "root_diaobject_id"),
+        Seq("root_diaobject_id"))
+      .join(frcLatest.withColumnRenamed("rootid", "root_diaobject_id"),
+        Seq("root_diaobject_id"), "left_outer")
+      .join(objinfo.withColumnRenamed("rootid", "root_diaobject_id"),
+        Seq("root_diaobject_id"), "left_outer")
+      .select(col("root_diaobject_id"), col("requester"), col("priority"),
+        col("wanttime"), col("diaobjectid"), col("is_host"),
+        col("ra"), col("dec"), col("diaobj_meanra"), col("diaobj_meandec"),
+        col("src_mjd"), col("src_band"), col("src_mag"),
+        col("frced_mjd"), col("frced_band"), col("frced_mag"))
+  }
 }

@@ -1553,7 +1553,9 @@ object FastdbOps {
       band.as("band"),
       (lit(60000.0) + (k % 1000) * 0.1).as("midpointmjdtai"),
       (lit(fluxShift) + (k % 5000) * 0.25 + sfx).as("psfflux"),
-      (lit(1.0) + (k % 50) * 0.5).as("psffluxerr"))
+      (lit(1.0) + (k % 50) * 0.5).as("psffluxerr"),
+      ((k % 360) + sfx * 0.001).as("ra"),
+      ((k % 170) - lit(85.0) + sfx * 0.001).as("dec"))
     val dia = orders(s, d).select(
       (col("o_orderkey") % 400).as("diaobjectid"),
       concat(lit("r"), ((col("o_orderkey") % 400) % 150).cast("string")).as("rootid"),
@@ -1585,6 +1587,8 @@ object FastdbOps {
       |  60000.0 + ((l_orderkey*10 + l_linenumber) % 1000) * 0.1 AS midpointmjdtai,
       |  ((l_orderkey*10 + l_linenumber) % 5000) * 0.25 + l_suppkey%3 AS fluxbase,
       |  1.0 + ((l_orderkey*10 + l_linenumber) % 50) * 0.5 AS psffluxerr,
+      |  ((l_orderkey*10 + l_linenumber) % 360) + l_suppkey%3 * 0.001 AS ra,
+      |  ((l_orderkey*10 + l_linenumber) % 170) - 85.0 + l_suppkey%3 * 0.001 AS dec,
       |  l_orderkey*10 + l_linenumber AS k
       |FROM lineitem""".stripMargin
 
@@ -1652,6 +1656,157 @@ object FastdbOps {
        |  ON f.rootid = s.rootid AND f.visit = s.visit
        |ORDER BY rootid, midpointmjdtai, visit""".stripMargin
 
+  // ---- SP1: the full spectrum-cycle workflow -------------------------
+
+  /** Spectrum-request tables derived from customer/supplier/nation:
+    * multiple wants per (root, requester) at sf≥0.01 so the
+    * DISTINCT-ON step has real work; claims and reported spectra hit
+    * a subset of roots so both anti-joins cut. */
+  private def sp1Wanted(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      concat(lit("r"), (col("c_custkey") % 150).cast("string")).as("root_diaobject_id"),
+      (col("c_custkey") % 5 === 0).as("is_host"),
+      ((col("c_custkey") % 360) + lit(0.25)).as("ra"),
+      ((col("c_custkey") % 170) - lit(85.0) + lit(0.25)).as("dec"),
+      concat(lit("req"), (col("c_custkey") % 3).cast("string")).as("requester"),
+      (col("c_custkey") % 7).as("priority"),
+      (lit(60000.0) + ((col("c_custkey") * 13) % 700) * 0.1).as("wanttime"))
+
+  private val sp1WantedSql =
+    """SELECT 'r' || CAST(c_custkey % 150 AS VARCHAR) AS root_diaobject_id,
+      |  (c_custkey % 5 = 0) AS is_host,
+      |  (c_custkey % 360) + 0.25 AS ra,
+      |  (c_custkey % 170) - 85.0 + 0.25 AS dec,
+      |  'req' || CAST(c_custkey % 3 AS VARCHAR) AS requester,
+      |  c_custkey % 7 AS priority,
+      |  60000.0 + ((c_custkey * 13) % 700) * 0.1 AS wanttime
+      |FROM customer""".stripMargin
+
+  /** GET /spectrum/spectrawanted — the FULL what_spectra_are_wanted
+    * report (src/spectrum.py:23-334) with EVERY filter engaged at
+    * once: wanttime window + claim anti-join (plantime > 60040) +
+    * reported-spectrum anti-join (mjd in [60030, now]) + limiting
+    * magnitude 25.8 on the newest point (forced-wins-if-newer) +
+    * detection since 60010, over the a22 catalog's photometry with
+    * procver priority dedup, through [[graft.api.Spectrum
+    * .wantedSpectraReport]]. Weighted mean positions round at 6 dp
+    * with sign-of-zero canonicalized (dec straddles 0); mags at 6 dp
+    * (a single log10 per value — only 1-ulp libm noise). */
+  def sp1WantedSpectra(s: SparkSession, d: String): DataFrame = {
+    val planned = supplier(s, d).select(
+      concat(lit("r"), (col("s_suppkey") % 150).cast("string")).as("root_diaobject_id"),
+      (col("s_suppkey") % 2 === 0).as("is_host"),
+      (lit(60000.0) + ((col("s_suppkey") * 11) % 800) * 0.1).as("plantime"))
+    val info = nation(s, d).select(
+      concat(lit("r"), ((col("n_nationkey") * 7) % 150).cast("string")).as("root_diaobject_id"),
+      (col("n_nationkey") % 2 === 0).as("is_host"),
+      (lit(60000.0) + col("n_nationkey") * 3.0).as("mjd"))
+    graft.api.Spectrum.wantedSpectraReport(
+        apiCatalog(s, d), "pv", sp1Wanted(s, d), planned, info,
+        mjdNow = 60068.0, wantSince = Some(60005.0),
+        notClaimSince = Some(60040.0), noSpecSince = Some(60030.0),
+        detSince = Some(60010.0), limMag = Some(25.8))
+      .select(col("root_diaobject_id"), col("requester"), col("priority"),
+        col("wanttime"), col("diaobjectid"), col("is_host"),
+        col("ra"), col("dec"),
+        Num.rnd0(col("diaobj_meanra"), 6).as("diaobj_meanra"),
+        Num.rnd0(col("diaobj_meandec"), 6).as("diaobj_meandec"),
+        col("src_mjd"), col("src_band"), round(col("src_mag"), 6).as("src_mag"),
+        col("frced_mjd"), col("frced_band"),
+        round(col("frced_mag"), 6).as("frced_mag"))
+      .orderBy("root_diaobject_id", "requester", "is_host")
+  }
+
+  val sp1Sql: String =
+    s"""WITH ph AS ($apiDsSql),
+       |wtab AS ($sp1WantedSql),
+       |ptab AS (SELECT 'r' || CAST(s_suppkey % 150 AS VARCHAR) AS root_diaobject_id,
+       |    (s_suppkey % 2 = 0) AS is_host,
+       |    60000.0 + ((s_suppkey * 11) % 800) * 0.1 AS plantime
+       |  FROM supplier),
+       |itab AS (SELECT 'r' || CAST((n_nationkey * 7) % 150 AS VARCHAR) AS root_diaobject_id,
+       |    (n_nationkey % 2 = 0) AS is_host,
+       |    60000.0 + n_nationkey * 3.0 AS mjd
+       |  FROM nation),
+       |objmap AS (SELECT DISTINCT o_orderkey % 400 AS diaobjectid,
+       |    'r' || CAST((o_orderkey % 400) % 150 AS VARCHAR) AS rootid
+       |  FROM orders),
+       |lw AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY root_diaobject_id, requester, is_host
+       |      ORDER BY wanttime DESC, priority DESC, ra DESC, dec DESC) AS rn
+       |    FROM wtab WHERE wanttime <= 60068.0 AND wanttime >= 60005.0)
+       |  WHERE rn = 1),
+       |nospec AS (SELECT w.* FROM lw w
+       |  WHERE NOT EXISTS (SELECT 1 FROM ptab p
+       |      WHERE p.root_diaobject_id = w.root_diaobject_id
+       |        AND p.is_host = w.is_host AND p.plantime > 60040.0)
+       |    AND NOT EXISTS (SELECT 1 FROM itab i
+       |      WHERE i.root_diaobject_id = w.root_diaobject_id
+       |        AND i.is_host = w.is_host AND i.mjd >= 60030.0 AND i.mjd <= 60068.0)),
+       |ids AS (SELECT m.diaobjectid, m.rootid FROM objmap m
+       |  WHERE m.rootid IN (SELECT DISTINCT root_diaobject_id FROM nospec)),
+       |ds AS (SELECT pid AS srcid, base_procver_id, diaobjectid, visit, band,
+       |    midpointmjdtai, 100.0 + fluxbase AS psfflux, psffluxerr, ra, dec
+       |  FROM ph WHERE k % 7 != 0 AND midpointmjdtai <= 60068.0),
+       |fs AS (SELECT pid AS srcid, base_procver_id, diaobjectid, visit, band,
+       |    midpointmjdtai, 1100.0 + fluxbase AS psfflux, psffluxerr
+       |  FROM ph WHERE k % 7 <= 3 AND midpointmjdtai <= 60068.0),
+       |src AS (SELECT * FROM (SELECT d.*, i.rootid, ROW_NUMBER() OVER (
+       |      PARTITION BY i.rootid, d.visit
+       |      ORDER BY CAST(SUBSTR(d.base_procver_id, 4) AS INT) DESC,
+       |               d.srcid DESC) AS rn
+       |    FROM ds d JOIN ids i USING (diaobjectid)) WHERE rn = 1),
+       |fps AS (SELECT * FROM (SELECT f.*, i.rootid, ROW_NUMBER() OVER (
+       |      PARTITION BY i.rootid, f.visit
+       |      ORDER BY CAST(SUBSTR(f.base_procver_id, 4) AS INT) DESC,
+       |               f.srcid DESC) AS rn
+       |    FROM fs f JOIN ids i USING (diaobjectid)) WHERE rn = 1),
+       |sb AS (SELECT rootid, band, midpointmjdtai AS mjd,
+       |    CASE WHEN psfflux > 0 THEN -2.5 * LOG10(psfflux) + 31.4
+       |         ELSE 99.0 END AS mag
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rootid, band
+       |      ORDER BY midpointmjdtai DESC, srcid DESC) AS brn FROM src)
+       |  WHERE brn = 1),
+       |fb AS (SELECT rootid, band, midpointmjdtai AS mjd,
+       |    CASE WHEN psfflux > 0 THEN -2.5 * LOG10(psfflux) + 31.4
+       |         ELSE 99.0 END AS mag
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rootid, band
+       |      ORDER BY midpointmjdtai DESC, srcid DESC) AS brn FROM fps)
+       |  WHERE brn = 1),
+       |sl AS (SELECT rootid, mjd AS src_mjd, band AS src_band, mag AS src_mag
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rootid
+       |      ORDER BY mjd DESC, band DESC) AS arn FROM sb) WHERE arn = 1),
+       |fl AS (SELECT rootid, mjd AS frced_mjd, band AS frced_band, mag AS frced_mag
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rootid
+       |      ORDER BY mjd DESC, band DESC) AS arn FROM fb) WHERE arn = 1),
+       |lim AS (SELECT COALESCE(s.rootid, f.rootid) AS rootid
+       |  FROM sl s FULL OUTER JOIN fl f ON s.rootid = f.rootid
+       |  WHERE (CASE WHEN (s.src_mag IS NULL AND f.frced_mag IS NOT NULL)
+       |           OR (s.src_mag IS NOT NULL AND f.frced_mag IS NOT NULL
+       |               AND f.frced_mjd > s.src_mjd)
+       |         THEN f.frced_mag ELSE s.src_mag END) <= 25.8),
+       |wp AS (SELECT rootid,
+       |    ROUND(SUM(w * ra) / SUM(w), 6) + 0.0 AS diaobj_meanra,
+       |    ROUND(SUM(w * dec) / SUM(w), 6) + 0.0 AS diaobj_meandec
+       |  FROM (SELECT rootid, ra, dec, POWER(psfflux / psffluxerr, 2) AS w
+       |        FROM src WHERE psfflux / psffluxerr > 3)
+       |  GROUP BY rootid),
+       |oi AS (SELECT i.rootid, MIN(i.diaobjectid) AS diaobjectid
+       |  FROM ids i GROUP BY i.rootid)
+       |SELECT n.root_diaobject_id, n.requester, n.priority, n.wanttime,
+       |  oi.diaobjectid, n.is_host, n.ra, n.dec,
+       |  wp.diaobj_meanra, wp.diaobj_meandec,
+       |  s.src_mjd, s.src_band, ROUND(s.src_mag, 6) AS src_mag,
+       |  f.frced_mjd, f.frced_band, ROUND(f.frced_mag, 6) AS frced_mag
+       |FROM nospec n
+       |JOIN lim ON lim.rootid = n.root_diaobject_id
+       |JOIN (SELECT * FROM sl WHERE src_mjd >= 60010.0) s
+       |  ON s.rootid = n.root_diaobject_id
+       |LEFT JOIN fl f ON f.rootid = n.root_diaobject_id
+       |LEFT JOIN oi ON oi.rootid = n.root_diaobject_id
+       |LEFT JOIN wp ON wp.rootid = n.root_diaobject_id
+       |ORDER BY root_diaobject_id, requester, is_host""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a10_first_seen" -> (a10FirstSeen _),
     "a11_keep_existing" -> (a11KeepExisting _),
@@ -1674,6 +1829,7 @@ object FastdbOps {
     "w9_interp_grid" -> (w9InterpGrid _),
     "a21_stetson" -> (a21Stetson _),
     "a22_many_ltcvs" -> (a22ManyLtcvs _),
+    "sp1_wanted_spectra" -> (sp1WantedSpectra _),
     "st4_pubsub_alerts" -> (st4PubsubAlerts _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
@@ -1706,6 +1862,7 @@ object FastdbOps {
     "w9_interp_grid" -> w9Sql,
     "a21_stetson" -> a21Sql,
     "a22_many_ltcvs" -> a22Sql,
+    "sp1_wanted_spectra" -> sp1Sql,
     "st4_pubsub_alerts" -> st4Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,

@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.query.Catalog
+
+/** Specs for the round-17 additions: the full what_spectra_are_wanted
+  * workflow (edge semantics the battery's sp1 parameters can't pin
+  * one-by-one), the Stage.publish post-rename marker verification, the
+  * IvfAnn index-resolution guard, and portableProfile's null-text
+  * contract.
+  */
+class Round17Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpBase(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** Two-root catalog with hand-computable photometry:
+    * rA — latest DETECTION (mjd 110, band r) is faint (flux 10 →
+    *      mag 28.9) but a NEWER forced point (mjd 115, flux 20000 →
+    *      mag ~20.65) exists;
+    * rB — single detection with NEGATIVE flux (the 99.0 sentinel),
+    *      no forced photometry. */
+  private def miniCatalog: Catalog = {
+    val dia = Seq((1L, "rA", "bpv0"), (2L, "rB", "bpv0"))
+      .toDF("diaobjectid", "rootid", "base_procver_id")
+    val ds = Seq(
+      (11L, "bpv0", 1L, 1L, "g", 100.0, 10000.0, 10.0, 30.0, -5.0),
+      (12L, "bpv0", 1L, 2L, "r", 110.0, 10.0, 10.0, 30.0, -5.0),
+      (21L, "bpv0", 2L, 3L, "g", 105.0, -4.0, 10.0, 40.0, 5.0))
+      .toDF("diasourceid", "base_procver_id", "diaobjectid", "visit", "band",
+        "midpointmjdtai", "psfflux", "psffluxerr", "ra", "dec")
+    val fs = Seq(
+      (31L, "bpv0", 1L, 4L, "r", 115.0, 20000.0, 10.0, 30.0, -5.0))
+      .toDF("diaforcedsourceid", "base_procver_id", "diaobjectid", "visit",
+        "band", "midpointmjdtai", "psfflux", "psffluxerr", "ra", "dec")
+    val tables = Seq("diaobject", "diasource", "diaforcedsource")
+    val dims = graft.procver.ProcVer.fromRows(spark,
+      basePv = tables.map(t => ("bpv0", "bpv0", t)),
+      pv = Seq(("pv", "pv")),
+      links = tables.map(t => ("pv", "bpv0", t, 0)),
+      aliases = Nil)
+    Catalog(dia.select("rootid").distinct(), dia, spark.emptyDataFrame,
+      ds, fs, dims)
+  }
+
+  private def wants = Seq(
+    ("rA", false, 1.0, 2.0, "req1", 3L, 50.0),
+    ("rA", false, 1.1, 2.1, "req1", 4L, 60.0), // later want wins the DISTINCT ON
+    ("rB", false, 9.0, 9.0, "req1", 2L, 55.0),
+    ("rC", false, 5.0, 5.0, "req1", 1L, 55.0)) // no detections at all
+    .toDF("root_diaobject_id", "is_host", "ra", "dec", "requester",
+      "priority", "wanttime")
+
+  private val noPlans =
+    Seq.empty[(String, Boolean, Double)]
+      .toDF("root_diaobject_id", "is_host", "plantime")
+  private val noInfo =
+    Seq.empty[(String, Boolean, Double)]
+      .toDF("root_diaobject_id", "is_host", "mjd")
+
+  test("magOr99: non-positive flux gets the reference's 99.0 sentinel") {
+    val m = Seq(100.0, 0.0, -4.0).toDF("f")
+      .select(graft.api.Spectrum.magOr99(col("f")).as("m"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(m(0) - 26.4) < 1e-9) // -2.5*log10(100)+31.4
+    assert(m(1) == 99.0 && m(2) == 99.0)
+  }
+
+  test("wantedSpectraReport: DISTINCT-ON latest want, forced-newer lim-mag, " +
+    "99-sentinel cut, detection-less wants dropped") {
+    val out = graft.api.Spectrum.wantedSpectraReport(
+      miniCatalog, "pv", wants, noPlans, noInfo,
+      mjdNow = 200.0, limMag = Some(25.0)).collect()
+    // rB fails lim (its only mag is the 99 sentinel); rC has no
+    // detections (inner join); rA passes ONLY via the newer forced point
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("root_diaobject_id") == "rA")
+    assert(r.getAs[Long]("priority") == 4L &&
+      r.getAs[Double]("wanttime") == 60.0 &&
+      r.getAs[Double]("ra") == 1.1) // the later want's payload
+    assert(r.getAs[Double]("src_mjd") == 110.0 &&
+      r.getAs[String]("src_band") == "r")
+    assert(math.abs(r.getAs[Double]("src_mag") - 28.9) < 1e-9)
+    assert(r.getAs[Double]("frced_mjd") == 115.0)
+    assert(math.abs(r.getAs[Double]("frced_mag") -
+      (-2.5 * math.log10(20000.0) + 31.4)) < 1e-9)
+    assert(r.getAs[Long]("diaobjectid") == 1L)
+    // without the lim cut, rB comes back with the sentinel mag
+    val noLim = graft.api.Spectrum.wantedSpectraReport(
+      miniCatalog, "pv", wants, noPlans, noInfo, mjdNow = 200.0).collect()
+    assert(noLim.map(_.getAs[String]("root_diaobject_id")).toSet ==
+      Set("rA", "rB"))
+    assert(noLim.find(_.getAs[String]("root_diaobject_id") == "rB")
+      .get.getAs[Double]("src_mag") == 99.0)
+  }
+
+  test("wantedSpectraReport: claim anti-join is (root, is_host)-paired " +
+    "and plantime-windowed; spectrum anti-join windows [since, now]") {
+    // a HOST claim must not block a TRANSIENT want for the same root
+    val hostClaim = Seq(("rA", true, 70.0))
+      .toDF("root_diaobject_id", "is_host", "plantime")
+    val blocked = Seq(("rA", false, 70.0))
+      .toDF("root_diaobject_id", "is_host", "plantime")
+    val stale = Seq(("rA", false, 30.0)) // before notClaimSince
+      .toDF("root_diaobject_id", "is_host", "plantime")
+    def roots(planned: org.apache.spark.sql.DataFrame,
+        info: org.apache.spark.sql.DataFrame = noInfo): Set[String] =
+      graft.api.Spectrum.wantedSpectraReport(
+          miniCatalog, "pv", wants, planned, info,
+          mjdNow = 200.0, notClaimSince = Some(40.0), noSpecSince = Some(20.0))
+        .select("root_diaobject_id").collect().map(_.getString(0)).toSet
+    assert(roots(hostClaim) == Set("rA", "rB"))
+    assert(roots(blocked) == Set("rB"))
+    assert(roots(stale) == Set("rA", "rB"))
+    // reported spectrum inside [noSpecSince, mjdNow] blocks; outside doesn't
+    val recentSpec = Seq(("rA", false, 150.0))
+      .toDF("root_diaobject_id", "is_host", "mjd")
+    val futureSpec = Seq(("rA", false, 250.0)) // after mjdNow
+      .toDF("root_diaobject_id", "is_host", "mjd")
+    assert(roots(noPlans, recentSpec) == Set("rB"))
+    assert(roots(noPlans, futureSpec) == Set("rA", "rB"))
+  }
+
+  test("wantedSpectraReport: detSince cuts on the LATEST detection mjd") {
+    val cutKeeps = graft.api.Spectrum.wantedSpectraReport(
+        miniCatalog, "pv", wants, noPlans, noInfo,
+        mjdNow = 200.0, detSince = Some(106.0))
+      .select("root_diaobject_id").collect().map(_.getString(0)).toSet
+    assert(cutKeeps == Set("rA")) // rB's only detection is mjd 105
+    val cutAll = graft.api.Spectrum.wantedSpectraReport(
+        miniCatalog, "pv", wants, noPlans, noInfo,
+        mjdNow = 200.0, detSince = Some(111.0)).count()
+    assert(cutAll == 0)
+  }
+
+  test("Stage.publish: a write that produces no marker fails loudly " +
+    "instead of publishing an uncommitted artifact") {
+    val dir = s"${tmpBase("stage17")}/artifact"
+    val ex = intercept[java.io.IOException] {
+      graft.util.Stage.publish(spark, dir) { staging =>
+        new java.io.File(staging).mkdirs() // no _SUCCESS anywhere
+      }
+    }
+    assert(ex.getMessage.contains("marker"))
+    assert(!graft.util.Stage.isCommitted(spark, dir))
+  }
+
+  test("IvfAnn.loadOrBuild: a saved index at a different resolution is " +
+    "rejected, not silently truncated or coarsened") {
+    val emb = (0 until 24).map(i =>
+        (i.toLong, Array(i.toFloat, (i * 7 % 5).toFloat, (i % 3).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val dir = s"${tmpBase("ivf17")}/ix"
+    graft.pipeline.IvfAnn.loadOrBuild(emb, "vec_id", "embedding", 4, dir)
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.IvfAnn.loadOrBuild(emb, "vec_id", "embedding", 8, dir)
+    }
+    assert(ex.getMessage.contains("4 cells") && ex.getMessage.contains("nlist=8"))
+    // and nlist-keyed scratch locations can't collide in the first place
+    assert(graft.pipeline.IvfAnn.scratchDir("/x", 4) !=
+      graft.pipeline.IvfAnn.scratchDir("/x", 8))
+  }
+
+  test("portableProfile: null-text rows are excluded (the null-text contract)") {
+    val docs = Seq((1L, "en", "a b"), (2L, "en", null), (3L, "en", "c d e"),
+        (4L, "fr", null))
+      .toDF("doc_id", "lang", "text")
+    val p = graft.pipeline.TextAnalysis
+      .portableProfile(docs, "doc_id", "lang", "text").collect()
+    // fr had ONLY a null-text row → no profile row at all
+    assert(p.map(_.getAs[String]("lang")).toSet == Set("en"))
+    val en = p.head
+    assert(en.getAs[Long]("n_docs") == 2L &&
+      en.getAs[Long]("n_tokens_total") == 5L &&
+      en.getAs[Long]("kmv_distinct_est") == 2L)
+  }
+}
