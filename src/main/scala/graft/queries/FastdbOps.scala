@@ -1656,6 +1656,124 @@ object FastdbOps {
        |  ON f.rootid = s.rootid AND f.visit = s.visit
        |ORDER BY rootid, midpointmjdtai, visit""".stripMargin
 
+  // ---- A23: object-info API (both weighted-position modes) ----------
+
+  /** diaobject_position rows derived from part: one row per
+    * (diaobjectid, base_procver) with ra/dec functions of that pair
+    * alone (so re-occurrences dedup to identical rows), covering only
+    * ids with `id % 5 != 4` — and members of one root share `id % 5`
+    * (150 ≡ 0 mod 5), so roots with `N % 5 == 4` have NO stored
+    * position at any SF and must take the weighted-source fallback. */
+  private def apiPositions(s: SparkSession, d: String): DataFrame = {
+    val m = col("p_partkey") % 400
+    val pv = col("p_partkey") % 3
+    part(s, d).select(
+        m.as("diaobjectid"),
+        concat(lit("bpv"), pv.cast("string")).as("base_procver_id"),
+        (((m * 3 + pv) % 3600) * 0.1).as("ra"),
+        (((m * 7 + pv) % 1700) * 0.1 - lit(85.0)).as("dec"))
+      .filter(col("diaobjectid") % 5 =!= 4)
+      .distinct()
+  }
+
+  private val apiPosSql =
+    """SELECT DISTINCT p_partkey % 400 AS diaobjectid,
+      |  'bpv' || CAST(p_partkey % 3 AS VARCHAR) AS base_procver_id,
+      |  ((p_partkey % 400) * 3 + p_partkey % 3) % 3600 * 0.1 AS ra,
+      |  ((p_partkey % 400) * 7 + p_partkey % 3) % 1700 * 0.1 - 85.0 AS dec
+      |FROM part WHERE (p_partkey % 400) % 5 != 4""".stripMargin
+
+  /** GET /ltcv/getobjectinfos (src/ltcv.py:38-291) through the REAL
+    * API both ways at once: `useWeightedSourcePositions` (stored
+    * diaobject_position first — highest-priority version per member,
+    * first non-null per root — with the (S/N)²-weighted detection
+    * fallback for roots with no stored position) joined against
+    * `alwaysUseWeightedSourcePositions` (stored positions ignored
+    * entirely). The request mixes diaobjectids and rootids and
+    * includes roots on BOTH fallback sides (r4/r29-class roots have
+    * no stored positions by construction). Member-id arrays render as
+    * sorted comma-joined strings (the s8 rule). */
+  def a23ObjectInfos(s: SparkSession, d: String): DataFrame = {
+    val cat = apiCatalog(s, d).copy(diaobjectPosition = apiPositions(s, d))
+    val objids = Seq(3L, 158L, 304L)
+    val roots = Seq("r7", "r29")
+    val a = graft.api.LtcvApi.getObjectInfos(cat, "pv",
+      diaobjectids = objids, rootids = roots, useWeightedSourcePositions = true)
+    val b = graft.api.LtcvApi.getObjectInfos(cat, "pv",
+      diaobjectids = objids, rootids = roots, alwaysUseWeightedSourcePositions = true)
+    a.select(col("rootid"),
+        concat_ws(",", col("diaobjectids")).as("member_ids"),
+        size(col("diaobjectids")).cast("long").as("n_objs"),
+        Num.rnd0(col("ra"), 6).as("ra"), Num.rnd0(col("dec"), 6).as("dec"),
+        Num.rnd0(col("rastd"), 6).as("rastd"),
+        Num.rnd0(col("decstd"), 6).as("decstd"),
+        Num.rnd0(col("ra_dec_cov"), 6).as("cov"))
+      .join(b.select(col("rootid"),
+        Num.rnd0(col("ra"), 6).as("ra_w"), Num.rnd0(col("dec"), 6).as("dec_w"),
+        Num.rnd0(col("rastd"), 6).as("rastd_w"),
+        Num.rnd0(col("decstd"), 6).as("decstd_w"),
+        Num.rnd0(col("ra_dec_cov"), 6).as("cov_w")), Seq("rootid"))
+      .orderBy("rootid")
+  }
+
+  val a23Sql: String =
+    s"""WITH ph AS ($apiDsSql),
+       |pos AS ($apiPosSql),
+       |objmap AS (SELECT DISTINCT o_orderkey % 400 AS diaobjectid,
+       |    'r' || CAST((o_orderkey % 400) % 150 AS VARCHAR) AS rootid
+       |  FROM orders),
+       |wanted AS (SELECT DISTINCT rootid FROM objmap
+       |  WHERE diaobjectid IN (3, 158, 304) OR rootid IN ('r7', 'r29')),
+       |ids AS (SELECT m.diaobjectid, m.rootid
+       |  FROM objmap m JOIN wanted w USING (rootid)),
+       |bestpos AS (SELECT diaobjectid, ra, dec FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY diaobjectid
+       |      ORDER BY CAST(SUBSTR(base_procver_id, 4) AS INT) DESC,
+       |               base_procver_id DESC) AS rn FROM pos) WHERE rn = 1),
+       |rootpos AS (SELECT rootid, ra, dec FROM (
+       |    SELECT i.rootid, p.ra, p.dec,
+       |      ROW_NUMBER() OVER (PARTITION BY i.rootid
+       |        ORDER BY (p.ra IS NULL), i.diaobjectid) AS rn
+       |    FROM ids i LEFT JOIN bestpos p USING (diaobjectid)) WHERE rn = 1),
+       |members AS (SELECT rootid,
+       |    array_to_string(list_sort(list(diaobjectid)), ',') AS member_ids,
+       |    CAST(COUNT(*) AS BIGINT) AS n_objs
+       |  FROM ids GROUP BY rootid),
+       |ds AS (SELECT pid AS srcid, base_procver_id, diaobjectid, visit,
+       |    midpointmjdtai, 100.0 + fluxbase AS psfflux, psffluxerr, ra, dec
+       |  FROM ph WHERE k % 7 != 0),
+       |src AS (SELECT * FROM (SELECT d.*, i.rootid, ROW_NUMBER() OVER (
+       |      PARTITION BY i.rootid, d.visit
+       |      ORDER BY CAST(SUBSTR(d.base_procver_id, 4) AS INT) DESC,
+       |               d.srcid DESC) AS rn
+       |    FROM ds d JOIN ids i USING (diaobjectid)) WHERE rn = 1),
+       |wp AS (SELECT rootid,
+       |    SUM(w * ra) / SUM(w) AS wra,
+       |    SUM(w * dec) / SUM(w) AS wdec,
+       |    SQRT(GREATEST(SUM(w * ra * ra) / SUM(w)
+       |      - POWER(SUM(w * ra) / SUM(w), 2), 0)) AS wrastd,
+       |    SQRT(GREATEST(SUM(w * dec * dec) / SUM(w)
+       |      - POWER(SUM(w * dec) / SUM(w), 2), 0)) AS wdecstd,
+       |    SUM(w * ra * dec) / SUM(w)
+       |      - SUM(w * ra) * SUM(w * dec) / (SUM(w) * SUM(w)) AS wcov
+       |  FROM (SELECT rootid, ra, dec, POWER(psfflux / psffluxerr, 2) AS w
+       |        FROM src WHERE psfflux / psffluxerr > 3)
+       |  GROUP BY rootid)
+       |SELECT m.rootid, m.member_ids, m.n_objs,
+       |  ROUND(COALESCE(r.ra, w.wra), 6) + 0.0 AS ra,
+       |  ROUND(COALESCE(r.dec, w.wdec), 6) + 0.0 AS dec,
+       |  ROUND(CASE WHEN r.ra IS NULL THEN w.wrastd END, 6) + 0.0 AS rastd,
+       |  ROUND(CASE WHEN r.ra IS NULL THEN w.wdecstd END, 6) + 0.0 AS decstd,
+       |  ROUND(CASE WHEN r.ra IS NULL THEN w.wcov END, 6) + 0.0 AS cov,
+       |  ROUND(w.wra, 6) + 0.0 AS ra_w, ROUND(w.wdec, 6) + 0.0 AS dec_w,
+       |  ROUND(w.wrastd, 6) + 0.0 AS rastd_w,
+       |  ROUND(w.wdecstd, 6) + 0.0 AS decstd_w,
+       |  ROUND(w.wcov, 6) + 0.0 AS cov_w
+       |FROM members m
+       |LEFT JOIN rootpos r USING (rootid)
+       |LEFT JOIN wp w USING (rootid)
+       |ORDER BY rootid""".stripMargin
+
   // ---- SP1: the full spectrum-cycle workflow -------------------------
 
   /** Spectrum-request tables derived from customer/supplier/nation:
@@ -1829,6 +1947,7 @@ object FastdbOps {
     "w9_interp_grid" -> (w9InterpGrid _),
     "a21_stetson" -> (a21Stetson _),
     "a22_many_ltcvs" -> (a22ManyLtcvs _),
+    "a23_object_infos" -> (a23ObjectInfos _),
     "sp1_wanted_spectra" -> (sp1WantedSpectra _),
     "st4_pubsub_alerts" -> (st4PubsubAlerts _),
     "a4_rollup" -> (a4Rollup _),
@@ -1862,6 +1981,7 @@ object FastdbOps {
     "w9_interp_grid" -> w9Sql,
     "a21_stetson" -> a21Sql,
     "a22_many_ltcvs" -> a22Sql,
+    "a23_object_infos" -> a23Sql,
     "sp1_wanted_spectra" -> sp1Sql,
     "st4_pubsub_alerts" -> st4Sql,
     "a4_rollup" -> a4Sql,
