@@ -108,10 +108,10 @@ object IvfAnn {
       spark.read.parquet(s"$dir/centroids"))
 
   /** Canonical per-dataset scratch location for a shared demo index —
-    * s3_ann_ivf and d6_semantic_dedup use the same (nlist = 16, default
-    * seed) index, so whichever runs first builds it and the other
-    * reads it, exactly like two production consumers sharing one
-    * persisted quantizer. Keyed by the embeddings table's CONTENT
+    * s3_ann_ivf and s4's re-rank path use the same (nlist = 16,
+    * default seed) index, so whichever runs first builds it and later
+    * consumers read it, exactly like two production consumers sharing
+    * one persisted quantizer. Keyed by the embeddings table's CONTENT
     * signature, not just the path: a regenerated dataset at the same
     * path gets a fresh index instead of stale cell assignments. Also
     * keyed by `nlist`, so an index built at one resolution is never

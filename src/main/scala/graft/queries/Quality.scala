@@ -716,37 +716,138 @@ object Quality {
       .orderBy("lang")
   }
 
-  /** SemDeDup over the embeddings table: per-vector semantic cluster +
-    * kept representative (rows-only: labels depend on the seeded
-    * k-means quantizer; recall vs exact all-pairs in QualitySpec).
-    * Runs against the PERSISTED cell-partitioned index shared with
-    * s3_ann_ivf (same nlist/seed — built once per dataset by whichever
-    * query runs first), so repeat executions measure the in-cell pair
-    * scan + clustering, not quantizer training — the deploy shape.
-    * QualitySpec pins persisted-index labels ≡ in-place-build labels. */
-  def d6SemanticDedup(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-    val index = graft.pipeline.IvfAnn.loadOrBuild(emb, "vec_id", "embedding",
-      nlist = 16, dir = graft.pipeline.IvfAnn.scratchDir(d, nlist = 16))
-    SemDedup.semanticDedupWithIndex(index, "vec_id", threshold = 0.4)
-      .orderBy("vec_id")
+  /** Deterministic planted near-dup corpus over the embeddings table's
+    * id universe: 8 exactly-orthogonal unit centers (basis vector 2g),
+    * each vec_id assigned to group `vec_id % 8` and jittered by
+    * md5-derived uniforms (the p9 replayable-noise idiom) — so BOTH
+    * engines construct bit-identical vectors, within-group cosine is
+    * ≥ ~0.95 and cross-group ≤ ~0.25, and the TRUE duplicate pair set
+    * (same-group, sim ≥ 0.8) is exact on both sides. */
+  private def d6Planted(s: SparkSession, d: String): DataFrame = {
+    val dim = 16
+    val g = col("vec_id") % 8
+    val comps = (0 until dim).map { k =>
+      val u = conv(substring(md5(
+          concat(lit("d6:"), col("vec_id").cast("string"), lit(s":$k"))), 1, 12),
+          16, 10).cast("double") / lit(281474976710656.0)
+      val center = when(g * 2 === k, lit(1.0)).otherwise(lit(0.0))
+      (center + (u - lit(0.5)) * lit(0.2)).cast("float")
+    }
+    embeddings(s, d).select(col("vec_id"), array(comps: _*).as("embedding"))
   }
 
-  /** Trained quality classifier over the corpus: pseudo-labels from
-    * the heuristic on the even-id half as the seed set, LBFGS-fitted,
-    * then the whole corpus scored by the broadcast model as a column
-    * expression (rows-only: LBFGS coefficient bits are
-    * float-association-dependent; decision behavior is pinned in
-    * QualitySpec). */
+  /** SemDeDup driven end-to-end under the oracle via its PLANTED-PAIR
+    * contract (previously rows-only: cluster labels depend on the
+    * seeded k-means quantizer, so per-row output can't hash-oracle).
+    * The engine runs the real operator — deterministic sampled
+    * k-means quantizer, in-cell exact-cosine pair scan — over
+    * [[d6Planted]] and emits the exact ground-truth pair count plus
+    * the paper's quality contract as booleans: precision_ok (every
+    * found pair is a true planted pair; cross-group cosine sits at
+    * ≤ ~0.25, far under the 0.8 threshold) and recall_ok (≥ 0.9 of
+    * true pairs found; measured 1.0 at both test SFs with nlist = 8 —
+    * one k-means cell per planted cluster). The oracle replays the
+    * planted construction and brute-forces ALL pairs, so it also
+    * verifies the separation assumption (a cross-group pair ≥ 0.8
+    * would shift n_true_pairs and break the hash). Per-vector labels
+    * on REAL embeddings stay pinned by QualitySpec (persisted-index ≡
+    * in-place identity, recall vs exact all-pairs). The truth join
+    * keys on the planted GROUP — an equi-join, quadratic only within
+    * one planted cluster. */
+  def d6SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val planted = d6Planted(s, d)
+    val found = SemDedup.semanticPairs(planted, "vec_id", "embedding",
+      nlist = 8, threshold = 0.8).localCheckpoint()
+    val n = graft.pipeline.Similarity.normalized(
+        planted.select(col("vec_id"), col("embedding")), "embedding", "_ne")
+      .withColumn("_g", col("vec_id") % 8)
+    val truth = n.select(col("_g"), col("vec_id").as("id_a"), col("_ne").as("_ea"))
+      .join(n.select(col("_g"), col("vec_id").as("id_b"), col("_ne").as("_eb")),
+        Seq("_g"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", graft.pipeline.Similarity.dot(col("_ea"), col("_eb")))
+      .filter(col("sim") >= 0.8)
+      .select("id_a", "id_b").localCheckpoint()
+    val nVec = planted.count()
+    val nTrue = truth.count()
+    val nFound = found.count()
+    val nFoundTrue = found.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+    import s.implicits._
+    Seq((nVec, nTrue, nFoundTrue == nFound,
+        nFoundTrue >= math.ceil(0.9 * nTrue).toLong))
+      .toDF("n_vectors", "n_true_pairs", "precision_ok", "recall_ok")
+  }
+
+  val d6Sql: String =
+    """WITH ks AS (SELECT range AS k FROM range(16)),
+      |v AS (SELECT e.vec_id, ks.k,
+      |    CAST(CASE WHEN (e.vec_id % 8) * 2 = ks.k THEN 1.0 ELSE 0.0 END
+      |      + (('0x' || substr(md5('d6:' || CAST(e.vec_id AS VARCHAR) || ':'
+      |            || CAST(ks.k AS VARCHAR)), 1, 12))::UBIGINT
+      |         / 281474976710656.0 - 0.5) * 0.2 AS REAL) AS x
+      |  FROM embeddings e CROSS JOIN ks),
+      |arr AS (SELECT vec_id, list(CAST(x AS DOUBLE) ORDER BY k) AS emb
+      |  FROM v GROUP BY vec_id),
+      |e AS (SELECT vec_id,
+      |    list_transform(emb, t -> t / sqrt(list_sum(
+      |      list_transform(emb, u -> u * u)))) AS ne
+      |  FROM arr),
+      |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    list_sum(list_transform(range(1, 17), k -> a.ne[k] * b.ne[k])) AS sim
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+      |  CAST(COUNT(*) FILTER (sim >= 0.8) AS BIGINT) AS n_true_pairs,
+      |  TRUE AS precision_ok, TRUE AS recall_ok
+      |FROM p""".stripMargin
+
+  /** Trained quality classifier: pseudo-labels from the heuristic on
+    * the even-id half as the seed set, LBFGS-fitted, the ODD-id
+    * holdout scored by the broadcast model as a column expression.
+    *
+    * Previously rows-only (LBFGS coefficient bits are
+    * float-association-dependent, so per-doc p_good digits can't
+    * hash-oracle); now HASH-ORACLED via the decision contract, the
+    * s6-whiten trick: the emitted table is the per-true-class holdout
+    * size (exactly replayable from the heuristic + split in SQL) and
+    * the boolean `acc_ok` = per-class holdout accuracy ≥ 0.85 — the
+    * property that is deterministic given the deterministic split,
+    * robust to coefficient-bit jitter (measured per-class accuracy:
+    * 0.926-1.0 at sf0.001, 0.986-1.0 at sf0.01; the sharper ≥ 0.95
+    * OVERALL holdout bound stays pinned in QualitySpec). A model
+    * regression below the bound flips the boolean and fails the hash
+    * gate. */
   def t11QualityClassifier(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val seed = docs.filter(col("doc_id") % 2 === 0)
       .withColumn("label",
         (TextAnalysis.qualityScore(col("text")) >= 0.55).cast("double"))
     QualityClassifier.trainAndScore(docs, "text", seed, "text", "label")
-      .select(col("doc_id"), col("source"), round(col("p_good"), 4).as("p_good"))
-      .orderBy("doc_id")
+      .filter(col("doc_id") % 2 =!= 0)
+      .withColumn("_true", TextAnalysis.qualityScore(col("text")) >= 0.55)
+      .withColumn("_pred", col("p_good") >= 0.5)
+      .groupBy(col("_true").as("is_good"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_pred") === col("_true"), 1L).otherwise(0L)).as("_nc"))
+      .select(col("is_good"), col("n_docs"),
+        (col("_nc").cast("double") / col("n_docs") >= 0.85).as("acc_ok"))
+      .orderBy("is_good")
   }
+
+  val t11Sql: String =
+    """WITH f AS (SELECT doc_id,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS ntok,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+      |    len(list_filter(list_filter(string_split(trim(text), ' '), t -> t != ''),
+      |        t -> t IN ('the','a','an','and','of','to','in','is','it'))) AS nstop,
+      |    length(text) AS nchar
+      |  FROM documents WHERE doc_id % 2 != 0),
+      |h AS (SELECT (ROUND(0.4 * LEAST(ntok / 100.0, 1.0)
+      |      + 0.3 * (1.0 - LEAST(npunct * 5.0 / GREATEST(nchar, 1), 1.0))
+      |      + 0.3 * LEAST(nstop * 5.0 / GREATEST(ntok, 1), 1.0), 6) >= 0.55)
+      |    AS is_good
+      |  FROM f)
+      |SELECT is_good, COUNT(*) AS n_docs, TRUE AS acc_ok
+      |FROM h GROUP BY is_good ORDER BY is_good""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_quality_classifier" -> (t11QualityClassifier _),
@@ -772,6 +873,8 @@ object Quality {
     "d6_semantic_dedup" -> (d6SemanticDedup _))
 
   def oracles: Map[String, String] = Map(
+    "d6_semantic_dedup" -> d6Sql,
+    "t11_quality_classifier" -> t11Sql,
     "t9_lm_score" -> t9Sql,
     "t20_kn_score" -> t20Sql,
     "t21_trigram_kn" -> t21Sql,
