@@ -139,6 +139,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sp1 spectrum workflow: request-sized joins broadcast, dedup combines map-side") {
+    val p = plan(graft.queries.FastdbOps.sp1WantedSpectra(spark, d))
+    // every anti-join against claims/spectra and every semi-join of the
+    // surviving cohort builds on the request-sized side; the corpus-
+    // sized photometry tables enter only through the map-combined
+    // priority dedup (groups shuffle, rows don't)
+    val anti = p.split("\n").filter(_.contains("LeftAnti"))
+    assert(anti.nonEmpty && anti.forall(_.contains("BroadcastHashJoin")),
+      s"claim/spectrum anti-joins must broadcast:\n${anti.mkString("\n")}")
+    assert(p.contains("partial_max_by"), "dedup/rollups must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the only tolerated shuffle joins: the src/frced full-outer
+    // lim-mag join and the final root-sized outer assembly joins
+    val smj = p.split("\n").filter(_.contains("SortMergeJoin"))
+    assert(smj.forall(l => l.contains("FullOuter") || l.contains("LeftOuter")),
+      s"inner corpus-side joins must broadcast:\n${smj.mkString("\n")}")
+  }
+
+  test("a23 object infos: position argmax partial-aggregates, id joins broadcast") {
+    val p = plan(graft.queries.FastdbOps.a23ObjectInfos(spark, d))
+    assert(p.contains("partial_max_by") && p.contains("partial_min_by"),
+      "best-position / first-per-root argmaxes must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "id expansion / priority / semi joins must broadcast")
+  }
+
   test("no battery plan is corpus-quadratic") {
     // A nested-loop join (the physical plan Spark picks when a join
     // has no equi keys) is acceptable only when one side is BOUNDED —
