@@ -43,6 +43,48 @@ object Spectrum {
         Funcs.wantspecId(col("root_diaobject_id"), col("requester")))
       .withColumn("priority", Funcs.clampPriority(col("priority")).cast("short"))
 
+  /** The spectruminfo search spec (get_spectrum_info,
+    * src/spectrum.py:342-386): the reference's declarative
+    * mult/substr/minmax table, compiled by the same [[graft.query
+    * .SearchSpec]] builder the object search uses — predicates are
+    * Column conjunctions, so Catalyst pushes them into the scan. */
+  val spectrumInfoSpec: graft.query.SearchSpec = graft.query.SearchSpec(Map(
+    "root_diaobject_id" -> graft.query.FieldSpec(mult = true),
+    "facility" -> graft.query.FieldSpec(mult = true, substr = true, minmax = true),
+    "mjd" -> graft.query.FieldSpec(minmax = true),
+    "z" -> graft.query.FieldSpec(minmax = true),
+    "class_description" -> graft.query.FieldSpec(mult = true, substr = true),
+    "classid" -> graft.query.FieldSpec(mult = true, minmax = true),
+    "is_host" -> graft.query.FieldSpec(),
+    "inserted_at" -> graft.query.FieldSpec(minmax = true)))
+
+  /** GET /spectrum/getknownspectruminfo (spectrum.py:342-386) with the
+    * reference's backwards-compat kwarg aliases (`since` →
+    * inserted_at_min, `root_diaobject_ids` → root_diaobject_id). */
+  def getSpectrumInfo(info: DataFrame, args: Map[String, Any]): DataFrame = {
+    val normalized = args.map {
+      case ("since", v)               => ("inserted_at_min", v)
+      case ("root_diaobject_ids", v)  => ("root_diaobject_id", v)
+      case kv                         => kv
+    }
+    info.filter(spectrumInfoSpec.buildPredicate(normalized))
+  }
+
+  /** POST /spectrum/planspectrum (spectrumapp.py:157-181): claim a
+    * spectrum for a facility — an append to the plannedspectra table.
+    * On parquet this is a union the caller persists (the engine's
+    * log-structured merge shapes own durability). */
+  def planSpectrum(planned: DataFrame, newPlans: DataFrame): DataFrame =
+    planned.unionByName(newPlans, allowMissingColumns = true)
+
+  /** POST /spectrum/removespectrumplan (spectrumapp.py:187-204):
+    * delete by (root_diaobject_id, facility) — expressed as the
+    * complement filter (a rewrite-on-delete, the parquet idiom). */
+  def removeSpectrumPlan(planned: DataFrame, rootId: String,
+      facility: String): DataFrame =
+    planned.filter(!(col("root_diaobject_id") === rootId &&
+      col("facility") === facility))
+
   /** Flux → AB magnitude with the reference's 99.0 sentinel for
     * non-positive flux (spectrum.py:273-277: mag defaults to 99, set
     * only where flux > 0). */

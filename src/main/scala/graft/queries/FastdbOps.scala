@@ -1925,6 +1925,74 @@ object FastdbOps {
        |LEFT JOIN wp ON wp.rootid = n.root_diaobject_id
        |ORDER BY root_diaobject_id, requester, is_host""".stripMargin
 
+  // ---- SP2: spectrum-info search --------------------------------------
+
+  /** Full spectruminfo table derived from orders: nullable z/classid
+    * (the reference's _nullcheck'd optional fields), four facilities,
+    * three classes — so every predicate kind in the searchspec has
+    * rows on both sides. */
+  private def sp1SpecInfoFull(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey").as("specinfo_id"),
+      concat(lit("r"), (col("o_orderkey") % 150).cast("string")).as("root_diaobject_id"),
+      when(col("o_orderkey") % 4 === 0, "keck-lris")
+        .when(col("o_orderkey") % 4 === 1, "gemini-gmos")
+        .when(col("o_orderkey") % 4 === 2, "vlt-xshooter")
+        .otherwise("palomar-dbsp").as("facility"),
+      (lit(60000.0) + (col("o_orderkey") % 500) * 0.2).as("mjd"),
+      when(col("o_orderkey") % 11 === 0, lit(null).cast("double"))
+        .otherwise((col("o_orderkey") % 80) * 0.01).as("z"),
+      when(col("o_orderkey") % 13 === 0, lit(null).cast("long"))
+        .otherwise(lit(2220L) + col("o_orderkey") % 6).as("classid"),
+      concat(lit("SN "), when(col("o_orderkey") % 3 === 0, "Ia")
+        .when(col("o_orderkey") % 3 === 1, "II").otherwise("Ibc"))
+        .as("class_description"),
+      (col("o_orderkey") % 7 === 0).as("is_host"),
+      (lit(60050.0) + (col("o_orderkey") % 300) * 0.3).as("inserted_at"))
+
+  private val sp2InfoSql =
+    """SELECT o_orderkey AS specinfo_id,
+      |  'r' || CAST(o_orderkey % 150 AS VARCHAR) AS root_diaobject_id,
+      |  CASE o_orderkey % 4 WHEN 0 THEN 'keck-lris' WHEN 1 THEN 'gemini-gmos'
+      |    WHEN 2 THEN 'vlt-xshooter' ELSE 'palomar-dbsp' END AS facility,
+      |  60000.0 + (o_orderkey % 500) * 2e-1 AS mjd,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |    ELSE (o_orderkey % 80) * 1e-2 END AS z,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |    ELSE 2220 + o_orderkey % 6 END AS classid,
+      |  'SN ' || CASE o_orderkey % 3 WHEN 0 THEN 'Ia' WHEN 1 THEN 'II'
+      |    ELSE 'Ibc' END AS class_description,
+      |  (o_orderkey % 7 = 0) AS is_host,
+      |  60050.0 + (o_orderkey % 300) * 3e-1 AS inserted_at
+      |FROM orders""".stripMargin
+
+  /** GET /spectrum/getknownspectruminfo (src/spectrum.py:342-386)
+    * through the REAL SearchSpec builder with every predicate kind at
+    * once: substr OR-list on facility, minmax window on mjd, max on
+    * nullable z (NULL comparisons drop rows identically in both
+    * engines), isin on nullable classid, equality on is_host, and the
+    * reference's `since` backwards-compat alias (→ inserted_at_min). */
+  def sp2SpectrumInfoSearch(s: SparkSession, d: String): DataFrame =
+    graft.api.Spectrum.getSpectrumInfo(sp1SpecInfoFull(s, d), Map(
+        "facility_contains" -> Seq("keck", "gemini"),
+        "mjd_min" -> 60020.0, "mjd_max" -> 60090.0,
+        "z_max" -> 0.5,
+        "classid" -> Seq(2221L, 2223L, 2224L),
+        "is_host" -> false,
+        "since" -> 60060.0))
+      .orderBy("specinfo_id")
+
+  val sp2Sql: String =
+    s"""WITH si AS ($sp2InfoSql)
+       |SELECT * FROM si
+       |WHERE (facility LIKE '%keck%' OR facility LIKE '%gemini%')
+       |  AND mjd >= 60020.0 AND mjd <= 60090.0
+       |  AND z <= 0.5
+       |  AND classid IN (2221, 2223, 2224)
+       |  AND is_host = FALSE
+       |  AND inserted_at >= 60060.0
+       |ORDER BY specinfo_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a10_first_seen" -> (a10FirstSeen _),
     "a11_keep_existing" -> (a11KeepExisting _),
@@ -1949,6 +2017,7 @@ object FastdbOps {
     "a22_many_ltcvs" -> (a22ManyLtcvs _),
     "a23_object_infos" -> (a23ObjectInfos _),
     "sp1_wanted_spectra" -> (sp1WantedSpectra _),
+    "sp2_spectrum_info" -> (sp2SpectrumInfoSearch _),
     "st4_pubsub_alerts" -> (st4PubsubAlerts _),
     "a4_rollup" -> (a4Rollup _),
     "a12_coalesce_merge" -> (a12CoalesceMerge _),
@@ -1983,6 +2052,7 @@ object FastdbOps {
     "a22_many_ltcvs" -> a22Sql,
     "a23_object_infos" -> a23Sql,
     "sp1_wanted_spectra" -> sp1Sql,
+    "sp2_spectrum_info" -> sp2Sql,
     "st4_pubsub_alerts" -> st4Sql,
     "a4_rollup" -> a4Sql,
     "a12_coalesce_merge" -> a12Sql,

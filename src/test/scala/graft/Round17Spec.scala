@@ -140,6 +140,52 @@ class Round17Spec extends AnyFunSuite {
     assert(cutAll == 0)
   }
 
+  test("spectrum cycle lifecycle: want → claim hides → remove restores → " +
+    "report hides again") {
+    import graft.api.Spectrum
+    def reportRoots(planned: org.apache.spark.sql.DataFrame,
+        info: org.apache.spark.sql.DataFrame): Set[String] =
+      Spectrum.wantedSpectraReport(miniCatalog, "pv", wants, planned, info,
+          mjdNow = 200.0, notClaimSince = Some(40.0), noSpecSince = Some(20.0))
+        .select("root_diaobject_id").collect().map(_.getString(0)).toSet
+    val plansWithFacility = Seq.empty[(String, Boolean, Double, String)]
+      .toDF("root_diaobject_id", "is_host", "plantime", "facility")
+    assert(reportRoots(plansWithFacility, noInfo) == Set("rA", "rB"))
+    // a facility claims rA → it leaves the wanted report
+    val claimed = Spectrum.planSpectrum(plansWithFacility,
+      Seq(("rA", false, 100.0, "keck-lris"))
+        .toDF("root_diaobject_id", "is_host", "plantime", "facility"))
+    assert(reportRoots(claimed, noInfo) == Set("rB"))
+    // the plan is withdrawn (delete by root+facility) → rA comes back
+    val withdrawn = Spectrum.removeSpectrumPlan(claimed, "rA", "keck-lris")
+    assert(reportRoots(withdrawn, noInfo) == Set("rA", "rB"))
+    // a spectrum is reported for rA → it leaves the report for good
+    val reported = Seq(("rA", false, 150.0))
+      .toDF("root_diaobject_id", "is_host", "mjd")
+    assert(reportRoots(withdrawn, reported) == Set("rB"))
+  }
+
+  test("getSpectrumInfo: searchspec kinds compose; since alias maps to " +
+    "inserted_at_min; disallowed kinds throw") {
+    import graft.api.Spectrum
+    val info = Seq(
+      ("rA", "keck-lris", 60010.0, 0.1, 2221L, "SN Ia", false, 60055.0, 1L),
+      ("rB", "gemini-gmos", 60030.0, 0.9, 2223L, "SN II", false, 60070.0, 2L),
+      ("rC", "vlt-xshooter", 60030.0, 0.2, 2221L, "SN Ia", true, 60070.0, 3L))
+      .toDF("root_diaobject_id", "facility", "mjd", "z", "classid",
+        "class_description", "is_host", "inserted_at", "specinfo_id")
+    def ids(args: Map[String, Any]): Set[Long] =
+      Spectrum.getSpectrumInfo(info, args)
+        .select("specinfo_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Map("facility_contains" -> Seq("keck", "gemini"))) == Set(1L, 2L))
+    assert(ids(Map("z_max" -> 0.5, "is_host" -> false)) == Set(1L))
+    assert(ids(Map("since" -> 60060.0)) == Set(2L, 3L))
+    assert(ids(Map("root_diaobject_ids" -> Seq("rA", "rC"))) == Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      ids(Map("z_contains" -> "0"))
+    }
+  }
+
   test("Stage.publish: a write that produces no marker fails loudly " +
     "instead of publishing an uncommitted artifact") {
     val dir = s"${tmpBase("stage17")}/artifact"
