@@ -99,25 +99,10 @@ object ScaleCheck {
     case class Row3(name: String, n1: Long, w1: Double, nN: Long, wN: Double)
     val rows = scala.collection.mutable.ArrayBuffer[Row3]()
 
-    /** One measured stage over an arbitrary (1×, N×) input pair —
-      * the documents corpus by default ([[stage]]), the replicated
-      * embeddings table for the vector-family stages. */
-    def stageOn(name: String, in1: => DataFrame, inN: => DataFrame)
-        (f: DataFrame => Long): Unit = {
-      if (only.exists(_ != name)) return
-      val (c1, cold1, m1) = timed(spark)(f(in1))
-      val (cN, coldN, mN) = timed(spark)(f(inN))
-      rows += Row3(name, c1, m1, cN, mN)
-      println(f"[scale] $name%-28s 1x: n=$c1%-9d ${m1}%6.2f s (cold ${cold1}%5.1f)   " +
-        f"${nCopies}x: n=$cN%-9d ${mN}%6.2f s (cold ${coldN}%5.1f)   " +
-        f"n-ratio ${cN.toDouble / math.max(c1, 1)}%5.2f  t-ratio ${mN / math.max(m1, 1e-9)}%5.2f")
-    }
-    def stage(name: String)(f: DataFrame => Long): Unit =
-      stageOn(name, docs1, docsN)(f)
-
-    /** A measured stage over two arbitrary by-name computations — for
-      * the incremental-contract stages whose two sides differ in
-      * pre-built STATE (index/cluster table), not input frame. */
+    /** A measured stage over two arbitrary by-name computations — the
+      * general form; used directly by the incremental-contract stages
+      * whose two sides differ in pre-built STATE (index/cluster
+      * table), not input frame. */
     def stageRaw(name: String)(f1: => Long, fN: => Long): Unit = {
       if (only.exists(_ != name)) return
       val (c1, cold1, m1) = timed(spark)(f1)
@@ -127,6 +112,15 @@ object ScaleCheck {
         f"${nCopies}x: n=$cN%-9d ${mN}%6.2f s (cold ${coldN}%5.1f)   " +
         f"n-ratio ${cN.toDouble / math.max(c1, 1)}%5.2f  t-ratio ${mN / math.max(m1, 1e-9)}%5.2f")
     }
+
+    /** One measured stage over an arbitrary (1×, N×) input pair —
+      * the documents corpus by default ([[stage]]), the replicated
+      * embeddings table for the vector-family stages. */
+    def stageOn(name: String, in1: => DataFrame, inN: => DataFrame)
+        (f: DataFrame => Long): Unit =
+      stageRaw(name)(f(in1), f(inN))
+    def stage(name: String)(f: DataFrame => Long): Unit =
+      stageOn(name, docs1, docsN)(f)
 
     // ---- N× embeddings (for the vector-family stages) --------------
     val vectorStages = Set("s8_sq_quantize")

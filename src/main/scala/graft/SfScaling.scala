@@ -44,9 +44,13 @@ object SfScaling {
       val res =
         if (!out.exists()) None
         else scala.io.Source.fromFile(out).getLines().toSeq.headOption.flatMap {
+          // a child killed at the fork timeout can leave a truncated or
+          // garbage line — that query reports FAILED, it must not crash
+          // the whole sweep (toDouble in a pattern GUARD would throw)
           _.split(",") match {
-            case Array(_, c, _, b) if c.toDouble >= 0 =>
-              Some((c.toDouble, b.toDouble))
+            case Array(_, c, _, b) =>
+              scala.util.Try((c.toDouble, b.toDouble)).toOption
+                .filter(_._1 >= 0)
             case _ => None
           }
         }

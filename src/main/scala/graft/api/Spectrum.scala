@@ -60,13 +60,17 @@ object Spectrum {
 
   /** GET /spectrum/getknownspectruminfo (spectrum.py:342-386) with the
     * reference's backwards-compat kwarg aliases (`since` →
-    * inserted_at_min, `root_diaobject_ids` → root_diaobject_id). */
+    * inserted_at_min, `root_diaobject_ids` → root_diaobject_id). When
+    * both an alias and its canonical key are passed, the alias WINS —
+    * exactly the reference's `kwargs['inserted_at_min'] =
+    * kwargs['since']` overwrite — and deterministically so (a plain
+    * Map.map would keep an arbitrary one of the two colliding
+    * entries). */
   def getSpectrumInfo(info: DataFrame, args: Map[String, Any]): DataFrame = {
-    val normalized = args.map {
-      case ("since", v)               => ("inserted_at_min", v)
-      case ("root_diaobject_ids", v)  => ("root_diaobject_id", v)
-      case kv                         => kv
-    }
+    val aliases = Map("since" -> "inserted_at_min",
+      "root_diaobject_ids" -> "root_diaobject_id")
+    val normalized = (args -- aliases.keys) ++
+      aliases.flatMap { case (a, canon) => args.get(a).map(canon -> _) }
     info.filter(spectrumInfoSpec.buildPredicate(normalized))
   }
 
@@ -79,11 +83,16 @@ object Spectrum {
 
   /** POST /spectrum/removespectrumplan (spectrumapp.py:187-204):
     * delete by (root_diaobject_id, facility) — expressed as the
-    * complement filter (a rewrite-on-delete, the parquet idiom). */
+    * complement filter (a rewrite-on-delete, the parquet idiom).
+    * NULL-SAFE comparisons: with plain ===, a row whose facility is
+    * NULL (legal — [[planSpectrum]]'s allowMissingColumns fills
+    * absent columns with null) evaluates the whole predicate to NULL
+    * and the filter silently deletes it; `<=>` keeps non-matching
+    * rows regardless of nulls. */
   def removeSpectrumPlan(planned: DataFrame, rootId: String,
       facility: String): DataFrame =
-    planned.filter(!(col("root_diaobject_id") === rootId &&
-      col("facility") === facility))
+    planned.filter(!(col("root_diaobject_id") <=> rootId &&
+      col("facility") <=> facility))
 
   /** Flux → AB magnitude with the reference's 99.0 sentinel for
     * non-positive flux (spectrum.py:273-277: mag defaults to 99, set
@@ -185,12 +194,20 @@ object Spectrum {
         Seq("root_diaobject_id", "is_host"), "left_anti")
     }.getOrElse(unclaimed)
 
-    // 4. photometry for the surviving roots only
+    // 4. photometry for the surviving roots only. The deduped frames
+    // are materialized (eager localCheckpoint): they are cohort-sized
+    // but their UPSTREAM is the corpus-sized photometry scan + dedup,
+    // and three consumers read each (per-band latest, lim-mag,
+    // weighted positions) — without the checkpoint each consumer
+    // re-executes the full scan (the reference materializes its
+    // tmp_wanted tables for the same reason).
     val roots = noSpec.select(col("root_diaobject_id").as("rootid")).distinct()
     val ids = Ltcv.objMap(cat, procverId)
       .join(broadcast(roots), Seq("rootid"), "left_semi")
-    val src = Ltcv.sources(cat, procverId, mjdNow = Some(mjdNow), objids = Some(ids))
-    val frc = Ltcv.forced(cat, procverId, mjdNow = Some(mjdNow), objids = Some(ids))
+    val src = Ltcv.sources(cat, procverId, mjdNow = Some(mjdNow),
+      objids = Some(ids)).localCheckpoint()
+    val frc = Ltcv.forced(cat, procverId, mjdNow = Some(mjdNow),
+      objids = Some(ids)).localCheckpoint()
 
     // 5. A9 — latest point per (rootid, band), with mags
     def latestPerBand(df: DataFrame, idCol: String, pfx: String): DataFrame =

@@ -87,11 +87,25 @@ object IvfAnn {
     * safely on any Hadoop filesystem. At 100 TB the same layout
     * holds; you'd additionally bucket within cells by id for
     * co-located candidate joins. */
-  def save(index: Index, dir: String): Unit = {
+  def save(index: Index, dir: String): Unit = save(index, dir, nlist = -1)
+
+  /** [[save]] stamping the REQUESTED resolution as an `NLIST_<n>`
+    * marker file inside the staged artifact (atomic with it): the
+    * built centroid COUNT can be legitimately smaller than the
+    * requested nlist (MLlib k-means on a corpus with fewer clusters
+    * than cells returns fewer centers), so the count alone cannot
+    * distinguish "same request, sparse data" from "stale index built
+    * at a coarser resolution". `nlist = -1` omits the marker. */
+  def save(index: Index, dir: String, nlist: Int): Unit = {
     val spark = index.assigned.sparkSession
     graft.util.Stage.publish(spark, dir, "centroids/_SUCCESS") { staging =>
       index.assigned.write.mode("overwrite")
         .partitionBy("_cell").parquet(s"$staging/assigned")
+      if (nlist > 0)
+        graft.util.Stage.fs(spark, dir)
+          .create(new org.apache.hadoop.fs.Path(s"$staging/NLIST_$nlist"))
+          .close()
+      // centroids LAST: its _SUCCESS is the commit marker
       index.centroids.write.mode("overwrite").parquet(s"$staging/centroids")
     }
   }
@@ -127,32 +141,40 @@ object IvfAnn {
   def loadOrBuild(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, dir: String): Index = {
     val spark = corpus.sparkSession
-    val fresh = !isSaved(spark, dir)
-    if (fresh) {
+    if (!isSaved(spark, dir)) {
       val built = buildIndex(corpus, idCol, embCol, nlist)
-      save(built, dir)
+      save(built, dir, nlist)
       built.assigned.unpersist()
     }
     val ix = load(spark, dir)
-    // The centroid table has exactly nlist rows by construction, but a
+    // The centroid table has at most nlist rows by construction, but a
     // parquet read carries no static row bound (maxRows = None), so
     // the probe-list cross join downstream would be indistinguishable
     // in the plan from a corpus-quadratic one. Stamp the known bound
     // onto the plan with a semantically-no-op limit: GlobalLimit(nlist)
     // makes the broadcast side's boundedness statically provable.
-    // Guard the no-op claim on a PRE-EXISTING index only (the build
-    // path just produced exactly nlist cells, no count needed): the
-    // build always emits exactly nlist centroids, so anything else at
-    // `dir` is a stale index built at a DIFFERENT resolution — a
-    // larger one would be silently truncated by the limit, a smaller
-    // one silently served with coarser quantization and degraded
-    // recall. Both are rejected; scratchDir keys by nlist so the
-    // shared demo locations can't hit this.
-    if (!fresh) {
+    // Guard the no-op claim via the NLIST marker [[save]] stamped
+    // (atomic with the artifact): it records the REQUESTED resolution,
+    // so a stale index built at a DIFFERENT nlist — larger (the limit
+    // would silently truncate: probes assigned among a prefix of cells
+    // while `assigned` carries all of them) or smaller (silently
+    // coarser quantization, degraded recall) — is rejected loudly.
+    // This also covers losing the publish race to a different-nlist
+    // writer at the same explicit dir: the winner's marker disagrees.
+    // The marker check is a metadata probe, not a count job; a
+    // markerless LEGACY artifact falls back to the truncation-safety
+    // count bound (scratchDir keys by nlist, so canonical locations
+    // can't serve a coarser index either way).
+    val f = graft.util.Stage.fs(spark, dir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(dir, s"NLIST_$nlist"))) {
+      val others = f.globStatus(new org.apache.hadoop.fs.Path(dir, "NLIST_*"))
+      require(others == null || others.isEmpty,
+        s"index at $dir was built at ${others.head.getPath.getName} but " +
+          s"nlist=$nlist was requested — rebuild or key the location by nlist")
       val loaded = ix.centroids.count()
-      require(loaded == nlist,
-        s"index at $dir has $loaded cells but nlist=$nlist was requested — " +
-          "rebuild the index or key the location by nlist")
+      require(loaded <= nlist,
+        s"legacy index at $dir has $loaded cells but nlist=$nlist was " +
+          "requested — the limit would truncate it; rebuild the index")
     }
     ix.copy(centroids = ix.centroids.limit(nlist))
   }
