@@ -100,6 +100,35 @@ object Spectrum {
   def magOr99(flux: Column): Column =
     when(flux > 0, Funcs.flux2mag(flux)).otherwise(lit(99.0))
 
+  /** POST /spectrum/spectrawanted (spectrumapp.py:84-152): the web
+    * endpoint's DAY-based parameter surface over
+    * [[wantedSpectraReport]], with the reference's defaults and
+    * precedence — `notClaimedInLastDays` and `noSpectraInLastDays`
+    * default to 7 (pass None to disable, like the JSON null);
+    * `detectedSinceMjd`, when given, OVERRIDES `detectedInLastDays`
+    * (default 14; disable detection filtering by passing
+    * detectedInLastDays = None and leaving detectedSinceMjd unset).
+    * Day windows anchor at `mjdNow`, exactly like the endpoint's
+    * timedelta arithmetic. */
+  def spectraWanted(cat: Catalog, procverId: String,
+      wanted: DataFrame, planned: DataFrame, info: DataFrame,
+      mjdNow: Double,
+      requestedSince: Option[Double] = None,
+      requester: Option[String] = None,
+      isHost: Option[Boolean] = None,
+      notClaimedInLastDays: Option[Double] = Some(7.0),
+      noSpectraInLastDays: Option[Double] = Some(7.0),
+      detectedSinceMjd: Option[Double] = None,
+      detectedInLastDays: Option[Double] = Some(14.0),
+      limMag: Option[Double] = None,
+      limMagBand: Option[String] = None): DataFrame =
+    wantedSpectraReport(cat, procverId, wanted, planned, info, mjdNow,
+      wantSince = requestedSince, requester = requester, isHost = isHost,
+      notClaimSince = notClaimedInLastDays.map(mjdNow - _),
+      noSpecSince = noSpectraInLastDays.map(mjdNow - _),
+      detSince = detectedSinceMjd.orElse(detectedInLastDays.map(mjdNow - _)),
+      limMag = limMag, limMagBand = limMagBand)
+
   /** The FULL `what_spectra_are_wanted` report (spectrum.py:23-334) as
     * one declarative plan — every implicit and explicit filter of the
     * reference's temp-table pipeline, composed from the engine's own

@@ -163,6 +163,47 @@ class Round17Spec extends AnyFunSuite {
     val reported = Seq(("rA", false, 150.0))
       .toDF("root_diaobject_id", "is_host", "mjd")
     assert(reportRoots(withdrawn, reported) == Set("rB"))
+    // null-facility rows (legacy plans unioned via allowMissingColumns)
+    // must SURVIVE an unrelated delete — plain === would NULL the
+    // complement predicate and silently drop them
+    val legacy = Spectrum.planSpectrum(
+      Seq(("rB", false, 100.0)).toDF("root_diaobject_id", "is_host", "plantime"),
+      Seq(("rA", false, 100.0, "keck-lris"))
+        .toDF("root_diaobject_id", "is_host", "plantime", "facility"))
+    val afterDelete = Spectrum.removeSpectrumPlan(legacy, "rA", "keck-lris")
+    assert(afterDelete.count() == 1 &&
+      afterDelete.head().getAs[String]("root_diaobject_id") == "rB")
+  }
+
+  test("spectraWanted endpoint defaults: 7-day claim/spectrum windows, " +
+    "14-day detection window, detected_since overrides detected_in_last_days") {
+    import graft.api.Spectrum
+    // rA's latest detection is mjd 110, rB's is 105; mjdNow 115 puts
+    // both inside the default 14-day window; mjdNow 125 drops rB only
+    def roots(mjdNow: Double, planned: org.apache.spark.sql.DataFrame = noPlans,
+        info: org.apache.spark.sql.DataFrame = noInfo,
+        detSince: Option[Double] = None,
+        detDays: Option[Double] = Some(14.0)): Set[String] =
+      Spectrum.spectraWanted(miniCatalog, "pv", wants, planned, info,
+          mjdNow = mjdNow, detectedSinceMjd = detSince,
+          detectedInLastDays = detDays)
+        .select("root_diaobject_id").collect().map(_.getString(0)).toSet
+    assert(roots(115.0) == Set("rA", "rB"))
+    assert(roots(120.0) == Set("rA")) // rB's det (105) > 14 days old
+    // detected_since_mjd OVERRIDES the day window
+    assert(roots(120.0, detSince = Some(100.0)) == Set("rA", "rB"))
+    // disabling detection filtering entirely
+    assert(roots(200.0, detDays = None) == Set("rA", "rB"))
+    // default 7-day claim window: a claim 3 days ago hides rA at
+    // mjdNow 115; the same claim is stale at mjdNow 125
+    val claim = Seq(("rA", false, 112.0, "keck"))
+      .toDF("root_diaobject_id", "is_host", "plantime", "facility")
+    assert(roots(115.0, planned = claim) == Set("rB"))
+    assert(roots(125.0, planned = claim, detDays = None) == Set("rA", "rB"))
+    // default 7-day spectrum window behaves the same way
+    val spec = Seq(("rA", false, 112.0)).toDF("root_diaobject_id", "is_host", "mjd")
+    assert(roots(115.0, info = spec) == Set("rB"))
+    assert(roots(125.0, info = spec, detDays = None) == Set("rA", "rB"))
   }
 
   test("getSpectrumInfo: searchspec kinds compose; since alias maps to " +
