@@ -92,7 +92,11 @@ object Bench {
       "g1_pagerank", "g2_triangles", "g3_link_predict", "g4_communities",
       "g5_bfs", "a16_structure_func", "a19_lomb_scargle",
       "m1_multimodal", "m7_image_dedup", "m9_video_framehash",
-      "r6_ndcg", "r9_proximity")
+      "r6_ndcg", "r9_proximity",
+      // sp1 runs two full-cohort photometry dedup passes (~4.3 s at
+      // sf0.1) — above the ~2.5 s chunk guidance, so it gets its own
+      // JVM rather than bleeding GC/JIT residue into chunk neighbors
+      "sp1_wanted_spectra")
     val (solo, cheap) = names.partition(n =>
       n.startsWith("d") || n.startsWith("e") || n.startsWith("cc") ||
         soloExtra(n))
