@@ -99,7 +99,10 @@ object SqlFunctions {
       Set(1), a => graft.pipeline.TextAnalysis.qualityScore(a(0))),
     Fn("doc_fingerprint",
       "doc_fingerprint(text) - 63-bit rolling-hash fingerprint",
-      Set(1), a => graft.pipeline.TextAnalysis.fingerprint(a(0))))
+      Set(1), a => graft.pipeline.TextAnalysis.fingerprint(a(0))),
+    Fn("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC canonical composition (same name/semantics as DuckDB/Postgres normalize)",
+      Set(1), a => VectorExprs.nfcNormalize(a(0))))
 
   private def builder(f: Fn)(args: Seq[Expression]): Expression = {
     require(f.arities(args.length),

@@ -253,6 +253,58 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row body shared by [[NfcNormalize]]'s interpreted and generated
+  * paths (the SimHashUtil pattern: codegen emits ONE static call, the
+  * loop runs as compiled bytecode inside the whole-stage). */
+object NfcUtil {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Unicode NFC canonical composition. Fast path: most corpus text is
+    * ASCII (or already composed) — `Normalizer.isNormalized` is a scan
+    * without allocation, and returning the INPUT UTF8String untouched
+    * skips the String round-trip entirely for such rows. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization as a native codegen expression — the
+  * text-canonicalization step lexical dedup needs BEFORE hashing
+  * (visually identical strings with decomposed vs precomposed
+  * accents hash apart and defeat exact/MinHash dedup; NFC is the
+  * canonical-composition form, so it never changes compatibility
+  * characters the way NFKC would). Spark ships no normalize function;
+  * the UDF alternative breaks whole-stage codegen. Engine-portable:
+  * DuckDB's `nfc_normalize` / Postgres `normalize(s, NFC)` replay it
+  * (same Unicode canonical-composition algorithm). */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize needs a string input, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcUtil.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcUtil.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Per-row loop bodies shared by the interpreted (`nullSafeEval`) and
   * generated (`doGenCode`) paths of [[SimHash64]] / [[WordShingles]].
   * The generated code calls these static methods: the loops run as
@@ -731,6 +783,10 @@ object VectorExprs {
     * columns (difference fold — see [[SqL2Dist]]). */
   def sqL2Dist(a: Column, b: Column): Column =
     Bridge.toColumn(SqL2Dist(Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** Codegen'd Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfcNormalize(s: Column): Column =
+    Bridge.toColumn(NfcNormalize(Bridge.toExpression(s)))
 
   /** Codegen'd codepoint rolling hash (see [[RollingHash]]). */
   def rollingHash(s: Column): Column =

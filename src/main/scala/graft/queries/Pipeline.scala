@@ -1763,6 +1763,52 @@ object Pipeline {
       |FROM ex JOIN kd USING (lang) JOIN q USING (lang)
       |ORDER BY lang""".stripMargin
 
+  /** Unicode NFC canonicalization through the native codegen
+    * expression ([[graft.functions.VectorExprs.nfcNormalize]]) — the
+    * text-normalization step lexical dedup needs BEFORE hashing
+    * (decomposed vs precomposed accents hash apart and defeat
+    * exact/MinHash dedup). The synthetic corpus is ASCII, so
+    * deterministic DECOMPOSED sequences are injected per doc (the t8
+    * PII-injection idiom): combining acute / combining ring above
+    * (NFC composes both), a precomposed é (NFC-invariant), or nothing.
+    * Emitted per lang: doc count, how many docs normalization CHANGED,
+    * and the md5-prefix sum of the normalized text — any byte
+    * difference between the two engines' NFC breaks the hash. Oracle:
+    * DuckDB's utf8proc `nfc_normalize` replays Java's Normalizer
+    * exactly (both implement Unicode canonical composition). */
+  def t29NfcNormalize(s: SparkSession, d: String): DataFrame = {
+    val v = pmod(col("doc_id"), lit(4))
+    val full = concat(col("text"),
+      when(v === 0, lit(" cafe\u0301"))   // e + COMBINING ACUTE -> \u00e9
+        .when(v === 1, lit(" A\u030A"))      // A + COMBINING RING ABOVE -> \u00c5
+        .when(v === 2, lit(" caf\u00e9"))    // precomposed, NFC-invariant
+        .otherwise(lit("")))
+    val norm = graft.functions.VectorExprs.nfcNormalize(full)
+    documents(s, d)
+      .select(col("lang"), full.as("_f"), norm.as("_n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_n") =!= col("_f"), 1L).otherwise(0L)).as("n_changed"),
+        sum(conv(substring(md5(col("_n")), 1, 12), 16, 10).cast("long"))
+          .as("norm_md5_sum"))
+      .orderBy("lang")
+  }
+
+  val t29Sql: String =
+    """WITH f AS (SELECT lang, text || CASE doc_id % 4
+      |    WHEN 0 THEN ' cafe' || chr(769)
+      |    WHEN 1 THEN ' A' || chr(778)
+      |    WHEN 2 THEN ' caf' || chr(233)
+      |    ELSE '' END AS ftext
+      |  FROM documents),
+      |n AS (SELECT lang, ftext, nfc_normalize(ftext) AS norm FROM f)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN norm != ftext THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(SUM(('0x' || substr(md5(norm), 1, 12))::BIGINT) AS BIGINT)
+      |    AS norm_md5_sum
+      |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+
   /** REAL per-frame video decode: a 3-frame PNG container is
     * synthesized per doc, demuxed by signature scan, and every frame
     * decoded through ImageIO; dims + exact integer channel sums per
@@ -2028,6 +2074,7 @@ object Pipeline {
     "t15_collocations" -> (t15Collocations _),
     "t5_profile" -> (t5Profile _),
     "t28_portable_profile" -> (t28PortableProfile _),
+    "t29_nfc_normalize" -> (t29NfcNormalize _),
     "m1_multimodal" -> (m1Multimodal _),
     "m2_image_decode" -> (m2ImageDecode _),
     "m5_media_quality" -> (m5MediaQuality _),
@@ -2059,6 +2106,7 @@ object Pipeline {
     "s8_sq_quantize" -> s8Sql,
     "s6_whiten" -> s6Sql,
     "t28_portable_profile" -> t28Sql,
+    "t29_nfc_normalize" -> t29Sql,
     "s10_mips_topk" -> s10Sql,
     "s11_kmeans" -> s11Sql,
     "s12_ivf_det" -> s12Sql,

@@ -264,6 +264,43 @@ class Round17Spec extends AnyFunSuite {
       graft.pipeline.IvfAnn.scratchDir("/x", 8))
   }
 
+  test("NfcNormalize: composition, canonical reordering, NFC-invariance, " +
+    "nulls, and the SQL-surface name") {
+    import graft.functions.VectorExprs
+    val rows = Seq(
+      "cafe\u0301",          // decomposed -> precomposed \u00e9
+      "A\u030A",             // -> \u00c5
+      "caf\u00e9",           // already NFC: unchanged
+      "q\u0307\u0323",       // ccc 230 then 220: canonical REORDERING
+      "q\u0323\u0307",       // same marks, other order -> same NFC
+      "plain ascii",
+      null)
+    val df = rows.toDF("s").select(col("s"),
+      VectorExprs.nfcNormalize(col("s")).as("n"))
+    val got = df.collect().map(r => Option(r.getString(1)))
+    val want = rows.map(s => Option(s).map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC)))
+    assert(got.toSeq == want)
+    // the two mark orders converge on one canonical form
+    assert(want(3) == want(4))
+    // decomposed input actually changed; precomposed didn't
+    assert(got(0).get == "caf\u00e9" && got(2).get == "caf\u00e9")
+    // whole-stage codegen result ≡ interpreted (expression off the
+    // codegen path via a filter barrier that disables it)
+    val interp = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val got2 = rows.toDF("s")
+        .select(VectorExprs.nfcNormalize(col("s")).as("n"))
+        .collect().map(r => Option(r.getString(0)))
+      assert(got2.toSeq == want)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", interp)
+    // SQL-callable under the DuckDB/Postgres-compatible name
+    graft.functions.SqlFunctions.register(spark)
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301') AS n")
+      .head().getString(0) == "caf\u00e9")
+  }
+
   test("portableProfile: null-text rows are excluded (the null-text contract)") {
     val docs = Seq((1L, "en", "a b"), (2L, "en", null), (3L, "en", "c d e"),
         (4L, "fr", null))
