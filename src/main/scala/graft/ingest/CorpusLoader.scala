@@ -65,6 +65,35 @@ object CorpusLoader {
     spark.read.parquet(bronzeDir)
   }
 
+  /** Read CSV at `path` with the EXPLICIT `schema` — the other wire
+    * format raw corpora arrive in (TSV/CSV dumps, metadata sidecars).
+    * Same two scale rules as [[readJsonl]]: no inferSchema pass, and
+    * PERMISSIVE + corrupt-record quarantine (a row with an unparseable
+    * typed field OR the wrong token count keeps its raw line in
+    * `_corrupt`). CSV is positional: the schema's field ORDER must
+    * match the file's column order (`header = true` only skips the
+    * header line, it does not reorder). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not declare $CorruptCol — the loader adds it")
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", header)
+      .csv(path)
+  }
+
+  /** [[landBronze]] for CSV input — parse once, land columnar bronze,
+    * split from bronze (same economics and corrupt-column-scan
+    * legality argument). */
+  def landBronzeCsv(spark: SparkSession, path: String, schema: StructType,
+      bronzeDir: String, header: Boolean = true): DataFrame = {
+    readCsv(spark, path, schema, header).write.mode("overwrite").parquet(bronzeDir)
+    spark.read.parquet(bronzeDir)
+  }
+
   /** Clean rows only, `_corrupt` dropped. Call on the BRONZE frame. */
   def good(parsed: DataFrame): DataFrame =
     parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)

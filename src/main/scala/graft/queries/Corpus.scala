@@ -362,6 +362,55 @@ object Corpus {
       |  CAST(2 AS BIGINT) AS n_quarantined
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** CSV ingest round-trip — io1's twin for the OTHER wire format
+    * ([[graft.ingest.CorpusLoader.readCsv]]/[[graft.ingest
+    * .CorpusLoader.landBronzeCsv]]): the documents table is exported
+    * as headered CSV, two malformed rows are injected (an unparseable
+    * typed field + a wrong-arity line — the injected file carries its
+    * own header line, since `header = true` skips the FIRST line of
+    * EVERY file), and the loader reads it back with an EXPLICIT
+    * schema in PERMISSIVE mode. Clean rows aggregate per source with
+    * the portable md5-sum content fingerprint (any byte mutated in
+    * the CSV quote/escape round trip breaks the oracle hash); the
+    * quarantine count rides along. Bronze-first like io1. */
+  def io2CsvIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("io2csv").toString
+    try {
+      docs.coalesce(4).write.option("header", true)
+        .mode("overwrite").csv(s"$dir/data")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/data/zz_corrupt.csv"),
+        ("doc_id,text,lang,source,n_chars\n" +
+          "notanumber,some text,en,web,12\n" +
+          "just one field\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val parsed = graft.ingest.CorpusLoader.landBronzeCsv(
+        s, s"$dir/data", docs.schema, s"$dir/bronze")
+      val nQuarantined = graft.ingest.CorpusLoader.quarantine(parsed).count()
+      graft.ingest.CorpusLoader.good(parsed)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+            .as("text_md5_sum"))
+        .withColumn("n_quarantined", lit(nQuarantined))
+        .orderBy("source")
+        .localCheckpoint()
+    } finally {
+      graft.util.Local.deleteRecursively(dir)
+    }
+  }
+
+  val io2Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(('0x' || substr(md5(text), 1, 12))::BIGINT) AS BIGINT)
+      |    AS text_md5_sum,
+      |  CAST(2 AS BIGINT) AS n_quarantined
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Top-5 bigrams per language by exact corpus count (ties broken by
     * gram text, so ranking is deterministic). */
   def t7TopNgrams(s: SparkSession, d: String): DataFrame =
@@ -550,6 +599,7 @@ object Corpus {
     "p12_pack_audit" -> (p12PackAudit _),
     "p13_unimax" -> (p13Unimax _),
     "io1_jsonl_ingest" -> (io1JsonlIngest _),
+    "io2_csv_ingest" -> (io2CsvIngest _),
     "p5_source_mix" -> (p5SourceMix _),
     "t7_top_ngrams" -> (t7TopNgrams _),
     "t8_redact" -> (t8Redact _))
@@ -568,6 +618,7 @@ object Corpus {
     "p12_pack_audit" -> p12Sql,
     "p13_unimax" -> p13Sql,
     "io1_jsonl_ingest" -> io1Sql,
+    "io2_csv_ingest" -> io2Sql,
     "p5_source_mix" -> p5Sql,
     "t7_top_ngrams" -> t7Sql,
     "t8_redact" -> t8Sql)
