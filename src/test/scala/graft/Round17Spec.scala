@@ -301,6 +301,30 @@ class Round17Spec extends AnyFunSuite {
       .head().getString(0) == "caf\u00e9")
   }
 
+  test("readCsv quarantine: unparseable typed field and wrong-arity line " +
+    "are quarantined with raw-line evidence; clean rows parse positionally") {
+    import org.apache.spark.sql.types._
+    val dir = tmpBase("csv17")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.csv"),
+      ("id,name,score\n" +      // header (skipped)
+        "1,alpha,10\n" +        // clean
+        "oops,beta,20\n" +      // unparseable long id -> quarantine
+        "3,gamma\n" +           // wrong arity -> quarantine
+        "4,delta,40\n")         // clean
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", LongType)))
+    val parsed = graft.ingest.CorpusLoader.landBronzeCsv(
+      spark, s"$dir/part.csv", schema, s"$dir/bronze")
+    val good = graft.ingest.CorpusLoader.good(parsed)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(good == Set((1L, "alpha", 10L), (4L, "delta", 40L)))
+    val q = graft.ingest.CorpusLoader.quarantine(parsed)
+      .select("_corrupt").collect().map(_.getString(0)).toSet
+    assert(q == Set("oops,beta,20", "3,gamma"),
+      "quarantine must keep the raw lines as evidence")
+  }
+
   test("portableProfile: null-text rows are excluded (the null-text contract)") {
     val docs = Seq((1L, "en", "a b"), (2L, "en", null), (3L, "en", "c d e"),
         (4L, "fr", null))
