@@ -11,6 +11,25 @@ import graft.query.{Catalog, Ltcv}
   */
 object Spectrum {
 
+  /** Tri-state JSON parameter, so the reference endpoint's three
+    * distinct request shapes map one-to-one (spectrumapp.py:120-121):
+    * key ABSENT → [[Unset]] (the endpoint default applies), key
+    * present with NULL → [[JsonNull]] (the filter is disabled
+    * outright), key present with a value → [[JsonValue]]. An
+    * `Option[Double]` cannot distinguish the first two, which is why
+    * `detectedSinceMjd` takes this type: the reference's
+    * `{"detected_since_mjd": null}` disables detection filtering,
+    * while omitting the key falls back to the 14-day window. */
+  sealed trait JsonParam[+A]
+  case object Unset extends JsonParam[Nothing]
+  case object JsonNull extends JsonParam[Nothing]
+  final case class JsonValue[A](v: A) extends JsonParam[A]
+  object JsonParam {
+    /** Adapter for callers holding a plain Option (None → Unset). */
+    def fromOption[A](o: Option[A]): JsonParam[A] =
+      o.fold[JsonParam[A]](Unset)(JsonValue(_))
+  }
+
   /** Spectra wanted but not yet claimed by any facility
     * (spectrum.py:150-156). */
   def wantedNotClaimed(wanted: DataFrame, planned: DataFrame): DataFrame =
@@ -105,11 +124,14 @@ object Spectrum {
     * [[wantedSpectraReport]], with the reference's defaults and
     * precedence — `notClaimedInLastDays` and `noSpectraInLastDays`
     * default to 7 (pass None to disable, like the JSON null);
-    * `detectedSinceMjd`, when given, OVERRIDES `detectedInLastDays`
-    * (default 14; disable detection filtering by passing
-    * detectedInLastDays = None and leaving detectedSinceMjd unset).
-    * Day windows anchor at `mjdNow`, exactly like the endpoint's
-    * timedelta arithmetic. */
+    * `detectedSinceMjd` is a [[JsonParam]] tri-state matching the
+    * endpoint's three request shapes exactly: [[JsonValue]] OVERRIDES
+    * `detectedInLastDays`; [[JsonNull]] (the endpoint's
+    * `{"detected_since_mjd": null}`, spectrumapp.py:120-121) disables
+    * detection filtering outright regardless of the day window;
+    * [[Unset]] (key absent) falls back to `detectedInLastDays`
+    * (default 14, itself None-able). Day windows anchor at `mjdNow`,
+    * exactly like the endpoint's timedelta arithmetic. */
   def spectraWanted(cat: Catalog, procverId: String,
       wanted: DataFrame, planned: DataFrame, info: DataFrame,
       mjdNow: Double,
@@ -118,7 +140,7 @@ object Spectrum {
       isHost: Option[Boolean] = None,
       notClaimedInLastDays: Option[Double] = Some(7.0),
       noSpectraInLastDays: Option[Double] = Some(7.0),
-      detectedSinceMjd: Option[Double] = None,
+      detectedSinceMjd: JsonParam[Double] = Unset,
       detectedInLastDays: Option[Double] = Some(14.0),
       limMag: Option[Double] = None,
       limMagBand: Option[String] = None): DataFrame =
@@ -126,7 +148,11 @@ object Spectrum {
       wantSince = requestedSince, requester = requester, isHost = isHost,
       notClaimSince = notClaimedInLastDays.map(mjdNow - _),
       noSpecSince = noSpectraInLastDays.map(mjdNow - _),
-      detSince = detectedSinceMjd.orElse(detectedInLastDays.map(mjdNow - _)),
+      detSince = detectedSinceMjd match {
+        case JsonValue(m) => Some(m)
+        case JsonNull     => None
+        case Unset        => detectedInLastDays.map(mjdNow - _)
+      },
       limMag = limMag, limMagBand = limMagBand)
 
   /** The FULL `what_spectra_are_wanted` report (spectrum.py:23-334) as

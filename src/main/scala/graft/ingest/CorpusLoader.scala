@@ -72,9 +72,21 @@ object CorpusLoader {
     * typed field OR the wrong token count keeps its raw line in
     * `_corrupt`). CSV is positional: the schema's field ORDER must
     * match the file's column order (`header = true` only skips the
-    * header line, it does not reorder). */
+    * header line, it does not reorder).
+    *
+    * NEWLINE CONTRACT: with the default `multiLine = false`, records
+    * are physical lines — a quoted field containing an embedded
+    * newline (which Spark's own CSV WRITER happily produces) is split
+    * into two malformed lines that land in quarantine, silently
+    * inflating the quarantine count instead of erroring. Callers must
+    * either guarantee the input is newline-free inside fields (assert
+    * it, as io2 does on its round-trip source) or pass
+    * `multiLine = true`, which parses records across lines at the
+    * cost of input-split parallelism: a multiLine file is read by ONE
+    * task regardless of size, so at corpus scale it is only
+    * acceptable when the input is already many small-ish files. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true): DataFrame = {
+      header: Boolean = true, multiLine: Boolean = false): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not declare $CorruptCol — the loader adds it")
     spark.read
@@ -82,6 +94,7 @@ object CorpusLoader {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .option("header", header)
+      .option("multiLine", multiLine)
       .csv(path)
   }
 
@@ -89,8 +102,10 @@ object CorpusLoader {
     * split from bronze (same economics and corrupt-column-scan
     * legality argument). */
   def landBronzeCsv(spark: SparkSession, path: String, schema: StructType,
-      bronzeDir: String, header: Boolean = true): DataFrame = {
-    readCsv(spark, path, schema, header).write.mode("overwrite").parquet(bronzeDir)
+      bronzeDir: String, header: Boolean = true,
+      multiLine: Boolean = false): DataFrame = {
+    readCsv(spark, path, schema, header, multiLine)
+      .write.mode("overwrite").parquet(bronzeDir)
     spark.read.parquet(bronzeDir)
   }
 

@@ -86,25 +86,28 @@ object IvfAnn {
     * its centroids (or vice versa) and concurrent builders race
     * safely on any Hadoop filesystem. At 100 TB the same layout
     * holds; you'd additionally bucket within cells by id for
-    * co-located candidate joins. */
-  def save(index: Index, dir: String): Unit = save(index, dir, nlist = -1)
-
-  /** [[save]] stamping the REQUESTED resolution as an `NLIST_<n>`
-    * marker file inside the staged artifact (atomic with it): the
-    * built centroid COUNT can be legitimately smaller than the
+    * co-located candidate joins.
+    *
+    * `nlist` is REQUIRED (there is deliberately no 2-arg overload):
+    * every artifact carries its requested resolution as an
+    * `NLIST_<n>` marker file inside the staged tree (atomic with it).
+    * The built centroid COUNT can be legitimately smaller than the
     * requested nlist (MLlib k-means on a corpus with fewer clusters
     * than cells returns fewer centers), so the count alone cannot
     * distinguish "same request, sparse data" from "stale index built
-    * at a coarser resolution". `nlist = -1` omits the marker. */
+    * at a coarser resolution" — a markerless artifact would let
+    * [[loadOrBuild]]'s `loaded <= nlist` fallback accept a silently
+    * coarser index, the exact gap the marker closes. */
   def save(index: Index, dir: String, nlist: Int): Unit = {
+    require(nlist > 0, s"nlist must be positive (got $nlist) — every " +
+      "saved index carries its NLIST marker")
     val spark = index.assigned.sparkSession
     graft.util.Stage.publish(spark, dir, "centroids/_SUCCESS") { staging =>
       index.assigned.write.mode("overwrite")
         .partitionBy("_cell").parquet(s"$staging/assigned")
-      if (nlist > 0)
-        graft.util.Stage.fs(spark, dir)
-          .create(new org.apache.hadoop.fs.Path(s"$staging/NLIST_$nlist"))
-          .close()
+      graft.util.Stage.fs(spark, dir)
+        .create(new org.apache.hadoop.fs.Path(s"$staging/NLIST_$nlist"))
+        .close()
       // centroids LAST: its _SUCCESS is the commit marker
       index.centroids.write.mode("overwrite").parquet(s"$staging/centroids")
     }

@@ -467,6 +467,7 @@ object Multimodal {
       source: String,
       n_bytes: Int,
       checksum: Long,
+      payload_md5: String,           // content fingerprint (hex) — the dedup/cache key
       features: Array[Float])        // decoded features (real codecs; stub only for unknown formats)
 
   /** STUB — the fallback for payloads no real decoder accepts
@@ -502,6 +503,12 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      // one digest per partition, reset by each digest() call — MD5 as
+      // the content fingerprint because it is the engine-portable
+      // spelling (DuckDB/Postgres/Spark all emit the same lowercase
+      // hex), which is what lets a binary column participate in a
+      // cross-engine hash oracle without shipping the payload
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val decoded = r.media_type match {
           case "image" => decodeImage(r.content, dim)
@@ -509,8 +516,9 @@ object Multimodal {
           case "video" => decodeVideo(r.content, dim)
           case _ => None
         }
+        val hex = md.digest(r.content).map(b => f"$b%02x").mkString
         MediaFeatures(r.media_id, r.media_type, r.source,
-          r.content.length, checksum(r.content),
+          r.content.length, checksum(r.content), hex,
           decoded.getOrElse(decodeStub(r.content, dim)))
       }
     }

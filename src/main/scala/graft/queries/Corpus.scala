@@ -378,6 +378,18 @@ object Corpus {
       .select("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("io2csv").toString
     try {
+      // readCsv's newline contract (default multiLine = false):
+      // records are physical lines, so a text field with an embedded
+      // newline would round-trip through Spark's (quoting) CSV writer
+      // into two quarantined lines and silently shift n_quarantined
+      // off its pinned value of 2. Assert the precondition up front
+      // so a corpus regeneration that introduces newlines fails with
+      // THIS message instead of a mysterious oracle hash mismatch.
+      val nMultiline = docs.filter(
+        col("text").contains("\n") || col("text").contains("\r")).count()
+      require(nMultiline == 0, s"io2 precondition violated: $nMultiline " +
+        "documents contain embedded newlines — readCsv(multiLine=false) " +
+        "would quarantine their split lines; use multiLine=true or clean")
       docs.coalesce(4).write.option("header", true)
         .mode("overwrite").csv(s"$dir/data")
       java.nio.file.Files.write(

@@ -918,16 +918,37 @@ object Pipeline {
   // ---- multimodal --------------------------------------------------
 
   /** Binary-column feature extraction through the typed mapPartitions
-    * pipeline (decode stubbed — see Multimodal). Rows-only check;
-    * exactness covered in PipelineSpec. */
+    * pipeline. HASH-ORACLED via the io2 content-fingerprint idiom:
+    * the binary payload is represented by its md5 hex (DuckDB md5's
+    * the same UTF-8 bytes natively), n_bytes/media_type/source are
+    * closed-form from the documents table, and the float feature
+    * vector — whose exact values are pinned bitwise in PipelineSpec —
+    * enters the oracle as a DECISION CONTRACT (the d6/t11 idiom):
+    * the declared dimensionality and a physical bound on the stub's
+    * first component (f0 sums every 8th byte scaled to [0,1], so
+    * 0 ≤ f0 ≤ n_bytes/8 + 1 must hold). */
   def m1Multimodal(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(s, documents(s, d))
+    val f0 = element_at(col("features"), 1)
     Multimodal.extractFeatures(media, dim = 8).toDF()
       .select(col("media_id"), col("media_type"), col("source"),
-        col("n_bytes"), col("checksum"),
-        round(element_at(col("features"), 1), 4).as("f0"))
+        col("n_bytes"), col("payload_md5"),
+        size(col("features")).as("n_features"),
+        when(f0 >= 0.0 && f0 <= col("n_bytes").cast("double") / 8.0 + 1.0,
+          1L).otherwise(0L).as("f0_bounded"))
       .orderBy("media_id")
   }
+
+  val m1Sql: String =
+    """SELECT doc_id AS media_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+      |    AS media_type,
+      |  source,
+      |  CAST(strlen(text) AS INT) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  CAST(8 AS INT) AS n_features,
+      |  CAST(1 AS BIGINT) AS f0_bounded
+      |FROM documents ORDER BY media_id""".stripMargin
 
   /** REAL image decode end-to-end: a deterministic PNG is synthesized
     * per doc, encoded, and decoded back through JDK ImageIO
@@ -2107,6 +2128,7 @@ object Pipeline {
     "s6_whiten" -> s6Sql,
     "t28_portable_profile" -> t28Sql,
     "t29_nfc_normalize" -> t29Sql,
+    "m1_multimodal" -> m1Sql,
     "s10_mips_topk" -> s10Sql,
     "s11_kmeans" -> s11Sql,
     "s12_ivf_det" -> s12Sql,

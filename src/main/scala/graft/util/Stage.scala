@@ -76,30 +76,45 @@ object Stage {
       // unambiguous) and that the marker is present at the expected
       // relative path. Local-FS renames onto a non-empty dst simply
       // fail, which the committed-recheck branch below handles.
-      f.delete(dst, true)
-      if (f.rename(stagingPath, dst)) {
-        val nested = new Path(dst, stagingPath.getName)
-        if (f.exists(nested)) {
-          // lost the race on HDFS semantics: un-nest our debris and
-          // defer to the winner's (content-equivalent) artifact
-          f.delete(nested, true)
-          false
-        } else if (committed) true
-        else throw new java.io.IOException(
-          s"publish to $dir renamed but marker $marker is absent — " +
-            "the write callback did not produce the marker as its last write")
-      }
-      else if (committed) {
-        // rename lost to a concurrent winner that landed in the gap
+      //
+      // Narrow re-check IMMEDIATELY before the destructive delete: a
+      // winner that committed between the initial marker check and
+      // here would otherwise have its fully committed artifact
+      // removed — only safe under the content-equivalence convention,
+      // which publish cannot enforce for caller-chosen explicit dirs
+      // (e.g. two IvfAnn writers with different nlist at one dir; the
+      // NLIST marker would catch the damage only at load time). The
+      // re-check is a single metadata probe and composes with the
+      // post-rename nested-staging verification below.
+      if (committed) {
         f.delete(stagingPath, true)
         false
       } else {
-        // rename failed with NO winner present: a real IO problem.
-        // Keep staging for post-mortem and fail loudly — silently
-        // returning would leave isCommitted-gated readers pointing at
-        // a nonexistent artifact.
-        throw new java.io.IOException(
-          s"rename $staging -> $dir failed and no committed artifact exists")
+        f.delete(dst, true)
+        if (f.rename(stagingPath, dst)) {
+          val nested = new Path(dst, stagingPath.getName)
+          if (f.exists(nested)) {
+            // lost the race on HDFS semantics: un-nest our debris and
+            // defer to the winner's (content-equivalent) artifact
+            f.delete(nested, true)
+            false
+          } else if (committed) true
+          else throw new java.io.IOException(
+            s"publish to $dir renamed but marker $marker is absent — " +
+              "the write callback did not produce the marker as its last write")
+        }
+        else if (committed) {
+          // rename lost to a concurrent winner that landed in the gap
+          f.delete(stagingPath, true)
+          false
+        } else {
+          // rename failed with NO winner present: a real IO problem.
+          // Keep staging for post-mortem and fail loudly — silently
+          // returning would leave isCommitted-gated readers pointing at
+          // a nonexistent artifact.
+          throw new java.io.IOException(
+            s"rename $staging -> $dir failed and no committed artifact exists")
+        }
       }
     }
   }

@@ -381,6 +381,9 @@ class PipelineSpec extends AnyFunSuite {
     // checksum/features must equal the direct scala computation
     val bytes = "hello world".getBytes("UTF-8")
     assert(feats(1L).checksum == Multimodal.checksum(bytes))
+    // the content fingerprint is standard lowercase-hex MD5 (the RFC
+    // 1321 test-vector spelling every engine agrees on)
+    assert(feats(1L).payload_md5 == "5eb63bbbe01eeed093cb22bb8f5acdc3")
     assert(feats(1L).features.sameElements(Multimodal.decodeStub(bytes, 4)))
     // frame sampling: 3 chunks from 11 bytes
     val frames = Multimodal.frameSample(bytes, 3, 2)

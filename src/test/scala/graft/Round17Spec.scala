@@ -182,7 +182,7 @@ class Round17Spec extends AnyFunSuite {
     // both inside the default 14-day window; mjdNow 125 drops rB only
     def roots(mjdNow: Double, planned: org.apache.spark.sql.DataFrame = noPlans,
         info: org.apache.spark.sql.DataFrame = noInfo,
-        detSince: Option[Double] = None,
+        detSince: Spectrum.JsonParam[Double] = Spectrum.Unset,
         detDays: Option[Double] = Some(14.0)): Set[String] =
       Spectrum.spectraWanted(miniCatalog, "pv", wants, planned, info,
           mjdNow = mjdNow, detectedSinceMjd = detSince,
@@ -191,9 +191,18 @@ class Round17Spec extends AnyFunSuite {
     assert(roots(115.0) == Set("rA", "rB"))
     assert(roots(120.0) == Set("rA")) // rB's det (105) > 14 days old
     // detected_since_mjd OVERRIDES the day window
-    assert(roots(120.0, detSince = Some(100.0)) == Set("rA", "rB"))
-    // disabling detection filtering entirely
+    assert(roots(120.0, detSince = Spectrum.JsonValue(100.0)) == Set("rA", "rB"))
+    // disabling detection filtering entirely (day-window spelling)
     assert(roots(200.0, detDays = None) == Set("rA", "rB"))
+    // the endpoint's {"detected_since_mjd": null} spelling disables it
+    // too, even with the day window left at its default — the exact
+    // case an Option[Double] parameter could not express
+    assert(roots(200.0, detSince = Spectrum.JsonNull) == Set("rA", "rB"))
+    // and fromOption maps plain Options onto the tri-state (None → Unset)
+    assert(roots(120.0,
+      detSince = Spectrum.JsonParam.fromOption(Some(100.0))) == Set("rA", "rB"))
+    assert(roots(120.0,
+      detSince = Spectrum.JsonParam.fromOption(None)) == Set("rA"))
     // default 7-day claim window: a claim 3 days ago hides rA at
     // mjdNow 115; the same claim is stale at mjdNow 125
     val claim = Seq(("rA", false, 112.0, "keck"))
