@@ -638,13 +638,114 @@ object Pipeline {
       .orderBy("q_vec_id", "rank")
   }
 
-  /** IVF (k-means cell) ANN top-5 (rows-only: cell assignment depends
-    * on the k-means seed; recall vs s1 asserted in PipelineSpec).
-    * The index is built ONCE per dataset and persisted cell-partitioned
-    * (`IvfAnn.loadOrBuild`), so repeat executions — e.g. every warm
-    * bench run, and every query in a served deployment — pay only the
-    * probe cost, reading just the probed cells' files. Training is
-    * seeded-deterministic, so build-then-load ≡ rebuild. */
+  /** Exact rounded-cosine top-k per query — s1's portable ranking
+    * spelling (4-dp round, id tiebreak), factored out as the
+    * ground-truth side of the ANN decision contracts. */
+  private def exactCosineTopK(emb: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_vec_id").orderBy(desc("sim_r"), col("vec_id"))
+    Similarity.pairSims(emb, q, "vec_id", "q_vec_id", "embedding", "q_embedding")
+      .withColumn("sim_r", Num.rnd0(col("sim"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_vec_id", "vec_id", "rank")
+  }
+
+  /** Decision-contract projection shared by the seeded ANN queries
+    * (s3/s4/s5) — the d6/t11 promotion idiom applied to the vector
+    * family. The seeded k-means trainer makes raw ANN ranks
+    * engine-local (DuckDB cannot re-run MLlib training), so the
+    * battery row carries only oracle-decidable facts:
+    *  - `exact_topk`: the EXACT rounded-cosine top-k ids per query in
+    *    rank order — recomputed verbatim by the oracle, so the
+    *    ground-truth half of the recall measurement is itself
+    *    hash-verified (the d6 move: the oracle checks the premise,
+    *    not just the verdict);
+    *  - `n_returned` / `ranks_ok` / `self_excluded`: structural
+    *    contracts on the ANN result (full k rows, rank sequence
+    *    exactly 1..k, the query never its own neighbor);
+    *  - `pooled_recall_ok`: recall@k POOLED over all queries against
+    *    the exact top-k meets `recallBound` — pooled, not per-query,
+    *    because seeded-trainer jitter moves individual queries' hit
+    *    counts while the pool stays clear of the bound.
+    *
+    * The bound is the BLIND-PROBE BASELINE, nprobe/nlist (+0.1 for
+    * uncompressed IVF): an index that merely sampled random cells
+    * would land recall ≈ nprobe/nlist on this isotropic synthetic
+    * data, so the contract pins "the quantizer routes probes better
+    * than chance". A fixed absolute bound (0.8) cannot work here —
+    * measured pooled recall is 0.82/0.82/0.60 for s3 across
+    * sf0.001/0.01/0.1 (64-d near-uniform embeddings: the bigger the
+    * corpus, the more the true top-5 spreads across cells — the
+    * curse of dimensionality, not an engine defect), while the
+    * baseline-relative margin stays ≥ +0.10 at every SF. The
+    * absolute ≥0.8 / ≥0.75 recalls remain pinned at sf0.01 in
+    * PipelineSpec, where the SF is fixed. */
+  private def annContract(ann: DataFrame, exact: DataFrame, k: Int,
+      recallBound: Double): DataFrame = {
+    val exactIds = exact.groupBy("q_vec_id").agg(
+      concat_ws(",", transform(
+        array_sort(collect_list(struct(col("rank"), col("vec_id")))),
+        x => x.getField("vec_id").cast("string"))).as("exact_topk"))
+    val perQ = ann.groupBy("q_vec_id").agg(
+      count(lit(1)).as("n_returned"),
+      when(min(col("rank")) === 1L && max(col("rank")) === k.toLong &&
+        countDistinct(col("rank")) === k.toLong, 1L).otherwise(0L).as("ranks_ok"),
+      when(max(when(col("vec_id") === col("q_vec_id"), 1L).otherwise(0L)) === 0L,
+        1L).otherwise(0L).as("self_excluded"))
+    val hits = ann.join(exact.select("q_vec_id", "vec_id"),
+        Seq("q_vec_id", "vec_id"), "left_semi")
+      .groupBy("q_vec_id").agg(count(lit(1)).as("_hits"))
+    val pooled = perQ.join(hits, Seq("q_vec_id"), "left")
+      .agg((sum(coalesce(col("_hits"), lit(0L))).cast("double") /
+        (count(lit(1)) * k)).as("_pooled_recall"))
+    perQ.join(exactIds, Seq("q_vec_id"))
+      .crossJoin(broadcast(pooled))
+      .select(col("q_vec_id"), col("exact_topk"),
+        col("n_returned"), col("ranks_ok"), col("self_excluded"),
+        when(col("_pooled_recall") >= recallBound, 1L).otherwise(0L)
+          .as("pooled_recall_ok"))
+      .orderBy("q_vec_id")
+  }
+
+  /** The exact-top-k half of the s3/s4 oracle: identical sims/ranking
+    * CTEs to s1Sql, aggregated to one comma-joined id list per query. */
+  private def exactTopkSqlCtes: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_vec_id, embedding AS qe, nrm AS qn
+      |      FROM e WHERE vec_id < 10),
+      |sims AS (
+      |  SELECT q.q_vec_id, e.vec_id,
+      |    ROUND(list_sum(list_transform(range(1, len(qe) + 1),
+      |        k -> CAST(qe[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))
+      |      / (qn * e.nrm), 4) + 0.0 AS sim_r
+      |  FROM q CROSS JOIN e WHERE e.vec_id != q.q_vec_id),
+      |top AS (SELECT q_vec_id, vec_id, ROW_NUMBER() OVER (
+      |    PARTITION BY q_vec_id ORDER BY sim_r DESC, vec_id) AS rank
+      |  FROM sims)""".stripMargin
+
+  private def annContractSql: String =
+    """SELECT q_vec_id,
+      |  string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank) AS exact_topk,
+      |  CAST(5 AS BIGINT) AS n_returned,
+      |  CAST(1 AS BIGINT) AS ranks_ok,
+      |  CAST(1 AS BIGINT) AS self_excluded,
+      |  CAST(1 AS BIGINT) AS pooled_recall_ok
+      |FROM top WHERE rank <= 5
+      |GROUP BY q_vec_id ORDER BY q_vec_id""".stripMargin
+
+  /** IVF (k-means cell) ANN top-5, HASH-ORACLED as a decision
+    * contract ([[annContract]]): the oracle recomputes the exact
+    * top-5 (the recall ground truth) and pins the structural booleans
+    * plus pooled recall@5 above the blind-probe baseline; raw seeded
+    * ranks stay spec-pinned in PipelineSpec. The index is built ONCE per dataset and persisted
+    * cell-partitioned (`IvfAnn.loadOrBuild`), so repeat executions —
+    * e.g. every warm bench run, and every query in a served
+    * deployment — pay only the probe cost, reading just the probed
+    * cells' files. Training is seeded-deterministic, so
+    * build-then-load ≡ rebuild. */
   def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     // limit(10) is a no-op on the <10 id filter but stamps the static
@@ -655,13 +756,18 @@ object Pipeline {
     val ixDir = graft.pipeline.IvfAnn.scratchDir(d, nlist = 16)
     val index = graft.pipeline.IvfAnn.loadOrBuild(emb, "vec_id", "embedding",
       nlist = 16, dir = ixDir)
-    graft.pipeline.IvfAnn.topK(index, q, k = 5, nprobe = 6)
-      .select(col("q_vec_id"), col("vec_id"), Num.rnd0(col("sim"), 4).as("sim_r"), col("rank"))
-      .orderBy("q_vec_id", "rank")
+    val ann = graft.pipeline.IvfAnn.topK(index, q, k = 5, nprobe = 6)
+    // bound: blind-probe baseline 6/16 + 0.1 (see annContract)
+    annContract(ann, exactCosineTopK(emb, q, 5), k = 5,
+      recallBound = 6.0 / 16 + 0.1)
   }
 
-  /** IVF-PQ compressed ANN top-5 (rows-only: k-means seeds; recall and
-    * reconstruction quality asserted in PipelineSpec). The corpus is
+  val s3Sql: String = s"$exactTopkSqlCtes\n$annContractSql"
+
+  /** IVF-PQ compressed ANN top-5, HASH-ORACLED as a decision contract
+    * ([[annContract]], pooled recall@5 above the blind-probe
+    * baseline); raw seeded ranks + reconstruction
+    * quality stay spec-pinned in PipelineSpec. The corpus is
     * stored as 8 one-byte PQ codes per vector — 64× smaller than the
     * raw float64 embeddings, the representation that keeps a 100 TB
     * embedding corpus probe-able from memory — scanned with a
@@ -678,18 +784,30 @@ object Pipeline {
     val dir = graft.pipeline.PqAnn.scratchDir(d, nlist = 16, m = 8, ksub = 64)
     val index = graft.pipeline.PqAnn.loadOrBuild(emb, "vec_id", "embedding",
       dim = 64, nlist = 16, m = 8, ksub = 64, dir = dir)
-    graft.pipeline.PqAnn.topK(index, emb, q, k = 5, nprobe = 6, rerankFactor = 8)
-      .select(col("q_vec_id"), col("vec_id"), Num.rnd0(col("sim"), 4).as("sim_r"), col("rank"))
-      .orderBy("q_vec_id", "rank")
+    val ann = graft.pipeline.PqAnn.topK(index, emb, q,
+      k = 5, nprobe = 6, rerankFactor = 8)
+    // bound: blind-probe baseline 6/16 — PQ's ADC shortlist loses a
+    // little recall vs plain IVF, so no +0.1 (see annContract)
+    annContract(ann, exactCosineTopK(emb, q, 5), k = 5,
+      recallBound = 6.0 / 16)
   }
 
-  /** Incremental PQ index growth (rows-only: k-means seeds): a batch
-    * of new embeddings (verbatim twins of every 10th corpus vector,
-    * ids offset) is encoded against the FROZEN persisted codebooks —
-    * O(batch), no retraining, no corpus rescan, the faiss-`add` shape
-    * and the vector-family counterpart of d8/d9/d10 — appended to the
-    * code table, and probed: each query's twin now surfaces through
-    * the compressed scan. Shares s4's persisted index. */
+  val s4Sql: String = s"$exactTopkSqlCtes\n$annContractSql"
+
+  /** Incremental PQ index growth, HASH-ORACLED as a decision contract:
+    * a batch of new embeddings (verbatim twins of every 10th corpus
+    * vector, ids offset by 1e6) is encoded against the FROZEN
+    * persisted codebooks — O(batch), no retraining, no corpus rescan,
+    * the faiss-`add` shape and the vector-family counterpart of
+    * d8/d9/d10 — appended to the code table, and probed. The contract
+    * is [[annContract]] against the exact top-5 over the GROWN corpus
+    * (which the oracle reconstructs with a UNION ALL), plus the
+    * incremental-visibility boolean the query exists to demonstrate:
+    * `twin_found` — a query whose identical twin was added through
+    * the frozen-codebook path MUST surface it (cosine exactly 1.0 →
+    * same probe cell, minimal ADC distance, exact re-rank top), and a
+    * query without a twin must not invent one. Shares s4's persisted
+    * index. */
   def s5IncrementalPq(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val dir = graft.pipeline.PqAnn.scratchDir(d, nlist = 16, m = 8, ksub = 64)
@@ -705,12 +823,47 @@ object Pipeline {
     // boundedness with (the IvfAnn centroid idiom)
     val q = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    graft.pipeline.PqAnn.topK(grown,
-        emb.select("vec_id", "embedding").unionByName(batch), q,
-        k = 5, nprobe = 6, rerankFactor = 8)
-      .select(col("q_vec_id"), col("vec_id"), Num.rnd0(col("sim"), 4).as("sim_r"), col("rank"))
-      .orderBy("q_vec_id", "rank")
+    val grownCorpus = emb.select("vec_id", "embedding").unionByName(batch)
+    val ann = graft.pipeline.PqAnn.topK(grown, grownCorpus, q,
+      k = 5, nprobe = 6, rerankFactor = 8)
+    val twin = ann.groupBy("q_vec_id").agg(
+      max(when(col("vec_id") === col("q_vec_id") + 1000000L, 1L).otherwise(0L))
+        .as("twin_found"))
+    annContract(ann, exactCosineTopK(grownCorpus, q, 5), k = 5,
+        recallBound = 6.0 / 16)
+      .join(twin, Seq("q_vec_id"))
+      .orderBy("q_vec_id")
   }
+
+  val s5Sql: String =
+    """WITH grown AS (SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 1000000, embedding
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM grown),
+      |q AS (SELECT vec_id AS q_vec_id, embedding AS qe, nrm AS qn
+      |      FROM e WHERE vec_id < 10),
+      |sims AS (
+      |  SELECT q.q_vec_id, e.vec_id,
+      |    ROUND(list_sum(list_transform(range(1, len(qe) + 1),
+      |        k -> CAST(qe[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))
+      |      / (qn * e.nrm), 4) + 0.0 AS sim_r
+      |  FROM q CROSS JOIN e WHERE e.vec_id != q.q_vec_id),
+      |top AS (SELECT q_vec_id, vec_id, ROW_NUMBER() OVER (
+      |    PARTITION BY q_vec_id ORDER BY sim_r DESC, vec_id) AS rank
+      |  FROM sims)
+      |SELECT q_vec_id,
+      |  string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank) AS exact_topk,
+      |  CAST(5 AS BIGINT) AS n_returned,
+      |  CAST(1 AS BIGINT) AS ranks_ok,
+      |  CAST(1 AS BIGINT) AS self_excluded,
+      |  CAST(1 AS BIGINT) AS pooled_recall_ok,
+      |  CAST(CASE WHEN q_vec_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS twin_found
+      |FROM top WHERE rank <= 5
+      |GROUP BY q_vec_id ORDER BY q_vec_id""".stripMargin
 
   // ---- text analysis -----------------------------------------------
 
@@ -2129,6 +2282,9 @@ object Pipeline {
     "t28_portable_profile" -> t28Sql,
     "t29_nfc_normalize" -> t29Sql,
     "m1_multimodal" -> m1Sql,
+    "s3_ann_ivf" -> s3Sql,
+    "s4_ann_ivfpq" -> s4Sql,
+    "s5_incremental_pq" -> s5Sql,
     "s10_mips_topk" -> s10Sql,
     "s11_kmeans" -> s11Sql,
     "s12_ivf_det" -> s12Sql,
