@@ -37,8 +37,60 @@ object Pipeline {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  /** Shared oracle substrate: exact 3-word-shingle overlap counts via
+    * an INVERTED-INDEX (posting-list) join — `co(id_a, id_b, common)`
+    * for every doc pair sharing ≥1 distinct shingle, with `nsh` the
+    * per-doc distinct-shingle count. Replaces the earlier quadratic
+    * `s a JOIN s b ON a.doc_id < b.doc_id` + per-pair list_intersect
+    * spelling, which at sf0.1's 5k docs is 12.5M list intersections
+    * (DuckDB wall: >9 min, the reason the full battery could never be
+    * oracle-swept at sf0.1); the posting join touches Σ df² ≈ 2.8M
+    * grouped rows (sub-second) and computes the IDENTICAL exact math:
+    * common = |shared distinct shingles|, |A∪B| = n_a + n_b − common
+    * (shingle lists are distinct within a doc). This is the same
+    * algorithmic shape the engine side uses (Dedup.ngramJaccardPairs'
+    * exploded-posting join), now mirrored in the oracle so the ground
+    * truth scales with the data it checks. */
+  private def shingleCoCtes: String =
+    """w AS (SELECT doc_id,
+      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
+      |  FROM documents),
+      |sl AS (SELECT doc_id,
+      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+      |                   for i in range(1, len(wd) - 1)]) AS sh
+      |  FROM w WHERE len(wd) >= 3),
+      |nsh AS (SELECT doc_id, len(sh) AS n_sh FROM sl),
+      |post AS (SELECT doc_id, unnest(sh) AS g FROM sl),
+      |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Jaccard ≥ 0.5 pair selection over [[shingleCoCtes]] — the edge
+    * set of the dedup-cluster family (cc1/cc2/cc4/e1/e6). */
+  private def jaccardPairsCte: String =
+    """pairs AS (SELECT id_a, id_b FROM co
+      |  JOIN nsh na ON na.doc_id = id_a JOIN nsh nb ON nb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE)
+      |        / (na.n_sh + nb.n_sh - common) >= 0.5)""".stripMargin
+
+  /** Min-id connected-component labels over `pairs` via a recursive
+    * reachability CTE. Fine at battery scale ONCE the pair generation
+    * is posting-joined (components here are near-dup groups, ≤ tens
+    * of members, so the closure is tiny — the old bottleneck was the
+    * quadratic pair CTE feeding it, not the recursion). */
+  private def closureLblCtes: String =
+    """edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT d.doc_id,
+      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id)""".stripMargin
+
   /** Brute-force 3-word-shingle Jaccard pairs (ground truth for the
-    * LSH variants; the oracle brute-forces the same predicate). */
+    * LSH variants; the oracle replays the same predicate through the
+    * posting-join spelling). */
   /** prefixFilter off: this corpus's shingle frequencies are uniform
     * (max df 25), so the plain inverted index is already near-minimal
     * and the prefix ranking pass would be pure overhead; flip it on for
@@ -64,37 +116,24 @@ object Pipeline {
       .orderBy("id_a", "id_b")
 
   val d12Sql: String =
-    """WITH w AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
-      |  FROM documents),
-      |s AS (SELECT doc_id,
-      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
-      |                   for i in range(1, len(wd) - 1)]) AS sh
-      |  FROM w WHERE len(wd) >= 3)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
-      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / LEAST(len(a.sh), len(b.sh)), 6) AS containment
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / LEAST(len(a.sh), len(b.sh)) >= 0.6
-      |  AND len(list_intersect(a.sh, b.sh)) > 0
+    s"""WITH $shingleCoCtes
+      |SELECT id_a, id_b,
+      |  CAST(common AS BIGINT) AS n_common,
+      |  ROUND(CAST(common AS DOUBLE)
+      |        / LEAST(na.n_sh, nb.n_sh), 6) AS containment
+      |FROM co
+      |JOIN nsh na ON na.doc_id = id_a JOIN nsh nb ON nb.doc_id = id_b
+      |WHERE CAST(common AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
   val d4Sql: String =
-    """WITH w AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
-      |  FROM documents),
-      |s AS (SELECT doc_id,
-      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
-      |                   for i in range(1, len(wd) - 1)]) AS sh
-      |  FROM w WHERE len(wd) >= 3)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    s"""WITH $shingleCoCtes
+      |SELECT id_a, id_b,
+      |  ROUND(CAST(common AS DOUBLE)
+      |        / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+      |FROM co
+      |JOIN nsh na ON na.doc_id = id_a JOIN nsh nb ON nb.doc_id = id_b
+      |WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash + LSH banding near-dups — fully ORACLED: the portable
@@ -156,26 +195,10 @@ object Pipeline {
       .orderBy("doc_id")
 
   val cc1Sql: String =
-    """WITH RECURSIVE
-      |w AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
-      |  FROM documents),
-      |s AS (SELECT doc_id,
-      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
-      |                   for i in range(1, len(wd) - 1)]) AS sh
-      |  FROM w WHERE len(wd) >= 3),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
-      |reach(a, b) AS (SELECT a, b FROM edges
-      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |lbl AS (SELECT d.doc_id,
-      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
-      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-      |  GROUP BY d.doc_id)
+    s"""WITH RECURSIVE
+      |$shingleCoCtes,
+      |$jaccardPairsCte,
+      |$closureLblCtes
       |SELECT doc_id, cluster, cluster = doc_id AS is_rep
       |FROM lbl ORDER BY doc_id""".stripMargin
 
@@ -199,26 +222,10 @@ object Pipeline {
   }
 
   val cc2Sql: String =
-    """WITH RECURSIVE
-      |w AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
-      |  FROM documents),
-      |s AS (SELECT doc_id,
-      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
-      |                   for i in range(1, len(wd) - 1)]) AS sh
-      |  FROM w WHERE len(wd) >= 3),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
-      |reach(a, b) AS (SELECT a, b FROM edges
-      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |lbl AS (SELECT d.doc_id,
-      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
-      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-      |  GROUP BY d.doc_id),
+    s"""WITH RECURSIVE
+      |$shingleCoCtes,
+      |$jaccardPairsCte,
+      |$closureLblCtes,
       |sz AS (SELECT cluster, COUNT(*) AS n_members FROM lbl GROUP BY cluster)
       |SELECT l.doc_id, d.source,
       |  CAST(sz.n_members AS BIGINT) AS n_members,
@@ -257,33 +264,17 @@ object Pipeline {
   }
 
   val cc4Sql: String =
-    """WITH RECURSIVE
-      |w AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
-      |  FROM documents),
-      |s AS (SELECT doc_id,
-      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
-      |                   for i in range(1, len(wd) - 1)]) AS sh
-      |  FROM w WHERE len(wd) >= 3),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
-      |reach(a, b) AS (SELECT a, b FROM edges
-      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |lbl AS (SELECT d.doc_id,
-      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
-      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-      |  GROUP BY d.doc_id),
+    s"""WITH RECURSIVE
+      |$shingleCoCtes,
+      |$jaccardPairsCte,
+      |$closureLblCtes,
       |q AS (SELECT doc_id,
       |    list_filter(string_split(trim(text), ' '), t -> t != '') AS tok,
       |    text FROM documents),
       |qs AS (SELECT doc_id,
       |  ROUND(0.4 * LEAST(len(tok) / 100.0, 1.0)
       |    + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text,
-      |        '[^A-Za-z0-9\s]')) * 5.0
+      |        '[^A-Za-z0-9\\s]')) * 5.0
       |        / GREATEST(length(text), 1), 1.0))
       |    + 0.3 * LEAST(len(list_filter(tok,
       |        t -> t IN ('the','a','an','and','of','to','in','is','it')))
@@ -347,26 +338,10 @@ object Pipeline {
   }
 
   val e1Sql: String =
-    """WITH RECURSIVE
-      |w AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
-      |  FROM documents),
-      |s AS (SELECT doc_id,
-      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
-      |                   for i in range(1, len(wd) - 1)]) AS sh
-      |  FROM w WHERE len(wd) >= 3),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
-      |reach(a, b) AS (SELECT a, b FROM edges
-      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |lbl AS (SELECT d.doc_id,
-      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
-      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-      |  GROUP BY d.doc_id),
+    s"""WITH RECURSIVE
+      |$shingleCoCtes,
+      |$jaccardPairsCte,
+      |$closureLblCtes,
       |t AS (SELECT doc_id, unnest(wd) AS word FROM w),
       |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM t GROUP BY doc_id, word),
       |rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
@@ -374,7 +349,7 @@ object Pipeline {
       |        FROM wc GROUP BY doc_id),
       |qf AS (SELECT doc_id,
       |    len(list_filter(string_split(trim(text), ' '), t -> t != '')) AS ntok,
-      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct,
       |    len(list_filter(list_filter(string_split(trim(text), ' '), t -> t != ''),
       |        t -> t IN ('the','a','an','and','of','to','in','is','it'))) AS nstop,
       |    length(text) AS nchar
@@ -419,26 +394,10 @@ object Pipeline {
   }
 
   val e6Sql: String =
-    """WITH RECURSIVE
-      |w AS (SELECT doc_id,
-      |    list_filter(string_split(trim(text), ' '), t -> t != '') AS wd
-      |  FROM documents),
-      |s AS (SELECT doc_id,
-      |    list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
-      |                   for i in range(1, len(wd) - 1)]) AS sh
-      |  FROM w WHERE len(wd) >= 3),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-      |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
-      |reach(a, b) AS (SELECT a, b FROM edges
-      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |lbl AS (SELECT d.doc_id,
-      |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
-      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-      |  GROUP BY d.doc_id)
+    s"""WITH RECURSIVE
+      |$shingleCoCtes,
+      |$jaccardPairsCte,
+      |$closureLblCtes
       |SELECT doc_id, cluster,
       |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
       |         IN ('c', 'd') THEN 'val'
