@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.SqlFunctions
 
@@ -261,17 +262,128 @@ object SqlSurface {
       |    THEN o_totalprice END), 3), 0.0) AS p_rev
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** §3.2 — the asynchronous query-queue LIFECYCLE as one battery row
+    * (submit → FIFO claim → execute → persist → status; reference:
+    * src/webserver/dbapp.py:126-232 submit/status/results +
+    * src/services/long_query_runner.py:92-183 claim-oldest/execute/
+    * persist). Four entries from four users:
+    *  - q000001 alice: a plain aggregate — persisted, fingerprinted;
+    *  - q000002 bob: a MULTI-STATEMENT session — only the LAST
+    *    statement's result persists (long_query_runner.py:112-175
+    *    runs the list sequentially on one connection and keeps the
+    *    final frame);
+    *  - q000003 carol: a WRITE the read-only sandbox must REJECT —
+    *    the error is captured on the entry (dbapp error columns) and
+    *    the queue keeps draining past it;
+    *  - q000004 dave: another aggregate, proving the queue survived
+    *    the failed entry.
+    * The drain loop is INSTRUMENTED: it records the order claimNext()
+    * hands entries out, so the row's `claim_pos` MEASURES
+    * oldest-submitted-first (ORDER BY submitted) rather than assuming
+    * it. Persisted results are read back from the sink and carried as
+    * row count + md5-sum content fingerprint (the io1 idiom); DuckDB
+    * recomputes both from the same SQL over the same tables, so
+    * persistence is hash-verified end-to-end.
+    *
+    * Driver-side control flow is the POINT here (it replaces the
+    * reference's worker processes); every per-entry read-back is a
+    * single aggregate row (`head()` on a 1-row frame — bounded by
+    * construction), and the output is 4 rows of scalars. */
+  def qq1QueryQueue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.registerAll(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("qq1queue").toString
+    try {
+      val queue = new graft.api.QueryQueue(s, dir)
+      val idA = queue.submit("alice", Seq(
+        "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"))
+      val idB = queue.submit("bob", Seq(
+        "SELECT 1 AS probe",
+        "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s_chars " +
+          "FROM documents GROUP BY source"))
+      val idC = queue.submit("carol", Seq(
+        "INSERT INTO documents VALUES (1, 'x', 'en', 'web', 1)"))
+      val idD = queue.submit("dave", Seq(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM documents " +
+          "WHERE n_chars >= 400"))
+      val claimed = scala.collection.mutable.ArrayBuffer[String]()
+      var next = queue.claimNext()
+      while (next.isDefined) {
+        claimed += next.get.queryid
+        queue.execute(next.get)
+        next = queue.claimNext()
+      }
+      val claimPos = claimed.zipWithIndex
+        .map { case (q, i) => q -> (i + 1L) }.toMap
+      // md5-sum fingerprint of a persisted result (io1's idiom):
+      // one aggregate row per entry — bounded collect by construction
+      def fingerprint(id: String, cols: Seq[String]): (Long, Long) = {
+        val key = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+        val r = queue.results(id).agg(count(lit(1)),
+          coalesce(sum(conv(substring(md5(key), 1, 12), 16, 10)
+            .cast("long")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val resultCols = Map(
+        idA -> Seq("lang", "n"),
+        idB -> Seq("source", "s_chars"),
+        idD -> Seq("n_big"))
+      val rows = Seq(idA -> "alice", idB -> "bob", idC -> "carol",
+        idD -> "dave").map { case (id, user) =>
+        val e = queue.status(id).get
+        val ok = e.finished.isDefined && !e.error
+        val errRo = e.error && e.errortext != null &&
+          e.errortext.contains("read-only")
+        val (nRows, fp) =
+          if (ok) fingerprint(id, resultCols(id)) else (0L, 0L)
+        (id, user, claimPos(id), if (ok) 1L else 0L,
+          if (errRo) 1L else 0L, nRows, fp)
+      }
+      rows.toDF("queryid", "userid", "claim_pos", "ok", "err_readonly",
+        "n_rows", "fp").orderBy("queryid")
+    } finally graft.util.Local.deleteRecursively(dir)
+  }
+
+  val qq1Sql: String =
+    """WITH e1 AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |f1 AS (SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(('0x' || substr(md5(lang || '|' || CAST(n AS VARCHAR)),
+      |    1, 12))::BIGINT) AS BIGINT) AS fp FROM e1),
+      |e2 AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s_chars
+      |       FROM documents GROUP BY source),
+      |f2 AS (SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(('0x' || substr(md5(source || '|' || CAST(s_chars AS VARCHAR)),
+      |    1, 12))::BIGINT) AS BIGINT) AS fp FROM e2),
+      |e4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM documents
+      |       WHERE n_chars >= 400),
+      |f4 AS (SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(('0x' || substr(md5(CAST(n_big AS VARCHAR)),
+      |    1, 12))::BIGINT) AS BIGINT) AS fp FROM e4)
+      |SELECT * FROM (
+      |  SELECT 'q000001' AS queryid, 'alice' AS userid,
+      |    CAST(1 AS BIGINT) AS claim_pos, CAST(1 AS BIGINT) AS ok,
+      |    CAST(0 AS BIGINT) AS err_readonly,
+      |    CAST(n_rows AS BIGINT) AS n_rows, fp FROM f1
+      |  UNION ALL SELECT 'q000002', 'bob', 2, 1, 0,
+      |    CAST(n_rows AS BIGINT), fp FROM f2
+      |  UNION ALL SELECT 'q000003', 'carol', 3, 0, 1, 0, 0
+      |  UNION ALL SELECT 'q000004', 'dave', 4, 1, 0,
+      |    CAST(n_rows AS BIGINT), fp FROM f4)
+      |ORDER BY queryid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x5_sql_pivot" -> (x5SqlPivot _),
     "x1_sql_cone" -> (x1SqlCone _),
     "x2_adhoc_astro" -> (x2AdhocAstro _),
     "x3_sql_pipeline" -> (x3SqlPipeline _),
-    "x4_naive_cone" -> (x4NaiveCone _))
+    "x4_naive_cone" -> (x4NaiveCone _),
+    "qq1_query_queue" -> (qq1QueryQueue _))
 
   def oracles: Map[String, String] = Map(
     "x5_sql_pivot" -> x5Sql,
     "x1_sql_cone" -> x1Sql,
     "x2_adhoc_astro" -> x2Sql,
     "x3_sql_pipeline" -> x3Sql,
-    "x4_naive_cone" -> x4Sql)
+    "x4_naive_cone" -> x4Sql,
+    "qq1_query_queue" -> qq1Sql)
 }
