@@ -1566,17 +1566,27 @@ object Relational {
       Bucketing.tableName(d, "orders", "o_orderkey", n),
       orders(s, d).select("o_orderkey", "o_orderpriority"),
       "o_orderkey", n, Bucketing.scratchDir(d, "orders", "o_orderkey", n))
+    // money sums in DECIMAL, not double: prices are exact 2-dp values,
+    // and a double SUM over sf0.1's 600k rows (~6.4e9 per group)
+    // carries order-dependent last-ulp noise ABOVE a 4-dp round —
+    // Spark and DuckDB disagreed at the 4th decimal at sf0.1 while
+    // agreeing at sf0.01. The decimal sum is exact in any order at
+    // any scale (and is what a 100 TB revenue rollup should do
+    // anyway); the final cast emits the same nearest-double in both
+    // engines because the cents value is exact.
     li.hint("merge")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum("l_extendedprice"), 4).as("revenue"))
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
 
   val j9Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_items,
-      |  ROUND(SUM(l_extendedprice), 4) AS revenue
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
