@@ -118,6 +118,36 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
     while (next.isDefined) { next.foreach(execute); next = claimNext() }
   }
 
+  /** Drain with a pool of `nWorkers` claiming threads — the
+    * reference's runner POOL (long_query_runner.py:216-251 spawns 10
+    * worker processes that poll and claim independently; ours are
+    * threads because Spark shares one driver). [[claimNext]] is the
+    * single serialization point: it hands out the oldest unstarted
+    * entry under the queue monitor, so every entry is claimed exactly
+    * once and CLAIM order stays oldest-submitted-first even though
+    * COMPLETION order is arbitrary under concurrency — the same
+    * split the reference gets from `FOR UPDATE SKIP LOCKED`-style
+    * claiming. Spark is thread-safe for concurrent job submission
+    * (each worker's statements become independent jobs the scheduler
+    * interleaves; results land under per-queryid directories), which
+    * is how a served deployment would actually drain an ad-hoc
+    * queue: N light driver threads, cluster slots arbitrated by the
+    * scheduler's pools. A worker that hits a failing entry records
+    * the error on the entry ([[execute]] never throws) and keeps
+    * claiming, so one poisoned query cannot idle a worker or stall
+    * the queue. */
+  def runAll(nWorkers: Int): Unit = {
+    require(nWorkers > 0, s"nWorkers must be positive (got $nWorkers)")
+    val workers = Seq.tabulate(nWorkers) { i =>
+      val t = new Thread(() => {
+        var next = claimNext()
+        while (next.isDefined) { next.foreach(execute); next = claimNext() }
+      }, s"query-queue-worker-$i")
+      t.start(); t
+    }
+    workers.foreach(_.join())
+  }
+
   def results(queryid: String): DataFrame =
     spark.read.parquet(s"$resultDir/$queryid")
 }

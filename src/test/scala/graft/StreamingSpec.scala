@@ -238,6 +238,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(times == times.sorted)
   }
 
+  test("query queue: concurrent pool drain claims each entry exactly once") {
+    // the reference drains with a pool of 10 worker processes
+    // (long_query_runner.py:216-251); ours is runAll(nWorkers) over
+    // claimNext's monitor. Pin the pool contract under real
+    // contention: every entry claimed exactly once (no double
+    // execution, no skips), claim order oldest-first, a poisoned
+    // entry errors in place without stalling the drain, and every
+    // successful result is readable afterwards.
+    val q = new graft.api.QueryQueue(spark,
+      Files.createTempDirectory("qres_pool").toString)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val oks = (1 to 10).map { i =>
+      q.submit(s"user$i", Seq(s"SELECT COUNT(*) + $i AS n FROM region"))
+    }
+    val poison = q.submit("mallory", Seq("DROP TABLE region"))
+    val broken = q.submit("eve", Seq("SELECT * FROM missing_table"))
+    val all = oks :+ poison :+ broken
+    q.runAll(nWorkers = 4)
+    // exactly-once: all started, all finished, and a second drain
+    // finds nothing left to claim
+    all.foreach { id =>
+      val e = q.status(id).get
+      assert(e.started.isDefined && e.finished.isDefined, id)
+    }
+    assert(q.claimNext().isEmpty, "drain must exhaust the queue")
+    // claim order is oldest-submitted-first even under contention
+    // (claimNext hands out under the monitor; ms ties sort stably)
+    val starts = all.map(id => q.status(id).get.started.get.getTime)
+    assert(starts == starts.sorted, s"claim order violated: $starts")
+    // errors recorded in place, queue drained past them
+    assert(q.status(poison).exists(e => e.error && e.errortext.contains("read-only")))
+    assert(q.status(broken).exists(_.error))
+    assert(spark.catalog.tableExists("region"))
+    // every successful result is present and correct
+    oks.zipWithIndex.foreach { case (id, i) =>
+      assert(!q.status(id).get.error, q.status(id).get.errortext)
+      assert(q.results(id).head().getLong(0) == 5L + i + 1)
+    }
+  }
+
   test("spectrum workflow: anti-joins and latest-mag rollup") {
     import graft.api.Spectrum
     val wanted = Seq(("r1", "alice"), ("r2", "bob"), ("r3", "carol"))
