@@ -25,6 +25,12 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
   final case class Entry(
       queryid: String, userid: String, queries: Seq[String],
       submitted: Timestamp, var started: Option[Timestamp] = None,
+      // claim sequence number (1-based), stamped inside claimNext
+      // under the queue monitor — the MEASURED hand-out order, which
+      // a timestamp cannot carry under a concurrent drain (ms ties).
+      // Written and read under the monitor (claimNext/status), so no
+      // volatile needed.
+      var claimSeq: Long = -1L,
       // @volatile: execute() writes these from a runner thread while
       // status() reads under the queue monitor the writer never takes;
       // without the fences a poller can see finished set but
@@ -37,6 +43,7 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
 
   private val entries = mutable.LinkedHashMap[String, Entry]()
   private val counter = new AtomicLong(0)
+  private val claims = new AtomicLong(0)
 
   /** The reference runs queue entries under a Postgres read-only *role*
     * (long_query_runner.py:139-146); a catalog-less Spark session
@@ -87,7 +94,9 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
     * long_query_runner.py:92-109). */
   def claimNext(): Option[Entry] = synchronized {
     entries.values.find(_.started.isEmpty).map { e =>
-      e.started = Some(new Timestamp(System.currentTimeMillis())); e
+      e.started = Some(new Timestamp(System.currentTimeMillis()))
+      e.claimSeq = claims.incrementAndGet()
+      e
     }
   }
 

@@ -277,13 +277,17 @@ object SqlSurface {
     *    the queue keeps draining past it;
     *  - q000004 dave: another aggregate, proving the queue survived
     *    the failed entry.
-    * The drain loop is INSTRUMENTED: it records the order claimNext()
-    * hands entries out, so the row's `claim_pos` MEASURES
-    * oldest-submitted-first (ORDER BY submitted) rather than assuming
-    * it. Persisted results are read back from the sink and carried as
-    * row count + md5-sum content fingerprint (the io1 idiom); DuckDB
-    * recomputes both from the same SQL over the same tables, so
-    * persistence is hash-verified end-to-end.
+    * The drain is the POOLED one — `runAll(nWorkers = 4)`, the
+    * reference's worker-pool shape (long_query_runner.py:216-251
+    * spawns 10 claiming processes) — and the claim order is MEASURED,
+    * not assumed: claimNext stamps each entry's `claimSeq` under the
+    * queue monitor, so `claim_pos` carries the true hand-out order,
+    * which stays oldest-submitted-first (deterministic) even with 4
+    * workers racing, because the monitor serializes hand-out while
+    * only EXECUTION overlaps. Persisted results are read back from
+    * the sink and carried as row count + md5-sum content fingerprint
+    * (the io1 idiom); DuckDB recomputes both from the same SQL over
+    * the same tables, so persistence is hash-verified end-to-end.
     *
     * Driver-side control flow is the POINT here (it replaces the
     * reference's worker processes); every per-entry read-back is a
@@ -306,15 +310,8 @@ object SqlSurface {
       val idD = queue.submit("dave", Seq(
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM documents " +
           "WHERE n_chars >= 400"))
-      val claimed = scala.collection.mutable.ArrayBuffer[String]()
-      var next = queue.claimNext()
-      while (next.isDefined) {
-        claimed += next.get.queryid
-        queue.execute(next.get)
-        next = queue.claimNext()
-      }
-      val claimPos = claimed.zipWithIndex
-        .map { case (q, i) => q -> (i + 1L) }.toMap
+      queue.runAll(nWorkers = 4)
+      def claimPos(id: String): Long = queue.status(id).get.claimSeq
       // md5-sum fingerprint of a persisted result (io1's idiom):
       // one aggregate row per entry — bounded collect by construction
       def fingerprint(id: String, cols: Seq[String]): (Long, Long) = {

@@ -263,10 +263,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(e.started.isDefined && e.finished.isDefined, id)
     }
     assert(q.claimNext().isEmpty, "drain must exhaust the queue")
-    // claim order is oldest-submitted-first even under contention
-    // (claimNext hands out under the monitor; ms ties sort stably)
-    val starts = all.map(id => q.status(id).get.started.get.getTime)
-    assert(starts == starts.sorted, s"claim order violated: $starts")
+    // claim order is oldest-submitted-first even under contention:
+    // claimSeq is stamped under the monitor, so it is the TRUE
+    // hand-out order (timestamps can tie at ms resolution) — it must
+    // be exactly 1..n in submission order
+    val seqs = all.map(id => q.status(id).get.claimSeq)
+    assert(seqs == (1L to all.size.toLong).toList, s"claim order violated: $seqs")
     // errors recorded in place, queue drained past them
     assert(q.status(poison).exists(e => e.error && e.errortext.contains("read-only")))
     assert(q.status(broken).exists(_.error))
