@@ -144,14 +144,44 @@ final class SilverStore(baseDir: String) {
   private def newSegName(): String =
     s"seg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
+  /** Sum of the row counts in the segment's parquet footers — a
+    * driver-side metadata read, NO Spark job. The segment was written
+    * by this process an instant ago (footers hot in page cache), and
+    * the store is NIO/local-FS by design, so scheduling a distributed
+    * count here only added one scheduler round-trip per table write —
+    * ~18 of them per two-batch streaming import, the dominant fixed
+    * cost of a small batch. Falls back to a Spark count if any footer
+    * read fails (torn file, concurrent GC). */
+  private def footerRowCount(spark: SparkSession, dir: Path): Long = {
+    val files = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      files.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        spark.read.parquet(dir.toString).count()
+    }
+  }
+
   /** Write `df` as a fresh segment; returns None (and removes the dir)
     * when the frame was empty, so no-op deltas cost nothing in the
-    * manifest. The emptiness check reads only parquet footers. */
+    * manifest. The emptiness check reads only parquet footers
+    * (driver-side, jobless — see [[footerRowCount]]). */
   private def writeSegment(name: String, df: DataFrame): Option[String] = {
     val seg = newSegName()
     val dir = tableDir(name).resolve(seg)
     df.write.parquet(dir.toString)
-    val n = df.sparkSession.read.parquet(dir.toString).count()
+    val n = footerRowCount(df.sparkSession, dir)
     if (n == 0L) { deleteRecursively(dir); None } else Some(seg)
   }
 
