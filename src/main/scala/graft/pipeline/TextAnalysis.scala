@@ -133,6 +133,83 @@ object TextAnalysis {
       round(avg(length(col(textCol))), 4).as("avg_chars"))
   }
 
+  /** Decision contract over [[corpusProfile]] — the audit harness that
+    * makes the sketch profile HASH-oracled even though HLL++/KLL
+    * internals are engine-specific by construction (DuckDB's
+    * approximations differ bit-wise from Spark's, so the raw estimates
+    * can never enter a cross-engine hash). The d6/s3 idiom: run the
+    * REAL operator ([[corpusProfile]], unchanged), recompute the exact
+    * ground truth alongside (distinct texts, order-statistic token
+    * quantiles at the all-integer rank 1 + (q·(n−1)) div 100 — the
+    * [[portableProfile]] spelling, no float interpolation), and emit
+    *   - the exact values (oracle-recomputable, hash-checked), and
+    *   - BOUND FLAGS (BIGINT 1/0, the annContract convention):
+    *     |hll − exact| ≤ max(1, 10%·exact) and each sketch quantile
+    *     within max(2, 2%·n) ranks of its target — the oracle asserts
+    *     literal 1, so a sketch that drifts out of bound breaks the
+    *     hash.
+    * The estimates themselves never enter the output; the bounds do.
+    * Bounds vs guarantees: HLL rsd here is 2% (bound 5σ), the quantile
+    * sketch accuracy 1/10000 (rank bound 200× looser + the ±1
+    * target-rank convention slack) — failures mean real defects, not
+    * tolerance noise.
+    *
+    * Scale shape: the exact half is the CONTRACT's cost, not the
+    * operator's — production calls [[corpusProfile]] alone (one pass,
+    * constant memory); this wrapper adds a countDistinct expand and a
+    * per-group rank window, which is exactly the recomputation the
+    * audit exists to pay. The rank-check join broadcasts the per-group
+    * profile (group cardinality, tiny) back over one more scan. */
+  def corpusProfileContract(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val clean = docs.filter(col(textCol).isNotNull)
+    val sketch = corpusProfile(clean, groupCol, textCol)
+
+    val base = clean.select(col(groupCol), col(textCol).as("_txt"),
+      tokenCount(col(textCol)).cast("long").as("_t"))
+    val wVal = Window.partitionBy(groupCol).orderBy(col("_t"))
+    val exact = base
+      .withColumn("_vrk", row_number().over(wVal))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .groupBy(groupCol).agg(
+        countDistinct(col("_txt")).as("exact_distinct_texts"),
+        sum(length(col("_txt"))).cast("long").as("n_chars_total"),
+        max(when(col("_vrk") === lit(1L) + expr("(50 * (_m - 1)) div 100"),
+          col("_t"))).as("p50_tokens_exact"),
+        max(when(col("_vrk") === lit(1L) + expr("(95 * (_m - 1)) div 100"),
+          col("_t"))).as("p95_tokens_exact"))
+
+    // rank position of each sketch quantile in the exact distribution:
+    // value v occupies ranks [cnt_lt+1, cnt_le]; in-bound means that
+    // interval intersects [target − tol, target + tol]
+    val sk = sketch.select(col(groupCol),
+      col("p50_tokens").cast("long").as("_sp50"),
+      col("p95_tokens").cast("long").as("_sp95"))
+    val counts = base.join(broadcast(sk), Seq(groupCol))
+      .groupBy(groupCol).agg(
+        sum(when(col("_t") < col("_sp50"), 1L).otherwise(0L)).as("_lt50"),
+        sum(when(col("_t") <= col("_sp50"), 1L).otherwise(0L)).as("_le50"),
+        sum(when(col("_t") < col("_sp95"), 1L).otherwise(0L)).as("_lt95"),
+        sum(when(col("_t") <= col("_sp95"), 1L).otherwise(0L)).as("_le95"))
+
+    val tol = greatest(lit(2L), expr("n_docs div 50"))
+    val t50 = lit(1L) + expr("(50 * (n_docs - 1)) div 100")
+    val t95 = lit(1L) + expr("(95 * (n_docs - 1)) div 100")
+    sketch.join(exact, Seq(groupCol)).join(counts, Seq(groupCol))
+      .select(col(groupCol),
+        col("n_docs"), col("n_tokens_total"), col("n_chars_total"),
+        col("exact_distinct_texts"),
+        col("p50_tokens_exact"), col("p95_tokens_exact"),
+        when(abs(col("approx_distinct_texts") - col("exact_distinct_texts"))
+          .cast("double") <=
+          greatest(lit(1.0), lit(0.1) * col("exact_distinct_texts")), 1L)
+          .otherwise(0L).as("hll_within_bound"),
+        when(col("_lt50") + 1L <= t50 + tol && col("_le50") >= t50 - tol, 1L)
+          .otherwise(0L).as("p50_within_bound"),
+        when(col("_lt95") + 1L <= t95 + tol && col("_le95") >= t95 - tol, 1L)
+          .otherwise(0L).as("p95_within_bound"))
+  }
+
   /** Engine-PORTABLE sketch profile per group — the bottom-k (KMV)
     * counterpart of [[corpusProfile]]'s HLL/KLL sketches, for when the
     * profile must replay bit-identically across engines (the

@@ -1844,12 +1844,43 @@ object Pipeline {
       |SELECT afp, COUNT(*) AS n_clips, MIN(doc_id) AS min_doc
       |FROM hsh GROUP BY afp ORDER BY afp""".stripMargin
 
-  /** Sketch-profiled corpus statistics per source (rows-only: the
-    * sketch outputs are deterministic but engine-specific; error
-    * bounds vs exact are asserted in PipelineSpec). */
+  /** Sketch-profiled corpus statistics per source, HASH-oracled as a
+    * decision contract ([[TextAnalysis.corpusProfileContract]]): the
+    * real sketch operator ([[TextAnalysis.corpusProfile]]) runs
+    * unchanged, the exact distinct-text count and order-statistic
+    * token quantiles are recomputed alongside (oracle-recomputable in
+    * any engine), and the engine-specific HLL/KLL estimates enter the
+    * output only as in-bound FLAGS the oracle pins to literal 1 —
+    * |hll − exact| ≤ max(1, 10%·exact), each sketch quantile within
+    * max(2, 2%·n) ranks of its target. A sketch regression breaks the
+    * hash; the raw estimates (engine-specific by construction) never
+    * touch it. Error bounds vs exact are additionally asserted tighter
+    * in PipelineSpec. */
   def t5Profile(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.corpusProfile(documents(s, d), "source", "text")
+    TextAnalysis.corpusProfileContract(documents(s, d), "source", "text")
       .orderBy("source")
+
+  val t5Sql: String =
+    """WITH d AS (SELECT source, text,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t != ''))
+      |      AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |r AS (SELECT source, text, tok,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY tok) AS vrk,
+      |    COUNT(*) OVER (PARTITION BY source) AS m FROM d)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS n_tokens_total,
+      |  CAST(SUM(len(text)) AS BIGINT) AS n_chars_total,
+      |  CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct_texts,
+      |  CAST(MAX(CASE WHEN vrk = 1 + (50 * (m - 1)) // 100 THEN tok END)
+      |    AS BIGINT) AS p50_tokens_exact,
+      |  CAST(MAX(CASE WHEN vrk = 1 + (95 * (m - 1)) // 100 THEN tok END)
+      |    AS BIGINT) AS p95_tokens_exact,
+      |  CAST(1 AS BIGINT) AS hll_within_bound,
+      |  CAST(1 AS BIGINT) AS p50_within_bound,
+      |  CAST(1 AS BIGINT) AS p95_within_bound
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
 
   /** The engine-portable sketch profile
     * ([[TextAnalysis.portableProfile]]): KMV bottom-32 distinct-text
@@ -2238,6 +2269,7 @@ object Pipeline {
     "s7_embed_centroids" -> s7Sql,
     "s8_sq_quantize" -> s8Sql,
     "s6_whiten" -> s6Sql,
+    "t5_profile" -> t5Sql,
     "t28_portable_profile" -> t28Sql,
     "t29_nfc_normalize" -> t29Sql,
     "m1_multimodal" -> m1Sql,

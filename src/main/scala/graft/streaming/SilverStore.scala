@@ -153,13 +153,16 @@ final class SilverStore(baseDir: String) {
     * cost of a small batch. Falls back to a Spark count if any footer
     * read fails (torn file, concurrent GC). */
   private def footerRowCount(spark: SparkSession, dir: Path): Long = {
-    val files = {
-      val s = Files.list(dir)
-      try s.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
     try {
+      // the directory listing sits INSIDE the try: a listing failure
+      // (racing delete, transient FS error) must take the documented
+      // Spark-count fallback, not propagate out of a "jobless" helper
+      val files = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
       val conf = new org.apache.hadoop.conf.Configuration(false)
       files.map { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

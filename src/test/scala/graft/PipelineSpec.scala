@@ -498,6 +498,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(prof.keys.forall(k => again(k) == prof(k).toSeq))
   }
 
+  test("corpusProfileContract: exact columns match a naive recompute, all bound flags pass") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = TextAnalysis.corpusProfileContract(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rows = docs.select(col("source"), col("text"))
+      .collect().groupBy(_.getString(0))
+    assert(out.keySet == rows.keySet)
+    rows.foreach { case (src, rs) =>
+      val r = out(src)
+      val texts = rs.map(_.getString(1)).toIndexedSeq
+      val toks = texts
+        .map(t => t.trim.split("\\s+").count(_.nonEmpty).toLong).sorted
+      assert(r.getAs[Long]("n_docs") == texts.size.toLong)
+      assert(r.getAs[Long]("n_tokens_total") == toks.sum)
+      assert(r.getAs[Long]("n_chars_total") == texts.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("exact_distinct_texts") == texts.distinct.size.toLong)
+      // order statistic at the all-integer rank 1 + (q·(n−1)) div 100
+      def orderStat(q: Int): Long = toks((q * (toks.size - 1)) / 100)
+      assert(r.getAs[Long]("p50_tokens_exact") == orderStat(50), s"$src p50")
+      assert(r.getAs[Long]("p95_tokens_exact") == orderStat(95), s"$src p95")
+      Seq("hll_within_bound", "p50_within_bound", "p95_within_bound")
+        .foreach(c => assert(r.getAs[Long](c) == 1L, s"$src $c must pass"))
+    }
+  }
+
   test("repetition stats match a naive scala computation") {
     val docs = Seq(
       (1L, "a b a b a c"),            // 6 tok, 3 distinct, top=3; 5 2grams: ab,ba,ab,ba,ac → 3 distinct, top=2
