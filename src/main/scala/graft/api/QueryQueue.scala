@@ -159,4 +159,38 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
 
   def results(queryid: String): DataFrame =
     spark.read.parquet(s"$resultDir/$queryid")
+
+  /** Result retention: delete the persisted result directory and the
+    * queue entry for every entry finished STRICTLY BEFORE `olderThan`
+    * (src/services/long_query_runner.py:69-89 prunes results more than
+    * 7 days old, result file + queue row). The cutoff is injected
+    * rather than computed here so retention policy — and the spec —
+    * stay deterministic. The reference needs a separate
+    * `error AND started<since` clause because its errored entries
+    * never set `finished`; ours always do ([[execute]]'s finally), so
+    * one cutoff covers success and error alike (errored entries just
+    * have no result directory to delete). In-flight entries (claimed,
+    * not finished) are never pruned. Runs under the queue monitor like
+    * submit/claim; an entry observed finished had its result write
+    * complete first (`finished` is the volatile write-last fence), so
+    * deleting the directory cannot race its writer. Returns the pruned
+    * ids; a pruned id subsequently 404s in [[status]] and [[results]]. */
+  def prune(olderThan: Timestamp): Seq[String] = synchronized {
+    val victims = entries.values
+      .filter(_.finished.exists(_.before(olderThan))).map(_.queryid).toVector
+    victims.foreach { id =>
+      val dir = java.nio.file.Paths.get(s"$resultDir/$id")
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      entries.remove(id)
+    }
+    victims
+  }
+
+  /** [[prune]] at the reference's default retention: everything
+    * finished more than 7 days before `now`. */
+  def pruneExpired(now: Timestamp): Seq[String] =
+    prune(Timestamp.from(now.toInstant.minus(java.time.Duration.ofDays(7))))
 }

@@ -280,6 +280,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("query queue: retention pruning deletes old results, keeps fresh and in-flight") {
+    // the reference prunes results more than 7 days old — result file
+    // + queue row (long_query_runner.py:69-89). Pin: pruned ids 404 in
+    // status/results, fresh results still read, unfinished entries
+    // survive and remain claimable, and the pass is idempotent. Ages
+    // are INJECTED (entries are mutable by design) so the spec is
+    // deterministic instead of sleeping across a cutoff.
+    val q = new graft.api.QueryQueue(spark,
+      Files.createTempDirectory("qres_prune").toString)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val oldOk = q.submit("alice", Seq("SELECT COUNT(*) AS n FROM region"))
+    val oldErr = q.submit("eve", Seq("SELECT * FROM missing_table"))
+    val fresh = q.submit("bob", Seq("SELECT COUNT(*) AS n FROM nation"))
+    q.runAll(nWorkers = 4)
+    val aged = new java.sql.Timestamp(1000000L)
+    Seq(oldOk, oldErr).foreach(id => q.status(id).get.finished = Some(aged))
+    val pending = q.submit("carol", Seq("SELECT 1 AS one")) // never claimed
+    val pruned = q.prune(new java.sql.Timestamp(2000000L))
+    assert(pruned.toSet == Set(oldOk, oldErr))
+    assert(q.status(oldOk).isEmpty && q.status(oldErr).isEmpty)
+    intercept[Exception](q.results(oldOk)) // pruned result dir must 404
+    // fresh entry survives with its result readable
+    assert(q.results(fresh).head().getLong(0) == 25L)
+    // the unfinished entry is untouched and still claimable afterwards
+    assert(q.status(pending).isDefined)
+    assert(q.prune(new java.sql.Timestamp(2000000L)).isEmpty, "idempotent")
+    q.runAll()
+    assert(q.results(pending).head().getInt(0) == 1)
+    // default retention: nothing here finished >7 days before now
+    assert(q.pruneExpired(
+      new java.sql.Timestamp(System.currentTimeMillis())).isEmpty)
+  }
+
   test("spectrum workflow: anti-joins and latest-mag rollup") {
     import graft.api.Spectrum
     val wanted = Seq(("r1", "alice"), ("r2", "bob"), ("r3", "carol"))
