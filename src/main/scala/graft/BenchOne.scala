@@ -19,11 +19,26 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job/stage counter: fixed-cost queries (exponent ≈ 0) are paying
+    // scheduler round-trips, so the JOB COUNT is the signal a wall-clock
+    // number alone can't give — same diagnostic that found the 18
+    // count-jobs behind the SilverStore footer fix
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size): Unit
+        }
+      })
     val fn = SparkEntry.queries(name)
     (1 to runs).foreach { i =>
+      val (j0, s0) = (jobs.get(), stages.get())
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        s" jobs=${jobs.get() - j0} stages=${stages.get() - s0}")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -191,6 +191,34 @@ final class SilverStore(baseDir: String) {
   /** Staged writes: per table, the manifest contents to commit. */
   private[graft] final case class Staged(entries: Seq[(String, Seq[String])])
 
+  /** Run one staging closure per table CONCURRENTLY on a bounded driver
+    * pool, preserving input order. The per-table segment writes are
+    * independent Spark jobs on disjoint directories, but running them
+    * back-to-back on one driver thread serializes ~9 scheduler
+    * round-trips per import batch — the dominant fixed cost of a small
+    * batch (the st4 profile: 9 sequential write jobs × 2 micro-batches).
+    * Concurrent job submission is exactly what the Spark scheduler
+    * exists to arbitrate; the cluster-slot story is unchanged. The
+    * manifest flips stay OUTSIDE this helper, sequential and atomic as
+    * before. On any failure the first error propagates and no commit
+    * happens; segments other threads managed to write are orphans the
+    * next successful commit garbage-collects (the same crash story as
+    * a mid-stage abort). */
+  private def stagePar[A, B](entries: Seq[A])(f: A => B): Seq[B] =
+    if (entries.sizeIs <= 1) entries.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(entries.size, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = entries.map(e => scala.concurrent.Future(f(e)))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+
   /** Atomic manifest flip: write `_manifest.tmp`, then rename over the
     * live manifest. Rename is atomic on POSIX; a crash before it
     * leaves the old manifest intact. */
@@ -225,16 +253,17 @@ final class SilverStore(baseDir: String) {
     val morSeq = Map[String, DataFrame](
       "diasource_extra" -> r.diasourceExtra,
       "diaforcedsource_extra" -> r.diaforcedsourceExtra)
-    val entries = Seq(
+    val work = Seq(
       "root_diaobject" -> r.rootDiaobject, "diaobject" -> r.diaobject,
       "diasource" -> r.diasource, "diaforcedsource" -> r.diaforcedsource,
       "diaobject_position" -> r.diaobjectPosition,
-      "diasource_brokerinfo" -> r.brokerinfo, "thumbnails" -> r.thumbnails)
-      .map { case (name, df) => name -> writeSegment(name, df).toSeq } ++
+      "diasource_brokerinfo" -> r.brokerinfo, "thumbnails" -> r.thumbnails) ++
       morSeq.toSeq.map { case (name, df) =>
-        name -> writeSegment(name, df.withColumn("_seq", lit(0L))).toSeq
+        name -> df.withColumn("_seq", lit(0L))
       }
-    Staged(entries)
+    Staged(stagePar(work) { case (name, df) =>
+      name -> writeSegment(name, df).toSeq
+    })
   }
 
   def save(r: ImportResult): Unit = commit(stageFull(r))
@@ -279,12 +308,12 @@ final class SilverStore(baseDir: String) {
         val seq = liveSegments(name).size.toLong + 1L
         name -> df.withColumn("_seq", lit(seq))
       }
-    val staged = Staged((appends ++ morAppends).flatMap { case (name, df) =>
+    val staged = Staged(stagePar(appends ++ morAppends) { case (name, df) =>
       writeSegment(name, df).map { seg =>
         val legacy = migrateLegacy(name, df.sparkSession)
         name -> (legacy ++ liveSegments(name) :+ seg)
       }
-    })
+    }.flatten)
     commit(staged)
   }
 
