@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -239,32 +240,56 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .filter(col("src") =!= col("dst"))
-    val ends = realPairs.select(col("src").as("_id"))
-      .union(realPairs.select(col("dst").as("_id"))).distinct()
     // clusters the batch touches: current cluster of every endpoint
-    // (endpoints never seen before are their own cluster). COLLECTED:
-    // the set is bounded by the batch's pair endpoints (micro-batch
-    // sized), and both consumers below would otherwise re-execute this
-    // prev-scanning join once each — a bounded driver list, reused as
-    // one broadcast-able local frame, scans prev exactly once.
-    val touchedSeq = ends.join(
-        prev.select(col(idCol).cast("long").as("_id"),
-          col(clusterCol).cast("long").as("_c")), Seq("_id"), "left")
-      .select(coalesce(col("_c"), col("_id")).as("_c")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val touchedIds = touchedSeq.toDF("_c")
+    // (endpoints never seen before are their own cluster). The set is
+    // bounded by the batch's pair endpoints (micro-batch sized) BY
+    // CONTRACT, so it lives driver-side — gathered as two shuffle-free
+    // single-stage jobs (collect the pairs' endpoint columns, then
+    // filter-collect those endpoints' map rows) instead of the earlier
+    // union-distinct ⟕ distinct-collect plan, whose three shuffles cost
+    // ~6 AQE stage-jobs per fold on micro-batch-sized input. Both
+    // downstream consumers take the set as an isin() literal filter —
+    // pure predicate on the scan, no broadcast-exchange job, no join.
+    // per-partition dedup ahead of the collect (the temperatureMix
+    // idiom): a match-heavy batch can emit many pairs per endpoint, so
+    // what crosses to the driver is bounded by distinct-endpoints ×
+    // partitions, not by the pair count — still one shuffle-free job
+    val endIds: Array[Long] = {
+      val seen = new java.util.HashSet[Long]()
+      realPairs.select(col("src"), col("dst")).as[(Long, Long)]
+        .mapPartitions { it =>
+          val s = new java.util.HashSet[Long]()
+          it.foreach { case (a, b) => s.add(a); s.add(b): Unit }
+          s.iterator().asScala
+        }.collect().foreach(id => seen.add(id): Unit)
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator(); var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+    if (endIds.isEmpty)
+      // no real pairs: every cluster passes through untouched
+      return prev.select(col(idCol).cast("long").as(idCol),
+        col(clusterCol).cast("long").as(clusterCol))
+    val endClusters = prev
+      .filter(col(idCol).cast("long").isin(endIds.map(Long.box).toSeq: _*))
+      .select(col(idCol).cast("long"), col(clusterCol).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val touchedSeq: Seq[Any] =
+      endIds.map(id => endClusters.getOrElse(id, id)).distinct
+        .map(Long.box).toSeq
     val touched = prev.select(col(idCol).cast("long").as("id"),
         col(clusterCol).cast("long").as("_c"))
-      .join(broadcast(touchedIds), Seq("_c"), "left_semi")
+      .filter(col("_c").isin(touchedSeq: _*))
     val edges = touched.select(col("id").as("src"), col("_c").as("dst"))
       .union(realPairs)
     val sub = connectedComponents(edges, "src", "dst")
     prev.select(col(idCol).cast("long").as("id"),
         col(clusterCol).cast("long").as("cluster"))
-      .join(broadcast(touchedIds.withColumnRenamed("_c", "cluster")),
-        Seq("cluster"), "left_anti")
-      // the join moved its key first — realign before the POSITIONAL union
-      .select(col("id"), col("cluster"))
+      // null-safe complement of the isin (a null cluster — which the
+      // map invariant forbids anyway — must pass through, matching the
+      // previous left_anti's null semantics)
+      .filter(col("cluster").isNull || !col("cluster").isin(touchedSeq: _*))
       .union(sub.select(col("node").as("id"), col("component").as("cluster")))
       .withColumnRenamed("id", idCol)
       .withColumnRenamed("cluster", clusterCol)

@@ -117,14 +117,29 @@ object NearDupStream {
     decisions.write.mode("overwrite").parquet(s"$dir/decisions/b$batchId")
     val committed = spark.read.parquet(s"$dir/decisions/b$batchId")
     // the batch was already shingled once: derive the new segment from
-    // the signature frame by kept-id semi-join, no second tokenize
+    // the signature frame by kept-id semi-join, no second tokenize.
+    // Persisted: both segment writes consume it, and without the cache
+    // each re-runs the semi-join (and re-broadcasts keptIds). The two
+    // writes land on disjoint directories and run CONCURRENTLY — two
+    // independent small jobs serialized on one driver thread is pure
+    // scheduler latency (the SilverStore.stagePar rationale).
     val keptIds = committed.filter(col("decision") === "kept").select(col(idCol))
-    val segSigs = sigs.join(keptIds, Seq(idCol), "left_semi")
-    Dedup.lshBuckets(segSigs, p.bands, p.numHashes / p.bands)
-      .select(col("_band"), col("_bucket"), col(idCol))
-      .write.mode("overwrite").parquet(s"$dir/buckets/b$batchId")
-    segSigs.select(col(idCol), col("_shingles"))
-      .write.mode("overwrite").parquet(s"$dir/shingles/b$batchId")
+    val segSigs = sigs.join(keptIds, Seq(idCol), "left_semi").persist()
+    val writes = Seq(
+      () => Dedup.lshBuckets(segSigs, p.bands, p.numHashes / p.bands)
+        .select(col("_band"), col("_bucket"), col(idCol))
+        .write.mode("overwrite").parquet(s"$dir/buckets/b$batchId"),
+      () => segSigs.select(col(idCol), col("_shingles"))
+        .write.mode("overwrite").parquet(s"$dir/shingles/b$batchId"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        writes.map(w => scala.concurrent.Future(w()))),
+      scala.concurrent.duration.Duration.Inf): Unit
+    finally pool.shutdown()
+    segSigs.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
     committed
