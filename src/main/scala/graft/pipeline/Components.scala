@@ -222,14 +222,19 @@ object Components {
     * stay component minima, so a merge relabels to the smaller id.
     *
     * Cost shape: the touched-cluster id set is bounded by the batch's
-    * pair endpoints — it BROADCASTS, so the previous map is filtered
-    * map-side (semi/anti), never shuffled; the CC loop runs only on
-    * touched stars + new pairs (usually tiny → its local-finish path).
+    * pair endpoints — so the previous map is filtered map-side, never
+    * shuffled: up to `inSetMax` endpoints the set rides as isin()
+    * literal predicates straight on the scan (no broadcast-exchange
+    * job, no join — the micro-batch fast path), beyond that as
+    * broadcast semi/anti joins (graceful at any size); the CC loop
+    * runs only on touched stars + new pairs (usually tiny → its
+    * local-finish path).
     * At 100 TB, bucket the persisted map by cluster so the semi-join
     * prunes files too. Same numeric-id contract as
     * [[connectedComponents]]; [[release]] the result when consumed. */
   def updateClusters(prev: DataFrame, idCol: String, clusterCol: String,
-      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      inSetMax: Int = 32768): DataFrame = {
     val spark = prev.sparkSession
     import spark.implicits._
     // self-pairs carry no connectivity but would mark their node's
@@ -271,25 +276,45 @@ object Components {
       // no real pairs: every cluster passes through untouched
       return prev.select(col(idCol).cast("long").as(idCol),
         col(clusterCol).cast("long").as(clusterCol))
-    val endClusters = prev
-      .filter(col(idCol).cast("long").isin(endIds.map(Long.box).toSeq: _*))
-      .select(col(idCol).cast("long"), col(clusterCol).cast("long"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val touchedSeq: Seq[Any] =
-      endIds.map(id => endClusters.getOrElse(id, id)).distinct
-        .map(Long.box).toSeq
-    val touched = prev.select(col(idCol).cast("long").as("id"),
-        col(clusterCol).cast("long").as("_c"))
-      .filter(col("_c").isin(touchedSeq: _*))
+    // beyond `inSetMax` endpoints, literal In-lists stop being a sane
+    // plan (analysis cost grows with the literal count) and the touched
+    // set goes back through the broadcast-join spelling, which degrades
+    // gracefully at any size — the isin fast path is a micro-batch
+    // optimization, not a new bound (the spec runs the differential on
+    // both paths via inSetMax = 0)
+    val prevT = prev.select(col(idCol).cast("long").as("id"),
+      col(clusterCol).cast("long").as("_c"))
+    val (touched, untouched) =
+      if (endIds.length <= inSetMax) {
+        val endClusters = prev
+          .filter(col(idCol).cast("long").isin(endIds.map(Long.box).toSeq: _*))
+          .select(col(idCol).cast("long"), col(clusterCol).cast("long"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val touchedSeq: Seq[Any] =
+          endIds.map(id => endClusters.getOrElse(id, id)).distinct
+            .map(Long.box).toSeq
+        (prevT.filter(col("_c").isin(touchedSeq: _*)),
+          // null-safe complement (a null cluster — which the map
+          // invariant forbids anyway — must pass through, matching a
+          // left_anti's null semantics)
+          prevT.filter(col("_c").isNull || !col("_c").isin(touchedSeq: _*)))
+      } else {
+        val ends = realPairs.select(col("src").as("_id"))
+          .union(realPairs.select(col("dst").as("_id"))).distinct()
+        val touchedIds = ends.join(
+            prev.select(col(idCol).cast("long").as("_id"),
+              col(clusterCol).cast("long").as("_c")), Seq("_id"), "left")
+          .select(coalesce(col("_c"), col("_id")).as("_c")).distinct()
+          .localCheckpoint()
+        (prevT.join(broadcast(touchedIds), Seq("_c"), "left_semi")
+            .select(col("id"), col("_c")),
+          prevT.join(broadcast(touchedIds), Seq("_c"), "left_anti")
+            .select(col("id"), col("_c")))
+      }
     val edges = touched.select(col("id").as("src"), col("_c").as("dst"))
       .union(realPairs)
     val sub = connectedComponents(edges, "src", "dst")
-    prev.select(col(idCol).cast("long").as("id"),
-        col(clusterCol).cast("long").as("cluster"))
-      // null-safe complement of the isin (a null cluster — which the
-      // map invariant forbids anyway — must pass through, matching the
-      // previous left_anti's null semantics)
-      .filter(col("cluster").isNull || !col("cluster").isin(touchedSeq: _*))
+    untouched.select(col("id"), col("_c").as("cluster"))
       .union(sub.select(col("node").as("id"), col("component").as("cluster")))
       .withColumnRenamed("id", idCol)
       .withColumnRenamed("cluster", clusterCol)

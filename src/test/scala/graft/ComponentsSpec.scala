@@ -117,6 +117,27 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("updateClusters: broadcast-join fallback (inSetMax = 0) equals the isin fast path") {
+    // same differential as above but with the In-list threshold forced
+    // to 0, so every fold takes the large-endpoint-set broadcast path
+    val rng = new scala.util.Random(29)
+    val allPairs = Seq.fill(90)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val batches = allPairs.grouped((allPairs.size + 2) / 3).toSeq
+    var map = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    var seen = Seq.empty[(Long, Long)]
+    batches.foreach { batch =>
+      seen = seen ++ batch
+      map = Components.updateClusters(map, "id", "cluster",
+        batch.toDF("id_a", "id_b"), "id_a", "id_b", inSetMax = 0)
+      val got = map.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = Components.connectedComponents(
+          seen.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"after ${seen.size} pairs (fallback path)")
+    }
+  }
+
   test("updateClusters: untouched clusters pass through; merges relabel to the min") {
     val prev = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
       (50L, 50L), (51L, 50L)).toDF("id", "cluster")
