@@ -37,7 +37,13 @@ object BenchOne {
       val (j0, s0) = (jobs.get(), stages.get())
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener events arrive asynchronously on the bus — sample the
+      // counters only after a drain pause (JobTrace does the same), or
+      // a run's jobs/stages undercount and bleed into the next delta;
+      // the pause sits outside the timed region
+      Thread.sleep(500)
+      println(f"[benchone] $name run$i: $secs%.3f s" +
         s" jobs=${jobs.get() - j0} stages=${stages.get() - s0}")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

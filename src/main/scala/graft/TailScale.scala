@@ -88,7 +88,11 @@ object TailScale {
   private def genDocs(spark: SparkSession, sfDir: String, outDir: String,
       n: Int, cpus: Int): Unit = {
     val out = s"$outDir/documents.parquet"
-    if (new java.io.File(out).exists()) return
+    // cache only a COMMITTED generation: a crash mid-write leaves a
+    // partial dir that bare exists() would silently accept, corrupting
+    // every later measurement; _SUCCESS is written on job commit and
+    // mode("overwrite") cleanly replaces any partial leftover
+    if (new java.io.File(out, "_SUCCESS").exists()) return
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     (0 until n).map { k =>
       base.select(
@@ -103,7 +107,7 @@ object TailScale {
   private def genLineitem(spark: SparkSession, sfDir: String, outDir: String,
       n: Int, cpus: Int): Unit = {
     val out = s"$outDir/lineitem.parquet"
-    if (new java.io.File(out).exists()) return
+    if (new java.io.File(out, "_SUCCESS").exists()) return // see genDocs
     val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
     (0 until n).map { k =>
       base

@@ -174,17 +174,29 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
     * submit/claim; an entry observed finished had its result write
     * complete first (`finished` is the volatile write-last fence), so
     * deleting the directory cannot race its writer. Returns the pruned
-    * ids; a pruned id subsequently 404s in [[status]] and [[results]]. */
-  def prune(olderThan: Timestamp): Seq[String] = synchronized {
-    val victims = entries.values
-      .filter(_.finished.exists(_.before(olderThan))).map(_.queryid).toVector
+    * ids; a pruned id subsequently 404s in [[status]] and [[results]].
+    *
+    * Only the victim selection + entry removal hold the queue monitor;
+    * the recursive directory walks happen after release — a large
+    * result tree (or a slow filesystem) must not block submit/status/
+    * claimNext for the duration of the delete. Entries are removed
+    * first, so concurrent [[status]] already 404s while files are
+    * still being torn down (same visibility a reader had mid-walk
+    * under the old in-lock delete, which never guarded [[results]]'s
+    * unsynchronized parquet read anyway). */
+  def prune(olderThan: Timestamp): Seq[String] = {
+    val victims = synchronized {
+      val vs = entries.values
+        .filter(_.finished.exists(_.before(olderThan))).map(_.queryid).toVector
+      vs.foreach(entries.remove)
+      vs
+    }
     victims.foreach { id =>
       val dir = java.nio.file.Paths.get(s"$resultDir/$id")
       if (java.nio.file.Files.exists(dir))
         java.nio.file.Files.walk(dir)
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => java.nio.file.Files.delete(p))
-      entries.remove(id)
     }
     victims
   }

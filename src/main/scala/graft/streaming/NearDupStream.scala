@@ -134,14 +134,19 @@ object NearDupStream {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // unpersist in the finally: if either write fails, Await.result
+    // throws and a bare post-Await unpersist would be skipped, leaking
+    // cached blocks across every later micro-batch of the stream
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(
         writes.map(w => scala.concurrent.Future(w()))),
       scala.concurrent.duration.Duration.Inf): Unit
-    finally pool.shutdown()
-    segSigs.unpersist(blocking = false)
-    pairs.unpersist(blocking = false)
-    sigs.unpersist(blocking = false)
+    finally {
+      pool.shutdown()
+      segSigs.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+    }
     committed
   }
 
