@@ -55,9 +55,16 @@ object Bench {
     case Some("--child")  => childMain(args(1), args(2).split(",").toSeq)
     case Some("--ingest") => ingestChildMain(args(1))
     // smoke mode: run the full parent pipeline (forking, incremental
-    // detail rewrites, final stdout line) on a named subset
-    case Some("--only")   => parentMain(Some(args(1).split(",").toSet))
-    case _                => parentMain(None)
+    // detail rewrites, final stdout line) on a named subset; writes
+    // bench_detail_smoke.json so it can never clobber a real
+    // battery's bench_detail.json record
+    case Some("--only") =>
+      require(args.length > 1 && args(1).nonEmpty, "--only needs a name list")
+      val only = args(1).split(",").toSet
+      val unknown = only -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+      parentMain(Some(only))
+    case _ => parentMain(None)
   }
 
   private def session(): SparkSession = {
@@ -129,15 +136,17 @@ object Bench {
     val t0 = System.nanoTime()
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Double, Double)]
+    val detailFile =
+      if (only.isDefined) "bench_detail_smoke.json" else "bench_detail.json"
     groups.zipWithIndex.foreach { case (g, i) =>
       System.err.println(s"[bench] forking group ${i + 1}/${groups.size}: ${g.mkString(",")}")
       acc ++= forkGroup(g, log)
-      emit(acc.toSeq, (0L, -1.0, -1.0), sfDir,
+      emit(acc.toSeq, (0L, -1.0, -1.0), sfDir, detailFile,
         partial = Some((i + 1, groups.size, (System.nanoTime() - t0) / 1e9)))
     }
 
     val ingest = forkIngest(log)
-    emit(acc.toSeq, ingest, sfDir, partial = None)
+    emit(acc.toSeq, ingest, sfDir, detailFile, partial = None)
   }
 
   /** Fork one child JVM for `names`; returns (name, cold, median, best)
@@ -341,6 +350,7 @@ object Bench {
     * contract lines risks it parsing an early partial one). */
   private def emit(results: Seq[(String, Double, Double, Double)],
                    ingest: (Long, Double, Double), sfDir: String,
+                   detailFile: String,
                    partial: Option[(Int, Int, Double)]): Unit = {
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON line out of that tail: the stdout line carries
@@ -371,9 +381,9 @@ object Bench {
     }
     val detail = s"""{"metric":"total","value":$total,"unit":"sec",$partialTag"queries":$qs,"queries_best":$qsBest,"queries_cold":$qsCold,$scalars}"""
     // write-then-rename so a timeout can never leave a torn JSON file
-    val tmp = Paths.get("bench_detail.json.tmp")
+    val tmp = Paths.get(detailFile + ".tmp")
     Files.write(tmp, detail.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get("bench_detail.json"),
+    Files.move(tmp, Paths.get(detailFile),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     partial match {
       case Some((done, tot, elapsed)) =>

@@ -183,22 +183,34 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
     * first, so concurrent [[status]] already 404s while files are
     * still being torn down (same visibility a reader had mid-walk
     * under the old in-lock delete, which never guarded [[results]]'s
-    * unsynchronized parquet read anyway). */
+    * unsynchronized parquet read anyway). A victim whose directory
+    * delete FAILS has its entry re-inserted (still finished, still
+    * older than any future cutoff), so the next prune retries it
+    * instead of orphaning the files forever; only the successfully
+    * pruned ids are returned. */
   def prune(olderThan: Timestamp): Seq[String] = {
     val victims = synchronized {
       val vs = entries.values
-        .filter(_.finished.exists(_.before(olderThan))).map(_.queryid).toVector
-      vs.foreach(entries.remove)
+        .filter(_.finished.exists(_.before(olderThan))).toVector
+      vs.foreach(v => entries.remove(v.queryid))
       vs
     }
-    victims.foreach { id =>
-      val dir = java.nio.file.Paths.get(s"$resultDir/$id")
-      if (java.nio.file.Files.exists(dir))
-        java.nio.file.Files.walk(dir)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
+    victims.flatMap { v =>
+      try {
+        val dir = java.nio.file.Paths.get(s"$resultDir/${v.queryid}")
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+        Some(v.queryid)
+      } catch {
+        case e: java.io.IOException =>
+          synchronized { entries.put(v.queryid, v): Unit }
+          System.err.println(
+            s"[queryqueue] prune of ${v.queryid} failed, will retry: $e")
+          None
+      }
     }
-    victims
   }
 
   /** [[prune]] at the reference's default retention: everything

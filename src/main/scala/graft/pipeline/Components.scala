@@ -70,39 +70,50 @@ object Components {
     * longer be recomputed. */
   def release(df: DataFrame): Unit = freeCheckpoint(df)
 
+  /** Single-threaded min-label union-find over longs — shared by the
+    * executor-side [[localUnionFind]] finisher and [[updateClusters]]'
+    * driver fast path (one implementation, used both sides of the
+    * serialization boundary; instantiate inside a closure to avoid
+    * capture). `find` is iterative with full path compression: a
+    * recursive find would recurse once per chain link, and a
+    * degenerate million-edge chain overflows the calling thread's
+    * stack. The smaller root always wins, so labels are
+    * iteration-order-independent. */
+  private[pipeline] final class MinUnionFind {
+    private val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (c != r) { val nxt = parent.getOrElse(c, c); parent.update(c, r); c = nxt }
+      parent.update(r, r)
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+    }
+    /** (member, root) for every id `find`/`union` ever touched. */
+    def labeled: Iterator[(Long, Long)] =
+      parent.keysIterator.toArray.iterator.map(k => (k, find(k)))
+  }
+
   /** Exact min-label union-find over an edge frame, in ONE task.
     * The finishing move of the hybrid: once the (contracted) edge set
     * fits a single executor task, each further distributed star round
     * costs several shuffle/job round-trips to move a few thousand rows
     * — a single mapPartitions pass with path compression labels the
     * remainder in milliseconds. Executor-side, not a driver collect;
-    * memory is bounded by the caller's edge-count threshold. Labels are
-    * iteration-order-independent (the smaller root always wins), so the
-    * output is deterministic. */
+    * memory is bounded by the caller's edge-count threshold. */
   private def localUnionFind(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     e.select(col("src"), col("dst")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        // iterative find with full path compression: a recursive find
-        // would recurse once per chain link, and a degenerate
-        // million-edge chain (well inside localFinishEdges) overflows
-        // the task thread's stack
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (c != r) { val nxt = parent.getOrElse(c, c); parent.update(c, r); c = nxt }
-          parent.update(r, r)
-          r
-        }
-        it.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
-        }
-        parent.keysIterator.toArray.iterator.map(k => (k, find(k)))
+        val uf = new MinUnionFind
+        it.foreach { case (a, b) => uf.union(a, b) }
+        uf.labeled
       }
       .toDF("node", "component")
   }
@@ -223,23 +234,27 @@ object Components {
     *
     * Cost shape: the touched-cluster id set is bounded by the batch's
     * pair endpoints — so the previous map is filtered map-side, never
-    * shuffled. Up to `inSetMax` endpoints (and 4×inSetMax distinct
-    * pairs) the whole MERGE STRUCTURE is computed driver-side: the
-    * batch's distinct pairs are collected once (per-partition deduped,
-    * so driver transfer is bounded by distinct pairs × partitions, and
-    * micro-batch sized by contract), a union-find over the endpoints'
-    * current cluster LABELS yields the relabel map (min-label wins —
-    * identical convention to [[connectedComponents]]' localUnionFind
-    * over member ids, because every label is the min of its members),
-    * and the output is three scan-side legs: clusters whose label is
+    * shuffled. Up to `inSetMax` endpoints (gated FIRST, on an
+    * endpoints-only collect — distinct pairs can be quadratic in
+    * endpoints, so nothing pair-shaped crosses to the driver before
+    * this gate passes) the whole MERGE STRUCTURE is computed
+    * driver-side: the batch's connectivity is contracted to cluster
+    * LABELS executor-side (same-cluster pairs collapse to dropped
+    * self-loops; per-partition dedup + a 4×inSetMax per-partition cap
+    * with an overflow sentinel bound the transfer), a union-find over
+    * those labels yields the relabel map (min-label wins — identical
+    * convention to [[connectedComponents]]' localUnionFind over
+    * member ids, because every label is the min of its members), and
+    * the output is three scan-side legs: clusters whose label is
     * unchanged pass through under an isin() complement, changed
     * members relabel through a literal-map `element_at` projection,
     * and never-seen endpoints append as a driver-literal frame. No
     * distributed CC, no checkpoints, no join — per fold that deletes
     * the subgraph-CC's signature/checkpoint/union-find jobs (~5 jobs +
-    * their plan-analysis latency). Beyond the gate the touched set
-    * goes through broadcast semi/anti joins + the distributed CC loop
-    * on touched stars ∪ new pairs (graceful at any size).
+    * their plan-analysis latency). Beyond the endpoint gate (or on
+    * sentinel overflow) the touched set goes through broadcast
+    * semi/anti joins + the distributed CC loop on touched stars ∪ new
+    * pairs (graceful at any size).
     * At 100 TB, bucket the persisted map by cluster so the semi-join
     * prunes files too. Same numeric-id contract as
     * [[connectedComponents]]; [[release]] the result when consumed. */
@@ -256,81 +271,111 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .filter(col("src") =!= col("dst"))
-    // the batch's distinct pairs, driver-side: micro-batch sized BY
-    // CONTRACT (same contract the endpoint set always had), gathered
-    // as ONE shuffle-free single-stage job. Per-partition dedup ahead
-    // of the collect (the temperatureMix idiom): a match-heavy batch
-    // can emit the same pair from many candidate buckets, so what
-    // crosses to the driver is bounded by distinct pairs × partitions,
-    // not by the raw pair count.
-    val pairEdges: Array[(Long, Long)] =
+    // the touched endpoints, driver-side: micro-batch sized BY
+    // CONTRACT, gathered as ONE shuffle-free single-stage job.
+    // Per-partition dedup ahead of the collect (the temperatureMix
+    // idiom): a match-heavy batch can emit many pairs per endpoint,
+    // so what crosses to the driver is bounded by distinct endpoints
+    // × partitions, not by the pair count. Collected BEFORE anything
+    // pair-shaped: distinct pairs can be quadratic in endpoints, so
+    // the endpoint count is the gate that decides whether pairs may
+    // come to the driver at all.
+    val endIds: Array[Long] = {
+      val seen = new java.util.HashSet[Long]()
       realPairs.select(col("src"), col("dst")).as[(Long, Long)]
         .mapPartitions { it =>
-          val s = new java.util.LinkedHashSet[(Long, Long)]()
-          it.foreach(p => s.add(p): Unit)
+          val s = new java.util.HashSet[Long]()
+          it.foreach { case (a, b) => s.add(a); s.add(b): Unit }
           s.iterator().asScala
-        }.collect().distinct
-    if (pairEdges.isEmpty)
+        }.collect().foreach(id => seen.add(id): Unit)
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator(); var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+    if (endIds.isEmpty)
       // no real pairs: every cluster passes through untouched
       return prev.select(col(idCol).cast("long").as(idCol),
         col(clusterCol).cast("long").as(clusterCol))
-    val endIds: Array[Long] =
-      pairEdges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
-    // beyond `inSetMax` endpoints (or 4× that in distinct pairs),
-    // literal In-lists and map literals stop being a sane plan
-    // (analysis cost grows with the literal count) and the fold goes
-    // back through the broadcast-join + distributed-CC spelling, which
-    // degrades gracefully at any size — the driver fast path is a
-    // micro-batch optimization, not a new bound (the spec runs the
-    // differential on both paths via inSetMax = 0)
+    // beyond `inSetMax` endpoints, literal In-lists and map literals
+    // stop being a sane plan (analysis cost grows with the literal
+    // count) and the fold goes back through the broadcast-join +
+    // distributed-CC spelling, which degrades gracefully at any size —
+    // the driver fast path is a micro-batch optimization, not a new
+    // bound (the spec runs the differential on both paths via
+    // inSetMax = 0)
     val prevT = prev.select(col(idCol).cast("long").as("id"),
       col(clusterCol).cast("long").as("_c"))
-    if (endIds.length <= inSetMax && pairEdges.length <= 4 * inSetMax) {
+    val fast: Option[DataFrame] = if (endIds.length > inSetMax) None else {
       val endClusters = prev
         .filter(col(idCol).cast("long").isin(endIds.map(Long.box).toSeq: _*))
         .select(col(idCol).cast("long"), col(clusterCol).cast("long"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      def lbl(x: Long): Long = endClusters.getOrElse(x, x)
-      // union-find over cluster LABELS, min-label-wins with path
-      // compression — the same convention localUnionFind applies to
-      // member ids; equal because each label is the min of its
-      // members, so min over merged labels = min over merged members
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (c != r) { val nxt = parent.getOrElse(c, c); parent.update(c, r); c = nxt }
-        parent.update(r, r)
-        r
+      // the batch's connectivity, contracted to cluster LABELS before
+      // it ever crosses to the driver: pairs inside one existing
+      // cluster collapse to self-loops and are dropped executor-side,
+      // so a template-heavy batch (k² near-identical docs already
+      // sharing a cluster) ships ~nothing. Per-partition dedup + a
+      // per-partition cap bound the transfer at partitions × cap even
+      // adversarially; a capped partition emits a (-1,-1) sentinel
+      // (impossible as a real label pair: equal-label pairs are
+      // dropped before emit, so no emitted pair has la == lb) and the
+      // fold falls back to the distributed leg instead of trusting a
+      // truncated edge set.
+      val cap = 4 * inSetMax
+      val labelEdges: Array[(Long, Long)] =
+        realPairs.select(col("src"), col("dst")).as[(Long, Long)]
+          .mapPartitions { it =>
+            val s = new java.util.LinkedHashSet[(Long, Long)]()
+            var overflow = false
+            it.foreach { case (a, b) =>
+              if (!overflow) {
+                val la = endClusters.getOrElse(a, a)
+                val lb = endClusters.getOrElse(b, b)
+                if (la != lb) {
+                  val p = if (la < lb) (la, lb) else (lb, la)
+                  if (s.contains(p) || s.size < cap) s.add(p): Unit
+                  else overflow = true
+                }
+              }
+            }
+            (if (overflow) Iterator((-1L, -1L)) else Iterator.empty) ++
+              s.iterator().asScala
+          }.collect().distinct
+      if (labelEdges.contains((-1L, -1L)) || labelEdges.length > cap) None
+      else {
+        // union-find over cluster labels, min-label-wins — the same
+        // convention localUnionFind applies to member ids; equal
+        // because each label is the min of its members, so min over
+        // merged labels = min over merged members
+        val uf = new MinUnionFind
+        labelEdges.foreach { case (a, b) => uf.union(a, b) }
+        def lbl(x: Long): Long = endClusters.getOrElse(x, x)
+        // old label → merged label, for the labels that actually move
+        val changed: Map[Long, Long] = endIds.iterator.map(lbl).toArray
+          .distinct.iterator.map(l => l -> uf.find(l))
+          .filter { case (o, n) => n != o }.toMap
+        // endpoints never seen before appear as new map rows
+        val newRows: Seq[(Long, Long)] = endIds.iterator
+          .filterNot(endClusters.contains).map(id => (id, uf.find(id))).toVector
+        val kept =
+          if (changed.isEmpty) prevT
+          else {
+            val changedKeys: Seq[Any] = changed.keys.map(Long.box).toSeq
+            // null-safe complement (a null cluster — which the map
+            // invariant forbids anyway — must pass through, matching
+            // the fallback leg's left_anti null semantics)
+            prevT.filter(col("_c").isNull || !col("_c").isin(changedKeys: _*))
+              .union(prevT.filter(col("_c").isin(changedKeys: _*))
+                .select(col("id"),
+                  element_at(typedLit(changed), col("_c")).as("_c")))
+          }
+        Some(kept.union(newRows.toDF("id", "_c"))
+          .withColumnRenamed("id", idCol)
+          .withColumnRenamed("_c", clusterCol))
       }
-      pairEdges.foreach { case (a, b) =>
-        val (ra, rb) = (find(lbl(a)), find(lbl(b)))
-        if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
-      }
-      // old label → merged label, for the labels that actually move
-      val changed: Map[Long, Long] = endIds.iterator.map(lbl).toArray
-        .distinct.iterator.map(l => l -> find(l))
-        .filter { case (o, n) => n != o }.toMap
-      // endpoints never seen before appear as new map rows
-      val newRows: Seq[(Long, Long)] = endIds.iterator
-        .filterNot(endClusters.contains).map(id => (id, find(id))).toVector
-      val kept =
-        if (changed.isEmpty) prevT
-        else {
-          val changedKeys: Seq[Any] = changed.keys.map(Long.box).toSeq
-          // null-safe complement (a null cluster — which the map
-          // invariant forbids anyway — must pass through, matching
-          // the fallback leg's left_anti null semantics)
-          prevT.filter(col("_c").isNull || !col("_c").isin(changedKeys: _*))
-            .union(prevT.filter(col("_c").isin(changedKeys: _*))
-              .select(col("id"),
-                element_at(typedLit(changed), col("_c")).as("_c")))
-        }
-      kept.union(newRows.toDF("id", "_c"))
-        .withColumnRenamed("id", idCol)
-        .withColumnRenamed("_c", clusterCol)
-    } else {
+    }
+    fast.getOrElse {
       val ends = realPairs.select(col("src").as("_id"))
         .union(realPairs.select(col("dst").as("_id"))).distinct()
       val touchedIds = ends.join(
