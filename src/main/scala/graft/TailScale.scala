@@ -31,17 +31,41 @@ import org.apache.spark.sql.functions._
   * discipline); generation is cached per scale under the scratch dir
   * and excluded from timings. Prints cold + median-of-3 warm seconds;
   * the exponent one decade up is log10(t(100×)/t(10×)).
+  *
+  * Round-14 additions: e4/e7 (documents copies), ev8 (events copies —
+  * rollup groups deepen ×N), and the d6 OPERATOR probe (embeddings
+  * copies rotated/negated per copy + nlist scaled ×N — see the
+  * d6Probe note for why the battery's planted-pair contract cannot be
+  * replicated ×N directly).
   */
 object TailScale {
 
-  private val docQueries = Set("e3_export_manifest")
+  private val docQueries = Set("e3_export_manifest", "e4_tokenized_pack",
+    "e7_bloom_decontaminate")
   private val liQueries =
     Set("g2_triangles", "g3_link_predict", "g4_communities", "a19_lomb_scargle")
+  private val evQueries = Set("ev8_incremental_rollup")
+  // d6's battery entry is its planted-pair contract, whose truth-pair
+  // volume is QUADRATIC in the vector count by construction (8 fixed
+  // planted groups that deepen with the corpus) — replicating it ×N
+  // measures the construction, not the engine. The tail probe instead
+  // runs the real operator (SemDedup.semanticPairs) over ×N rotated/
+  // sign-flipped copies of the embeddings table with nlist scaled ×N —
+  // the configuration the operator's own Scaladoc prescribes at scale
+  // (hold the expected cell size constant), which is the 100 TB
+  // question being tested.
+  private val d6Probe = "d6_semantic_dedup"
 
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val nCopies = args(1).toInt
-    require(docQueries.contains(name) || liQueries.contains(name),
+    // optional third arg: warm-run count (default 3) — the 100× runs
+    // of the linear-dominated queries cost minutes per execution, and
+    // 2 warms bound a multi-hour sweep while still separating warm
+    // from cold
+    val nWarms = if (args.length > 2) args(2).toInt else 3
+    require(docQueries.contains(name) || liQueries.contains(name) ||
+      evQueries.contains(name) || name == d6Probe,
       s"unknown tail query $name")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +83,8 @@ object TailScale {
       else {
         val d = s"$scratch/x$nCopies"
         if (docQueries.contains(name)) genDocs(spark, sfDir, d, nCopies, cpus.toInt)
+        else if (evQueries.contains(name)) genEvents(spark, sfDir, d, nCopies, cpus.toInt)
+        else if (name == d6Probe) genEmbeddings(spark, sfDir, d, nCopies, cpus.toInt)
         else genLineitem(spark, sfDir, d, nCopies, cpus.toInt)
         d
       }
@@ -68,7 +94,14 @@ object TailScale {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    val fn = SparkEntry.queries(name)
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name == d6Probe) { (s, dd) =>
+        graft.pipeline.SemDedup.semanticPairs(
+          s.read.parquet(s"$dd/embeddings.parquet")
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", nlist = 8 * nCopies, threshold = 0.8)
+      }
+      else SparkEntry.queries(name)
     def once(): Double = {
       val t0 = System.nanoTime()
       fn(spark, dir).write.mode("overwrite").format("noop").save()
@@ -79,9 +112,12 @@ object TailScale {
     val cold = once()
     val n = fn(spark, dir).count() // untimed, result-shape sanity only
     clean()
-    val warms = Seq.fill(3)(once()).sorted
+    val warms = Seq.fill(nWarms)(once()).sorted
+    val med =
+      if (nWarms % 2 == 1) warms(nWarms / 2)
+      else (warms(nWarms / 2 - 1) + warms(nWarms / 2)) / 2
     println(f"[tailscale] $name x$nCopies%-4d rows=$n%-9d " +
-      f"cold=${cold}%7.2f s  warm_med=${warms(1)}%7.2f s  warm_min=${warms.head}%7.2f s")
+      f"cold=${cold}%7.2f s  warm_med=${med}%7.2f s  warm_min=${warms.head}%7.2f s")
     spark.stop()
   }
 
@@ -100,6 +136,51 @@ object TailScale {
         (if (k == 0) col("text")
          else regexp_replace(col("text"), "(\\S+)", s"$$1_c$k")).as("text"),
         col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus).write.mode("overwrite").parquet(out)
+  }
+
+  /** events ×n: event_id offset by k·10⁹ (divisible by 4, so the
+    * battery's %4 micro-batch split keeps its distribution);
+    * ts/type/value untouched, so the (day, event_type) rollup groups
+    * DEEPEN ×n exactly as a busier real stream would. */
+  private def genEvents(spark: SparkSession, sfDir: String, outDir: String,
+      n: Int, cpus: Int): Unit = {
+    val out = s"$outDir/events.parquet"
+    if (new java.io.File(out, "_SUCCESS").exists()) return // see genDocs
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until n).map { k =>
+      base.withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
+    }.reduce(_ unionByName _)
+      .repartition(cpus).write.mode("overwrite").parquet(out)
+  }
+
+  /** embeddings ×n, pairwise-dissimilar across copies: vec_id offset
+    * by k·10⁷; copy k's vectors are circularly rotated by k mod dim
+    * positions and globally negated every dim copies ((−1)^(k div
+    * dim)) — slice+concat projections, codegen-friendly, no
+    * per-element lambdas. Rotated/negated real embeddings are
+    * almost surely below any near-dup threshold against other
+    * copies, so true near-dup structure replicates ×n while the
+    * probe's nlist scales ×n to hold cell size constant. */
+  private def genEmbeddings(spark: SparkSession, sfDir: String, outDir: String,
+      n: Int, cpus: Int): Unit = {
+    val out = s"$outDir/embeddings.parquet"
+    if (new java.io.File(out, "_SUCCESS").exists()) return // see genDocs
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dim = base.select(size(col("embedding")).as("d")).head().getInt(0)
+    (0 until n).map { k =>
+      val rot = k % dim
+      val sign = if ((k / dim) % 2 == 0) 1.0f else -1.0f
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+      base.select(
+        (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+        (if (sign == 1.0f) rotated
+         else transform(rotated, x => -x)).as("embedding"))
     }.reduce(_ unionByName _)
       .repartition(cpus).write.mode("overwrite").parquet(out)
   }
