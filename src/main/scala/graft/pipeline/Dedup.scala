@@ -395,22 +395,28 @@ object Dedup {
       textCol, shingleWords, numHashes).persist()
     val nb = lshBuckets(sigs, bands, numHashes / bands)
       .select(col("_band"), col("_bucket"), col(idCol))
-    // batch ⋈ corpus postings + batch-internal candidates, ids only.
-    // id_a =!= id_b also here: ids are contract-unique across corpus
-    // and batch, but a REPLAYED batch whose postings already committed
-    // would otherwise self-match every doc at jaccard 1.0
-    val vsCorpus = index.buckets
-      .select(col("_band"), col("_bucket"), col(idCol).as("id_a"))
+    // batch ⋈ corpus postings + batch-internal candidates, ids only —
+    // ONE tagged join, not two: the corpus postings and the batch's
+    // own postings union into a single probe side (union is free — no
+    // shuffle), so the batch frame is joined (and broadcast) once per
+    // fold instead of once per candidate source. The per-origin
+    // predicates are unchanged: id_a =!= id_b on the corpus leg (ids
+    // are contract-unique across corpus and batch, but a REPLAYED
+    // batch whose postings already committed would otherwise
+    // self-match every doc at jaccard 1.0), id_a < id_b on the
+    // batch-internal leg (each unordered pair once).
+    val postings = index.buckets
+      .select(col("_band"), col("_bucket"), col(idCol).as("id_a"),
+        lit("corpus").as("origin"))
+      .union(nb.select(col("_band"), col("_bucket"), col(idCol).as("id_a"),
+        lit("batch").as("origin")))
+    val cands = postings
       .join(nb.select(col("_band"), col("_bucket"), col(idCol).as("id_b")),
         Seq("_band", "_bucket"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), lit("corpus").as("origin"))
-    val within = nb.select(col("_band"), col("_bucket"), col(idCol).as("id_a"))
-      .join(nb.select(col("_band"), col("_bucket"), col(idCol).as("id_b")),
-        Seq("_band", "_bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit("batch").as("origin"))
-    val cands = vsCorpus.union(within).dropDuplicates("id_a", "id_b", "origin")
+      .filter((col("origin") === "corpus" && col("id_a") =!= col("id_b")) ||
+        (col("origin") === "batch" && col("id_a") < col("id_b")))
+      .select(col("id_a"), col("id_b"), col("origin"))
+      .dropDuplicates("id_a", "id_b", "origin")
     val shA = index.shingles.select(col(idCol).as("id_a"), col("_shingles").as("_sh_a"))
       .union(sigs.select(col(idCol).as("id_a"), col("_shingles").as("_sh_a")))
     val pairs = cands
