@@ -201,9 +201,12 @@ object NearDupStream {
     * map. The map holds every doc that has ever appeared in a pair —
     * docs with no duplicate are implicit singletons (cluster = own id),
     * the same convention [[graft.pipeline.Components.dedupClusters]]
-    * exposes. */
+    * exposes. Returns nothing: the committed version IS the product —
+    * readers go through [[latestClusters]], and the old read-back of
+    * the just-written directory was one wasted job per fold (the sole
+    * caller discards it). */
   def updateClusterState(spark: SparkSession, dir: String,
-      pairs: DataFrame, idCol: String, batchId: Long): DataFrame = {
+      pairs: DataFrame, idCol: String, batchId: Long): Unit = {
     import spark.implicits._
     // fold on the latest version STRICTLY BELOW this batch: a retry
     // whose own v<batchId> already committed must neither read the
@@ -216,7 +219,6 @@ object NearDupStream {
       pairs, "id_a", "id_b")
     next.write.mode("overwrite").parquet(s"$dir/clusters/v$batchId")
     Components.release(next)
-    spark.read.parquet(s"$dir/clusters/v$batchId")
   }
 
   /** The highest committed cluster-map version (strictly below the
