@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   *
   * Run each (query, scale) in its own JVM invocation (the SfScaling
   * discipline); generation is cached per scale under the scratch dir
-  * and excluded from timings. Prints cold + median-of-3 warm seconds;
-  * the exponent one decade up is log10(t(100×)/t(10×)).
+  * and excluded from timings. Prints cold + warm median over nWarms
+  * runs (optional third arg, default 3; an even count reports the
+  * mean of the middle two); the exponent one decade up is
+  * log10(t(100×)/t(10×)).
   *
   * Round-14 additions: e4/e7 (documents copies), ev8 (events copies —
   * rollup groups deepen ×N), and the d6 OPERATOR probe (embeddings
@@ -64,6 +66,7 @@ object TailScale {
     // 2 warms bound a multi-hour sweep while still separating warm
     // from cold
     val nWarms = if (args.length > 2) args(2).toInt else 3
+    require(nWarms >= 1, s"nWarms must be >= 1, got $nWarms")
     require(docQueries.contains(name) || liQueries.contains(name) ||
       evQueries.contains(name) || name == d6Probe,
       s"unknown tail query $name")
@@ -157,9 +160,11 @@ object TailScale {
 
   /** embeddings ×n, pairwise-dissimilar across copies: vec_id offset
     * by k·10⁷; copy k's vectors are circularly rotated by k mod dim
-    * positions and globally negated every dim copies ((−1)^(k div
-    * dim)) — slice+concat projections, codegen-friendly, no
-    * per-element lambdas. Rotated/negated real embeddings are
+    * positions (slice+concat projections, codegen-friendly) and
+    * globally negated every dim copies ((−1)^(k div dim)) — the
+    * negation leg (copies ≥ dim only) is a per-element transform
+    * lambda, generation-time and untimed. Rotated/negated real
+    * embeddings are
     * almost surely below any near-dup threshold against other
     * copies, so true near-dup structure replicates ×n while the
     * probe's nlist scales ×n to hold cell size constant. */

@@ -197,8 +197,8 @@ object NearDupStream {
     * only clusters the batch touches recompute; everything else passes
     * through. One full map version per batch (`clusters/v<id>`),
     * overwrite-idempotent under retries like the posting segments; the
-    * latest committed version is the serving state. Returns the new
-    * map. The map holds every doc that has ever appeared in a pair —
+    * latest committed version is the serving state. The map holds
+    * every doc that has ever appeared in a pair —
     * docs with no duplicate are implicit singletons (cluster = own id),
     * the same convention [[graft.pipeline.Components.dedupClusters]]
     * exposes. Returns nothing: the committed version IS the product —
