@@ -175,6 +175,12 @@ object TailScale {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val dim = base.select(size(col("embedding")).as("d")).head().getInt(0)
+    // rotate-by-(k mod dim) × negate-every-dim-copies repeats with
+    // period 2·dim: copy k and copy k+2·dim would be bit-identical,
+    // silently reintroducing the quadratic cross-copy near-dup volume
+    // this scheme exists to exclude. Refuse rather than alias.
+    require(n <= 2 * dim,
+      s"genEmbeddings: n=$n exceeds the 2*dim=${2 * dim} pairwise-dissimilar period")
     (0 until n).map { k =>
       val rot = k % dim
       val sign = if ((k / dim) % 2 == 0) 1.0f else -1.0f

@@ -183,12 +183,40 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
     * first, so concurrent [[status]] already 404s while files are
     * still being torn down (same visibility a reader had mid-walk
     * under the old in-lock delete, which never guarded [[results]]'s
-    * unsynchronized parquet read anyway). A victim whose directory
-    * delete FAILS has its entry re-inserted (still finished, still
-    * older than any future cutoff), so the next prune retries it
-    * instead of orphaning the files forever; only the successfully
-    * pruned ids are returned. */
+    * unsynchronized parquet read anyway).
+    *
+    * Deletion is rename-THEN-walk: each victim directory is first
+    * atomically renamed to a `.trash-<id>` sibling (query ids are
+    * UUIDs, so the dot-prefixed name can never collide with a live
+    * result), and only the renamed tree is walk-deleted. A reader
+    * therefore observes either the complete directory or ENOENT —
+    * never a half-deleted parquet tree — and a victim is only
+    * re-inserted (for retry by a later prune) when the RENAME fails,
+    * i.e. while its files are still fully intact; once renamed the
+    * entry stays gone even if the walk fails, because the result is
+    * already unreadable at its public path. Leftover trash from a
+    * failed walk is re-swept at the start of every prune. */
   def prune(olderThan: Timestamp): Seq[String] = {
+    import java.nio.file.{Files, Paths, Path}
+    def walkDelete(dir: Path): Unit =
+      if (Files.exists(dir)) {
+        val s = Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.delete(p))
+        finally s.close()
+      }
+    // re-sweep trash orphaned by a previous prune's failed walk
+    val root = Paths.get(resultDir)
+    if (Files.isDirectory(root)) {
+      val s = Files.list(root)
+      try s.filter(_.getFileName.toString.startsWith(".trash-"))
+        .forEach { t =>
+          try walkDelete(t)
+          catch { case e: java.io.IOException =>
+            System.err.println(s"[queryqueue] trash sweep of $t failed: $e") }
+        }
+      finally s.close()
+    }
     val victims = synchronized {
       val vs = entries.values
         .filter(_.finished.exists(_.before(olderThan))).toVector
@@ -196,20 +224,29 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
       vs
     }
     victims.flatMap { v =>
-      try {
-        val dir = java.nio.file.Paths.get(s"$resultDir/${v.queryid}")
-        if (java.nio.file.Files.exists(dir))
-          java.nio.file.Files.walk(dir)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.delete(p))
-        Some(v.queryid)
-      } catch {
-        case e: java.io.IOException =>
-          synchronized { entries.put(v.queryid, v): Unit }
+      val dir = Paths.get(s"$resultDir/${v.queryid}")
+      val trash = Paths.get(s"$resultDir/.trash-${v.queryid}")
+      val renamed =
+        try {
+          if (Files.exists(dir))
+            Files.move(dir, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch {
+          case e: java.io.IOException =>
+            synchronized { entries.put(v.queryid, v): Unit }
+            System.err.println(
+              s"[queryqueue] prune rename of ${v.queryid} failed, will retry: $e")
+            false
+        }
+      if (renamed) {
+        try walkDelete(trash)
+        catch { case e: java.io.IOException =>
+          // already unreadable at the public path; next prune re-sweeps
           System.err.println(
-            s"[queryqueue] prune of ${v.queryid} failed, will retry: $e")
-          None
-      }
+            s"[queryqueue] trash delete of ${v.queryid} deferred: $e")
+        }
+        Some(v.queryid)
+      } else None
     }
   }
 

@@ -313,6 +313,23 @@ class StreamingSpec extends AnyFunSuite {
       new java.sql.Timestamp(System.currentTimeMillis())).isEmpty)
   }
 
+  test("query queue: prune re-sweeps orphaned trash directories") {
+    // prune deletes via atomic rename-to-trash then walk, so a reader
+    // can never observe a half-deleted parquet directory; a walk that
+    // dies mid-delete leaves a `.trash-<id>` sibling that the NEXT
+    // prune must clean up. Pin: a planted trash tree (nested, as a
+    // parquet dir would be) is gone after any prune call, and its
+    // presence never makes the pruned id readable again.
+    val resDir = Files.createTempDirectory("qres_trash")
+    val q = new graft.api.QueryQueue(spark, resDir.toString)
+    val trash = resDir.resolve(".trash-deadbeef")
+    Files.createDirectories(trash.resolve("part-0"))
+    Files.write(trash.resolve("part-0/data.bin"), Array[Byte](1, 2, 3))
+    assert(q.prune(new java.sql.Timestamp(1L)).isEmpty) // no victims
+    assert(!Files.exists(trash), "orphaned trash must be re-swept")
+    intercept[Exception](q.results("deadbeef"))
+  }
+
   test("spectrum workflow: anti-joins and latest-mag rollup") {
     import graft.api.Spectrum
     val wanted = Seq(("r1", "alice"), ("r2", "bob"), ("r3", "carol"))
