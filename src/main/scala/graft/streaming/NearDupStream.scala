@@ -98,8 +98,6 @@ object NearDupStream {
     val (pairs0, sigs) = Dedup.incrementalMinhashWithSigs(batch, idCol,
       textCol, index, p.shingleWords, p.numHashes, p.bands, p.threshold)
     val pairs = pairs0.persist()
-    if (liveClusters)
-      updateClusterState(spark, dir, pairs, idCol, batchId)
     // strongest applicable label per batch doc: corpus beats batch
     val perDoc = pairs.groupBy(col("id_b").as(idCol))
       .agg(max(when(col("origin") === "corpus", 2).otherwise(1)).as("_lvl"))
@@ -120,18 +118,33 @@ object NearDupStream {
     // the signature frame by kept-id semi-join, no second tokenize.
     // Persisted: both segment writes consume it, and without the cache
     // each re-runs the semi-join (and re-broadcasts keptIds). The two
-    // writes land on disjoint directories and run CONCURRENTLY — two
-    // independent small jobs serialized on one driver thread is pure
-    // scheduler latency (the SilverStore.stagePar rationale).
+    // segment writes run back-to-back INSIDE one future — launched
+    // concurrently they race the cold segSigs cache and each builds
+    // its own keptIds broadcast + semi-join (duplicate jobs for ~30 ms
+    // of saved driver latency); the buckets write fills the cache and
+    // the shingles write is then a pure cache dump.
     val keptIds = committed.filter(col("decision") === "kept").select(col(idCol))
     val segSigs = sigs.join(keptIds, Seq(idCol), "left_semi").persist()
+    // The live-cluster fold runs in a SECOND future (r15): it starts
+    // AFTER the decisions write — whose perDoc aggregate has just
+    // materialized the `pairs` cache, so the fold's endpoint collect
+    // reads warm cache instead of re-materializing the probe DAG's
+    // AQE stages — and CONCURRENTLY with the segment writes, which it
+    // shares no state with (clusters/v<id> vs buckets|shingles/b<id>).
+    // Retry safety is unchanged: both folds are overwrite-idempotent
+    // and read only strictly-earlier state.
     val writes = Seq(
-      () => Dedup.lshBuckets(segSigs, p.bands, p.numHashes / p.bands)
-        .select(col("_band"), col("_bucket"), col(idCol))
-        .write.mode("overwrite").parquet(s"$dir/buckets/b$batchId"),
-      () => segSigs.select(col(idCol), col("_shingles"))
-        .write.mode("overwrite").parquet(s"$dir/shingles/b$batchId"))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      () => {
+        Dedup.lshBuckets(segSigs, p.bands, p.numHashes / p.bands)
+          .select(col("_band"), col("_bucket"), col(idCol))
+          .write.mode("overwrite").parquet(s"$dir/buckets/b$batchId")
+        segSigs.select(col(idCol), col("_shingles"))
+          .write.mode("overwrite").parquet(s"$dir/shingles/b$batchId")
+      }) ++
+      (if (liveClusters)
+        Seq(() => updateClusterState(spark, dir, pairs, idCol, batchId))
+      else Nil)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     // unpersist in the finally: if either write fails, Await.result
