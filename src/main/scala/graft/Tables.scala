@@ -14,8 +14,22 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred schema per (path, content signature): a schemaless
+    * parquet read fires one footer-inference job EVERY time the table
+    * is loaded — for a battery child that reads the same table cold +
+    * 2-3 warm runs, that's pure scheduler overhead on every run after
+    * the first. Keyed on [[tableSignature]] so a regenerated dataset
+    * at the same path re-infers instead of serving a stale schema. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = s"$path|${tableSignature(dir, name)}"
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Register every table as a temp view so the ad-hoc SQL surface
     * (graft.api.QueryQueue / spark.sql) can reference them by name. */

@@ -306,6 +306,23 @@ object Dedup {
     (NearDupIndex(buckets, sigs.select(col(idCol), col("_shingles"))), sigs)
   }
 
+  /** The two frame schemas a persisted [[NearDupIndex]] reads back
+    * with — plan-only (no persist, no job). Readers of on-disk index
+    * segments pass these to `spark.read.schema(...)` so the parquet
+    * load skips its footer-inference job: a streamed fold otherwise
+    * pays one scheduler job per segment read per micro-batch just to
+    * rediscover a schema that is fixed by construction. */
+  def indexSchemas(like: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, numHashes: Int, bands: Int):
+      (org.apache.spark.sql.types.StructType, org.apache.spark.sql.types.StructType) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = withMinhash(like.limit(0).select(col(idCol), col(textCol)),
+      idCol, textCol, shingleWords, numHashes)
+    (lshBuckets(sigs, bands, numHashes / bands)
+       .select(col("_band"), col("_bucket"), col(idCol)).schema,
+     sigs.select(col(idCol), col("_shingles")).schema)
+  }
+
   /** Persist a [[NearDupIndex]]: band postings laid out PARTITIONED BY
     * `_band` — a batch's probe join prunes to matching band files —
     * plus the shingle frame for candidate verification. The shingle

@@ -74,9 +74,15 @@ object NearDupStream {
       below: Option[Long] = None): Dedup.NearDupIndex = {
     val (b, sh) = (committedSegments(s"$dir/buckets", below),
       committedSegments(s"$dir/shingles", below))
-    if (b.nonEmpty && sh.nonEmpty)
-      Dedup.NearDupIndex(spark.read.parquet(b: _*), spark.read.parquet(sh: _*))
-    else
+    if (b.nonEmpty && sh.nonEmpty) {
+      // explicit schemas (fixed by construction — Dedup.indexSchemas is
+      // plan-only): without them every fold pays two footer-inference
+      // scheduler jobs just to re-derive (_band,_bucket,id)/(id,_shingles)
+      val (bSchema, shSchema) = Dedup.indexSchemas(like, idCol, textCol,
+        p.shingleWords, p.numHashes, p.bands)
+      Dedup.NearDupIndex(spark.read.schema(bSchema).parquet(b: _*),
+        spark.read.schema(shSchema).parquet(sh: _*))
+    } else
       Dedup.minhashIndex(like.limit(0), idCol, textCol,
         p.shingleWords, p.numHashes, p.bands)
   }
@@ -113,7 +119,11 @@ object NearDupStream {
     // needs — so all caches this call created can be released before
     // returning; nothing leaks across a long-lived stream's batches
     decisions.write.mode("overwrite").parquet(s"$dir/decisions/b$batchId")
-    val committed = spark.read.parquet(s"$dir/decisions/b$batchId")
+    // read back what committed (the caller's contract) with the write
+    // plan's own schema — an inference read here is one wasted
+    // footer job per fold
+    val committed = spark.read.schema(decisions.schema)
+      .parquet(s"$dir/decisions/b$batchId")
     // the batch was already shingled once: derive the new segment from
     // the signature frame by kept-id semi-join, no second tokenize.
     // Persisted: both segment writes consume it, and without the cache
@@ -226,7 +236,15 @@ object NearDupStream {
     // directory it is about to overwrite (Spark refuses to overwrite a
     // path being read) nor fold its pairs in twice — recomputing from
     // the predecessor is idempotent by construction
-    val prev = latestClusters(spark, dir, below = Some(batchId))
+    // cluster labels are min member ids, so both columns share the id
+    // type — a fixed schema the versioned read passes explicitly
+    // (skipping one footer-inference job per fold)
+    val idType = pairs.schema("id_a").dataType
+    val mapSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idType),
+      org.apache.spark.sql.types.StructField("cluster", idType)))
+    val prev = latestClusters(spark, dir, below = Some(batchId),
+        schema = Some(mapSchema))
       .getOrElse(Seq.empty[(Long, Long)].toDF(idCol, "cluster"))
     val next = Components.updateClusters(prev, idCol, "cluster",
       pairs, "id_a", "id_b")
@@ -235,16 +253,22 @@ object NearDupStream {
   }
 
   /** The highest committed cluster-map version (strictly below the
-    * given batch id when set), if any. */
+    * given batch id when set), if any. Callers that know the map's
+    * fixed (id, cluster) schema pass it to skip the footer-inference
+    * job the schemaless read would fire. */
   def latestClusters(spark: SparkSession, dir: String,
-      below: Option[Long] = None): Option[DataFrame] = {
+      below: Option[Long] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
     val root = new java.io.File(s"$dir/clusters")
     val versions = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
       .filter(f => f.getName.startsWith("v") &&
         new java.io.File(f, "_SUCCESS").exists())
       .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
       .filter { case (v, _) => below.forall(v < _) }
-    versions.sortBy(_._1).lastOption
-      .map { case (_, f) => spark.read.parquet(f.getAbsolutePath) }
+    versions.sortBy(_._1).lastOption.map { case (_, f) =>
+      schema.fold(spark.read)(spark.read.schema)
+        .parquet(f.getAbsolutePath)
+    }
   }
 }
