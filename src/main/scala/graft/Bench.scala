@@ -139,14 +139,31 @@ object Bench {
       "d11_snapshot_diff", "d12_containment", "d13_scd_history",
       "d14_timetravel_diff", "d15_normalized_dedup", "d16_cdc_compact",
       "d17_entity_resolve", "e2_decontaminate", "e5_fuzzy_decontaminate",
-      "ev10_rfm", "ev12_peak_concurrency", "r9_proximity")
+      "ev10_rfm", "ev12_peak_concurrency", "r9_proximity",
+      // r15 second de-solo pass: the 2-3 s-median d/e tail (cold < 8 s
+      // solo, r14 bench_detail). Chunked among themselves only — the
+      // original d3-in-a-76-query-JVM contamination was a much larger
+      // shared JVM with heterogeneous plans; homogeneous chunks of 5
+      // with the inter-query cache hygiene held the light family's
+      // medians at solo levels in r14/r15 batteries.
+      "d3_simhash", "d4_ngram_jaccard", "d7_dup_spans",
+      "e4_tokenized_pack", "e6_cluster_split", "e7_bloom_decontaminate",
+      "e9_contamination_report", "e10_suite_rollup")
+    // The multimodal decode trio's documented 4-12x swings (r8/r9
+    // logs) came from co-tenancy with OTHER query shapes; among
+    // themselves they are homogeneous CPU-bound JVM-library work with
+    // no codegen-cache pressure, so they share ONE JVM as a family
+    // instead of three forks.
+    val mediaChunk = Seq("m1_multimodal", "m7_image_dedup", "m9_video_framehash")
     def family(n: String, p: String) =
       n.startsWith(p) && n.length > p.length && n(p.length).isDigit
     val (solo0, cheap) = names.partition(n =>
       family(n, "d") || family(n, "e") || family(n, "cc") || soloExtra(n))
-    val (light, solo) = solo0.partition(lightFamily)
+    val (light, soloRest) = solo0.partition(lightFamily)
+    val (media, solo) = soloRest.partition(mediaChunk.toSet)
     val groups: Seq[Seq[String]] =
-      solo.map(Seq(_)) ++ light.grouped(5).toSeq ++ cheap.grouped(8).toSeq
+      solo.map(Seq(_)) ++ Seq(media).filter(_.nonEmpty) ++
+        light.grouped(5).toSeq ++ cheap.grouped(8).toSeq
 
     // Stream results: rewrite bench_detail.json after EVERY group (and
     // again after ingest) so a driver-side timeout (BENCH_r13: rc 124,

@@ -44,9 +44,20 @@ object TailScale {
 
   private val docQueries = Set("e3_export_manifest", "e4_tokenized_pack",
     "e7_bloom_decontaminate")
+  // a2/a4/sp1 (r15): lineitem-derived photometry deepens ×N under the
+  // same offsets — rootid = l_orderkey % 1000 and apiCatalog's
+  // diaobjectid = (l_orderkey*10 + l_linenumber) % 400 are both
+  // preserved because k·10⁹·10 is divisible by 1000 and 400 — so the
+  // per-object light curves grow ×N exactly as a longer survey would
+  // grow them. sp1's dims (customer/supplier/nation wanted lists) ride
+  // through as symlinks at 1×: dim tables don't grow with the survey.
   private val liQueries =
-    Set("g2_triangles", "g3_link_predict", "g4_communities", "a19_lomb_scargle")
-  private val evQueries = Set("ev8_incremental_rollup")
+    Set("g2_triangles", "g3_link_predict", "g4_communities", "a19_lomb_scargle",
+      "a2_objstats", "a4_rollup", "sp1_wanted_spectra")
+  // st2 (r15): events copies share user_id/ts, so each user's session
+  // structure keeps its bounds while every session deepens ×N — a
+  // busier stream, the realistic growth mode for sessionization.
+  private val evQueries = Set("ev8_incremental_rollup", "st2_stream_sessions")
   // d6's battery entry is its planted-pair contract, whose truth-pair
   // volume is QUADRATIC in the vector count by construction (8 fixed
   // planted groups that deepen with the corpus) — replicating it ×N
@@ -85,10 +96,17 @@ object TailScale {
       if (nCopies == 1) sfDir
       else {
         val d = s"$scratch/x$nCopies"
-        if (docQueries.contains(name)) genDocs(spark, sfDir, d, nCopies, cpus.toInt)
-        else if (evQueries.contains(name)) genEvents(spark, sfDir, d, nCopies, cpus.toInt)
-        else if (name == d6Probe) genEmbeddings(spark, sfDir, d, nCopies, cpus.toInt)
-        else genLineitem(spark, sfDir, d, nCopies, cpus.toInt)
+        val scaled =
+          if (docQueries.contains(name)) {
+            genDocs(spark, sfDir, d, nCopies, cpus.toInt); "documents"
+          } else if (evQueries.contains(name)) {
+            genEvents(spark, sfDir, d, nCopies, cpus.toInt); "events"
+          } else if (name == d6Probe) {
+            genEmbeddings(spark, sfDir, d, nCopies, cpus.toInt); "embeddings"
+          } else {
+            genLineitem(spark, sfDir, d, nCopies, cpus.toInt); "lineitem"
+          }
+        linkOthers(sfDir, d, except = scaled)
         d
       }
 
@@ -124,9 +142,38 @@ object TailScale {
     spark.stop()
   }
 
+  /** Symlink every base table the probe does NOT scale into the scaled
+    * dir, so multi-table queries (sp1's dims, a2's procver joins) run
+    * against it unchanged — dim tables staying at 1× is the realistic
+    * growth mode. Never overwrites a real generated table; a gen for a
+    * table that was previously linked deletes the link first
+    * ([[dropIfSymlink]]), so a write can never chase a link into the
+    * read-only source dir. */
+  private def linkOthers(sfDir: String, outDir: String, except: String): Unit =
+    graft.Tables.names.filter(_ != except).foreach { n =>
+      val src = java.nio.file.Paths.get(s"$sfDir/$n.parquet")
+      val dst = java.nio.file.Paths.get(s"$outDir/$n.parquet")
+      if (java.nio.file.Files.exists(src) &&
+          !java.nio.file.Files.exists(dst,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(dst, src): Unit
+    }
+
+  /** A scaled-table generator's first act: if its output path is a
+    * symlink (left by a PREVIOUS probe that scaled a different table
+    * and linked this one through), remove the link — both so the
+    * `_SUCCESS` cache check can't mistake the 1× link for a committed
+    * generation, and so the overwrite-write can't follow the link into
+    * the source dir. */
+  private def dropIfSymlink(out: String): Unit = {
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.isSymbolicLink(p)) java.nio.file.Files.delete(p)
+  }
+
   private def genDocs(spark: SparkSession, sfDir: String, outDir: String,
       n: Int, cpus: Int): Unit = {
     val out = s"$outDir/documents.parquet"
+    dropIfSymlink(out)
     // cache only a COMMITTED generation: a crash mid-write leaves a
     // partial dir that bare exists() would silently accept, corrupting
     // every later measurement; _SUCCESS is written on job commit and
@@ -150,6 +197,7 @@ object TailScale {
   private def genEvents(spark: SparkSession, sfDir: String, outDir: String,
       n: Int, cpus: Int): Unit = {
     val out = s"$outDir/events.parquet"
+    dropIfSymlink(out)
     if (new java.io.File(out, "_SUCCESS").exists()) return // see genDocs
     val base = spark.read.parquet(s"$sfDir/events.parquet")
     (0 until n).map { k =>
@@ -171,6 +219,7 @@ object TailScale {
   private def genEmbeddings(spark: SparkSession, sfDir: String, outDir: String,
       n: Int, cpus: Int): Unit = {
     val out = s"$outDir/embeddings.parquet"
+    dropIfSymlink(out)
     if (new java.io.File(out, "_SUCCESS").exists()) return // see genDocs
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
@@ -199,6 +248,7 @@ object TailScale {
   private def genLineitem(spark: SparkSession, sfDir: String, outDir: String,
       n: Int, cpus: Int): Unit = {
     val out = s"$outDir/lineitem.parquet"
+    dropIfSymlink(out)
     if (new java.io.File(out, "_SUCCESS").exists()) return // see genDocs
     val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
     (0 until n).map { k =>
