@@ -90,22 +90,16 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_(n)))
     // Heavy dedup / clustering / end-to-end compositions are isolated
-    // one-per-JVM; everything else is cheap (<~2.5 s) and runs in
-    // chunks of 8 where residue is negligible. t9/t10 (the bigram-LM
-    // pair: biggest codegen'd plans outside d*/e*) measured 2-3x their
-    // isolated steady state inside a chunk — JIT warm-up bleeding into
-    // the warm median — so they get solo JVMs too.
-    // The multimodal decode family (m1/m7/m9) is CPU-bound JVM-library
-    // work (ImageIO, javax.sound, byte-loop hashing): sharing a JVM
-    // with other queries showed 4-12x run-to-run swings on identical
-    // code (GC/JIT co-tenancy, r8 vs r9 bench logs), so they are
-    // isolated like the graph/LM families (e4 already is, via the e*
-    // solo rule below).
-    // r6/r9 joined the solo set in round 11: BENCH_r10 reported
-    // r6_ndcg at 18.9 s inside its shared chunk vs 2.4 s best /
-    // 3.6 s cold in the same file's detail — pure GC/JIT co-tenancy,
-    // the m1/m7/m9 mechanism — which put ~17 s of scheduling noise
-    // into the headline total.
+    // from the CHEAP chunks; everything else (<~2.5 s) runs in chunks
+    // of 8 where residue is negligible. The historical evidence for
+    // isolation is all HETEROGENEOUS co-tenancy: t9/t10 measured 2-3x
+    // their isolated steady state inside a mixed chunk, m1/m7/m9
+    // showed 4-12x swings sharing a JVM with other query shapes
+    // (r8/r9 logs), r6_ndcg hit 18.9 s inside a relational chunk vs
+    // 2.4 s solo (BENCH_r10). Members of soloExtra therefore never mix
+    // with the relational chunks — but SAME-SHAPED families may share
+    // one JVM (familyDef below), which held medians at solo levels for
+    // the light family (two batteries) and the media trio (r14).
     val soloExtra = Set("t9_lm_score", "t10_dsir_weights", "t20_kn_score",
       "t21_trigram_kn", "t23_kn_buckets", "st3_stream_neardup",
       "st4_pubsub_alerts",
@@ -149,20 +143,39 @@ object Bench {
       "d3_simhash", "d4_ngram_jaccard", "d7_dup_spans",
       "e4_tokenized_pack", "e6_cluster_split", "e7_bloom_decontaminate",
       "e9_contamination_report", "e10_suite_rollup")
-    // The multimodal decode trio's documented 4-12x swings (r8/r9
-    // logs) came from co-tenancy with OTHER query shapes; among
-    // themselves they are homogeneous CPU-bound JVM-library work with
-    // no codegen-cache pressure, so they share ONE JVM as a family
-    // instead of three forks.
-    val mediaChunk = Seq("m1_multimodal", "m7_image_dedup", "m9_video_framehash")
+    // HOMOGENEOUS family chunks (r15, extending the r14 media-trio
+    // move): the original solo rule exists because heterogeneous
+    // co-tenancy showed 2-12x swings (d3 in the 76-query JVM, r6 in a
+    // relational chunk) — but a chunk of SAME-SHAPED plans with the
+    // inter-query cache hygiene held the light family's medians at
+    // solo levels for two batteries running. Each Seq below shares one
+    // JVM: the multimodal decode trio (r14), the co-purchase graph
+    // family, the n-gram LM family (t9/t10's documented 2-3x chunk
+    // inflation was in a MIXED chunk), the periodogram pair, the
+    // foreachBatch streaming pair, the embedding-dedup pair, and the
+    // corpus-funnel trio. Validated r15 by an --only smoke run against
+    // the same-session solo battery (see OPTIMIZATION_r15.md); a
+    // family whose members inflate >15% vs solo goes back to solo.
+    val familyDef: Seq[Seq[String]] = Seq(
+      Seq("m1_multimodal", "m7_image_dedup", "m9_video_framehash"),
+      Seq("g1_pagerank", "g2_triangles", "g3_link_predict",
+        "g4_communities", "g5_bfs"),
+      Seq("t9_lm_score", "t10_dsir_weights", "t20_kn_score",
+        "t21_trigram_kn", "t23_kn_buckets"),
+      Seq("a16_structure_func", "a19_lomb_scargle"),
+      Seq("st3_stream_neardup", "st4_pubsub_alerts"),
+      Seq("d5_embed_neardup", "d6_semantic_dedup"),
+      Seq("e1_corpus_funnel", "e3_export_manifest", "e8_training_export"))
     def family(n: String, p: String) =
       n.startsWith(p) && n.length > p.length && n(p.length).isDigit
     val (solo0, cheap) = names.partition(n =>
       family(n, "d") || family(n, "e") || family(n, "cc") || soloExtra(n))
     val (light, soloRest) = solo0.partition(lightFamily)
-    val (media, solo) = soloRest.partition(mediaChunk.toSet)
+    val familySet = familyDef.flatten.toSet
+    val (fam, solo) = soloRest.partition(familySet)
+    val famChunks = familyDef.map(_.filter(fam.contains)).filter(_.nonEmpty)
     val groups: Seq[Seq[String]] =
-      solo.map(Seq(_)) ++ Seq(media).filter(_.nonEmpty) ++
+      solo.map(Seq(_)) ++ famChunks ++
         light.grouped(5).toSeq ++ cheap.grouped(8).toSeq
 
     // Stream results: rewrite bench_detail.json after EVERY group (and

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan dumper for the optimization-round evidence files:
+  * `runMain graft.ExplainDump <outDir> <suffix> <name1,name2,...>`
+  * writes `<outDir>/<name>_<suffix>.txt` with the FORMATTED physical
+  * plan (`explain("formatted")` — Exchange placement, join strategy,
+  * PushedFilters/ReadSchema) of each named battery query over
+  * SPARK_GRAFT_SF_DIR. Plan-only: nothing is executed, so streaming /
+  * side-effecting compositions (foreachBatch folds) are skipped with a
+  * note — their evidence is the deterministic JobTrace census instead. */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args(2).split(",").toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val out = Paths.get(s"$outDir/${name}_$suffix.txt")
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(out, plan)
+        System.err.println(s"[explain] wrote $out")
+      } catch { case e: Throwable =>
+        System.err.println(s"[explain] $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}

@@ -647,6 +647,57 @@ case class Md5Long(child: Expression)
     copy(child = newChild)
 }
 
+/** Bloom-sketch membership probe over a LongType hash column, with the
+  * serialized sketch held as a CONSTRUCTOR FIELD rather than a child
+  * `Literal`. Semantically identical to Spark's
+  * `BloomFilterMightContain(Literal(bytes), child)` — same
+  * `org.apache.spark.util.sketch.BloomFilter` deserialization, same
+  * `mightContainLong`, same null-in/null-out — but a ~1 MB binary
+  * Literal is a plan-cost trap: `Literal.toString` hex-prints the
+  * whole array into EVERY plan-stringification event (the SQL-listener
+  * execution-start event plus one AQE update per materialized stage,
+  * all computed synchronously on the action thread), and
+  * `Literal.hashCode` re-hashes the full megabyte on every expression-
+  * set/canonicalization lookup inside the optimizer. Holding the bytes
+  * outside the expression tree makes plan events O(plan), not
+  * O(sketch); case-class equality on `Array[Byte]` is reference
+  * equality, so no hashing of the payload either. Codegen references
+  * the DESERIALIZED filter once per plan (`addReferenceObj`) and calls
+  * `mightContainLong` per row inside whole-stage codegen. */
+case class BloomSketchContains(child: Expression, sketch: Array[Byte])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Predicate {
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_sketch_contains needs a long (hash) input, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("bloomSketch", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bf.mightContainLong($c);")
+  }
+
+  override def toString: String =
+    s"bloom_sketch_contains($child, <${sketch.length}B sketch>)"
+  override def simpleString(maxFields: Int): String = toString
+
+  override protected def withNewChildInternal(newChild: Expression): BloomSketchContains =
+    copy(child = newChild)
+}
+
 /** Per-row loop bodies for int8 scalar quantization ([[SqCodes]] /
   * [[SqError]]) — called from both the interpreted and generated
   * paths, like [[SimHashUtil]]. Arithmetic replicates the HOF

@@ -46,7 +46,12 @@ object RollupStore {
     val started = new org.apache.hadoop.fs.Path(dir, "_STARTED")
     val existing: Option[DataFrame] =
       if (fs.exists(started))
-        Some(spark.read.parquet(dir)
+        // the store's schema IS the fold aggregate's schema (every
+        // fold writes through this same pipeline), so pass it
+        // explicitly: a schemaless read fires one footer-inference
+        // scheduler job per fold just to rediscover it (r15; the
+        // Tables.table / NearDupStream.indexSchemas rationale)
+        Some(spark.read.schema(agg.schema).parquet(dir)
           .join(broadcast(touched), Seq(partCol), "left_semi"))
       else None
     val merged = existing match {
@@ -71,7 +76,10 @@ object RollupStore {
     if (!fs.exists(started)) fs.create(started).close()
   }
 
-  /** The current rollup state. */
-  def load(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  /** The current rollup state. Callers that know the store's fixed
+    * (partCol, keyCol, n, sum_value) schema pass it to skip the
+    * footer-inference job the schemaless read fires. */
+  def load(spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read)(spark.read.schema).parquet(dir)
 }

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -63,9 +62,11 @@ object Decontamination {
     * doc promises). With `broadcastEval = false` the exact gram join
     * is a shuffle join, and shuffling the FULL corpus gram stream to
     * find rare hits is the 100 TB killer; here a compact Bloom filter
-    * of xxhash64(eval gram) — Spark's own runtime-filter machinery
-    * ([[BloomFilterAggregate]] / [[BloomFilterMightContain]], the
-    * expressions injected row-level runtime filtering uses) — is built
+    * of xxhash64(eval gram) — built with Spark's own runtime-filter
+    * aggregate ([[BloomFilterAggregate]]) and probed through
+    * [[graft.functions.BloomSketchContains]] (same sketch class and
+    * `mightContainLong` as Spark's `might_contain`, holding the bytes
+    * outside the expression tree) — is built
     * in one distributed pass, collected (~1 MB, the point of the
     * sketch), and applied MAP-SIDE to the corpus gram stream, so only
     * might-contain survivors (true hits + the filter's ~1% false
@@ -90,12 +91,19 @@ object Decontamination {
       .select(Bridge.toColumn(bloomAgg.toAggregateExpression()).as("_bf"))
       .head().getAs[Array[Byte]](0)
     // empty eval set -> null sketch; the join below is then empty
-    // anyway, so skip the (null-propagating) might_contain filter
+    // anyway, so skip the (null-propagating) membership filter.
+    // BloomSketchContains, not BloomFilterMightContain(Literal(bytes)):
+    // the ~1 MB sketch as a binary Literal hex-prints into every plan-
+    // stringification event and re-hashes on every optimizer
+    // expression-set lookup — O(sketch) driver work per plan pass on
+    // a megabyte payload (see the expression's doc). Same
+    // BloomFilter.readFrom + mightContainLong semantics, so the
+    // surviving row set (true hits + the same false positives) is
+    // bit-identical.
     val pruned =
       if (bloomBytes == null) cg
-      else cg.filter(Bridge.toColumn(BloomFilterMightContain(
-        Literal(bloomBytes),
-        Bridge.toExpression(xxhash64(col("_sh_g"))))))
+      else cg.filter(Bridge.toColumn(graft.functions.BloomSketchContains(
+        Bridge.toExpression(xxhash64(col("_sh_g"))), bloomBytes)))
     pruned.join(eg, Seq("_sh_g"))
       .groupBy(col("_sh_id").as(idCol), col("eval_doc_id"))
       .agg(countDistinct(col("_sh_g")).as("n_shared_grams"))

@@ -730,7 +730,11 @@ object Relational {
         graft.merge.RollupStore.fold(s, dir,
           ev.filter(col("event_id") % 4 === k), "day", "event_type", "value")
       }
-      graft.merge.RollupStore.load(s, dir)
+      // plan-only derivation of the store schema (fold's aggregate
+      // shape) so the final load skips its footer-inference job too
+      val storeSchema = ev.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value")).schema
+      graft.merge.RollupStore.load(s, dir, Some(storeSchema))
         .select(col("day"), col("event_type"), col("n"),
           round(col("sum_value"), 4).as("sum_value_r"))
         .orderBy("day", "event_type")

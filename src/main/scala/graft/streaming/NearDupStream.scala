@@ -125,16 +125,24 @@ object NearDupStream {
     val committed = spark.read.schema(decisions.schema)
       .parquet(s"$dir/decisions/b$batchId")
     // the batch was already shingled once: derive the new segment from
-    // the signature frame by kept-id semi-join, no second tokenize.
+    // the signature frame, no second tokenize. Kept docs are exactly
+    // the batch docs that appear as id_b in NO pair (decision "kept" ⇔
+    // perDoc._lvl null ⇔ absent from pairs.id_b — both dup legs emit
+    // the duplicate on id_b), so the segment filter is one anti-join
+    // against the ALREADY-CACHED pairs frame instead of a semi-join
+    // against a read-back of the decisions parquet: same rows, minus
+    // one file-scan + broadcast chain per fold (r15; the read-back
+    // `committed` stays the RETURN value — with its explicit schema it
+    // plans jobless, so callers that discard it, like the live-cluster
+    // fold loop, no longer pay for it at all).
     // Persisted: both segment writes consume it, and without the cache
-    // each re-runs the semi-join (and re-broadcasts keptIds). The two
-    // segment writes run back-to-back INSIDE one future — launched
-    // concurrently they race the cold segSigs cache and each builds
-    // its own keptIds broadcast + semi-join (duplicate jobs for ~30 ms
-    // of saved driver latency); the buckets write fills the cache and
-    // the shingles write is then a pure cache dump.
-    val keptIds = committed.filter(col("decision") === "kept").select(col(idCol))
-    val segSigs = sigs.join(keptIds, Seq(idCol), "left_semi").persist()
+    // each re-runs the anti-join. The two segment writes run
+    // back-to-back INSIDE one future — launched concurrently they race
+    // the cold segSigs cache (duplicate jobs for ~30 ms of saved
+    // driver latency); the buckets write fills the cache and the
+    // shingles write is then a pure cache dump.
+    val segSigs = sigs.join(pairs.select(col("id_b").as(idCol)),
+      Seq(idCol), "left_anti").persist()
     // The live-cluster fold runs in a SECOND future (r15): it starts
     // AFTER the decisions write — whose perDoc aggregate has just
     // materialized the `pairs` cache, so the fold's endpoint collect
