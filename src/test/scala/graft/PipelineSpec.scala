@@ -809,10 +809,12 @@ class PipelineSpec extends AnyFunSuite {
     val bloom = Decontamination.contaminationPairsBloom(
       rest, evalSet, "doc_id", "text", n = 3)
     assert(key(bloom) == exact && exact.nonEmpty)
-    // the sketch probe is map-side: might_contain appears in the plan
-    // strictly before any Exchange on the corpus gram stream
+    // the sketch probe is map-side: bloom_sketch_contains (r15 — the
+    // sketch rides as an expression field, not a ~1 MB Literal) appears
+    // in the plan strictly before the first Exchange on the corpus
+    // gram stream
     val plan = bloom.queryExecution.executedPlan.toString
-    val probeAt = plan.indexOf("might_contain")
+    val probeAt = plan.indexOf("bloom_sketch_contains")
     assert(probeAt >= 0, "bloom probe missing from the physical plan")
     // an empty eval side degrades to an empty report, not an NPE
     assert(Decontamination.contaminationPairsBloom(
