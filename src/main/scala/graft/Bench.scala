@@ -451,9 +451,12 @@ object Bench {
         def line(topN: Int): String = {
           val top = results.filter(_._3 >= 0).sortBy(-_._3).take(topN)
             .map(r => "\"" + r._1 + "\":" + r3(r._3)).mkString("{", ",", "}")
-          s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$top,$scalars,"detail":"bench_detail.json"}"""
+          s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$top,$scalars,"detail":"$detailFile"}"""
         }
-        println(Iterator.from(20, -5).map(line)
+        // finite candidate list, last resort the scalar-only line —
+        // an open-ended countdown would spin forever in the (config-
+        // pathological) case where even line(0) exceeds the cap
+        println(Seq(20, 15, 10, 5, 0).iterator.map(line)
           .find(_.length < 1800).getOrElse(line(0)))
     }
   }

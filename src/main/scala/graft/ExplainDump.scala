@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   * writes `<outDir>/<name>_<suffix>.txt` with the FORMATTED physical
   * plan (`explain("formatted")` — Exchange placement, join strategy,
   * PushedFilters/ReadSchema) of each named battery query over
-  * SPARK_GRAFT_SF_DIR. Plan-only: nothing is executed, so streaming /
-  * side-effecting compositions (foreachBatch folds) are skipped with a
-  * note — their evidence is the deterministic JobTrace census instead. */
+  * SPARK_GRAFT_SF_DIR. The dumped FINAL frame's plan is lazy, but a
+  * COMPOSITE query (foreachBatch folds, multi-pass pipelines) executes
+  * its internal actions while BUILDING that frame — running this tool
+  * on the stream queries (st1-st4, cc5, ev8) does the stream's full
+  * work first and dumps only the last leg's plan; their plan-shape
+  * evidence is the deterministic JobTrace census instead. */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)

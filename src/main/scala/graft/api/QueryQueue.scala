@@ -197,22 +197,24 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
     * already unreadable at its public path. Leftover trash from a
     * failed walk is re-swept at the start of every prune. */
   def prune(olderThan: Timestamp): Seq[String] = {
-    import java.nio.file.{Files, Paths, Path}
-    def walkDelete(dir: Path): Unit =
-      if (Files.exists(dir)) {
-        val s = Files.walk(dir)
-        try s.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.delete(p))
-        finally s.close()
-      }
+    import java.nio.file.{Files, Paths}
+    // delete-if-exists walk (graft.util.Local) tolerates a concurrent
+    // prune racing the same tree; Files.walk surfaces racy directory
+    // iteration as UncheckedIOException, so every walk below catches
+    // BOTH exception shapes — an escape mid-flatMap would strand the
+    // remaining victims' directories with their entries already gone
+    val walkFailure: PartialFunction[Throwable, Throwable] = {
+      case e: java.io.IOException => e
+      case e: java.io.UncheckedIOException => e
+    }
     // re-sweep trash orphaned by a previous prune's failed walk
     val root = Paths.get(resultDir)
     if (Files.isDirectory(root)) {
       val s = Files.list(root)
       try s.filter(_.getFileName.toString.startsWith(".trash-"))
         .forEach { t =>
-          try walkDelete(t)
-          catch { case e: java.io.IOException =>
+          try graft.util.Local.deleteRecursively(t.toString)
+          catch walkFailure.andThen { e =>
             System.err.println(s"[queryqueue] trash sweep of $t failed: $e") }
         }
       finally s.close()
@@ -239,8 +241,8 @@ final class QueryQueue(spark: SparkSession, resultDir: String) {
             false
         }
       if (renamed) {
-        try walkDelete(trash)
-        catch { case e: java.io.IOException =>
+        try graft.util.Local.deleteRecursively(trash.toString)
+        catch walkFailure.andThen { e =>
           // already unreadable at the public path; next prune re-sweeps
           System.err.println(
             s"[queryqueue] trash delete of ${v.queryid} deferred: $e")

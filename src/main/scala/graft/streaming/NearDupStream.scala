@@ -217,11 +217,7 @@ object NearDupStream {
     }
 
   private def deleteRecursively(f: java.io.File): Unit =
-    if (f.exists()) {
-      java.nio.file.Files.walk(f.toPath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    graft.util.Local.deleteRecursively(f.getAbsolutePath)
 
   /** LIVE duplicate clusters: fold the batch's verified pairs into the
     * versioned (id, cluster) map via [[Components.updateClusters]] —
@@ -244,13 +240,16 @@ object NearDupStream {
     // directory it is about to overwrite (Spark refuses to overwrite a
     // path being read) nor fold its pairs in twice — recomputing from
     // the predecessor is idempotent by construction
-    // cluster labels are min member ids, so both columns share the id
-    // type — a fixed schema the versioned read passes explicitly
-    // (skipping one footer-inference job per fold)
-    val idType = pairs.schema("id_a").dataType
+    // the on-disk map is ALWAYS (long, long): Components.updateClusters
+    // casts ids and cluster labels to long before this function writes
+    // them — so the versioned read pins LongType explicitly (skipping
+    // one footer-inference job per fold) regardless of the batch id
+    // column's pre-cast type, matching the Seq[(Long, Long)] bootstrap
     val mapSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(idCol, idType),
-      org.apache.spark.sql.types.StructField("cluster", idType)))
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType)))
     val prev = latestClusters(spark, dir, below = Some(batchId),
         schema = Some(mapSchema))
       .getOrElse(Seq.empty[(Long, Long)].toDF(idCol, "cluster"))
