@@ -12,12 +12,17 @@ object BenchOne {
     val runs = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment-only conf overrides (see JobTrace) — never in Bench
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';'))
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // job/stage counter: fixed-cost queries (exponent ≈ 0) are paying
     // scheduler round-trips, so the JOB COUNT is the signal a wall-clock

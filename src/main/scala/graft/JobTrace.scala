@@ -15,12 +15,19 @@ object JobTrace {
     val name = args(0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment-only conf overrides (semicolon-separated k=v) so an
+    // A/B like "same query, AQE off" is one env var instead of a
+    // recompile — measurement harness only, never read by graft.Bench
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';'))
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val events = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
