@@ -650,11 +650,19 @@ object FastdbOps {
       .select(col("rootid"), col("band"), col("p"), col("n"), col("_tau"))
     val ph = w1 * (col("t") - col("_tau"))
     yp.join(broadcast(tau), Seq("rootid", "band", "p"))
+      // cos/sin of the phase are PROJECTED once per row before the
+      // aggregate: each appears in 3 of the 4 sums, and aggregate
+      // update expressions do not reliably get codegen subexpression
+      // elimination — the projection pins 2 trig calls/row instead of
+      // 6. Same multiplications on the same values afterwards, so the
+      // 3-dp-rounded sums are bit-identical (oracle-stable).
+      .select(col("rootid"), col("band"), col("p"), col("n"), col("y"),
+        cos(ph).as("_cph"), sin(ph).as("_sph"))
       .groupBy(col("rootid"), col("band"), col("p"), col("n"))
-      .agg(round(sum(col("y") * cos(ph)), 3).as("yc_r"),
-        round(sum(col("y") * sin(ph)), 3).as("ys_r"),
-        round(sum(cos(ph) * cos(ph)), 3).as("_cc_r"),
-        round(sum(sin(ph) * sin(ph)), 3).as("_ss_r"))
+      .agg(round(sum(col("y") * col("_cph")), 3).as("yc_r"),
+        round(sum(col("y") * col("_sph")), 3).as("ys_r"),
+        round(sum(col("_cph") * col("_cph")), 3).as("_cc_r"),
+        round(sum(col("_sph") * col("_sph")), 3).as("_ss_r"))
       .withColumn("power_r",
         when(col("_cc_r") > 0 && col("_ss_r") > 0,
           round(lit(0.5) * (col("yc_r") * col("yc_r") / col("_cc_r") +

@@ -166,6 +166,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "id expansion / priority / semi joins must broadcast")
   }
 
+  test("a19 Lomb-Scargle pass 2: phase trig projected once per row, not per sum") {
+    // cos(ph)/sin(ph) feed 3 of the 4 phased sums each; aggregate
+    // update expressions do not reliably get codegen subexpression
+    // elimination, so the query projects them ONCE before the groupBy
+    // (measured ~9% off the solo warm time). Pass 1's single-trig sums
+    // (sin/cos of 2ωt, one use each) legitimately stay inside their
+    // aggregate — the assertion targets only the multiplied forms.
+    val p = plan(graft.queries.FastdbOps.a19LombScargle(spark, d))
+    assert("""partial_sum\(\(y#\d+ \* _cph""".r.findFirstIn(p).isDefined,
+      "phased sums must read the projected cosine, not recompute it")
+    assert(!p.contains(" * COS") && !p.contains(" * SIN"),
+      "no trig call may appear as a multiplication operand inside an aggregate")
+  }
+
   test("no battery plan is corpus-quadratic") {
     // A nested-loop join (the physical plan Spark picks when a join
     // has no equi keys) is acceptable only when one side is BOUNDED —
