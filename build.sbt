@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The perf driver greps the bench's final stdout JSON line out of a
+// ~2000-char tail. sbt's default LoggedOutput prefixes every forked
+// line with "[info] ", which defeated that parser three rounds running
+// (BENCH_r13..r15 all recorded parsed:null even once the line itself
+// fit the tail). StdoutOutput hands the forked JVM this process's own
+// stdout/stderr, so the contract line starts at column 0.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -187,8 +187,14 @@ object Bench {
     val t0 = System.nanoTime()
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Double, Double)]
+    // cpu-suffixed: the driver benches the same tree at two core counts
+    // back to back, and a single shared filename meant the second run
+    // overwrote the first's full per-query record (r15 lost its 32-core
+    // map to the 8-core rerun)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val detailFile =
-      if (only.isDefined) "bench_detail_smoke.json" else "bench_detail.json"
+      if (only.isDefined) "bench_detail_smoke.json"
+      else s"bench_detail_c$cpus.json"
     groups.zipWithIndex.foreach { case (g, i) =>
       System.err.println(s"[bench] forking group ${i + 1}/${groups.size}: ${g.mkString(",")}")
       acc ++= forkGroup(g, log)

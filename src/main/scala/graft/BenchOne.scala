@@ -20,7 +20,10 @@ object BenchOne {
     // experiment-only conf overrides (see JobTrace) — never in Bench
     sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';'))
       .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(s"bad SPARK_GRAFT_CONF entry (need k=v): '$kv'")
+        }
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,7 +25,10 @@ object JobTrace {
     // recompile — measurement harness only, never read by graft.Bench
     sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';'))
       .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(s"bad SPARK_GRAFT_CONF entry (need k=v): '$kv'")
+        }
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,9 +37,30 @@ object JobTrace {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         // the result stage's name carries the scheduling call site
-        // ("parquet at Foo.scala:123"); job properties don't in local mode
+        // ("parquet at Foo.scala:123"); job properties don't in local mode.
+        // AQE/broadcast futures ("withThreadLocalCaptured") and
+        // foreachBatch jobs ("start at ...") attribute every job to one
+        // anonymous site — for those, append the per-STAGE call sites,
+        // which name the real operators the job materialized (this is
+        // what makes an st4-style 86-jobs-at-one-site census readable).
         val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
-        starts.put(j.jobId, (System.nanoTime(), site)): Unit
+        val anon = site.contains("withThreadLocalCaptured") ||
+          site.startsWith("start at")
+        val detail0 =
+          if (!anon) site
+          else {
+            val ss = j.stageInfos.map(_.name).distinct
+              .filterNot(_.contains("withThreadLocalCaptured"))
+            if (ss.isEmpty) site
+            else s"$site <- [${ss.take(4).mkString(" | ")}]"
+          }
+        // jobs labeled via setJobDescription (guide §1.5 — the silver
+        // write path does) carry the label in the job properties even
+        // when every call site collapses to the stream's start()
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        val detail = desc.fold(detail0)(d => s"[$d] $detail0")
+        starts.put(j.jobId, (System.nanoTime(), detail)): Unit
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         Option(starts.remove(j.jobId)).foreach { case (t0, site) =>

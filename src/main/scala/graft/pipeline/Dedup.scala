@@ -346,16 +346,24 @@ object Dedup {
   /** Reload a saved index. Probing a loaded index pays only the probe
     * cost — shingling and banding the corpus happened at [[saveIndex]]
     * time, which is the operational mode incrementalMinhash exists
-    * for: index once, probe every batch, never rescan the corpus. */
-  def loadIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): NearDupIndex =
-    NearDupIndex(spark.read.parquet(s"$dir/buckets"),
-      spark.read.parquet(s"$dir/shingles"))
+    * for: index once, probe every batch, never rescan the corpus.
+    * `schemas` (buckets, shingles — [[indexSchemas]]' shape): the index
+    * layout is fixed by construction, so callers that know it skip the
+    * footer-inference scheduler job each schemaless read fires. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schemas: Option[(org.apache.spark.sql.types.StructType,
+        org.apache.spark.sql.types.StructType)] = None): NearDupIndex =
+    NearDupIndex(
+      schemas.fold(spark.read)(s => spark.read.schema(s._1))
+        .parquet(s"$dir/buckets"),
+      schemas.fold(spark.read)(s => spark.read.schema(s._2))
+        .parquet(s"$dir/shingles"))
 
   /** Load the index at `dir` if present, else build it from `corpus`
     * and persist it there (freeing the build's signature cache once
     * written). Either way the returned index reads from the persisted
-    * band-partitioned layout. */
+    * band-partitioned layout — with explicit schemas (plan-only, from
+    * the corpus frame), so the two reads plan jobless. */
   def loadOrBuildIndex(corpus: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
       dir: String): NearDupIndex = {
@@ -365,7 +373,8 @@ object Dedup {
       saveIndex(built, dir)
       sigs.unpersist()
     }
-    loadIndex(corpus.sparkSession, dir)
+    loadIndex(corpus.sparkSession, dir, Some(indexSchemas(corpus, idCol,
+      textCol, shingleWords, numHashes, bands)))
   }
 
   /** Canonical per-dataset scratch location for the demo corpus band
@@ -662,14 +671,35 @@ object Dedup {
       dir: String): Boolean =
     graft.util.Stage.isCommitted(spark, dir, "shingles/_SUCCESS")
 
-  def loadSimhashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): SimHashIndex =
-    SimHashIndex(spark.read.parquet(s"$dir/keys"),
-      spark.read.parquet(s"$dir/shingles"))
+  /** The two frame schemas a persisted [[SimHashIndex]] reads back
+    * with — plan-only, no job ([[indexSchemas]]' counterpart for the
+    * hamming family). */
+  def simhashIndexSchemas(like: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, shingleWords: Int):
+      (org.apache.spark.sql.types.StructType, org.apache.spark.sql.types.StructType) = {
+    val sigs = withShinglesAndSimhash(
+      like.limit(0).select(col(idCol), col(textCol)),
+      idCol, textCol, shingleWords, "_shingles", "_sim")
+    (simhashBlockKeys(sigs.select(col(idCol), col("_sim")), idCol, "_sim",
+       maxHamming).schema,
+     sigs.select(col(idCol), col("_shingles")).schema)
+  }
+
+  /** `schemas` (keys, shingles — [[simhashIndexSchemas]]' shape): the
+    * layout is fixed by construction, so callers that know it skip the
+    * footer-inference job each schemaless read fires. */
+  def loadSimhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schemas: Option[(org.apache.spark.sql.types.StructType,
+        org.apache.spark.sql.types.StructType)] = None): SimHashIndex =
+    SimHashIndex(
+      schemas.fold(spark.read)(s => spark.read.schema(s._1))
+        .parquet(s"$dir/keys"),
+      schemas.fold(spark.read)(s => spark.read.schema(s._2))
+        .parquet(s"$dir/shingles"))
 
   /** Load the simhash index at `dir` if present, else build from
     * `corpus` and persist it there — the probe-only operational mode,
-    * mirroring [[loadOrBuildIndex]]. */
+    * mirroring [[loadOrBuildIndex]] (explicit read schemas included). */
   def loadOrBuildSimhashIndex(corpus: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 4, shingleWords: Int = 3,
       dir: String): SimHashIndex = {
@@ -679,7 +709,9 @@ object Dedup {
       saveSimhashIndex(built, dir)
       sigs.unpersist()
     }
-    loadSimhashIndex(corpus.sparkSession, dir)
+    loadSimhashIndex(corpus.sparkSession, dir,
+      Some(simhashIndexSchemas(corpus, idCol, textCol, maxHamming,
+        shingleWords)))
   }
 
   /** Canonical content-signature-keyed scratch location for the demo

@@ -119,10 +119,35 @@ object IvfAnn {
   /** Reload a saved index. Probing a loaded index pays only the probe
     * cost — quantizer training and cell assignment happened at
     * [[save]] time, which is the deploy shape: build the index once,
-    * serve top-k queries against the persisted cells. */
-  def load(spark: SparkSession, dir: String): Index =
-    Index(spark.read.parquet(s"$dir/assigned"),
-      spark.read.parquet(s"$dir/centroids"))
+    * serve top-k queries against the persisted cells.
+    * `schemas` (assigned, centroids — [[indexSchemas]]' shape): the
+    * layout is fixed by construction, so callers that know it skip the
+    * footer-inference scheduler job each schemaless read fires. */
+  def load(spark: SparkSession, dir: String,
+      schemas: Option[(org.apache.spark.sql.types.StructType,
+        org.apache.spark.sql.types.StructType)] = None): Index =
+    Index(
+      schemas.fold(spark.read)(s => spark.read.schema(s._1))
+        .parquet(s"$dir/assigned"),
+      schemas.fold(spark.read)(s => spark.read.schema(s._2))
+        .parquet(s"$dir/centroids"))
+
+  /** The two frame schemas a persisted index reads back with —
+    * plan-only (a zero-row slice of the corpus through the same
+    * normalize projection [[buildIndex]] runs; `_cell` is the int
+    * k-means prediction, `_center` the int-keyed centroid array). */
+  def indexSchemas(corpus: DataFrame, idCol: String, embCol: String):
+      (org.apache.spark.sql.types.StructType,
+       org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.types._
+    val assigned = Similarity.normalized(
+        corpus.limit(0).select(col(idCol), col(embCol)), embCol, "_ne")
+      .withColumn("_cell", lit(0))
+      .select(col(idCol), col("_ne"), col("_cell")).schema
+    val centroids = StructType(Seq(StructField("_cell", IntegerType),
+      StructField("_center", ArrayType(DoubleType))))
+    (assigned, centroids)
+  }
 
   /** Canonical per-dataset scratch location for a shared demo index —
     * s3_ann_ivf and s4's re-rank path use the same (nlist = 16,
@@ -149,7 +174,7 @@ object IvfAnn {
       save(built, dir, nlist)
       built.assigned.unpersist()
     }
-    val ix = load(spark, dir)
+    val ix = load(spark, dir, Some(indexSchemas(corpus, idCol, embCol)))
     // The centroid table has at most nlist rows by construction, but a
     // parquet read carries no static row bound (maxRows = None), so
     // the probe-list cross join downstream would be indistinguishable

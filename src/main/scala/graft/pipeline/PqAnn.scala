@@ -235,10 +235,22 @@ object PqAnn {
     graft.util.Stage.isCommitted(spark, dir, "books/_SUCCESS")
 
   def load(spark: SparkSession, dir: String): Index = {
-    val cellRows = spark.read.parquet(s"$dir/cells").collect()
+    // all three tables have layouts fixed by [[save]]'s construction —
+    // explicit schemas skip one footer-inference scheduler job per read
+    // (the [[graft.Tables.table]] / RollupStore pattern)
+    import org.apache.spark.sql.types._
+    val cellsSchema = StructType(Seq(StructField("_cell", IntegerType),
+      StructField("_center", ArrayType(DoubleType))))
+    val booksSchema = StructType(Seq(StructField("_m", IntegerType),
+      StructField("_cid", IntegerType),
+      StructField("_cw", ArrayType(DoubleType)),
+      StructField("_dim", IntegerType)))
+    val codesSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("_cell", IntegerType), StructField("_code", BinaryType)))
+    val cellRows = spark.read.schema(cellsSchema).parquet(s"$dir/cells").collect()
     val cells = Array.ofDim[Array[Double]](cellRows.length)
     cellRows.foreach(r => cells(r.getInt(0)) = r.getSeq[Double](1).toArray)
-    val bookRows = spark.read.parquet(s"$dir/books").collect()
+    val bookRows = spark.read.schema(booksSchema).parquet(s"$dir/books").collect()
     val dim = bookRows.head.getAs[Int]("_dim")
     val m = bookRows.map(_.getAs[Int]("_m")).max + 1
     val ksub = bookRows.map(_.getAs[Int]("_cid")).max + 1
@@ -247,7 +259,7 @@ object PqAnn {
       books(r.getAs[Int]("_m"))(r.getAs[Int]("_cid")) =
         r.getAs[Seq[Double]]("_cw").toArray }
     Index(Model(dim, m, ksub, cells, books),
-      spark.read.parquet(s"$dir/codes"))
+      spark.read.schema(codesSchema).parquet(s"$dir/codes"))
   }
 
   /** Content-signature + parameter-keyed scratch location (stale

@@ -1152,10 +1152,24 @@ object Pipeline {
     * the e3 counterpart for the export family. */
   def e8TrainingExport(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val kept = Dedup.exactDedup(docs, "doc_id", "text")
-      .select("doc_id", "lang", "text")
-    val capped = Sharding.stratifiedExactK(kept, "lang", "doc_id",
+    // Decide membership on NARROW rows, attach the payload once (guide
+    // §8 / §2.3): stratifiedExactK makes two passes over its input
+    // (count + cut), and feeding it the exactDedup JOIN output re-ran
+    // the full text-groupBy dedup once per pass while hauling `text`
+    // through the sample window. Instead: checkpoint the deduped
+    // (doc_id, lang) ids once — eager, narrow, corpus-bounded — run the
+    // quota sample over ids alone, and broadcast-join the ≤ k·|langs|
+    // sampled ids back to the documents scan for their text (quota-
+    // bounded ⇒ broadcast-safe at any corpus size). Same kept ids, same
+    // text per id (doc_id is unique), so the downstream shuffle/pack/
+    // digest pipeline sees identical rows.
+    val keptIds = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id", "lang").localCheckpoint()
+    val cappedIds = Sharding.stratifiedExactK(keptIds, "lang", "doc_id",
         k = 50, seed = 11L)
+      .select("doc_id")
+    val capped = docs.select("doc_id", "text")
+      .join(broadcast(cappedIds), Seq("doc_id"))
       .select("doc_id", "text")
     val shuffled = Sharding.deterministicShuffle(capped, "doc_id", 42L)
     val packed = Sharding.packByTokenBudget(shuffled, "shuffle_pos",

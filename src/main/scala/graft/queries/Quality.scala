@@ -756,19 +756,41 @@ object Quality {
     * one planted cluster. */
   def d6SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val planted = d6Planted(s, d)
-    val found = SemDedup.semanticPairs(planted, "vec_id", "embedding",
-      nlist = 8, threshold = 0.8).localCheckpoint()
     val n = graft.pipeline.Similarity.normalized(
         planted.select(col("vec_id"), col("embedding")), "embedding", "_ne")
       .withColumn("_g", col("vec_id") % 8)
-    val truth = n.select(col("_g"), col("vec_id").as("id_a"), col("_ne").as("_ea"))
+    val truthFrame = n
+      .select(col("_g"), col("vec_id").as("id_a"), col("_ne").as("_ea"))
       .join(n.select(col("_g"), col("vec_id").as("id_b"), col("_ne").as("_eb")),
         Seq("_g"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", graft.pipeline.Similarity.dot(col("_ea"), col("_eb")))
       .filter(col("sim") >= 0.8)
-      .select("id_a", "id_b").localCheckpoint()
-    val nVec = planted.count()
+      .select("id_a", "id_b")
+    // The operator run (quantize + in-cell pair scan; semanticPairs
+    // checkpoints its result internally — a second localCheckpoint here
+    // was one redundant re-materialization job), the ground-truth
+    // in-group pair scan, and the vector count are three INDEPENDENT
+    // materializations over the same planted frame — submit them from a
+    // small pool (guide §2.6, the sp1/SilverStore pattern) so the truth
+    // scan and the count back-fill the k-means train's driver-bound
+    // phases instead of waiting for them. Frames and values are
+    // byte-identical to the serial order; only job submission overlaps.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val (found, truth, nVec) =
+      try {
+        val fFound = Future(SemDedup.semanticPairs(planted, "vec_id",
+          "embedding", nlist = 8, threshold = 0.8))
+        val fTruth = Future(truthFrame.localCheckpoint())
+        val fNVec = Future(planted.count())
+        (Await.result(fFound, Duration.Inf),
+         Await.result(fTruth, Duration.Inf),
+         Await.result(fNVec, Duration.Inf))
+      } finally pool.shutdown()
     val nTrue = truth.count()
     val nFound = found.count()
     val nFoundTrue = found.join(truth, Seq("id_a", "id_b"), "left_semi").count()

@@ -183,7 +183,15 @@ final class SilverStore(baseDir: String) {
   private def writeSegment(name: String, df: DataFrame): Option[String] = {
     val seg = newSegName()
     val dir = tableDir(name).resolve(seg)
-    df.write.parquet(dir.toString)
+    // label the write job (guide §1.5): inside foreachBatch every call
+    // site collapses to the stream's start(), so without the label a
+    // job census cannot attribute the import merge's dominant jobs.
+    // setJobDescription is thread-local — stagePar's pool threads each
+    // label only their own table's job.
+    val sc = df.sparkSession.sparkContext
+    sc.setJobDescription(s"silver write: $name")
+    try df.write.parquet(dir.toString)
+    finally sc.setJobDescription(null)
     val n = footerRowCount(df.sparkSession, dir)
     if (n == 0L) { deleteRecursively(dir); None } else Some(seg)
   }

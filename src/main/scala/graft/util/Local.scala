@@ -7,9 +7,18 @@ package graft.util
 object Local {
   def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    // a concurrent prune can remove the tree between the exists check
+    // and the walk (or mid-walk); the tree being already gone is
+    // success for a delete-if-exists helper, so swallow that one shape
+    try {
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    } catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+    }
   }
 }
