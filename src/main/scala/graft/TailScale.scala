@@ -42,8 +42,11 @@ import org.apache.spark.sql.functions._
   */
 object TailScale {
 
+  // e8 (r16): pure documents-table derivation like e3 — the whole
+  // export (dedup → exact-k cap → global shuffle → pack → manifest)
+  // deepens ×N, exercising this round's narrow-shuffle rewrite.
   private val docQueries = Set("e3_export_manifest", "e4_tokenized_pack",
-    "e7_bloom_decontaminate")
+    "e7_bloom_decontaminate", "e8_training_export")
   // a2/a4/sp1 (r15): lineitem-derived photometry deepens ×N under the
   // same offsets — rootid = l_orderkey % 1000 and apiCatalog's
   // diaobjectid = (l_orderkey*10 + l_linenumber) % 400 are both

@@ -502,9 +502,16 @@ object Corpus {
       .withColumn("split", Sharding.hashSplit(col("doc_id")))
     // one corpus pass for all three splits (a per-split pack would
     // re-scan the kept corpus once per split at 100 TB)
-    val packed = Sharding.packByTokenBudgetStratified(kept, "doc_id",
-      TextAnalysis.tokenCount(col("export_text")), budget = 1000L,
-      strata = Seq("split"))
+    // narrow before the range exchange (guide §2.3): the exchange's
+    // boundary-sampling pass replays its input lineage, which here is
+    // the redact+quality regex chain — materializing the 3-column
+    // (split, doc_id, n_tokens) frame first means both the sample and
+    // the shuffle read 24-byte rows and the regex work runs once
+    val slim = kept.select(col("split"), col("doc_id"),
+        TextAnalysis.tokenCount(col("export_text")).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val packed = Sharding.packByTokenBudgetStratified(slim, "doc_id",
+      col("n_tokens"), budget = 1000L, strata = Seq("split"))
     packed.groupBy("split", "shard").agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("shard_tokens"),
