@@ -492,13 +492,24 @@ object Corpus {
     // subtree. The cache lives until the session's next
     // clearCache (Verify/Bench clear between queries; a library
     // caller embedding this funnel should clearCache when done).
+    //
+    // redact + quality are computed INSIDE the persisted frame: a
+    // quality filter phrased as qualityScore(redactPii(...)) above the
+    // dedup join gets predicate-pushed below it with the redact tree
+    // substituted once per reference — 7 inlined redactPii copies
+    // (14 regexp_replace full-text passes) per probe row, and an 8th
+    // in the projection above (measured: the slim leg was one 17.8 s
+    // job at 10×, plan had 30 regexp_replace occurrences). Stored as
+    // cached columns they are computed once per cleaned row and the
+    // filter reads a materialized double. Same expressions, same rows.
     val cleaned = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
       .filter(col("n_removed") < col("n_tokens"))   // all-boilerplate docs drop out
+      .withColumn("export_text", TextAnalysis.redactPii(col("clean_text")))
+      .withColumn("_q", TextAnalysis.qualityScore(col("export_text")))
       .persist()
     val deduped = Dedup.exactDedup(cleaned, "doc_id", "clean_text")
     val kept = deduped
-      .withColumn("export_text", TextAnalysis.redactPii(col("clean_text")))
-      .filter(TextAnalysis.qualityScore(col("export_text")) >= 0.55)
+      .filter(col("_q") >= 0.55)
       .withColumn("split", Sharding.hashSplit(col("doc_id")))
     // one corpus pass for all three splits (a per-split pack would
     // re-scan the kept corpus once per split at 100 TB)
@@ -509,7 +520,10 @@ object Corpus {
     // the shuffle read 24-byte rows and the regex work runs once
     val slim = kept.select(col("split"), col("doc_id"),
         TextAnalysis.tokenCount(col("export_text")).cast("long").as("n_tokens"))
-      .localCheckpoint()
+      .persist()
+    slim.count(): Unit // eager: one compute+cache pass (localCheckpoint's
+                       // eager path ran the subtree twice — JobTrace showed
+                       // two ~8.3 s jobs at this line at 10×)
     val packed = Sharding.packByTokenBudgetStratified(slim, "doc_id",
       col("n_tokens"), budget = 1000L, strata = Seq("split"))
     packed.groupBy("split", "shard").agg(

@@ -82,6 +82,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "bigram count tables must broadcast back onto the gram rows under AQE")
   }
 
+  test("span dedup: one window-row generation, window decision, no join-back") {
+    // r16: duplicateSpans is a single Window over gram, not
+    // groupBy(gram) + join-back — the join form generated the corpus
+    // k-window rows twice (two Generates for the decision) and pays a
+    // second full shuffle at scale; covered positions aggregate with
+    // collect_set (one shuffle), not distinct + collect_list (two)
+    val p = plan(graft.queries.Quality.d7DupSpans(spark, d))
+    assert(p.contains("Window"), "span decision must be a window over gram")
+    assert("\\bGenerate\\b".r.findAllIn(p).size == 2,
+      "exactly two Generates: one window-row generation + the covered-span explode")
+    assert(p.contains("collect_set"), "covered positions dedup inside the aggregate")
+    assert(!p.contains("collect_list"), "no distinct+collect_list two-shuffle form")
+  }
+
   test("pair-stage policy: size-based auto-choice, both branch shapes pinned") {
     // cc1/cc2/e1 call ngramJaccardPairsAuto, which picks the candidate
     // path by corpus size (Dedup.usePrefixFilter): plain inverted index
