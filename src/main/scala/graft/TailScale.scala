@@ -45,8 +45,13 @@ object TailScale {
   // e8 (r16): pure documents-table derivation like e3 — the whole
   // export (dedup → exact-k cap → global shuffle → pack → manifest)
   // deepens ×N, exercising this round's narrow-shuffle rewrite.
-  private val docQueries = Set("e3_export_manifest", "e4_tokenized_pack",
-    "e7_bloom_decontaminate", "e8_training_export")
+  // e1 (r16): documents-only funnel whose pair stage auto-switches to
+  // the PPJoin prefix-filter branch above 50k docs — ×10 of sf0.1
+  // crosses that threshold, so this probe measures the branch the
+  // 100 TB brief would actually run (sf0.1 itself never exercises it
+  // at battery scale).
+  private val docQueries = Set("e1_corpus_funnel", "e3_export_manifest",
+    "e4_tokenized_pack", "e7_bloom_decontaminate", "e8_training_export")
   // a2/a4/sp1 (r15): lineitem-derived photometry deepens ×N under the
   // same offsets — rootid = l_orderkey % 1000 and apiCatalog's
   // diaobjectid = (l_orderkey*10 + l_linenumber) % 400 are both
